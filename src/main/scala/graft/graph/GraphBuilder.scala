@@ -1,0 +1,135 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{Graph, GraphLink, GraphNode}
+
+/** Force-graph construction (reference
+  * arelight/backend/d3js/relations_graph_builder.py:4-91).
+  *
+  * Two implementations with identical math:
+  *  - DataFrame operators for scale (hash aggregate with map-side partials; the
+  *    endpoint value->type lookup is a broadcast join);
+  *  - a pure-Scala local build replicating the reference float-for-float, used
+  *    for golden tests and for the post-aggregation driver-sized graph algebra.
+  */
+object GraphBuilder {
+
+  /** One raw relation row: (subjectValue, objectValue, labelString). */
+  final case class Relation(source: String, target: String, sent: String)
+
+  /** Node-key cleaning (P16, relations_graph_builder.py:14-30): strip trailing
+    * dots, then mask '.' as '·' (the dot is the TYPE.value separator).
+    * The reference IndexErrors on a value of only dots; the engine maps it to
+    * the empty string (conscious deviation, SURVEY.md §7.4). */
+  def cleanValue(v: String): String =
+    v.replaceAll(raw"\.+$$", "").replace('.', '·')
+
+  def cleanValueCol(c: Column): Column =
+    translate(regexp_replace(c, raw"\.+$$", ""), ".", "·")
+
+  /** Node-key composition (P17): `TYPE.cleanedValue`, UNKNOWN when the value is
+    * missing from the entity type map. */
+  def nodeKey(tpe: Option[String], value: String): String =
+    s"${tpe.getOrElse("UNKNOWN")}.${cleanValue(value)}"
+
+  // ---------------------------------------------------------------- DataFrame
+
+  /** Entity value->type dictionary from per-sample parallel arrays (J2).
+    * Reference semantics: dict overwrite while flattening all samples in order —
+    * LAST occurrence wins. `orderCol` fixes the deterministic order (e.g.
+    * (docId, opinionId)); rows are exploded and the max-order row wins. */
+  def entityTypeMap(samples: DataFrame, orderCol: Column): DataFrame = {
+    val exploded = samples
+      .withColumn("ord", orderCol)
+      .select(col("ord"), posexplode(arrays_zip(col("entityValues"), col("entityTypes"))))
+      .select(
+        col("col.entityValues").as("value"),
+        col("col.entityTypes").as("type"),
+        (col("ord") * 1000000 + col("pos")).as("ord"))
+    exploded
+      .groupBy(col("value"))
+      .agg(max_by(col("type"), col("ord")).as("type"))
+  }
+
+  /** Edge relation at scale: groupBy (sourceKey, targetKey, sent) count, with
+    * min-links HAVING (F5) and the weights toggle (U4). Input must already carry
+    * node keys (see [[withNodeKeys]]). Output: (source, target, sent, c). */
+  def edges(relations: DataFrame, minLinks: Double = 1, weights: Boolean = true): DataFrame = {
+    val counted = relations
+      .na.drop(Seq("source", "target", "sent")) // F4: drop nan relations
+      .groupBy(col("source"), col("target"), col("sent"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(minLinks))
+    val c = if (weights) col("cnt").cast("double") else lit(1.0)
+    counted.select(col("source"), col("target"), col("sent"), c.as("c"))
+  }
+
+  /** Attach composed node keys to raw (source,target,sent) relation rows using a
+    * broadcast value->type map (UNKNOWN fallback). */
+  def withNodeKeys(relations: DataFrame, typeMap: DataFrame): DataFrame = {
+    val tm = broadcast(typeMap)
+    val s = tm.withColumnRenamed("value", "s_value").withColumnRenamed("type", "s_type")
+    val t = tm.withColumnRenamed("value", "t_value").withColumnRenamed("type", "t_type")
+    relations
+      .join(s, relations("source") === s("s_value"), "left")
+      .join(t, relations("target") === t("t_value"), "left")
+      .select(
+        concat_ws(".", coalesce(col("s_type"), lit("UNKNOWN")), cleanValueCol(col("source"))).as("source"),
+        concat_ws(".", coalesce(col("t_type"), lit("UNKNOWN")), cleanValueCol(col("target"))).as("target"),
+        col("sent"))
+  }
+
+  /** Node relation: degree over surviving edges, max-normalized
+    * (relations_graph_builder.py:80-89). The max is computed inside the plan
+    * (no driver round-trip) via a scalar cross-joined aggregate — at graph
+    * cardinality (post-aggregation) this is cheap. */
+  def nodes(edgeDf: DataFrame, weights: Boolean = true): DataFrame = {
+    val degrees = edgeDf
+      .select(explode(array(col("source"), col("target"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).cast("double").as("degree"))
+    if (!weights) degrees.select(col("id"), lit(1.0).as("c"))
+    else {
+      val m = degrees.agg(max(col("degree")).as("maxd"))
+      degrees.crossJoin(broadcast(m)).select(col("id"), (col("degree") / col("maxd")).as("c"))
+    }
+  }
+
+  // -------------------------------------------------------------- local exact
+
+  /** Exact reference replica (relations_graph_builder.py:4-91) for golden tests
+    * and driver-sized graphs. `entityMap` must already encode last-wins. */
+  def buildLocal(
+      graphName: String,
+      relations: Seq[Relation],
+      entityMap: Map[String, String],
+      minLinks: Double = 1,
+      weights: Boolean = true): Graph = {
+
+    def key(v: String): String = nodeKey(entityMap.get(v), v)
+
+    val links = scala.collection.mutable.LinkedHashMap.empty[(String, String, String), Long]
+    relations.foreach { r =>
+      if (r != null && r.source != null && r.target != null && r.sent != null) {
+        val k = (key(r.source), key(r.target), r.sent)
+        links.update(k, links.getOrElse(k, 0L) + 1L)
+      }
+    }
+
+    val used = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val outLinks = Seq.newBuilder[GraphLink]
+    links.foreach { case ((s, t, sent), c) =>
+      if (c >= minLinks) {
+        outLinks += GraphLink(s, t, if (weights) c.toDouble else 1.0, sent)
+        used.update(s, used.getOrElse(s, 0L) + 1L)
+        used.update(t, used.getOrElse(t, 0L) + 1L)
+      }
+    }
+    val linkSeq = outLinks.result()
+    val maxDeg = if (used.isEmpty) 0L else used.values.max
+    val nodeSeq = used.iterator.map { case (id, d) =>
+      GraphNode(id, if (weights) d.toDouble / maxDeg else 1.0)
+    }.toSeq
+    Graph(Seq(graphName), s"[$graphName]", nodeSeq, linkSeq)
+  }
+}

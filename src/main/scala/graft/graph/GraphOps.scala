@@ -1,0 +1,157 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{Graph, GraphLink, GraphNode}
+
+/** Graph set algebra — the reference's entire query surface beyond the fixed
+  * pipeline (arelight/backend/d3js/relations_graph_operations.py:17-109; CLI
+  * arelight/run/operations.py:66-72).
+  *
+  * Semantics (quirks preserved, SURVEY.md §2.6):
+  *  - UNION:        W = Wa + Wb (missing = 0); normalize by max AFTER.
+  *  - INTERSECTION: per-graph max-normalize FIRST; keep common keys; W = min; renormalize.
+  *  - DIFFERENCE:   per-graph max-normalize FIRST; keep A-only keys (W=Wa) and
+  *                  common keys with Wa-Wb > 0 (W=Wa-Wb); non-commutative; renormalize.
+  *  - weights=false: set all c to 1 BEFORE and AFTER (U4).
+  *  - empty result: sentinel node GPE.EMPTY_GRAPH(no_similarity_OR_no_difference) (U5).
+  *  - node weight: sum of incident (normalized) link weights (A4).
+  *  - basis: set union (set difference for DIFFERENCE); equation "(Ea)<op>(Eb)" (U6).
+  */
+object GraphOps {
+
+  val Union = "UNION"
+  val Intersection = "INTERSECTION"
+  val Difference = "DIFFERENCE"
+
+  private val opSymbol = Map(Union -> "+", Intersection -> "∩", Difference -> "-")
+
+  // ---------------------------------------------------------------- local exact
+
+  def apply(a: Graph, b: Graph, operation: String, weights: Boolean = true): Graph = {
+    def normed(g: Graph): Seq[GraphLink] =
+      if (!weights) g.links.map(_.copy(c = 1.0)) else g.links
+
+    def key(l: GraphLink): (String, String, String) = (l.source, l.target, l.sent)
+
+    val la = normed(a).map(l => key(l) -> l.c).toMap
+    val lb = normed(b).map(l => key(l) -> l.c).toMap
+
+    val combined: Map[(String, String, String), Double] = operation match {
+      case Union =>
+        (la.keySet ++ lb.keySet).iterator
+          .map(k => k -> (la.getOrElse(k, 0.0) + lb.getOrElse(k, 0.0))).toMap
+      case Intersection =>
+        val aMax = if (la.isEmpty) 1.0 else la.values.max
+        val bMax = if (lb.isEmpty) 1.0 else lb.values.max
+        lb.iterator.flatMap { case (k, c) =>
+          la.get(k).map(ca => k -> math.min(c / bMax, ca / aMax))
+        }.toMap
+      case Difference =>
+        val aMax = if (la.isEmpty) 1.0 else la.values.max
+        val bMax = if (lb.isEmpty) 1.0 else lb.values.max
+        la.iterator.flatMap { case (k, c0) =>
+          val ca = c0 / aMax
+          lb.get(k).map(_ / bMax) match {
+            case None                       => Some(k -> ca)
+            case Some(cb) if ca - cb > 0.0  => Some(k -> (ca - cb))
+            case _                          => None
+          }
+        }.toMap
+      case other => throw new IllegalArgumentException(s"unknown operation: $other")
+    }
+
+    val basis = operation match {
+      case Difference => a.basis.toSet.diff(b.basis.toSet).toSeq.sorted
+      case _          => a.basis.toSet.union(b.basis.toSet).toSeq.sorted
+    }
+    val equation = s"(${a.equation})${opSymbol(operation)}(${b.equation})"
+
+    if (combined.isEmpty) {
+      // U5 sentinel (relations_graph_operations.py:77-82); reference drops
+      // basis/equation here — engine keeps them (strictly more information).
+      Graph(basis, equation,
+        Seq(GraphNode("GPE.EMPTY_GRAPH(no_similarity_OR_no_difference)", 1.0)), Seq.empty)
+    } else {
+      val maxC = combined.values.max
+      val links = combined.toSeq
+        .sortBy { case ((s, t, sent), _) => (s, t, sent) } // deterministic output order
+        .map { case ((s, t, sent), c) => GraphLink(s, t, c / maxC, sent) }
+      val nodeW = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      links.foreach { l =>
+        nodeW.update(l.source, nodeW.getOrElse(l.source, 0.0) + l.c)
+        nodeW.update(l.target, nodeW.getOrElse(l.target, 0.0) + l.c)
+      }
+      val nodes = nodeW.iterator.map { case (id, c) => GraphNode(id, c) }.toSeq
+      val g = Graph(basis, equation, nodes, links)
+      if (!weights)
+        g.copy(nodes = g.nodes.map(_.copy(c = 1.0)), links = g.links.map(_.copy(c = 1.0)))
+      else g
+    }
+  }
+
+  // -------------------------------------------------------------- DataFrame
+
+  /** Scale variants over edge relations (source, target, sent, c). Same math as
+    * the local version minus the sentinel/basis metadata (driver concerns). All
+    * scalar maxes stay inside the plan via broadcast cross-join. */
+  def edgeUnion(a: DataFrame, b: DataFrame, weights: Boolean = true): DataFrame = {
+    val keys = Seq("source", "target", "sent")
+    val (wa, wb) = (weightCol(a, weights), weightCol(b, weights))
+    val joined = wa.withColumnRenamed("c", "ca")
+      .join(wb.withColumnRenamed("c", "cb"), keys, "full_outer")
+      .select(col("source"), col("target"), col("sent"),
+        (coalesce(col("ca"), lit(0.0)) + coalesce(col("cb"), lit(0.0))).as("c"))
+    renormalize(joined, weights)
+  }
+
+  def edgeIntersection(a: DataFrame, b: DataFrame, weights: Boolean = true): DataFrame = {
+    val keys = Seq("source", "target", "sent")
+    val na = prenormalize(a, weights).withColumnRenamed("c", "ca")
+    val nb = prenormalize(b, weights).withColumnRenamed("c", "cb")
+    val joined = na.join(nb, keys, "inner")
+      .select(col("source"), col("target"), col("sent"), least(col("ca"), col("cb")).as("c"))
+    renormalize(joined, weights)
+  }
+
+  def edgeDifference(a: DataFrame, b: DataFrame, weights: Boolean = true): DataFrame = {
+    val keys = Seq("source", "target", "sent")
+    val na = prenormalize(a, weights).withColumnRenamed("c", "ca")
+    val nb = prenormalize(b, weights).withColumnRenamed("c", "cb")
+    val joined = na.join(nb, keys, "left_outer")
+      .select(col("source"), col("target"), col("sent"),
+        when(col("cb").isNull, col("ca"))
+          .when(col("ca") > col("cb"), col("ca") - col("cb"))
+          .otherwise(lit(null)).as("c"))
+      .filter(col("c").isNotNull)
+    renormalize(joined, weights)
+  }
+
+  /** Node weights from an edge relation: per node, sum of incident c (A4). */
+  def nodeWeights(edges: DataFrame): DataFrame =
+    edges
+      .select(explode(array(
+        struct(col("source").as("id"), col("c")),
+        struct(col("target").as("id"), col("c")))).as("e"))
+      .select(col("e.id").as("id"), col("e.c").as("c"))
+      .groupBy("id").agg(sum("c").as("c"))
+
+  private def weightCol(df: DataFrame, weights: Boolean): DataFrame =
+    if (weights) df else df.withColumn("c", lit(1.0))
+
+  private def prenormalize(df: DataFrame, weights: Boolean): DataFrame = {
+    val base = weightCol(df, weights)
+    val m = base.agg(max(col("c")).as("m"))
+    base.crossJoin(broadcast(m)).select(
+      col("source"), col("target"), col("sent"), (col("c") / col("m")).as("c"))
+  }
+
+  private def renormalize(df: DataFrame, weights: Boolean): DataFrame =
+    if (!weights)
+      df.select(col("source"), col("target"), col("sent"), lit(1.0).as("c"))
+    else {
+      val m = df.agg(max(col("c")).as("m"))
+      df.crossJoin(broadcast(m)).select(
+        col("source"), col("target"), col("sent"), (col("c") / col("m")).as("c"))
+    }
+}

@@ -1,0 +1,121 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.core._
+import graft.ner.{Ner, NerOps}
+import graft.text.TextOps
+
+/** End-to-end KG construction over a `pages` table (BASELINE.json input_hint):
+  *
+  *   pages -> parsedDocs -> samples -> predictions -> triples -> graph
+  *
+  * Mirrors the reference's 5-stage pipeline (SURVEY.md §3.1) with one crucial
+  * structural difference: stages 1-4 are ONE Dataset lineage with no shuffle
+  * until graph aggregation. A document is parsed, pair-sampled and scored
+  * entirely row-locally; the only shuffles in the whole job are the optional
+  * synonym-dictionary build and the final groupBy of the graph edges — both on
+  * already-aggregated, far smaller data. This is what lets the job scale
+  * linearly with executors (north_rule scaling efficiency >= 0.8).
+  */
+object KgPipeline {
+
+  final case class Config(
+      sampler: Sampler.Config = Sampler.Config(),
+      nerTypes: Set[String] = Set("ORG", "PERSON", "LOC", "GPE"), // arelight/run/utils.py:13
+      splitter: String = "linesplit", // linesplit | sentence  (arelight/run/utils.py:16-25)
+      extractFromHtml: Boolean = false)
+
+  /** Stage 1a-1c: text -> sentences -> terms -> mentions (typed, row-local).
+    * Mention ids are per-document ordinals over (sentInd, termInd) — deterministic
+    * under resume (SURVEY.md §4.3), unlike the reference's global IdAssigner. */
+  def parsePages(pages: Dataset[Page], ner: Ner, cfg: Config)(
+      implicit spark: SparkSession): Dataset[ParsedDoc] = {
+    import spark.implicits._
+    val types = cfg.nerTypes
+    pages.mapPartitions { it =>
+      it.map { p =>
+        val text = if (cfg.extractFromHtml) TextOps.extractText(p.html) else p.text
+        val sents =
+          if (cfg.splitter == "linesplit") TextOps.splitLines(text)
+          else TextOps.splitSentences(text)
+        var nextId = 0L
+        val parsed = sents.zipWithIndex.map { case (s, i) =>
+          val (terms, raw) = ner.tag(TextOps.tokenize(s))
+          val kept = NerOps.filterTypes(raw, types)
+          val mentions = kept.map { m =>
+            val id = nextId; nextId += 1
+            Mention(i, m.ind, m.value, m.eType, id, groupId = 0L)
+          }
+          Sentence(i, terms, mentions)
+        }
+        ParsedDoc(p.url, p.lang, parsed)
+      }
+    }
+  }
+
+  /** Stage 1d+2: pair generation + context sampling (row-local flatMap). */
+  def samples(docs: Dataset[ParsedDoc], cfg: Config)(
+      implicit spark: SparkSession): Dataset[Sample] = {
+    import spark.implicits._
+    val sCfg = cfg.sampler
+    docs.flatMap(d => Sampler.sampleDoc(d, sCfg))
+  }
+
+  /** Stage 3 standalone: predictions as their own relation (for external scorers
+    * / the compatibility one-hot export). */
+  def predictions(ss: Dataset[Sample], scorer: Scorer)(
+      implicit spark: SparkSession): Dataset[Prediction] = {
+    import spark.implicits._
+    ss.map(scorer.score)
+  }
+
+  /** Stages 3+4 fused: samples scored in place — no samples⨝predictions shuffle.
+    * The reference's positional zip (J3) is an incidental 1:1 id identity; fusing
+    * preserves exactly that contract while staying embarrassingly parallel. */
+  def triples(ss: Dataset[Sample], scorer: Scorer)(
+      implicit spark: SparkSession): Dataset[Triple] = {
+    import spark.implicits._
+    ss.map { s =>
+      val p = scorer.score(s)
+      Triple(s.sValue, s.sType, Sentiment.name(p.label), s.tValue, s.tType,
+        s.docId, s.sentInd, s.id)
+    }
+  }
+
+  /** Join variant (reference J3/J4 semantics: samples INNER JOIN predictions ON id)
+    * for when predictions were materialized separately (resume, external model). */
+  def triplesJoined(ss: Dataset[Sample], preds: Dataset[Prediction])(
+      implicit spark: SparkSession): Dataset[Triple] = {
+    import spark.implicits._
+    ss.joinWith(preds, ss("id") === preds("id"), "inner").map { case (s, p) =>
+      Triple(s.sValue, s.sType, Sentiment.name(p.label), s.tValue, s.tType,
+        s.docId, s.sentInd, s.id)
+    }
+  }
+
+  /** Compatibility export of the reference's `contents` schema: list columns
+    * comma-joined (SURVEY.md §1.2), for byte-level diffs against fixtures. */
+  def contentsCompat(ss: Dataset[Sample])(implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ss.select(
+      col("id"), col("docId").as("doc_id"), col("textA").as("text_a"),
+      col("textB").as("text_b"), col("sInd").as("s_ind"), col("tInd").as("t_ind"),
+      col("opinionId").as("opinion_id"), col("linkageId").as("linkage_id"),
+      concat_ws(",", col("entities")).as("entities"),
+      concat_ws(",", col("entityValues")).as("entity_values"),
+      concat_ws(",", col("entityTypes")).as("entity_types"),
+      col("sentInd").cast("string").as("sent_ind"))
+  }
+
+  /** Compatibility export of the one-hot prediction layout
+    * (col_0=neutral, col_1=positive, col_2=negative — by-name contract,
+    * arelight/arekit/sample_service.py:17-24). */
+  def predictionsOneHot(preds: Dataset[Prediction])(implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    preds.select(
+      col("id"),
+      when(col("label") === Sentiment.Neutral, 1).otherwise(0).as("col_0"),
+      when(col("label") === Sentiment.Positive, 1).otherwise(0).as("col_1"),
+      when(col("label") === Sentiment.Negative, 1).otherwise(0).as("col_2"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.kg
+
+import graft.core._
+
+/** Context sampling: entity-pair candidate generation (reference J1+F1,
+  * arelight/pipelines/data/annot_pairs_nolabel.py:13-47) fused with window
+  * cropping, entity rendering and prompt templating (P10-P12,
+  * arelight/samplers/cropped.py:9-16, arelight/entity.py:5-15).
+  *
+  * Everything here is row-local (per document): mentions of a sentence are
+  * already co-located, so pair generation is a flatMap with NO shuffle and no
+  * pair is ever materialized beyond the distance bound — the relational
+  * range-self-join formulation would shuffle mentions twice for the same result.
+  *
+  * Pair semantics pinned by the reference fixture
+  * (test/data/samples_and_predict-test.sqlite): for each sentence, every ORDERED
+  * pair of DISTINCT mentions (by mention id, both directions), same sentence
+  * (dist_in_sents=0), |s.ind - t.ind| <= distInTermsBound, and (engine rule,
+  * see SURVEY.md §7.4) source/target must be in DIFFERENT synonym groups — a
+  * same-group pair would be a self-opinion, an error upstream in the reference
+  * (OpinionCollection error_on_duplicates/`error_on_synonym_end_missed`).
+  * opinion_id is the per-document pair ordinal in generation order (sentences
+  * ascending, then source mention index, then target mention index), matching
+  * the fixture's ids 0..17; linkage_id is the ordinal within the opinion's
+  * synonym-linkage group (fixture: 0).
+  */
+object Sampler {
+
+  final case class Config(
+      termsPerContext: Int = 50, // crop window size AND distance bound (CLI --terms-per-context, infer.py:61)
+      distInTermsBound: Int = 50,
+      promptTemplate: String = "{text}", // sample prompt (samplers/cropped.py:12)
+      taskTemplate: String =
+        "Given text: {text_a} TASK: Classify sentiment attitude of [SUBJECT] to [OBJECT]: positive, negative, neutral" // infer.py:212-219
+  )
+
+  /** Render one term given its role (reference HighligtedEntitiesFormatter,
+    * arelight/entity.py:5-15): subject and its synonyms -> `<<v>> [SUBJECT]`,
+    * object and synonyms -> `<<v>> [OBJECT]`, other entities -> `<<v>>`. */
+  private def render(term: String, role: Int): String = role match {
+    case 1 => s"<<$term>> [SUBJECT]"
+    case 2 => s"<<$term>> [OBJECT]"
+    case 3 => s"<<$term>>"
+    case _ => term
+  }
+
+  /** Crop a <=window term slice containing both pair endpoints, centered on the
+    * pair span (the reference's crop_window_size; interior policy is
+    * engine-defined as the AREkit provider is not vendored — SURVEY.md §7.4). */
+  private[kg] def cropBounds(len: Int, a: Int, b: Int, window: Int): (Int, Int) = {
+    val lo = math.min(a, b); val hi = math.max(a, b)
+    val span = hi - lo + 1
+    if (len <= window) (0, len)
+    else if (span >= window) (lo, math.min(len, lo + window))
+    else {
+      val slack = window - span
+      val start0 = lo - slack / 2
+      val start = math.max(0, math.min(start0, len - window))
+      (start, start + window)
+    }
+  }
+
+  /** Generate all samples for one parsed document. Pure function — usable from
+    * Dataset.flatMap and from tests without a SparkSession. */
+  def sampleDoc(doc: ParsedDoc, cfg: Config): Seq[Sample] = {
+    val out = Seq.newBuilder[Sample]
+    var opinionId = 0L
+    doc.sentences.foreach { sent =>
+      val ms = sent.mentions
+      if (ms.size >= 2) {
+        val terms = sent.terms.toIndexedSeq
+        for (s <- ms; t <- ms) {
+          if (s.id != t.id && s.groupId != t.groupId &&
+              math.abs(s.ind - t.ind) <= cfg.distInTermsBound) {
+            val (start, end) = cropBounds(terms.length, s.ind, t.ind, cfg.termsPerContext)
+            val sInd = s.ind - start
+            val tInd = t.ind - start
+            val inWindow = ms.filter(m => m.ind >= start && m.ind < end)
+            val roles: Map[Int, Int] = inWindow.map { m =>
+              val role =
+                if (m.groupId == s.groupId) 1
+                else if (m.groupId == t.groupId) 2
+                else 3
+              (m.ind - start) -> role
+            }.toMap
+            val windowTerms = (start until end).map { i =>
+              render(terms(i), roles.getOrElse(i - start, 0))
+            }
+            val rawWindow = (start until end).map(terms(_))
+            val text = windowTerms.mkString(" ")
+            val textA = cfg.promptTemplate.replace("{text}", text)
+            val textB = cfg.taskTemplate.replace("{text_a}", textA)
+            out += Sample(
+              id = s"${doc.url}#$opinionId",
+              docId = doc.url,
+              textA = textA,
+              textB = textB,
+              sInd = sInd,
+              tInd = tInd,
+              opinionId = opinionId,
+              linkageId = 0L,
+              entities = inWindow.map(_.ind - start),
+              entityValues = inWindow.map(_.value),
+              entityTypes = inWindow.map(_.eType),
+              sentInd = sent.sentInd,
+              sValue = s.value,
+              sType = s.eType,
+              tValue = t.value,
+              tType = t.eType,
+              terms = rawWindow)
+            opinionId += 1
+          }
+        }
+      }
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,97 @@
+package graft.link
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.core.{Mention, ParsedDoc}
+import graft.text.TextOps
+
+/** Entity canonicalization (reference P9: synonym grouping,
+  * arelight/run/infer.py:293-298 + arelight/synonyms.py:4-14).
+  *
+  * The reference keeps a mutable driver-side dictionary and registers unseen
+  * values as new groups in encounter order — inherently sequential. The engine
+  * provides three strategies, all deterministic and shuffle-free on the hot path:
+  *
+  *  1. [[hashGroupId]] (default at 10^12 scale): groupId = xxhash64(canonicalKey(value)).
+  *     No dictionary at all, no shuffle, resume-stable. Group MEMBERSHIP matches the
+  *     reference for exact-duplicate surface forms; group IDS differ (documented
+  *     deviation, SURVEY.md §7.4).
+  *  2. [[withDictionary]]: a synonyms file (one comma-separated group per line,
+  *     arelight/synonyms.py:4-14) broadcast as Map[canonicalKey -> groupId];
+  *     unseen values fall back to strategy 1 offset into a disjoint id space.
+  *  3. [[registerMissing]]: the reference's register-unseen behavior as a two-pass
+  *     batch job — distinct unseen values get dense ids (ordered by value — the
+  *     engine fixes a deterministic order where the reference used encounter order).
+  */
+object Linker {
+
+  /** 64-bit avalanche hash (xxhash64-style finalizer over UTF-8 bytes).
+    * Pure JVM, stable across executors/versions — the scale-path group id. */
+  def hashGroupId(value: String): Long = {
+    val bytes = TextOps.canonicalKey(value).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L // FNV offset basis
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    // xxhash-style avalanche
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h & Long.MaxValue // keep non-negative; reserved dictionary range is below 1<<32
+  }
+
+  /** Parse a synonyms file's lines into canonicalKey -> groupId (group per line,
+    * comma-separated; group id = line index, matching reference insertion order). */
+  def parseSynonyms(lines: Iterator[String]): Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    var gid = 0L
+    lines.foreach { line =>
+      val vals = line.split(",").map(TextOps.canonicalKey).filter(_.nonEmpty)
+      if (vals.nonEmpty) { vals.foreach(v => b += (v -> gid)); gid += 1 }
+    }
+    b.result()
+  }
+
+  /** Assign group ids to every mention of every parsed doc. Map-side only
+    * (the dictionary is a broadcast-sized Map; hash fallback for misses). */
+  def withDictionary(docs: Dataset[ParsedDoc], dict: Map[String, Long])(
+      implicit spark: SparkSession): Dataset[ParsedDoc] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(dict)
+    docs.map { d =>
+      d.copy(sentences = d.sentences.map { s =>
+        s.copy(mentions = s.mentions.map { m =>
+          m.copy(groupId = bc.value.getOrElse(TextOps.canonicalKey(m.value), hashGroupId(m.value)))
+        })
+      })
+    }
+  }
+
+  /** Pure hash grouping — the default. */
+  def withHashGroups(docs: Dataset[ParsedDoc])(implicit spark: SparkSession): Dataset[ParsedDoc] = {
+    import spark.implicits._
+    docs.map { d =>
+      d.copy(sentences = d.sentences.map { s =>
+        s.copy(mentions = s.mentions.map(m => m.copy(groupId = hashGroupId(m.value))))
+      })
+    }
+  }
+
+  /** Reference register-unseen semantics as a batch two-pass: returns the base
+    * dictionary extended with dense ids for every distinct unseen canonical value.
+    * One distinct-shuffle over mention values; result must fit the driver
+    * (guarded) — at web scale use withHashGroups instead. */
+  def registerMissing(docs: Dataset[ParsedDoc], base: Map[String, Long], maxEntries: Int = 10_000_000)(
+      implicit spark: SparkSession): Map[String, Long] = {
+    import spark.implicits._
+    val known = spark.sparkContext.broadcast(base)
+    val unseen = docs
+      .flatMap(_.sentences.flatMap(_.mentions.map(m => TextOps.canonicalKey(m.value))))
+      .filter(v => !known.value.contains(v))
+      .distinct()
+      .orderBy("value")
+      .limit(maxEntries)
+      .as[String]
+      .collect()
+    val offset = if (base.isEmpty) 0L else base.values.max + 1L
+    base ++ unseen.iterator.zipWithIndex.map { case (v, i) => v -> (offset + i) }
+  }
+}

@@ -1,0 +1,84 @@
+package graft.text
+
+/** Deterministic text utilities.
+  *
+  * The per-row invariant (BASELINE.json input_hint) is byte-identical extracted
+  * text per url; everything here is pure, locale-independent Scala so the same
+  * bytes come out on every executor, every run.
+  */
+object TextOps {
+
+  /** Deterministic html -> text extraction.
+    *
+    * The reference ingests plain text (arelight/run/utils.py:48-51); the engine's
+    * input is Common-Crawl-style pages with an `html` binary column. Extraction is
+    * intentionally simple and exactly invertible for the synthetic generator
+    * (graft.gen.PageGen wraps text with the same template), so the byte-identity
+    * invariant is testable: extractText(gen.html(text)) == text.
+    *
+    * Rules (applied in order, single pass semantics):
+    *  1. drop <head>...</head>, <script>...</script> and <style>...</style>
+    *     blocks (case-insensitive) — head metadata (title) is not page text
+    *  2. <br> and CLOSING block tags (</p>, </div>, </li>, </h1..6>, </tr>)
+    *     become '\n' (closing-only so <p>x</p><p>y</p> yields exactly one break)
+    *  3. every other tag is dropped
+    *  4. decode the five standard entities (&amp; &lt; &gt; &quot; &#39;) + &nbsp;
+    *  5. collapse runs of spaces/tabs to one space; trim each line; drop
+    *     leading/trailing blank lines (interior blank lines are preserved --
+    *     sentence indices must count them, see TextOps.splitLines)
+    */
+  def extractText(html: Array[Byte]): String =
+    extractText(new String(html, java.nio.charset.StandardCharsets.UTF_8))
+
+  def extractText(html: String): String = {
+    val noBlocks = raw"(?is)<(head|script|style)\b.*?</\1>".r.replaceAllIn(html, "")
+    val breakTags = raw"(?i)<\s*(br\s*/?|/p|/div|/li|/h[1-6]|/tr)\s*>".r
+    val withBreaks = breakTags.replaceAllIn(noBlocks, "\n")
+    val noTags = raw"(?s)<[^>]*>".r.replaceAllIn(withBreaks, "")
+    val decoded = noTags
+      .replace("&lt;", "<")
+      .replace("&gt;", ">")
+      .replace("&quot;", "\"")
+      .replace("&#39;", "'")
+      .replace("&nbsp;", " ")
+      .replace("&amp;", "&") // last, so &amp;lt; decodes to &lt; not <
+    val lines = decoded
+      .split("\n", -1)
+      .map(l => raw"[ \t\u00A0]+".r.replaceAllIn(l, " ").trim)
+    val trimmed = lines.dropWhile(_.isEmpty).reverse.dropWhile(_.isEmpty).reverse
+    trimmed.mkString("\n")
+  }
+
+  /** Reference `linesplit` sentence parser, exact semantics
+    * (arelight/run/utils.py:17-18): split on '\n', strip each part,
+    * EMPTY PARTS ARE KEPT — sent_ind counts them. */
+  def splitLines(text: String): Seq[String] =
+    text.split("\n", -1).toSeq.map(_.trim)
+
+  /** Deterministic punkt-equivalent (reference `nltk` option,
+    * arelight/run/utils.py:19-23): split after [.!?]+ when followed by
+    * whitespace + an uppercase letter / digit / quote / opening bracket.
+    * Not byte-compatible with NLTK punkt (which is model-based); this is the
+    * engine's documented deterministic stand-in. */
+  private val sentenceBoundary =
+    raw"""(?<=[.!?])(?<!\b[A-Z]\.)\s+(?=[\p{Lu}0-9"'\(\[«])""".r
+
+  def splitSentences(text: String): Seq[String] =
+    splitLines(text).flatMap { line =>
+      if (line.isEmpty) Seq(line)
+      else sentenceBoundary.split(line).toSeq.map(_.trim)
+    }
+
+  /** Whitespace tokenization, mirroring AREkit split_by_whitespaces
+    * (usage arelight/run/infer.py:184). Empty input yields no terms. */
+  def tokenize(sentence: String): Seq[String] = {
+    val t = sentence.trim
+    if (t.isEmpty) Seq.empty else t.split(raw"\s+").toSeq
+  }
+
+  /** Canonical form used as synonym-dictionary key: trim + lowercase
+    * (the reference lemmatizes via language-specific stemmers,
+    * arelight/stemmers/ru_mystem.py:31-49; lowercase-trim is the engine's
+    * language-neutral key). */
+  def canonicalKey(value: String): String = value.trim.toLowerCase
+}

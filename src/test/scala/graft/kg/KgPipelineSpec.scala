@@ -1,0 +1,154 @@
+package graft.kg
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.core._
+import graft.gen.PageGen
+import graft.link.Linker
+import graft.ner.BracketNer
+import graft.graph.{GraphBuilder, GraphOps}
+
+class KgPipelineSpec extends AnyFunSuite with SparkTestSession {
+
+  private val cfg = KgPipeline.Config(nerTypes = Set("ORG", "PERSON", "LOC", "GPE"))
+
+  private def run(n: Int, seed: Long = 42L) = {
+    val pages = PageGen.pages(n, seed, partitions = 4)
+    val parsed = Linker.withHashGroups(KgPipeline.parsePages(pages, BracketNer, cfg))
+    val ss = KgPipeline.samples(parsed, cfg)
+    (parsed, ss)
+  }
+
+  test("end-to-end slice: pages -> parsed -> samples -> triples, deterministic") {
+    val (parsed, ss) = run(30)
+    val docs = parsed.collect()
+    assert(docs.length == 30)
+    assert(docs.forall(_.sentences.nonEmpty))
+    val samples = ss.collect()
+    assert(samples.nonEmpty)
+    // pair invariants (reference J1/F1): same sentence, bound, ordered, no self-group
+    samples.foreach { s =>
+      assert(math.abs(s.sInd - s.tInd) <= 50)
+      assert(s.sValue != s.tValue)
+      assert(s.entities.nonEmpty && s.entities.size == s.entityValues.size)
+      assert(s.terms(s.sInd) == s.sValue && s.terms(s.tInd) == s.tValue)
+    }
+    // determinism: a second run yields identical sample ids + texts
+    val again = run(30)._2.collect()
+    assert(again.map(s => (s.id, s.textA)).sortBy(_._1).toSeq ==
+      samples.map(s => (s.id, s.textA)).sortBy(_._1).toSeq)
+  }
+
+  test("html extraction path produces identical samples as the text path") {
+    import spark.implicits._
+    val pages = PageGen.pages(10, 7L)
+    val viaText = KgPipeline.samples(
+      Linker.withHashGroups(KgPipeline.parsePages(pages, BracketNer, cfg)), cfg)
+      .collect().sortBy(_.id)
+    val viaHtml = KgPipeline.samples(
+      Linker.withHashGroups(KgPipeline.parsePages(
+        pages.map(p => p.copy(text = "")), BracketNer, cfg.copy(extractFromHtml = true))), cfg)
+      .collect().sortBy(_.id)
+    assert(viaText.map(_.textA).toSeq == viaHtml.map(_.textA).toSeq)
+  }
+
+  test("scorer + triples: all three classes appear, fused == joined") {
+    val (_, ss) = run(60)
+    val scorer = LexiconScorer()
+    val fused = KgPipeline.triples(ss, scorer).collect()
+    assert(fused.map(_.pred).toSet == Set("pos", "neg", "neu"))
+    val preds = KgPipeline.predictions(ss, scorer)
+    val joined = KgPipeline.triplesJoined(ss, preds).collect()
+    assert(joined.sortBy(_.sampleId).toSeq == fused.sortBy(_.sampleId).toSeq)
+  }
+
+  test("one-hot compat export follows the by-name contract (sample_service.py:17-24)") {
+    import spark.implicits._
+    val preds = Seq(Prediction("a", 0), Prediction("b", 1), Prediction("c", 2)).toDS()
+    val rows = KgPipeline.predictionsOneHot(preds).collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("a", 1, 0, 0), ("b", 0, 1, 0), ("c", 0, 0, 1)))
+  }
+
+  test("contents compat export comma-joins list columns (SURVEY §1.2)") {
+    val (_, ss) = run(5)
+    val row = KgPipeline.contentsCompat(ss).orderBy("id").limit(1).collect()(0)
+    val ents = row.getAs[String]("entities")
+    assert(ents.split(",").forall(s => s.trim.nonEmpty && s.forall(_.isDigit)))
+    assert(row.getAs[String]("entity_types").split(",").forall(Set("ORG", "PERSON", "LOC", "GPE")))
+  }
+
+  test("DataFrame graph build matches local exact build") {
+    import org.apache.spark.sql.functions._
+    val (_, ss) = run(40)
+    val triples = KgPipeline.triples(ss, LexiconScorer())
+    // value->type map: in this corpus types are functional per value
+    val tm = triples.select(col("subj").as("value"), col("subjType").as("type"))
+      .union(triples.select(col("obj"), col("objType"))).distinct()
+    val rels = triples.select(col("subj").as("source"), col("obj").as("target"), col("pred").as("sent"))
+    val keyed = GraphBuilder.withNodeKeys(rels, tm.toDF())
+    val dfEdges = GraphBuilder.edges(keyed, minLinks = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+
+    val localRels = triples.collect().map(t => GraphBuilder.Relation(t.subj, t.obj, t.pred)).toSeq
+    val localMap = triples.collect().flatMap(t => Seq(t.subj -> t.subjType, t.obj -> t.objType)).toMap
+    val local = GraphBuilder.buildLocal("g", localRels, localMap, minLinks = 2)
+    val localEdges = local.links.map(l => (l.source, l.target, l.sent) -> l.c).toMap
+    assert(dfEdges == localEdges)
+
+    val dfNodes = GraphBuilder.nodes(GraphBuilder.edges(keyed, minLinks = 2)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dfNodes == local.nodes.map(n => n.id -> n.c).toMap)
+  }
+
+  test("DataFrame graph algebra matches local GraphOps") {
+    val (_, ss) = run(60)
+    val triples = KgPipeline.triples(ss, LexiconScorer())
+    import org.apache.spark.sql.functions._
+    val rels = triples.select(col("subj").as("source"), col("obj").as("target"), col("pred").as("sent"))
+    // split stream in two halves by doc hash
+    val a = rels.filter(abs(hash(col("source"))) % 2 === 0)
+    // reuse source split trick on full frame for a/b: a = even docs, b = all
+    val edgesA = GraphBuilder.edges(a, minLinks = 1)
+    val edgesB = GraphBuilder.edges(rels, minLinks = 1)
+
+    def toLocal(df: org.apache.spark.sql.DataFrame): Graph =
+      Graph(Seq("x"), "[x]", Seq.empty,
+        df.collect().map(r => GraphLink(r.getString(0), r.getString(1), r.getDouble(3), r.getString(2))).toSeq)
+
+    // NOTE column order of edges(): source,target,sent,c
+    def toLocal2(df: org.apache.spark.sql.DataFrame): Graph =
+      Graph(Seq("x"), "[x]", Seq.empty,
+        df.collect().map(r => GraphLink(
+          r.getAs[String]("source"), r.getAs[String]("target"),
+          r.getAs[Double]("c"), r.getAs[String]("sent"))).toSeq)
+
+    val la = toLocal2(edgesA); val lb = toLocal2(edgesB)
+    for ((dfOp, op) <- Seq(
+        (GraphOps.edgeUnion(edgesA, edgesB), GraphOps.Union),
+        (GraphOps.edgeIntersection(edgesA, edgesB), GraphOps.Intersection),
+        (GraphOps.edgeDifference(edgesB, edgesA), GraphOps.Difference))) {
+      val expected = op match {
+        case GraphOps.Difference => GraphOps(lb, la, op)
+        case _ => GraphOps(la, lb, op)
+      }
+      val expectedMap = expected.links.map(l => (l.source, l.target, l.sent) -> l.c).toMap
+      val got = dfOp.collect().map(r => (r.getAs[String]("source"), r.getAs[String]("target"),
+        r.getAs[String]("sent")) -> r.getAs[Double]("c")).toMap
+      assert(got.keySet == expectedMap.keySet, s"$op keys")
+      got.foreach { case (k, v) => assert(math.abs(v - expectedMap(k)) < 1e-12, s"$op $k") }
+    }
+  }
+
+  test("linker: dictionary grouping with hash fallback; synonyms share group") {
+    import spark.implicits._
+    val dict = Linker.parseSynonyms(Iterator("usa, america, u.s.", "bob smith, bob"))
+    assert(dict("usa") == 0L && dict("america") == 0L && dict("bob") == 1L)
+    val d = ParsedDoc("u", "en", Seq(Sentence(0, Seq("USA", "met", "America"),
+      Seq(Mention(0, 0, "USA", "GPE", 0, 0), Mention(0, 2, "America", "GPE", 1, 0)))))
+    val grouped = Linker.withDictionary(Seq(d).toDS(), dict).collect()(0)
+    val gids = grouped.sentences.head.mentions.map(_.groupId)
+    assert(gids(0) == gids(1)) // same synonym group -> no pair generated
+    assert(Sampler.sampleDoc(grouped, Sampler.Config()).isEmpty)
+  }
+}
