@@ -1,13 +1,336 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, DocKg, Relational, Similarity, TextStats}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query has a DuckDB-equivalent oracle in [[oracleSql]]; column names
+  * and types are aligned on both sides (the driver sorts columns by name and
+  * hashes values). Floating-point outputs are either exact integer-derived
+  * divisions (bit-identical across engines) or strictly sequential folds
+  * (see graft.ops.Similarity).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full KG
+    * pipeline (bracket NER over reference-shaped synthetic pages -> triples). */
+  def entry(spark: SparkSession): DataFrame = DocKg.entryTriples(spark)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeds(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- KG pipeline over documents (SURVEY §2.3/2.4/2.5: P2/P3/P5, J1/F1, A1-A5)
+    "kg_mentions" -> ((s, d) => DocKg.mentions(s, d)
+      .select(col("doc_id"), col("term_index").cast("long"), col("value"), col("type"))),
+    "kg_pairs" -> ((s, d) => DocKg.pairs(s, d)
+      .select(col("doc_id"), col("s_ind").cast("long"), col("t_ind").cast("long"),
+        col("s_value"), col("t_value"), col("opinion_id"))),
+    "kg_triples" -> ((s, d) => DocKg.triples(s, d)),
+    "kg_edges" -> ((s, d) => DocKg.edges(s, d)),
+    "kg_nodes" -> ((s, d) => DocKg.nodes(s, d)),
+    "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
+    "kg_graph_intersection" -> ((s, d) => DocKg.graphIntersection(s, d)),
+    "kg_graph_difference" -> ((s, d) => DocKg.graphDifference(s, d)),
+    // ---- dedup family
+    "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), col("text"), col("doc_id"))),
+    "dedup_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"),
+        bands = 4, shingleW = 2, rowsPerBand = 2)
+        .select(col("id"), col("band").cast("long"), col("sig"))),
+    "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidates(
+      Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"),
+        bands = 4, shingleW = 2, rowsPerBand = 2))),
+    "dedup_jaccard" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cand = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(dd, col("text"), col("doc_id"),
+          bands = 4, shingleW = 2, rowsPerBand = 2))
+      Dedup.jaccardVerify(dd, col("text"), col("doc_id"), cand, shingleW = 2)
+        .filter(col("jaccard") >= 0.2)
+    }),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(docs(s, d), col("text"), col("doc_id"), bits = 16)),
+    // ---- similarity search
+    "ann_bruteforce" -> ((s, d) => {
+      val e = embeds(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"), k = 5)
+        .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"), col("score"))
+    }),
+    "ann_cosine_pairs" -> ((s, d) =>
+      Similarity.cosinePairs(embeds(s, d), col("vec_id"), col("embedding"), threshold = 0.3)),
+    "ann_ivf" -> ((s, d) => {
+      val e = embeds(s, d)
+      Similarity.bucketedTopK(e, e.filter(col("vec_id") < 50), col("vec_id"), col("embedding"),
+        k = 3, probeDims = 8)
+        .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
+    }),
+    // ---- text analysis
+    "text_quality" -> ((s, d) => TextStats.quality(docs(s, d), col("text"), col("doc_id"))
+      .select(col("id"), col("n_tokens").cast("long"), col("n_chars").cast("long"),
+        col("chars_per_token"), col("type_token_ratio"), col("stopword_ratio"),
+        col("punct_token_ratio"))),
+    "text_langid" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))),
+    "text_bpe_tokens" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"), TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe"))),
+    "text_fingerprint" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))),
+    // ---- multimodal plumbing: opaque binary column + typed metadata
+    "mm_binary_meta" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        md5(encode(col("text"), "UTF-8")).as("content_hash"))),
+    // ---- generic relational (scan/filter/join/agg/window/sessionize)
+    "q1_agg" -> ((s, d) => Relational.q1(s, d)),
+    "q3_join" -> ((s, d) => Relational.q3(s, d)),
+    "brand_volume" -> ((s, d) => Relational.brandVolume(s, d)),
+    "top_shipments" -> ((s, d) => Relational.topShipments(s, d)
+      .select(col("l_suppkey"), col("rank").cast("long"), col("l_orderkey"),
+        col("l_linenumber").cast("long"), col("ship_epoch"))),
+    "events_hourly" -> ((s, d) => Relational.eventsHourly(s, d)),
+    "events_sessions" -> ((s, d) => Relational.eventsSessions(s, d)
+      .select(col("user_id"), col("n_sessions"), col("max_session_events"),
+        col("max_session_sec")))
+  )
+
+  // ------------------------------------------------------------------ oracles
+
+  private val lexCase =
+    "CASE %s WHEN 'spark' THEN 'ORG' WHEN 'customer' THEN 'PERSON' WHEN 'table' THEN 'LOC' WHEN 'stream' THEN 'GPE' END"
+
+  private val toksCte =
+    raw"toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS terms FROM documents)"
+
+  private val mentionsCte =
+    s"""$toksCte,
+       |m0 AS (SELECT doc_id, unnest(range(0, len(terms))) AS term_index, unnest(terms) AS value FROM toks),
+       |mentions AS (SELECT doc_id, term_index, value, ${lexCase.format("value")} AS type
+       |             FROM m0 WHERE value IN ('spark','customer','table','stream'))""".stripMargin
+
+  private val pairsCte =
+    s"""$mentionsCte,
+       |p0 AS (SELECT a.doc_id, a.term_index AS s_ind, b.term_index AS t_ind,
+       |              a.value AS s_value, b.value AS t_value
+       |       FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+       |       WHERE a.term_index <> b.term_index AND a.value <> b.value
+       |         AND abs(a.term_index - b.term_index) <= ${DocKg.DistBound}),
+       |pairs AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s_ind, t_ind) - 1 AS opinion_id FROM p0)""".stripMargin
+
+  private val labelCte =
+    """lab AS (SELECT doc_id,
+      |  CASE WHEN len(list_filter(terms, x -> x IN ('fast','big'))) > len(list_filter(terms, x -> x IN ('slow','small'))) THEN 'pos'
+      |       WHEN len(list_filter(terms, x -> x IN ('slow','small'))) > len(list_filter(terms, x -> x IN ('fast','big'))) THEN 'neg'
+      |       ELSE 'neu' END AS pred FROM toks)""".stripMargin
+
+  private val triplesCte =
+    s"""$pairsCte,
+       |$labelCte,
+       |triples AS (SELECT p.doc_id, p.s_value AS subj, ${lexCase.format("p.s_value")} AS subj_type,
+       |                   lab.pred, p.t_value AS obj, ${lexCase.format("p.t_value")} AS obj_type
+       |            FROM pairs p JOIN lab ON p.doc_id = lab.doc_id)""".stripMargin
+
+  private def edgesCte(name: String, src: String, minLinks: Int): String =
+    s"""$name AS (SELECT subj_type || '.' || subj AS source, obj_type || '.' || obj AS target,
+       |                 pred AS sent, count(*)::DOUBLE AS c
+       |          FROM $src GROUP BY 1, 2, 3 HAVING count(*) >= $minLinks)""".stripMargin
+
+  private val langEdgesCtes =
+    s"""$triplesCte,
+       |ten AS (SELECT t.* FROM triples t JOIN documents dd ON t.doc_id = dd.doc_id WHERE dd.lang = 'en'),
+       |tot AS (SELECT t.* FROM triples t JOIN documents dd ON t.doc_id = dd.doc_id WHERE dd.lang <> 'en'),
+       |${edgesCte("ea", "ten", 1)},
+       |${edgesCte("eb", "tot", 1)},
+       |na AS (SELECT source, target, sent, c / max(c) OVER () AS c FROM ea),
+       |nb AS (SELECT source, target, sent, c / max(c) OVER () AS c FROM eb)""".stripMargin
+
+  // minhash permutations: h -> ((1103515245 + 12345 k) h + 104729 + 7919 k) mod (2^31-1)
+  // over base h = int(md5[0:15 hex]) mod (2^31-1); k = band*2 + {0,1}
+  private val minhashSigCte =
+    s"""$toksCte,
+       |sh AS (SELECT doc_id, list_transform(range(0, len(terms) - 1), i -> terms[i+1] || ' ' || terms[i+2]) AS shingles FROM toks),
+       |hb AS (SELECT doc_id, list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS base FROM sh),
+       |bb AS (SELECT doc_id, unnest(range(0, 4)) AS band, base FROM hb),
+       |sig AS (SELECT doc_id AS id, band,
+       |          concat(list_aggregate(list_transform(base, h -> ((1103515245 + 12345 * (band * 2)) * h + 104729 + 7919 * (band * 2)) % 2147483647), 'min')::VARCHAR,
+       |                 '_',
+       |                 list_aggregate(list_transform(base, h -> ((1103515245 + 12345 * (band * 2 + 1)) * h + 104729 + 7919 * (band * 2 + 1)) % 2147483647), 'min')::VARCHAR) AS sig
+       |        FROM bb WHERE len(base) > 0)""".stripMargin
+
+  private val minhashPairsCte =
+    s"""$minhashSigCte,
+       |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id)""".stripMargin
+
+  private val simhashBits: String = (0 until 16).map { j =>
+    s"CASE WHEN list_aggregate(list_transform(terms, t -> ((instr('0123456789abcdef', substr(md5(t), ${j + 1}, 1)) - 1) % 2) * 2 - 1), 'sum') > 0 THEN '1' ELSE '0' END"
+  }.mkString(" || ")
+
+  private val dotSeq =
+    "list_reduce(list_transform(range(1, len(%s)+1), i -> %s[i] * %s[i]), (x, y) -> x + y)"
+  private def dot(a: String, b: String) = dotSeq.format(a, a, b)
+  private def normSql(a: String) =
+    s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+  private def cosineSql(a: String, b: String) =
+    s"${dot(a, b)} / ${normSql(a)} / ${normSql(b)}"
+
+  def oracleSql: Map[String, String] = Map(
+    "kg_mentions" ->
+      s"""WITH $mentionsCte
+         |SELECT doc_id, term_index, value, type FROM mentions""".stripMargin,
+    "kg_pairs" ->
+      s"""WITH $pairsCte
+         |SELECT doc_id, s_ind, t_ind, s_value, t_value, opinion_id FROM pairs""".stripMargin,
+    "kg_triples" ->
+      s"""WITH $triplesCte
+         |SELECT doc_id, subj, subj_type, pred, obj, obj_type FROM triples""".stripMargin,
+    "kg_edges" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)}
+         |SELECT source, target, sent, c FROM edges""".stripMargin,
+    "kg_nodes" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |deg AS (SELECT id, count(*)::DOUBLE AS degree FROM
+         |          (SELECT source AS id FROM edges UNION ALL SELECT target AS id FROM edges)
+         |        GROUP BY id)
+         |SELECT id, degree / max(degree) OVER () AS c FROM deg""".stripMargin,
+    "kg_graph_union" ->
+      s"""WITH $langEdgesCtes,
+         |u AS (SELECT source, target, sent, coalesce(a.c, 0) + coalesce(b.c, 0) AS c
+         |      FROM ea a FULL JOIN eb b USING (source, target, sent))
+         |SELECT source, target, sent, c / max(c) OVER () AS c FROM u""".stripMargin,
+    "kg_graph_intersection" ->
+      s"""WITH $langEdgesCtes,
+         |j AS (SELECT source, target, sent, least(a.c, b.c) AS c
+         |      FROM na a JOIN nb b USING (source, target, sent))
+         |SELECT source, target, sent, c / max(c) OVER () AS c FROM j""".stripMargin,
+    "kg_graph_difference" ->
+      s"""WITH $langEdgesCtes,
+         |j AS (SELECT source, target, sent,
+         |             CASE WHEN b.c IS NULL THEN a.c WHEN a.c > b.c THEN a.c - b.c END AS c
+         |      FROM na a LEFT JOIN nb b USING (source, target, sent))
+         |SELECT source, target, sent, c / max(c) OVER () AS c FROM j WHERE c IS NOT NULL""".stripMargin,
+    "dedup_exact" ->
+      "SELECT md5(text) AS text_hash, count(*) AS cnt, min(doc_id) AS min_id FROM documents GROUP BY 1",
+    "dedup_minhash_sig" ->
+      s"""WITH $minhashSigCte
+         |SELECT id, band, sig FROM sig""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH $minhashPairsCte
+         |SELECT a_id, b_id FROM cand""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH $minhashPairsCte,
+         |sets AS (SELECT doc_id, list_distinct(list_transform(range(0, len(terms) - 1), i -> terms[i+1] || ' ' || terms[i+2])) AS sh FROM toks)
+         |SELECT c.a_id, c.b_id,
+         |       len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh))::DOUBLE AS jaccard
+         |FROM cand c JOIN sets sa ON c.a_id = sa.doc_id JOIN sets sb ON c.b_id = sb.doc_id
+         |WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh))::DOUBLE >= 0.2""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $toksCte
+         |SELECT doc_id AS id, $simhashBits AS simhash FROM toks""".stripMargin,
+    "ann_bruteforce" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |q AS (SELECT * FROM v WHERE vec_id < 20),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosineSql("q.e", "c.e")} AS score
+         |      FROM v c, q WHERE q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5""".stripMargin,
+    "ann_cosine_pairs" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosineSql("a.e", "b.e")} AS score
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE ${cosineSql("a.e", "b.e")} >= 0.3""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |                  list_position(embedding[1:8]::DOUBLE[], list_max(embedding[1:8]::DOUBLE[])) AS bucket
+         |           FROM embeddings),
+         |q AS (SELECT * FROM v WHERE vec_id < 50),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosineSql("q.e", "c.e")} AS score
+         |      FROM v c JOIN q ON c.bucket = q.bucket AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
+    "text_quality" ->
+      s"""WITH $toksCte
+         |SELECT doc_id AS id, len(terms) AS n_tokens, length(text) AS n_chars,
+         |       length(text)::DOUBLE / len(terms)::DOUBLE AS chars_per_token,
+         |       len(list_distinct(terms))::DOUBLE / len(terms)::DOUBLE AS type_token_ratio,
+         |       len(list_filter(terms, x -> x IN ('the','a','an','of','and','is','to','in','it','that')))::DOUBLE / len(terms)::DOUBLE AS stopword_ratio,
+         |       len(list_filter(terms, x -> regexp_matches(x, '[^\\p{L}\\p{N}]')))::DOUBLE / len(terms)::DOUBLE AS punct_token_ratio
+         |FROM toks JOIN documents USING (doc_id)""".stripMargin,
+    "text_langid" ->
+      s"""WITH $toksCte,
+         |votes AS (SELECT doc_id,
+         |  len(list_filter(terms, x -> x IN ('the','a','of','and','is','to','in'))) AS v_en,
+         |  len(list_filter(terms, x -> x IN ('der','die','das','und','ist','zu'))) AS v_de,
+         |  len(list_filter(terms, x -> x IN ('le','la','les','et','est','de'))) AS v_fr,
+         |  len(list_filter(terms, x -> x IN ('el','los','las','y','es','de'))) AS v_es
+         |FROM toks)
+         |SELECT doc_id, CASE
+         |  WHEN greatest(v_en, v_de, v_fr, v_es) = 0 THEN 'und'
+         |  WHEN v_en = greatest(v_en, v_de, v_fr, v_es) THEN 'en'
+         |  WHEN v_de = greatest(v_en, v_de, v_fr, v_es) THEN 'de'
+         |  WHEN v_fr = greatest(v_en, v_de, v_fr, v_es) THEN 'fr'
+         |  ELSE 'es' END AS lang_pred
+         |FROM votes""".stripMargin,
+    "text_bpe_tokens" ->
+      raw"SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe FROM documents",
+    "text_fingerprint" ->
+      raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS terms FROM documents)
+           |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(terms)), ' ')) AS fp FROM toks""".stripMargin,
+    "mm_binary_meta" ->
+      "SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash FROM documents",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+        |       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE AS sum_disc_price,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey,
+        |       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE AS revenue,
+        |       epoch_us(min(o_orderdate)) // 1000000 AS o_orderdate_epoch
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_orderkey""".stripMargin,
+    "brand_volume" ->
+      """SELECT p_brand, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "top_shipments" ->
+      """WITH r AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |                  epoch_us(l_shipdate) // 1000000 AS ship_epoch,
+        |                  row_number() OVER (PARTITION BY l_suppkey
+        |                    ORDER BY l_shipdate DESC, l_orderkey, l_linenumber) AS rank
+        |           FROM lineitem)
+        |SELECT l_suppkey, rank, l_orderkey, l_linenumber::BIGINT AS l_linenumber, ship_epoch
+        |FROM r WHERE rank <= 3""".stripMargin,
+    "events_hourly" ->
+      """WITH e AS (SELECT epoch_us(ts) // 1000000 AS es, event_type, value, user_id FROM events)
+        |SELECT es - es % 3600 AS hour_epoch, event_type, count(*) AS n_events,
+        |       sum(value::DECIMAL(18,6))::DOUBLE AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS es,
+        |                  lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+        |           FROM events),
+        |f AS (SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END AS new_session FROM e),
+        |g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f),
+        |h AS (SELECT user_id, session_id, count(*) AS n_events, max(es) - min(es) AS duration_sec
+        |      FROM g GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+        |       max(duration_sec) AS max_session_sec
+        |FROM h GROUP BY user_id""".stripMargin
+  )
 }

@@ -50,13 +50,13 @@ object Infer {
       case _     => BracketNer
     }
 
-    val parsed0 = KgPipeline.parsePages(pages, ner, cfg)
-    val parsed = opts.get("--synonyms") match {
+    val groupId: String => Long = opts.get("--synonyms") match {
       case Some(f) =>
         val dict = Linker.parseSynonyms(scala.io.Source.fromFile(f, "UTF-8").getLines())
-        Linker.withDictionary(parsed0, dict)
-      case None => Linker.withHashGroups(parsed0)
+        v => dict.getOrElse(graft.text.TextOps.canonicalKey(v), Linker.hashGroupId(v))
+      case None => Linker.hashGroupId
     }
+    val parsed = KgPipeline.parsePages(pages, ner, cfg, groupId)
 
     val samples = KgPipeline.samples(parsed, cfg).persist()
     val scorer = LexiconScorer()

@@ -27,8 +27,12 @@ object KgPipeline {
 
   /** Stage 1a-1c: text -> sentences -> terms -> mentions (typed, row-local).
     * Mention ids are per-document ordinals over (sentInd, termInd) — deterministic
-    * under resume (SURVEY.md §4.3), unlike the reference's global IdAssigner. */
-  def parsePages(pages: Dataset[Page], ner: Ner, cfg: Config)(
+    * under resume (SURVEY.md §4.3), unlike the reference's global IdAssigner.
+    * `groupId` assigns the synonym group inline (default: the shuffle-free hash
+    * grouping, graft.link.Linker.hashGroupId) — fusing linking into the parse
+    * pass avoids a second full materialization of every document. */
+  def parsePages(pages: Dataset[Page], ner: Ner, cfg: Config,
+      groupId: String => Long = graft.link.Linker.hashGroupId)(
       implicit spark: SparkSession): Dataset[ParsedDoc] = {
     import spark.implicits._
     val types = cfg.nerTypes
@@ -44,7 +48,7 @@ object KgPipeline {
           val kept = NerOps.filterTypes(raw, types)
           val mentions = kept.map { m =>
             val id = nextId; nextId += 1
-            Mention(i, m.ind, m.value, m.eType, id, groupId = 0L)
+            Mention(i, m.ind, m.value, m.eType, id, groupId = groupId(m.value))
           }
           Sentence(i, terms, mentions)
         }

@@ -31,8 +31,11 @@ object Sampler {
       distInTermsBound: Int = 50,
       promptTemplate: String = "{text}", // sample prompt (samplers/cropped.py:12)
       taskTemplate: String =
-        "Given text: {text_a} TASK: Classify sentiment attitude of [SUBJECT] to [OBJECT]: positive, negative, neutral" // infer.py:212-219
-  )
+        "Given text: {text_a} TASK: Classify sentiment attitude of [SUBJECT] to [OBJECT]: positive, negative, neutral", // infer.py:212-219
+      /** When false, textA/textB stay empty — column pruning for consumers
+        * (e.g. the fused triples path) that never read the rendered prompts.
+        * The flatMap is opaque to Catalyst, so pruning is an explicit knob. */
+      renderText: Boolean = true)
 
   /** Render one term given its role (reference HighligtedEntitiesFormatter,
     * arelight/entity.py:5-15): subject and its synonyms -> `<<v>> [SUBJECT]`,
@@ -61,55 +64,76 @@ object Sampler {
   }
 
   /** Generate all samples for one parsed document. Pure function — usable from
-    * Dataset.flatMap and from tests without a SparkSession. */
+    * Dataset.flatMap and from tests without a SparkSession. Written
+    * allocation-lean (index loops, one StringBuilder per sample): this is the
+    * hottest loop of the engine — every (sentence, pair) of 10^12 documents. */
   def sampleDoc(doc: ParsedDoc, cfg: Config): Seq[Sample] = {
     val out = Seq.newBuilder[Sample]
     var opinionId = 0L
     doc.sentences.foreach { sent =>
-      val ms = sent.mentions
-      if (ms.size >= 2) {
+      val ms = sent.mentions.toIndexedSeq
+      val nm = ms.length
+      if (nm >= 2) {
         val terms = sent.terms.toIndexedSeq
-        for (s <- ms; t <- ms) {
-          if (s.id != t.id && s.groupId != t.groupId &&
-              math.abs(s.ind - t.ind) <= cfg.distInTermsBound) {
-            val (start, end) = cropBounds(terms.length, s.ind, t.ind, cfg.termsPerContext)
-            val sInd = s.ind - start
-            val tInd = t.ind - start
-            val inWindow = ms.filter(m => m.ind >= start && m.ind < end)
-            val roles: Map[Int, Int] = inWindow.map { m =>
-              val role =
-                if (m.groupId == s.groupId) 1
-                else if (m.groupId == t.groupId) 2
-                else 3
-              (m.ind - start) -> role
-            }.toMap
-            val windowTerms = (start until end).map { i =>
-              render(terms(i), roles.getOrElse(i - start, 0))
+        var si = 0
+        while (si < nm) {
+          val s = ms(si)
+          var ti = 0
+          while (ti < nm) {
+            val t = ms(ti)
+            if (s.id != t.id && s.groupId != t.groupId &&
+                math.abs(s.ind - t.ind) <= cfg.distInTermsBound) {
+              val (start, end) = cropBounds(terms.length, s.ind, t.ind, cfg.termsPerContext)
+              val inWindow = ms.filter(m => m.ind >= start && m.ind < end)
+              val rawWindow = terms.slice(start, end)
+              var textA = ""
+              var textB = ""
+              if (cfg.renderText) {
+                val sb = new java.lang.StringBuilder(rawWindow.length * 8)
+                var i = start
+                while (i < end) {
+                  if (i > start) sb.append(' ')
+                  // role: 0 plain, 1 subject(-synonym), 2 object(-synonym), 3 other entity
+                  var role = 0
+                  var k = 0
+                  while (k < inWindow.length && role == 0) {
+                    val m = inWindow(k)
+                    if (m.ind == i) {
+                      role = if (m.groupId == s.groupId) 1
+                             else if (m.groupId == t.groupId) 2
+                             else 3
+                    }
+                    k += 1
+                  }
+                  sb.append(render(terms(i), role))
+                  i += 1
+                }
+                textA = cfg.promptTemplate.replace("{text}", sb.toString)
+                textB = cfg.taskTemplate.replace("{text_a}", textA)
+              }
+              out += Sample(
+                id = s"${doc.url}#$opinionId",
+                docId = doc.url,
+                textA = textA,
+                textB = textB,
+                sInd = s.ind - start,
+                tInd = t.ind - start,
+                opinionId = opinionId,
+                linkageId = 0L,
+                entities = inWindow.map(_.ind - start),
+                entityValues = inWindow.map(_.value),
+                entityTypes = inWindow.map(_.eType),
+                sentInd = sent.sentInd,
+                sValue = s.value,
+                sType = s.eType,
+                tValue = t.value,
+                tType = t.eType,
+                terms = rawWindow)
+              opinionId += 1
             }
-            val rawWindow = (start until end).map(terms(_))
-            val text = windowTerms.mkString(" ")
-            val textA = cfg.promptTemplate.replace("{text}", text)
-            val textB = cfg.taskTemplate.replace("{text_a}", textA)
-            out += Sample(
-              id = s"${doc.url}#$opinionId",
-              docId = doc.url,
-              textA = textA,
-              textB = textB,
-              sInd = sInd,
-              tInd = tInd,
-              opinionId = opinionId,
-              linkageId = 0L,
-              entities = inWindow.map(_.ind - start),
-              entityValues = inWindow.map(_.value),
-              entityTypes = inWindow.map(_.eType),
-              sentInd = sent.sentInd,
-              sValue = s.value,
-              sType = s.eType,
-              tValue = t.value,
-              tType = t.eType,
-              terms = rawWindow)
-            opinionId += 1
+            ti += 1
           }
+          si += 1
         }
       }
     }

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Page, ParsedDoc, Sample, Triple}
+import graft.gen.PageGen
+import graft.graph.{GraphBuilder, GraphOps}
+import graft.kg.{KgPipeline, LexiconScorer, Sampler}
+import graft.ner.LexiconNer
+
+/** The KG-construction engine wired over the driver's synthetic `documents`
+  * table (doc_id, text, lang, source, n_chars) — the DuckDB-verifiable
+  * configuration: closed-lexicon NER + whole-doc context windows make every
+  * stage expressible in ANSI SQL, so the full pipeline (mentions -> pairs ->
+  * triples -> graph -> graph algebra) is oracle-checked end to end.
+  */
+object DocKg {
+
+  /** Closed NER vocabulary over the documents word salad. */
+  val entityLexicon: Map[String, String] = Map(
+    "spark" -> "ORG", "customer" -> "PERSON", "table" -> "LOC", "stream" -> "GPE")
+
+  /** Sentiment cue lexicons — disjoint from the entity lexicon. */
+  val posCues: Set[String] = Set("fast", "big")
+  val negCues: Set[String] = Set("slow", "small")
+
+  val DistBound = 10
+
+  /** Whole-doc windows (termsPerContext larger than any document) keep sample
+    * term indices absolute — the SQL-oracle-friendly configuration. */
+  val cfg: KgPipeline.Config = KgPipeline.Config(
+    sampler = Sampler.Config(termsPerContext = 1 << 20, distInTermsBound = DistBound))
+
+  val scorer: LexiconScorer = LexiconScorer(posCues, negCues)
+
+  def pages(spark: SparkSession, dir: String): Dataset[Page] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("string").as("url"), col("text"), col("lang"))
+      .map(r => Page(r.getString(0), null, null, r.getString(1), r.getString(2)))
+  }
+
+  def parsed(spark: SparkSession, dir: String): Dataset[ParsedDoc] = {
+    implicit val s: SparkSession = spark
+    KgPipeline.parsePages(pages(spark, dir), LexiconNer(entityLexicon), cfg)
+  }
+
+  def samples(spark: SparkSession, dir: String): Dataset[Sample] = {
+    implicit val s: SparkSession = spark
+    KgPipeline.samples(parsed(spark, dir), cfg)
+  }
+
+  def triplesDs(spark: SparkSession, dir: String): Dataset[Triple] = {
+    implicit val s: SparkSession = spark
+    KgPipeline.triples(samples(spark, dir), scorer)
+  }
+
+  // ------------------------------------------------- oracle-checked relations
+
+  def mentions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    parsed(spark, dir)
+      .flatMap(d => d.sentences.flatMap(_.mentions.map(m => (d.url.toLong, m.ind, m.value, m.eType))))
+      .toDF("doc_id", "term_index", "value", "type")
+  }
+
+  def pairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    samples(spark, dir).select(
+      col("docId").cast("long").as("doc_id"),
+      col("sInd").as("s_ind"), col("tInd").as("t_ind"),
+      col("sValue").as("s_value"), col("tValue").as("t_value"),
+      col("opinionId").as("opinion_id"))
+  }
+
+  def triples(spark: SparkSession, dir: String): DataFrame =
+    triplesDs(spark, dir).select(
+      col("docId").cast("long").as("doc_id"),
+      col("subj"), col("subjType").as("subj_type"), col("pred"),
+      col("obj"), col("objType").as("obj_type"))
+
+  private def typeMapDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    entityLexicon.toSeq.toDF("value", "type")
+  }
+
+  private def relations(df: DataFrame): DataFrame =
+    df.select(col("subj").as("source"), col("obj").as("target"), col("pred").as("sent"))
+
+  def edges(spark: SparkSession, dir: String, minLinks: Double = 2): DataFrame =
+    GraphBuilder.edges(
+      GraphBuilder.withNodeKeys(relations(triples(spark, dir)), typeMapDf(spark)), minLinks)
+
+  def nodes(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.nodes(edges(spark, dir))
+
+  /** Two sub-corpora for the graph algebra: english docs vs the rest. */
+  private def langEdges(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val t = triples(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang"))
+    val withLang = t.join(broadcast(docs), "doc_id")
+    val keyed = (f: DataFrame) =>
+      GraphBuilder.edges(GraphBuilder.withNodeKeys(relations(f), typeMapDf(spark)), 1)
+    (keyed(withLang.filter(col("lang") === "en")), keyed(withLang.filter(col("lang") =!= "en")))
+  }
+
+  def graphUnion(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = langEdges(spark, dir); GraphOps.edgeUnion(a, b)
+  }
+  def graphIntersection(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = langEdges(spark, dir); GraphOps.edgeIntersection(a, b)
+  }
+  def graphDifference(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = langEdges(spark, dir); GraphOps.edgeDifference(a, b)
+  }
+
+  /** Flagship entry: full KG pipeline over the reference-shaped synthetic pages
+    * (bracket NER), returning the triples relation. */
+  def entryTriples(spark: SparkSession): DataFrame = {
+    implicit val s: SparkSession = spark
+    val p = PageGen.pages(200, seed = 42L)
+    val c = KgPipeline.Config()
+    val parsed = KgPipeline.parsePages(p, graft.ner.BracketNer, c)
+    KgPipeline.triples(KgPipeline.samples(parsed, c), LexiconScorer()).toDF()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Generic relational operators exercised over the TPC-H-ish driver tables.
+  * Aggregates that sum non-integral doubles go through DECIMAL so results are
+  * addition-order independent (exact), then back to DOUBLE for a stable
+  * cross-engine representation. */
+object Relational {
+
+
+  /** Epoch seconds from a (possibly NTZ) timestamp column; session TZ is UTC so
+    * NTZ wall-clock == DuckDB's naive epoch_us // 1e6. */
+  private def epochSec(c: Column): Column = c.cast("timestamp").cast("long")
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** TPC-H Q1-style scan + hash aggregate (sum/count per flag/status). */
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= expr("timestamp'1998-09-02 00:00:00'"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact in any order
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style 3-way join + aggregate. customer and orders are far smaller
+    * than lineitem; AQE picks broadcast for the dimension side. */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders").filter(col("o_orderdate") < expr("timestamp'1996-01-01 00:00:00'"))
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > expr("timestamp'1996-01-01 00:00:00'"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("revenue"),
+        min(col("o_orderdate")).cast("timestamp").cast("long").as("o_orderdate_epoch"))
+  }
+
+  /** Broadcast-join + two-level aggregate: line counts per part brand. */
+  def brandVolume(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).as("sum_qty"))
+
+  /** Window ranking: 3 most recent shipments per supplier, deterministic
+    * tiebreak on (orderkey, linenumber). */
+  def topShipments(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+    t(spark, dir, "lineitem")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("l_suppkey"), col("rank"), col("l_orderkey"), col("l_linenumber"),
+        epochSec(col("l_shipdate")).as("ship_epoch"))
+  }
+
+  /** Tumbling-window aggregate over the events stream table (batch view of the
+    * streaming op; see graft.streaming for the readStream variant). */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(
+        (epochSec(col("ts")) - pmod(epochSec(col("ts")), lit(3600))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Sessionization: 30-minute-gap sessions per user via lag + running sum —
+    * the portable gaps-and-islands formulation (a Structured Streaming
+    * session_window covers the streaming case). */
+  def eventsSessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = t(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          epochSec(col("ts")) - epochSec(col("prev_ts")) > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(epochSec(col("ts"))) - min(epochSec(col("ts")))).as("duration_sec"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        max(col("duration_sec")).as("max_session_sec"))
+  }
+}

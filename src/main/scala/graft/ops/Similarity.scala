@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * The dot/cosine math is a strictly sequential fold (functions.aggregate over
+  * zip_with) so results are bit-reproducible across engines and partitionings —
+  * required both for the DuckDB correctness oracle and for resume-stable output
+  * (north_rule). All double arithmetic, element order fixed.
+  *
+  * Scale notes: brute-force is O(Q*N) — the baseline; the bucketed variant
+  * (coarse quantizer = argmax over the first `probeDims` coordinates, an
+  * IVF-style partition) turns the cross join into a co-partitioned join on
+  * bucket id, which is the 100 TB path (bucket count chosen so each bucket's
+  * candidate set fits one task).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force top-k cosine neighbors for the `queries` subset against all of
+    * `corpus`. Output: (query_id, rank, neighbor_id, score). The queries side is
+    * broadcast (it is small by construction); rank ties broken by neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
+    val c = corpus.select(id.as("neighbor_id"), asDouble(vec).as("c_vec"))
+    val q = queries.select(id.as("query_id"), asDouble(vec).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** All pairs (a < b) with cosine above `threshold` — embedding near-dup
+    * detection. Brute-force variant; compose with [[bucket]] for scale. */
+  def cosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
+    val a = df.select(id.as("a_id"), asDouble(vec).as("a_vec"))
+    val b = df.select(id.as("b_id"), asDouble(vec).as("b_vec"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("a_vec"), col("b_vec")).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  /** IVF-style coarse bucket: index (1-based) of the maximum coordinate among
+    * the first `probeDims` dimensions. Deterministic, engine-portable. */
+  def bucket(vec: Column, probeDims: Int): Column = {
+    val head = slice(asDouble(vec), 1, probeDims)
+    array_position(head, array_max(head))
+  }
+
+  /** Bucketed ANN: top-k by cosine within the query's coarse bucket only.
+    * The join is on bucket id — co-partitioned, no cross join. */
+  def bucketedTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+      k: Int, probeDims: Int): DataFrame = {
+    val c = corpus.select(id.as("neighbor_id"), asDouble(vec).as("c_vec"),
+      bucket(vec, probeDims).as("bucket"))
+    val q = queries.select(id.as("query_id"), asDouble(vec).as("q_vec"),
+      bucket(vec, probeDims).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+}

@@ -69,11 +69,15 @@ object TextOps {
       else sentenceBoundary.split(line).toSeq.map(_.trim)
     }
 
+  private val ws = java.util.regex.Pattern.compile(raw"\s+")
+
   /** Whitespace tokenization, mirroring AREkit split_by_whitespaces
-    * (usage arelight/run/infer.py:184). Empty input yields no terms. */
+    * (usage arelight/run/infer.py:184). Empty input yields no terms.
+    * Pattern precompiled — this runs once per sentence on the hot path. */
   def tokenize(sentence: String): Seq[String] = {
     val t = sentence.trim
-    if (t.isEmpty) Seq.empty else t.split(raw"\s+").toSeq
+    if (t.isEmpty) Seq.empty
+    else scala.collection.immutable.ArraySeq.unsafeWrapArray(ws.split(t))
   }
 
   /** Canonical form used as synonym-dictionary key: trim + lowercase

@@ -14,7 +14,7 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestSession {
 
   private def run(n: Int, seed: Long = 42L) = {
     val pages = PageGen.pages(n, seed, partitions = 4)
-    val parsed = Linker.withHashGroups(KgPipeline.parsePages(pages, BracketNer, cfg))
+    val parsed = KgPipeline.parsePages(pages, BracketNer, cfg)
     val ss = KgPipeline.samples(parsed, cfg)
     (parsed, ss)
   }
@@ -42,12 +42,11 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestSession {
   test("html extraction path produces identical samples as the text path") {
     import spark.implicits._
     val pages = PageGen.pages(10, 7L)
-    val viaText = KgPipeline.samples(
-      Linker.withHashGroups(KgPipeline.parsePages(pages, BracketNer, cfg)), cfg)
+    val viaText = KgPipeline.samples(KgPipeline.parsePages(pages, BracketNer, cfg), cfg)
       .collect().sortBy(_.id)
     val viaHtml = KgPipeline.samples(
-      Linker.withHashGroups(KgPipeline.parsePages(
-        pages.map(p => p.copy(text = "")), BracketNer, cfg.copy(extractFromHtml = true))), cfg)
+      KgPipeline.parsePages(
+        pages.map(p => p.copy(text = "")), BracketNer, cfg.copy(extractFromHtml = true)), cfg)
       .collect().sortBy(_.id)
     assert(viaText.map(_.textA).toSeq == viaHtml.map(_.textA).toSeq)
   }
