@@ -15,9 +15,12 @@ import graft.ner.{BracketNer, CapitalizedNer}
   * Usage:
   *   runMain graft.cli.Infer --synthetic 1000 --out /tmp/out [options]
   *   runMain graft.cli.Infer --pages /path/pages.parquet --out /tmp/out
+  *   runMain graft.cli.Infer --txt 'dir/glob.txt' --out /tmp/out
+  *   runMain graft.cli.Infer --csv /path/docs.csv --csv-column text --out /tmp/out
   *
-  * Options: --terms-per-context N (50)  --min-links N (1)  --ner bracket|cap
+  * Options: --terms-per-context N (50)  --min-links N (1)  --ner bracket|cap|stub-bio
   *          --name NAME (graph name)    --master local[N]   --synonyms FILE
+  *          --docs-limit N (F2)         --checkpoint DIR --buckets N (resumable triples)
   */
 object Infer {
   def main(args: Array[String]): Unit = {
@@ -36,18 +39,32 @@ object Infer {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    val rawDocs: Option[org.apache.spark.sql.DataFrame] =
+      opts.get("--txt").map(p => graft.sources.DocSources.txt(spark, p))
+        .orElse(opts.get("--csv").map(p =>
+          graft.sources.DocSources.csvColumn(spark, p, opts.getOrElse("--csv-column", "text"),
+            opts.getOrElse("--csv-delimiter", ","))))
+        .orElse(opts.get("--jsonl").map(p =>
+          graft.sources.DocSources.jsonl(spark, p, opts.getOrElse("--jsonl-field", "text"))))
+        .orElse(opts.get("--zip").map(p => graft.sources.DocSources.zip(spark, p)))
+        .map(d => opts.get("--docs-limit").map(n =>
+          graft.sources.DocSources.docsLimit(d, n.toInt)).getOrElse(d))
+
     val pages =
-      opts.get("--pages") match {
-        case Some(path) => spark.read.parquet(path).as[Page]
-        case None       => PageGen.pages(opts.getOrElse("--synthetic", "100").toLong)
+      rawDocs.map(graft.sources.DocSources.asPages(_)).getOrElse {
+        opts.get("--pages") match {
+          case Some(path) => spark.read.parquet(path).as[Page]
+          case None       => PageGen.pages(opts.getOrElse("--synthetic", "100").toLong)
+        }
       }
 
     val tpc = opts.getOrElse("--terms-per-context", "50").toInt
     val cfg = KgPipeline.Config(sampler =
       Sampler.Config(termsPerContext = tpc, distInTermsBound = tpc))
-    val ner = opts.getOrElse("--ner", "bracket") match {
-      case "cap" => CapitalizedNer
-      case _     => BracketNer
+    val ner: graft.ner.Ner = opts.getOrElse("--ner", "bracket") match {
+      case "cap"      => CapitalizedNer
+      case "stub-bio" => graft.ner.BatchedNer(graft.ner.StubBioTagger)
+      case _          => BracketNer
     }
 
     val groupId: String => Long = opts.get("--synonyms") match {
@@ -57,6 +74,21 @@ object Infer {
       case None => Linker.hashGroupId
     }
     val parsed = KgPipeline.parsePages(pages, ner, cfg, groupId)
+
+    // resumable path: triples written bucket-checkpointed, then exit
+    opts.get("--checkpoint").foreach { ckptDir =>
+      val n = opts.getOrElse("--buckets", "16").toInt
+      val report = graft.io.Checkpoint.runResumable(
+        pages.toDF(), "url", "docId", n, ckptDir) { df =>
+        val ps = df.as[Page]
+        val pd = KgPipeline.parsePages(ps, ner, cfg, groupId)
+        KgPipeline.triples(KgPipeline.samples(pd, cfg), LexiconScorer()).toDF()
+      }
+      println(s"""{"checkpoint":"$ckptDir","processed":${report.processedBuckets.size},""" +
+        s""""skipped":${report.skippedBuckets},"rows":${report.rowsWritten}}""")
+      spark.stop()
+      return
+    }
 
     val samples = KgPipeline.samples(parsed, cfg).persist()
     val scorer = LexiconScorer()

@@ -35,26 +35,27 @@ object KgPipeline {
       groupId: String => Long = graft.link.Linker.hashGroupId)(
       implicit spark: SparkSession): Dataset[ParsedDoc] = {
     import spark.implicits._
-    val types = cfg.nerTypes
-    pages.mapPartitions { it =>
-      it.map { p =>
-        val text = if (cfg.extractFromHtml) TextOps.extractText(p.html) else p.text
-        val sents =
-          if (cfg.splitter == "linesplit") TextOps.splitLines(text)
-          else TextOps.splitSentences(text)
-        var nextId = 0L
-        val parsed = sents.zipWithIndex.map { case (s, i) =>
-          val (terms, raw) = ner.tag(TextOps.tokenize(s))
-          val kept = NerOps.filterTypes(raw, types)
-          val mentions = kept.map { m =>
-            val id = nextId; nextId += 1
-            Mention(i, m.ind, m.value, m.eType, id, groupId = groupId(m.value))
-          }
-          Sentence(i, terms, mentions)
-        }
-        ParsedDoc(p.url, p.lang, parsed)
+    pages.mapPartitions(_.map(p => parsePage(p, ner, cfg, groupId)))
+  }
+
+  /** Row-local parse of one page — pure, also usable without a SparkSession. */
+  def parsePage(p: Page, ner: Ner, cfg: Config,
+      groupId: String => Long = graft.link.Linker.hashGroupId): ParsedDoc = {
+    val text = if (cfg.extractFromHtml) TextOps.extractText(p.html) else p.text
+    val sents =
+      if (cfg.splitter == "linesplit") TextOps.splitLines(text)
+      else TextOps.splitSentences(text)
+    var nextId = 0L
+    val parsed = sents.zipWithIndex.map { case (s, i) =>
+      val (terms, raw) = ner.tag(TextOps.tokenize(s))
+      val kept = NerOps.filterTypes(raw, cfg.nerTypes)
+      val mentions = kept.map { m =>
+        val id = nextId; nextId += 1
+        Mention(i, m.ind, m.value, m.eType, id, groupId = groupId(m.value))
       }
+      Sentence(i, terms, mentions)
     }
+    ParsedDoc(p.url, p.lang, parsed)
   }
 
   /** Stage 1d+2: pair generation + context sampling (row-local flatMap). */

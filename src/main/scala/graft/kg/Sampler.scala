@@ -35,7 +35,13 @@ object Sampler {
       /** When false, textA/textB stay empty — column pruning for consumers
         * (e.g. the fused triples path) that never read the rendered prompts.
         * The flatMap is opaque to Catalyst, so pruning is an explicit knob. */
-      renderText: Boolean = true)
+      renderText: Boolean = true,
+      /** "prompted" = v0.25 `<<v>> [SUBJECT]` rendering (arelight/entity.py:5-15);
+        * "masked" = v0.24/opennre `#S/#O/#E` masking (pinned byte-exact by
+        * test/data/opennre-data-test-predict.sqlite text_a). Masked mode leaves
+        * textB empty (the v0.24 PairTextProvider text_b is a separate crop not
+        * reproduced here). */
+      renderMode: String = "prompted")
 
   /** Render one term given its role (reference HighligtedEntitiesFormatter,
     * arelight/entity.py:5-15): subject and its synonyms -> `<<v>> [SUBJECT]`,
@@ -44,6 +50,14 @@ object Sampler {
     case 1 => s"<<$term>> [SUBJECT]"
     case 2 => s"<<$term>> [OBJECT]"
     case 3 => s"<<$term>>"
+    case _ => term
+  }
+
+  /** v0.24 masked rendering (fixture text_a, e.g. "#S крайне зависим от #O ..."). */
+  private def renderMasked(term: String, role: Int): String = role match {
+    case 1 => "#S"
+    case 2 => "#O"
+    case 3 => "#E"
     case _ => term
   }
 
@@ -89,6 +103,7 @@ object Sampler {
               var textA = ""
               var textB = ""
               if (cfg.renderText) {
+                val masked = cfg.renderMode == "masked"
                 val sb = new java.lang.StringBuilder(rawWindow.length * 8)
                 var i = start
                 while (i < end) {
@@ -105,11 +120,15 @@ object Sampler {
                     }
                     k += 1
                   }
-                  sb.append(render(terms(i), role))
+                  sb.append(if (masked) renderMasked(terms(i), role) else render(terms(i), role))
                   i += 1
                 }
-                textA = cfg.promptTemplate.replace("{text}", sb.toString)
-                textB = cfg.taskTemplate.replace("{text_a}", textA)
+                if (masked) {
+                  textA = sb.toString
+                } else {
+                  textA = cfg.promptTemplate.replace("{text}", sb.toString)
+                  textB = cfg.taskTemplate.replace("{text_a}", textA)
+                }
               }
               out += Sample(
                 id = s"${doc.url}#$opinionId",

@@ -38,13 +38,13 @@ object BracketNer extends Ner {
       if (w.length >= 3 && w.head == '[' && w.last == ']') {
         val inner = w.substring(1, w.length - 1)
         val colon = inner.indexOf(':')
-        val (tpe, value0) =
+        // value kept VERBATIM incl. dashes — the reference does `word[1:-1]`
+        // (test/utils_entity_parser.py:20-22) and its fixture pins values like
+        // "Джо-Байден" (opennre-data-test-predict.sqlite entity_values).
+        val (tpe, value) =
           if (colon > 0 && inner.take(colon).forall(c => c.isUpper || c == '_'))
             (inner.take(colon), inner.drop(colon + 1))
           else ("UNDEFINED", inner)
-        // multi-word values are dash-joined in the bracket form (the reference's
-        // fixtures do the same, e.g. [Джо-Байден]); the surface value keeps spaces.
-        val value = value0.replace('-', ' ')
         out += value
         ms += RawMention(i, value, tpe)
       } else out += w

@@ -55,19 +55,21 @@ object TextOps {
   def splitLines(text: String): Seq[String] =
     text.split("\n", -1).toSeq.map(_.trim)
 
-  /** Deterministic punkt-equivalent (reference `nltk` option,
-    * arelight/run/utils.py:19-23): split after [.!?]+ when followed by
-    * whitespace + an uppercase letter / digit / quote / opening bracket.
-    * Not byte-compatible with NLTK punkt (which is model-based); this is the
-    * engine's documented deterministic stand-in. */
+  /** Deterministic punkt-equivalent (reference `nltk`/`ru_sent_tokenize`
+    * options, arelight/run/utils.py:19-23, test/utils.py:27): whitespace runs
+    * (incl. newlines) are normalized to single spaces, then the text splits
+    * after [.!?]+ when followed by an uppercase letter / digit / quote /
+    * opening bracket. Not byte-compatible with the model-based tokenizers;
+    * this is the engine's documented deterministic stand-in (it reproduces the
+    * reference fixtures' sentence boundaries, see RuFixtureSpec). */
   private val sentenceBoundary =
     raw"""(?<=[.!?])(?<!\b[A-Z]\.)\s+(?=[\p{Lu}0-9"'\(\[«])""".r
 
-  def splitSentences(text: String): Seq[String] =
-    splitLines(text).flatMap { line =>
-      if (line.isEmpty) Seq(line)
-      else sentenceBoundary.split(line).toSeq.map(_.trim)
-    }
+  def splitSentences(text: String): Seq[String] = {
+    val normalized = raw"\s+".r.replaceAllIn(text.trim, " ")
+    if (normalized.isEmpty) Seq.empty
+    else sentenceBoundary.split(normalized).toSeq.map(_.trim)
+  }
 
   private val ws = java.util.regex.Pattern.compile(raw"\s+")
 

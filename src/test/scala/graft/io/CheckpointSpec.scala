@@ -1,0 +1,74 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.gen.PageGen
+import graft.kg.{KgPipeline, LexiconScorer}
+import org.apache.spark.sql.DataFrame
+
+class CheckpointSpec extends AnyFunSuite with SparkTestSession {
+
+  private def triplesTransform(df: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cfg = KgPipeline.Config()
+    val pages = df.as[graft.core.Page]
+    KgPipeline.triples(
+      KgPipeline.samples(KgPipeline.parsePages(pages, graft.ner.BracketNer, cfg), cfg),
+      LexiconScorer()).toDF()
+  }
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("ckpt").toString
+
+  test("resume: partial run + resume == single full run; lineage complete; no-op when done") {
+    import spark.implicits._
+    val pages = PageGen.pages(50, 11L, 4).toDF()
+    val n = 8
+
+    // full run in one shot
+    val full = tmp()
+    val r0 = Checkpoint.runResumable(pages, "url", "docId", n, full)(triplesTransform)
+    assert(r0.processedBuckets.size == n && r0.skippedBuckets == 0)
+
+    // partial (3 buckets) then resume (rest)
+    val part = tmp()
+    val r1 = Checkpoint.runResumable(pages, "url", "docId", n, part, maxBuckets = 3)(triplesTransform)
+    assert(r1.processedBuckets.size == 3)
+    val midRows = Checkpoint.result(spark, part).count()
+    assert(midRows < Checkpoint.result(spark, full).count())
+    val r2 = Checkpoint.runResumable(pages, "url", "docId", n, part)(triplesTransform)
+    assert(r2.processedBuckets.size == n - 3 && r2.skippedBuckets == 3)
+
+    // identical result sets
+    def rows(p: String) = Checkpoint.result(spark, p)
+      .drop(Checkpoint.BucketCol).collect().map(_.toString).sorted.toSeq
+    assert(rows(part) == rows(full))
+
+    // lineage: every bucket exactly once, counts sum to total rows
+    val lin = Checkpoint.lineage(spark, part).collect()
+    assert(lin.map(_.getLong(0)).sorted.toSeq == (0L until n.toLong))
+    assert(lin.map(_.getLong(1)).sum == rows(part).size.toLong)
+
+    // complete -> no-op
+    val r3 = Checkpoint.runResumable(pages, "url", "docId", n, part)(triplesTransform)
+    assert(r3.isComplete && r3.skippedBuckets == n)
+  }
+
+  test("crash between data write and lineage append stays exactly-once (partition overwrite)") {
+    import spark.implicits._
+    val pages = PageGen.pages(30, 13L, 4).toDF()
+    val n = 4
+    val p = tmp()
+    // simulate: data written for ALL buckets but lineage only for bucket 0
+    Checkpoint.runResumable(pages, "url", "docId", n, p)(triplesTransform)
+    val fullRows = Checkpoint.result(spark, p).count()
+    // wipe lineage, pretend only bucket 0 completed
+    val linDir = new java.io.File(s"$p/_lineage")
+    linDir.listFiles().foreach(_.delete())
+    Seq((0L, 0L, 0L)).toDF("bucket", "rows", "wall_ms")
+      .write.mode("overwrite").parquet(s"$p/_lineage")
+    // resume: buckets 1..3 re-processed; their partitions REPLACED, not appended
+    val r = Checkpoint.runResumable(pages, "url", "docId", n, p)(triplesTransform)
+    assert(r.processedBuckets == (1L until n.toLong))
+    assert(Checkpoint.result(spark, p).count() == fullRows)
+  }
+}

@@ -6,8 +6,8 @@ class NerSpec extends AnyFunSuite {
 
   test("BracketNer mirrors the reference stub (test/utils_entity_parser.py:16-29)") {
     val (terms, ms) = BracketNer.tag(Seq("президент", "[GPE:США]", "провел", "[Джо-Байден]"))
-    assert(terms == Seq("президент", "США", "провел", "Джо Байден"))
-    assert(ms == Seq(RawMention(1, "США", "GPE"), RawMention(3, "Джо Байден", "UNDEFINED")))
+    assert(terms == Seq("президент", "США", "провел", "Джо-Байден"))
+    assert(ms == Seq(RawMention(1, "США", "GPE"), RawMention(3, "Джо-Байден", "UNDEFINED")))
   }
 
   test("BracketNer ignores non-bracket and degenerate tokens") {

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.core.Page
+import graft.gen.PageGen
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  private def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  test("streaming triples == batch triples on the same pages (stateless row-local)") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val pages = (0L until 20L).map(i => PageGen.page(42L, i))
+    val mem = MemoryStream[Page]
+    mem.addData(pages)
+    val cfg = graft.kg.KgPipeline.Config()
+    val q = StreamOps.triplesStream(mem.toDS(), graft.ner.BracketNer, cfg, graft.kg.LexiconScorer())(spark)
+      .writeStream.format("memory").queryName("triples_stream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("triples_stream").collect().map(_.toString).sorted.toSeq
+
+    val batch = graft.kg.KgPipeline.triples(
+      graft.kg.KgPipeline.samples(
+        graft.kg.KgPipeline.parsePages(pages.toDS(), graft.ner.BracketNer, cfg)(spark), cfg)(spark),
+      graft.kg.LexiconScorer())(spark).toDF().collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("watermarked hourly windows aggregate the events stream") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(Seq(
+      Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(10), 1, "click", 2.0),
+      Ev(3, ts(65), 2, "view", 3.0), Ev(4, ts(70), 2, "click", 4.0)))
+    val q = StreamOps.eventsHourly(mem.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("hourly")
+      .select("event_type", "n_events", "sum_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(rows == Seq(("click", 1L, 4.0), ("click", 2L, 3.0), ("view", 1L, 3.0)))
+  }
+
+  test("session_window sessionizes with 30-minute gaps") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(Seq(
+      Ev(1, ts(0), 1, "click", 0), Ev(2, ts(10), 1, "click", 0), // session 1 (2 events)
+      Ev(3, ts(120), 1, "click", 0),                             // session 2
+      Ev(4, ts(5), 2, "view", 0)))                               // user 2, one session
+    val q = StreamOps.eventsSessions(mem.toDF())
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sessions").select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+}
