@@ -26,10 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // Batch-throughput GC: the NLP pipeline allocates heavily; ParallelGC with a
   // large young gen keeps GC threads from thrashing against 32 mutator threads
   // (G1 showed collapse-recover throughput swings in this container).
   "-XX:+UseParallelGC",
-  "-Xmn2g",
+  s"-Xmn${sys.env.getOrElse("SPARK_YOUNG_GEN", "8g")}",
 )

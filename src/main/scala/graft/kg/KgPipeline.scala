@@ -87,6 +87,69 @@ object KgPipeline {
     }
   }
 
+  /** Fully fused fast path: pairs + crop + lexicon scoring -> triples with no
+    * intermediate Sample rows and O(1) scoring per pair via per-sentence cue
+    * prefix sums. Semantically identical to
+    * `triples(samples(parsed, cfg), LexiconScorer(pos, neg))` (asserted by
+    * KgPipelineSpec) — this is the 100 TB scan shape: one row-local flatMap,
+    * minimal garbage per emitted triple. */
+  def triplesFast(docs: Dataset[ParsedDoc], cfg: Config, scorer: LexiconScorer)(
+      implicit spark: SparkSession): Dataset[Triple] = {
+    import spark.implicits._
+    val sCfg = cfg.sampler
+    val pos = scorer.positive
+    val neg = scorer.negative
+    docs.flatMap { doc =>
+      val out = Seq.newBuilder[Triple]
+      var opinionId = 0L
+      doc.sentences.foreach { sent =>
+        val ms = sent.mentions.toIndexedSeq
+        val nm = ms.length
+        if (nm >= 2) {
+          val terms = sent.terms.toIndexedSeq
+          val n = terms.length
+          // prefix sums of cue signs (+1 pos, -1 neg), entity positions zeroed
+          val prefix = new Array[Int](n + 1)
+          val entityAt = new Array[Boolean](n)
+          ms.foreach(m => if (m.ind < n) entityAt(m.ind) = true)
+          var i = 0
+          while (i < n) {
+            var v = 0
+            if (!entityAt(i)) {
+              val w = graft.text.TextOps.cueKey(terms(i))
+              if (pos.contains(w)) v = 1 else if (neg.contains(w)) v = -1
+            }
+            prefix(i + 1) = prefix(i) + v
+            i += 1
+          }
+          var si = 0
+          while (si < nm) {
+            val s = ms(si)
+            var ti = 0
+            while (ti < nm) {
+              val t = ms(ti)
+              if (s.id != t.id && s.groupId != t.groupId &&
+                  math.abs(s.ind - t.ind) <= sCfg.distInTermsBound) {
+                val (start, end) = Sampler.cropBounds(n, s.ind, t.ind, sCfg.termsPerContext)
+                val score = prefix(end) - prefix(start)
+                val label =
+                  if (score > 0) Sentiment.Positive
+                  else if (score < 0) Sentiment.Negative
+                  else Sentiment.Neutral
+                out += Triple(s.value, s.eType, Sentiment.name(label), t.value, t.eType,
+                  doc.url, sent.sentInd, s"${doc.url}#$opinionId")
+                opinionId += 1
+              }
+              ti += 1
+            }
+            si += 1
+          }
+        }
+      }
+      out.result()
+    }
+  }
+
   /** Join variant (reference J3/J4 semantics: samples INNER JOIN predictions ON id)
     * for when predictions were materialized separately (resume, external model). */
   def triplesJoined(ss: Dataset[Sample], preds: Dataset[Prediction])(

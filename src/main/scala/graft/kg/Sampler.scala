@@ -68,7 +68,10 @@ object Sampler {
     val lo = math.min(a, b); val hi = math.max(a, b)
     val span = hi - lo + 1
     if (len <= window) (0, len)
-    else if (span >= window) (lo, math.min(len, lo + window))
+    // span wider than the window: expand to the span so BOTH endpoints stay in
+    // the sample (unreachable under reference configs, where the distance
+    // bound equals the window — defensive consistency for window < bound)
+    else if (span >= window) (lo, math.min(len, lo + span))
     else {
       val slack = window - span
       val start0 = lo - slack / 2

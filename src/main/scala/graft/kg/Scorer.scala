@@ -32,7 +32,7 @@ final case class LexiconScorer(
     var i = 0
     sample.terms.foreach { t =>
       if (!entityIdx.contains(i)) {
-        val w = graft.text.TextOps.canonicalKey(t).replaceAll(raw"[^\p{L}\p{N}]", "")
+        val w = graft.text.TextOps.cueKey(t)
         if (positive.contains(w)) pos += 1
         else if (negative.contains(w)) neg += 1
       }

@@ -82,6 +82,13 @@ object TextOps {
     else scala.collection.immutable.ArraySeq.unsafeWrapArray(ws.split(t))
   }
 
+  private val nonAlnum = java.util.regex.Pattern.compile(raw"[^\p{L}\p{N}]")
+
+  /** Cue-word key: canonical form with punctuation stripped (precompiled —
+    * runs once per term on the scoring hot path). */
+  def cueKey(value: String): String =
+    nonAlnum.matcher(canonicalKey(value)).replaceAll("")
+
   /** Canonical form used as synonym-dictionary key: trim + lowercase
     * (the reference lemmatizes via language-specific stemmers,
     * arelight/stemmers/ru_mystem.py:31-49; lowercase-trim is the engine's

@@ -42,11 +42,14 @@ object ScalingProbe {
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       implicit val s: SparkSession = spark
-      val cfg = graft.kg.KgPipeline.Config()
-      def job(nn: Long, parts: Int) = graft.kg.KgPipeline.triples(
-        graft.kg.KgPipeline.samples(
-          (graft.kg.KgPipeline.parsePages(
-            graft.gen.PageGen.pages(nn, 7L, parts), graft.ner.BracketNer, cfg)), cfg),
+      val sentsMin = sys.env.getOrElse("PROBE_SENTS_MIN", "2").toInt
+      val sentsMax = sys.env.getOrElse("PROBE_SENTS_MAX", "6").toInt
+      val cfg = graft.kg.KgPipeline.Config(
+        sampler = graft.kg.Sampler.Config(renderText = false))
+      def job(nn: Long, parts: Int) = graft.kg.KgPipeline.triplesFast(
+        graft.kg.KgPipeline.parsePages(
+          graft.gen.PageGen.pages(nn, 7L, parts, sentsMin, sentsMax),
+          graft.ner.BracketNer, cfg), cfg,
         graft.kg.LexiconScorer())
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(

@@ -51,14 +51,16 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(viaText.map(_.textA).toSeq == viaHtml.map(_.textA).toSeq)
   }
 
-  test("scorer + triples: all three classes appear, fused == joined") {
-    val (_, ss) = run(60)
+  test("scorer + triples: all three classes appear, fused == joined == fast path") {
+    val (parsed, ss) = run(60)
     val scorer = LexiconScorer()
     val fused = KgPipeline.triples(ss, scorer).collect()
     assert(fused.map(_.pred).toSet == Set("pos", "neg", "neu"))
     val preds = KgPipeline.predictions(ss, scorer)
     val joined = KgPipeline.triplesJoined(ss, preds).collect()
     assert(joined.sortBy(_.sampleId).toSeq == fused.sortBy(_.sampleId).toSeq)
+    val fast = KgPipeline.triplesFast(parsed, cfg, scorer).collect()
+    assert(fast.sortBy(_.sampleId).toSeq == fused.sortBy(_.sampleId).toSeq)
   }
 
   test("one-hot compat export follows the by-name contract (sample_service.py:17-24)") {
