@@ -95,6 +95,19 @@ object GraphBuilder {
     }
   }
 
+  /** A2: raw mention-value frequencies over relations (the reference computes
+    * this Counter and never uses it for output weights,
+    * relations_graph_builder.py:35,52-53 — kept for parity audits). */
+  def mentionFrequencies(relations: DataFrame): DataFrame =
+    relations
+      .select(explode(array(col("source"), col("target"))).as("value"))
+      .groupBy("value").agg(count(lit(1)).as("freq"))
+
+  /** F3: optional label predicate on graph-A relations
+    * (arelight/pipelines/items/backend_d3js_graphs.py:26,44-46). */
+  def filterLabels(relations: DataFrame, labels: Seq[String]): DataFrame =
+    if (labels.isEmpty) relations else relations.filter(col("sent").isin(labels: _*))
+
   // -------------------------------------------------------------- local exact
 
   /** Exact reference replica (relations_graph_builder.py:4-91) for golden tests

@@ -1,0 +1,40 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+
+/** Tabular sinks mirroring the reference's writers (SURVEY.md §2.2).
+  *
+  * K1 (sqlite with skip_existed/index) maps to [[Checkpoint]] (bucketed
+  * parquet + lineage + resume); S4/S5 sqlite scans have no JDBC driver in this
+  * environment — parquet is the table substrate throughout (Iceberg jars are
+  * likewise absent; the layout and MERGE-shaped resume semantics are what
+  * Iceberg would provide).
+  */
+object Sinks {
+
+  /** K2: header csv (reference csv_native.py:31-63). */
+  def csv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** K3/K4: gzipped tsv (reference csv_pd.py:22-41 / predict/writer_csv.py:19-41;
+    * the reference drops its internal row_id column — callers pass the frame
+    * already projected). */
+  def tsvGz(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("sep", "\t").option("compression", "gzip")
+      .csv(path)
+
+  /** K5 semantics (write_missed: insert rows whose id is absent from the sink)
+    * without MERGE support: left-anti against the existing keys, then append. */
+  def appendMissing(df: DataFrame, path: String, key: String): Long = {
+    val spark = df.sparkSession
+    val missing =
+      try {
+        val existing = spark.read.parquet(path).select(key)
+        df.join(existing, Seq(key), "left_anti")
+      } catch { case _: Exception => df } // first write
+    val n = missing.count()
+    if (n > 0) missing.write.mode("append").parquet(path)
+    n
+  }
+}

@@ -75,6 +75,80 @@ object Linker {
     }
   }
 
+  // ------------------------------------------------------------ LSH linking
+
+  /** Character w-gram shingles of a canonical value ("$" padded, inner
+    * whitespace runs collapsed — linking should not distinguish spacing). */
+  private[link] def charShingles(value: String, w: Int = 3): Seq[String] = {
+    val s = "$" + graft.text.TextOps.canonicalKey(value).replaceAll(raw"\s+", " ") + "$"
+    if (s.length < w) Seq(s) else (0 to s.length - w).map(i => s.substring(i, i + w))
+  }
+
+  private val P = 2147483647L
+  private def baseHash(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .foreach(b => h = (h ^ (b & 0xffL)) * 0x100000001b3L)
+    java.lang.Long.remainderUnsigned(h, P)
+  }
+  private def minhash(shingles: Seq[Long], k: Int): Long =
+    shingles.map(h => ((1103515245L + 12345L * k) * h + 104729L + 7919L * k) % P).min
+
+  /** Minhash-LSH blocking over distinct mention VALUES (north_star linking
+    * path): near-duplicate surface forms ("barack obama" / "barak obama") land
+    * in shared buckets; candidates above the Jaccard threshold are merged with
+    * union-find into canonical groups. Runs on the distinct-value dictionary
+    * (entity vocabulary ≈ millions at 10^12 docs — broadcastable), NOT per
+    * mention: the per-mention path stays a map-side dictionary probe.
+    *
+    * Returns canonicalKey -> groupId (groupId = FIRST group member's hash id,
+    * deterministic under the sorted processing order). */
+  def lshGroups(values: Seq[String], bands: Int = 8, rowsPerBand: Int = 2,
+      jaccardThreshold: Double = 0.7, shingleW: Int = 3): Map[String, Long] = {
+    val canon = values.map(graft.text.TextOps.canonicalKey).distinct.sorted
+    val shingleSets = canon.map(v => charShingles(v, shingleW).distinct.map(baseHash).toVector)
+    // buckets per band
+    val parent = Array.tabulate(canon.length)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }; r }
+    def union(a: Int, b: Int): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb } // min-id wins
+    }
+    def jaccard(a: Vector[Long], b: Vector[Long]): Double = {
+      val sa = a.toSet; val sb = b.toSet
+      if (sa.isEmpty && sb.isEmpty) 1.0
+      else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+    }
+    (0 until bands).foreach { b =>
+      val buckets = scala.collection.mutable.Map.empty[Seq[Long], List[Int]]
+      shingleSets.zipWithIndex.foreach { case (sh, i) =>
+        val sig = (0 until rowsPerBand).map(r => minhash(sh, b * rowsPerBand + r))
+        buckets.updateWith(sig)(l => Some(i :: l.getOrElse(Nil)))
+      }
+      buckets.values.foreach { members =>
+        val sorted = members.sorted
+        for (i <- sorted; j <- sorted if i < j)
+          if (find(i) != find(j) && jaccard(shingleSets(i), shingleSets(j)) >= jaccardThreshold)
+            union(i, j)
+      }
+    }
+    canon.indices.map(i => canon(i) -> hashGroupId(canon(find(i)))).toMap
+  }
+
+  /** Distributed front of [[lshGroups]]: collect the distinct mention
+    * vocabulary (bounded), link it driver-side, return the broadcastable
+    * canonical dictionary. */
+  def lshDictionary(docs: Dataset[ParsedDoc], maxEntries: Int = 10_000_000,
+      jaccardThreshold: Double = 0.7)(implicit spark: SparkSession): Map[String, Long] = {
+    import spark.implicits._
+    val vals = docs
+      .flatMap(_.sentences.flatMap(_.mentions.map(m => TextOps.canonicalKey(m.value))))
+      .distinct().orderBy("value").limit(maxEntries).as[String].collect()
+    lshGroups(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals),
+      jaccardThreshold = jaccardThreshold)
+  }
+
   /** Reference register-unseen semantics as a batch two-pass: returns the base
     * dictionary extended with dense ids for every distinct unseen canonical value.
     * One distinct-shuffle over mention values; result must fit the driver
