@@ -19,14 +19,22 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays (HOF formulation —
+    * kept as the reference semantics; the native expression below is
+    * bit-identical and codegen'd). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
+  /** HOF cosine — interpreted; used for parity testing. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
+
+  /** Cosine via the native codegen expression (graft.functions.CosineSimilarity):
+    * same left-to-right fold, bit-identical results, whole-stage codegen. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine_similarity(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
+
+  private def vecs = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 50).map(i => (i.toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+      .toDF("id", "v")
+  }
+
+  test("native cosine == HOF cosine bit-for-bit (same fold order)") {
+    val df = vecs
+    val a = df.select(col("id"), col("v"))
+    val b = df.select(col("id").as("id2"), col("v").as("v2"))
+    val joined = a.crossJoin(b).filter(col("id") < col("id2"))
+    val rows = joined.select(
+      Similarity.cosine(col("v"), col("v2")).as("native"),
+      Similarity.cosineHof(col("v"), col("v2")).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"bitwise mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+  }
+
+  test("SQL registration + codegen plan") {
+    VectorExpressions.register(spark)
+    vecs.createOrReplaceTempView("vx")
+    val df = spark.sql(
+      "SELECT a.id, cosine_similarity(a.v, b.v) AS c FROM vx a JOIN vx b ON a.id < b.id")
+    assert(df.count() == 50 * 49 / 2)
+    df.collect() // finalize AQE
+    // expression participates in whole-stage codegen (not CodegenFallback):
+    // the '*(n)' prefix marks WholeStageCodegen stages, and the Project
+    // evaluating cosine_similarity must carry it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("Project") &&
+      l.contains("cosine_similarity") && l.contains("*(")), plan)
+  }
+
+  test("self-cosine is 1.0; orthogonal is 0.0; type check rejects non-double arrays") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 2.0))).toDF("a", "b")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("a")),
+      Similarity.cosine(col("a"), col("b"))).collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+    val bad = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.VectorExpressions.cosine_similarity(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cosine_similarity") ||
+      e.getMessage.toLowerCase.contains("datatype"))
+  }
+}
