@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Page, ParsedDoc, Sample, Triple}
 import graft.gen.PageGen
@@ -94,15 +94,36 @@ object DocKg {
   def nodes(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.nodes(edges(spark, dir))
 
-  /** Two sub-corpora for the graph algebra: english docs vs the rest. */
+  /** Two sub-corpora for the graph algebra: english docs vs the rest.
+    * Aggregated ONCE with the lang flag as an extra grouping key, then split —
+    * the two join sides share an identical aggregate subtree, so Spark's
+    * exchange reuse computes the expensive pipeline scan a single time. */
   private def langEdges(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val t = triples(spark, dir)
     val docs = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang"))
     val withLang = t.join(broadcast(docs), "doc_id")
-    val keyed = (f: DataFrame) =>
-      GraphBuilder.edges(GraphBuilder.withNodeKeys(relations(f), typeMapDf(spark)), 1)
-    (keyed(withLang.filter(col("lang") === "en")), keyed(withLang.filter(col("lang") =!= "en")))
+      .withColumn("is_en", col("lang") === "en")
+    val flagged = withLang.select(
+      concat_ws(".",
+        coalesce(element_at(typed(spark), col("subj")), lit("UNKNOWN")),
+        GraphBuilder.cleanValueCol(col("subj"))).as("source"),
+      concat_ws(".",
+        coalesce(element_at(typed(spark), col("obj")), lit("UNKNOWN")),
+        GraphBuilder.cleanValueCol(col("obj"))).as("target"),
+      col("pred").as("sent"), col("is_en"))
+      .groupBy("is_en", "source", "target", "sent")
+      .agg(count(lit(1)).cast("double").as("c"))
+      // post-aggregation result is tiny (edge cardinality); persisting it stops
+      // the two algebra sides from re-running the full pipeline scan
+      .persist()
+    val ea = flagged.filter(col("is_en")).drop("is_en")
+    val eb = flagged.filter(!col("is_en")).drop("is_en")
+    (ea, eb)
   }
+
+  /** Broadcastable value->type literal map (the lexicon is tiny). */
+  private def typed(spark: SparkSession): Column =
+    map(entityLexicon.toSeq.flatMap { case (v, t) => Seq(lit(v), lit(t)) }: _*)
 
   def graphUnion(spark: SparkSession, dir: String): DataFrame = {
     val (a, b) = langEdges(spark, dir); GraphOps.edgeUnion(a, b)
