@@ -30,6 +30,7 @@ object SparkEntry {
     "kg_pairs" -> ((s, d) => DocKg.pairs(s, d)
       .select(col("doc_id"), col("s_ind").cast("long"), col("t_ind").cast("long"),
         col("s_value"), col("t_value"), col("opinion_id"))),
+    "kg_pairs_gen" -> ((s, d) => DocKg.pairsViaGenerator(s, d)),
     "kg_triples" -> ((s, d) => DocKg.triples(s, d)),
     "kg_edges" -> ((s, d) => DocKg.edges(s, d)),
     "kg_nodes" -> ((s, d) => DocKg.nodes(s, d)),
@@ -185,6 +186,11 @@ object SparkEntry {
     "kg_pairs" ->
       s"""WITH $pairsCte
          |SELECT doc_id, s_ind, t_ind, s_value, t_value, opinion_id FROM pairs""".stripMargin,
+    "kg_pairs_gen" ->
+      s"""WITH $pairsCte
+         |SELECT doc_id, s_ind, t_ind, s_value, t_value,
+         |       ${lexCase.format("s_value")} AS s_type, ${lexCase.format("t_value")} AS t_type
+         |FROM pairs""".stripMargin,
     "kg_triples" ->
       s"""WITH $triplesCte
          |SELECT doc_id, subj, subj_type, pred, obj, obj_type FROM triples""".stripMargin,

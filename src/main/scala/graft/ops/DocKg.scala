@@ -64,6 +64,27 @@ object DocKg {
       .toDF("doc_id", "term_index", "value", "type")
   }
 
+  /** SQL-surface variant of pair generation through the custom Catalyst
+    * Generator (graft.functions.PairExplode): mentions rolled up per doc, then
+    * explode_pairs(mentions, bound). Same semantics as [[pairs]] minus the
+    * per-doc opinion ordinal (emission order is not a SQL-relation concept). */
+  def pairsViaGenerator(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = parsed(spark, dir)
+      .flatMap(d => d.sentences.flatMap(_.mentions.map(m =>
+        (d.url.toLong, m.ind, m.value, m.eType, m.groupId))))
+      .toDF("doc_id", "ind", "value", "type", "group_id")
+    val rolled = m.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("ind"), col("value"), col("type"), col("group_id"))))
+        .as("ms"))
+    rolled
+      .select(col("doc_id"),
+        graft.functions.PairExplode.explode_pairs(col("ms"), lit(DistBound)).as(
+          Seq("s_ind", "t_ind", "s_value", "t_value", "s_type", "t_type")))
+      .select(col("doc_id"), col("s_ind").cast("long"), col("t_ind").cast("long"),
+        col("s_value"), col("t_value"), col("s_type"), col("t_type"))
+  }
+
   def pairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     samples(spark, dir).select(
