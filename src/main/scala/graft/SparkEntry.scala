@@ -34,6 +34,7 @@ object SparkEntry {
     "kg_triples" -> ((s, d) => DocKg.triples(s, d)),
     "kg_edges" -> ((s, d) => DocKg.edges(s, d)),
     "kg_nodes" -> ((s, d) => DocKg.nodes(s, d)),
+    "kg_radial" -> ((s, d) => DocKg.radial(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_intersection" -> ((s, d) => DocKg.graphIntersection(s, d)),
     "kg_graph_difference" -> ((s, d) => DocKg.graphDifference(s, d)),
@@ -205,6 +206,11 @@ object SparkEntry {
          |          (SELECT source AS id FROM edges UNION ALL SELECT target AS id FROM edges)
          |        GROUP BY id)
          |SELECT id, degree / max(degree) OVER () AS c FROM deg""".stripMargin,
+    "kg_radial" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)}
+         |SELECT target, list_sort(list(struct_pack(source := source, sent := sent, c := c))) AS imports
+         |FROM edges GROUP BY target""".stripMargin,
     "kg_graph_union" ->
       s"""WITH $langEdgesCtes,
          |u AS (SELECT source, target, sent, coalesce(a.c, 0) + coalesce(b.c, 0) AS c

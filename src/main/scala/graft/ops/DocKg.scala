@@ -115,6 +115,15 @@ object DocKg {
   def nodes(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.nodes(edges(spark, dir))
 
+  /** A7 radial rollup as a relation: per target node, the sorted adjacency
+    * list (deterministic order for cross-engine comparison). At scale use
+    * Skew.saltedCollect — hot targets would otherwise funnel into one task. */
+  def radial(spark: SparkSession, dir: String): DataFrame =
+    edges(spark, dir)
+      .groupBy(col("target"))
+      .agg(sort_array(collect_list(struct(col("source"), col("sent"), col("c"))))
+        .as("imports"))
+
   /** Two sub-corpora for the graph algebra: english docs vs the rest.
     * Aggregated ONCE with the lang flag as an extra grouping key, then split —
     * the two join sides share an identical aggregate subtree, so Spark's

@@ -62,6 +62,20 @@ class RuFixtureSpec extends AnyFunSuite {
     assert(s1.forall(_.entityValues == Seq("Европейский-Союз", "России")))
   }
 
+  test("triple P/R vs the reference-derived oracle = 1.0 (north_rule target >= 0.95)") {
+    // oracle: the fixture's 32 (s_ind, t_ind, sent_ind) pair identities
+    val oracle: Set[(Int, Int, Int)] = {
+      val s0 = Seq(3, 4, 10, 12, 22, 25)
+      val p0 = for (a <- s0; b <- s0 if a != b) yield (a, b, 0)
+      (p0 ++ Seq((0, 4, 1), (4, 0, 1))).toSet
+    }
+    val got = samples.map(s => (s.sInd, s.tInd, s.sentInd)).toSet
+    val tp = got.intersect(oracle).size.toDouble
+    val precision = tp / got.size
+    val recall = tp / oracle.size
+    assert(precision == 1.0 && recall == 1.0, s"P=$precision R=$recall")
+  }
+
   test("prompted (v0.25) rendering of the same doc follows entity.py:5-15") {
     val prompted = Sampler.sampleDoc(
       KgPipeline.parsePage(Page("d", null, null, text, "ru"), graft.ner.BracketNer,

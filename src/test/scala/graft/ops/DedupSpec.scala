@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends AnyFunSuite with SparkTestSession {
+
+  /** Corpus with planted exact and near duplicates. */
+  private def corpus = {
+    import spark.implicits._
+    val base = (0 until 40).map(i =>
+      (i.toLong, s"alpha beta gamma delta$i epsilon zeta eta theta iota kappa"))
+    val exactDups = Seq((100L, base(3)._2), (101L, base(3)._2)) // two copies of doc 3
+    val nearDup = Seq((102L,
+      "alpha beta gamma delta3 epsilon zeta eta theta iota NEARBY")) // 1 token differs from doc 3
+    (base ++ exactDups ++ nearDup).toDF("doc_id", "text").repartition(4)
+  }
+
+  test("exact dedup finds planted duplicate cluster with canonical min id") {
+    val clusters = Dedup.exact(corpus, col("text"), col("doc_id"))
+      .filter(col("cnt") > 1).collect()
+    assert(clusters.length == 1)
+    assert(clusters(0).getLong(1) == 3L && clusters(0).getLong(2) == 3L) // cnt=3? no: 3,100,101
+  }
+
+  test("minhash candidates cover exact and near duplicates; jaccard separates them") {
+    val sigs = Dedup.minhashSignatures(corpus, col("text"), col("doc_id"),
+      bands = 8, shingleW = 2, rowsPerBand = 1)
+    val cand = Dedup.minhashCandidates(sigs)
+    val verified = Dedup.jaccardVerify(corpus, col("text"), col("doc_id"), cand, shingleW = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact duplicates: jaccard 1.0
+    assert(verified.get((3L, 100L)).contains(1.0))
+    assert(verified.get((100L, 101L)).contains(1.0))
+    assert(verified.get((3L, 101L)).contains(1.0))
+    // near duplicate of doc 3: high but < 1
+    val near = verified.get((3L, 102L))
+    assert(near.exists(j => j > 0.5 && j < 1.0), s"near-dup jaccard: $near")
+  }
+
+  test("simhash: identical texts identical signatures; near-dup differs in few bits") {
+    val sh = Dedup.simhash(corpus, col("text"), col("doc_id"), bits = 32)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh(3L) == sh(100L) && sh(100L) == sh(101L))
+    val hamming = sh(3L).zip(sh(102L)).count { case (a, b) => a != b }
+    assert(hamming < 10, s"near-dup hamming distance $hamming")
+    val far = sh(3L).zip(sh(20L)).count { case (a, b) => a != b }
+    assert(far >= hamming)
+  }
+}
