@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the physical plans the engine promises
+  * (SURVEY.md §4) — pushdown, pruning, broadcast — stay in place. */
+class PlanSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter pushed to the parquet scan; only needed columns read") {
+    val p = planOf("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"),
+      "scan must prune unused columns")
+  }
+
+  test("q3: dimension side broadcast") {
+    val p = planOf("q3_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("kg_triples: documents scan reads only (doc_id, text, lang)") {
+    val p = planOf("kg_triples")
+    assert(p.contains("struct<doc_id:bigint,text:string,lang:string>"), p)
+    assert(!p.contains("n_chars"), "unused documents columns must be pruned")
+  }
+
+  test("kg_edges: node-key lookup is a broadcast join, aggregation is partial+final hash agg") {
+    val p = planOf("kg_edges")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("entry: flagship pipeline has no shuffle before the final aggregation") {
+    val df = SparkEntry.entry(spark)
+    val p = df.queryExecution.executedPlan.toString
+    // triples lineage: generator -> flatMap chain; only count-side exchange allowed
+    assert(!p.contains("Exchange"), s"pages->triples must be shuffle-free:\n$p")
+  }
+}
