@@ -87,10 +87,17 @@ object D3Json {
     * backend_d3js_operations.py:38-44). */
   def save(g: Graph, outDir: String, name: String, intLinkC: Boolean, intNodeC: Boolean): Unit = {
     val base = name.replace(".json", "")
-    Seq("force", "radial").foreach(d => Files.createDirectories(Paths.get(outDir, d)))
+    Seq("force", "radial", "descriptions").foreach(d =>
+      Files.createDirectories(Paths.get(outDir, d)))
     Files.write(Paths.get(outDir, "force", s"$base.json"),
       forceJson(g, intLinkC, intNodeC).getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(outDir, "radial", s"$base.json"),
       radialJson(toRadial(g), intLinkC).getBytes(StandardCharsets.UTF_8))
+    // descriptions folder (reference backend_d3js_operations.py:38-49 writes a
+    // human-readable description; the reference embeds a wall-clock timestamp —
+    // omitted here so outputs stay deterministic/resume-stable)
+    Files.write(Paths.get(outDir, "descriptions", s"$base.txt"),
+      s"${g.equation}\nnodes: ${g.nodes.size}\nlinks: ${g.links.size}\n"
+        .getBytes(StandardCharsets.UTF_8))
   }
 }

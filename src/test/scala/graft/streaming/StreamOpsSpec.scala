@@ -32,6 +32,37 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("checkpointed restart resumes exactly-once (file sink + checkpointLocation)") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-ckpt").toString
+    val mem = MemoryStream[Page]
+    val cfg = graft.kg.KgPipeline.Config()
+    def start() = StreamOps
+      .triplesStream(mem.toDS(), graft.ner.BracketNer, cfg, graft.kg.LexiconScorer())(spark)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+
+    val batch1 = (0L until 10L).map(i => PageGen.page(42L, i))
+    val batch2 = (10L until 20L).map(i => PageGen.page(42L, i))
+    mem.addData(batch1)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val afterBatch1 = spark.read.parquet(s"$dir/out").count()
+    mem.addData(batch2)
+    val q2 = start(); q2.processAllAvailable(); q2.stop() // restart from checkpoint
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("sampleId").collect().map(_.getString(0)).sorted.toSeq
+
+    val batchAll = graft.kg.KgPipeline.triples(
+      graft.kg.KgPipeline.samples(
+        graft.kg.KgPipeline.parsePages((batch1 ++ batch2).toDS(), graft.ner.BracketNer, cfg)(spark),
+        cfg)(spark), graft.kg.LexiconScorer())(spark)
+      .select("sampleId").collect().map(_.getString(0)).sorted.toSeq
+    assert(streamed == batchAll, "no loss, no duplication across restart")
+    assert(afterBatch1 < streamed.size)
+  }
+
   test("watermarked hourly windows aggregate the events stream") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
