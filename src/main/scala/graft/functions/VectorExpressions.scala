@@ -93,4 +93,10 @@ object VectorExpressions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+
+  /** Register every engine SQL function on a session. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    register(spark)
+    PairExplode.register(spark)
+  }
 }

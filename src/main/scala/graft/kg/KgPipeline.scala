@@ -161,6 +161,25 @@ object KgPipeline {
     }
   }
 
+  /** The reference's library read API record
+    * (AREkitSamplesService.iter_samples_and_predict_sqlite3,
+    * arelight/arekit/sample_service.py:27-68): per joined (sample, prediction)
+    * row — {filename, text, s_val, t_val, s_type, t_type, label} with an
+    * optional record filter. */
+  def tripleRecords(ss: Dataset[Sample], preds: Dataset[Prediction],
+      filterRecord: Option[org.apache.spark.sql.Column] = None)(
+      implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val joined = ss.join(preds.withColumnRenamed("id", "pid"), ss("id") === col("pid"), "inner")
+      .select(
+        col("docId").as("filename"),
+        col("textA").as("text"),
+        col("sValue").as("s_val"), col("tValue").as("t_val"),
+        col("sType").as("s_type"), col("tType").as("t_type"),
+        col("label"))
+    filterRecord.map(joined.filter).getOrElse(joined)
+  }
+
   /** Compatibility export of the reference's `contents` schema: list columns
     * comma-joined (SURVEY.md §1.2), for byte-level diffs against fixtures. */
   def contentsCompat(ss: Dataset[Sample])(implicit spark: SparkSession): DataFrame = {

@@ -63,6 +63,19 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(fast.sortBy(_.sampleId).toSeq == fused.sortBy(_.sampleId).toSeq)
   }
 
+  test("tripleRecords read API mirrors sample_service.py record shape + filter") {
+    import org.apache.spark.sql.functions._
+    val (_, ss) = run(20)
+    val preds = KgPipeline.predictions(ss, LexiconScorer())
+    val recs = KgPipeline.tripleRecords(ss, preds)
+    assert(recs.columns.toSeq ==
+      Seq("filename", "text", "s_val", "t_val", "s_type", "t_type", "label"))
+    assert(recs.count() == ss.count())
+    val onlyNeg = KgPipeline.tripleRecords(ss, preds, Some(col("label") === 2))
+    assert(onlyNeg.count() > 0 && onlyNeg.count() < recs.count())
+    assert(onlyNeg.select("label").distinct().collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
   test("one-hot compat export follows the by-name contract (sample_service.py:17-24)") {
     import spark.implicits._
     val preds = Seq(Prediction("a", 0), Prediction("b", 1), Prediction("c", 2)).toDS()
