@@ -43,7 +43,7 @@ object Skew {
     * (key, salt) so one hot key spreads over `salt` reducers. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
-    val l = left.withColumn("__salt", saltCol(salt, left.columns.map(col): _*))
+    val l = left.withColumn("__salt", saltCol(salt, scala.collection.immutable.ArraySeq.unsafeWrapArray(left.columns.map(col)): _*))
     val r = right.withColumn("__salt", explode(sequence(lit(0L), lit(salt - 1L))))
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }

@@ -33,8 +33,8 @@ object DocSources {
       .option("multiLine", "true").option("escape", "\"")
       .csv(path)
     val cols = df.columns.map(c => c.replace("﻿", ""))
-    val clean = df.toDF(cols: _*).select(col(column).as("text"))
-    clean.rdd.zipWithIndex.map { case (r, i) => (s"$path:$i", r.getString(0)) }
+    val clean = df.toDF(scala.collection.immutable.ArraySeq.unsafeWrapArray(cols): _*).select(col(column).as("text"))
+    clean.rdd.zipWithIndex().map { case (r, i) => (s"$path:$i", r.getString(0)) }
       .toDF("doc_id", "text")
   }
 
@@ -46,7 +46,7 @@ object DocSources {
   def jsonl(spark: SparkSession, path: String, field: String): DataFrame = {
     import spark.implicits._
     spark.read.json(path).select(col(field).as("text"))
-      .rdd.zipWithIndex.map { case (r, i) => (s"$path:$i", r.getString(0)) }
+      .rdd.zipWithIndex().map { case (r, i) => (s"$path:$i", r.getString(0)) }
       .toDF("doc_id", "text")
   }
 

@@ -44,7 +44,7 @@ object TextOps {
       .replace("&amp;", "&") // last, so &amp;lt; decodes to &lt; not <
     val lines = decoded
       .split("\n", -1)
-      .map(l => raw"[ \t\u00A0]+".r.replaceAllIn(l, " ").trim)
+      .map(l => ("[ \\t" + "\u00A0" + "]+").r.replaceAllIn(l, " ").trim)
     val trimmed = lines.dropWhile(_.isEmpty).reverse.dropWhile(_.isEmpty).reverse
     trimmed.mkString("\n")
   }
