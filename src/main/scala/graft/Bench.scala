@@ -104,7 +104,12 @@ object Bench {
         }
       }
     }
-    def eff(n: Int, n4: Int): Double = (best(n4) / best(n)) / (n4.toDouble / n)
+    // efficiency pairs guarded for small SPARK_GRAFT_CPUS (avoid NaN/div-zero
+    // leaking into the JSON line the driver parses)
+    def pair(label: String, n: Int, n4: Int): Option[String] =
+      if (n >= 1 && n4 > n && best(n) > 0 && best(n4) > 0)
+        Some(s""""$label":{"n":$n,"n4":$n4,"efficiency":${(best(n4) / best(n)) / (n4.toDouble / n)}}""")
+      else None
     val curve = levels.map(p => s""""$p":${best(p)}""").mkString("{", ",", "}")
     val docsHi = best(cpus)
     val triplesPerSec = docsHi * (nTriples.toDouble / kgPages)
@@ -113,11 +118,10 @@ object Bench {
     val total = results.map(_._2).sum
     val throughput =
       s"""{"kg_pages":$kgPages,"kg_triples":$nTriples,"docs_per_sec":$docsHi,"triples_per_sec":$triplesPerSec}"""
-    val scaling =
-      s"""{"curve_docs_per_sec":$curve,""" +
-        s""""pair_unsaturated":{"n":1,"n4":4,"efficiency":${eff(1, 4)}},""" +
-        s""""pair_mid":{"n":${cpus / 8},"n4":${cpus / 2},"efficiency":${eff(cpus / 8, cpus / 2)}},""" +
-        s""""pair_full_box":{"n":${cpus / 4},"n4":$cpus,"efficiency":${eff(cpus / 4, cpus)}}}"""
+    val scaling = (Seq(s""""curve_docs_per_sec":$curve""") ++
+      pair("pair_unsaturated", 1, 4) ++
+      pair("pair_mid", cpus / 8, cpus / 2) ++
+      pair("pair_full_box", cpus / 4, cpus)).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""throughput":$throughput,"scaling":$scaling}""")
     spark.stop()
