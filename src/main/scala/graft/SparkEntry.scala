@@ -55,6 +55,9 @@ object SparkEntry {
       Dedup.jaccardVerify(dd, col("text"), col("doc_id"), cand, shingleW = 2)
         .filter(col("jaccard") >= 0.2)
     }),
+    "dedup_clusters" -> ((s, d) => Dedup.clusters(Dedup.minhashCandidates(
+      Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"),
+        bands = 4, shingleW = 2, rowsPerBand = 2)))),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), col("text"), col("doc_id"), bits = 16)),
     // ---- similarity search
@@ -242,6 +245,15 @@ object SparkEntry {
          |       len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh))::DOUBLE AS jaccard
          |FROM cand c JOIN sets sa ON c.a_id = sa.doc_id JOIN sets sb ON c.b_id = sb.doc_id
          |WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh))::DOUBLE >= 0.2""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM cand UNION SELECT b_id, a_id FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $toksCte
          |SELECT doc_id AS id, $simhashBits AS simhash FROM toks""".stripMargin,

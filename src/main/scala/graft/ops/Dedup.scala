@@ -112,6 +112,44 @@ object Dedup {
           size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))
   }
 
+  /** Duplicate-cluster assignment: connected components over verified
+    * candidate pairs via iterative min-label propagation (the distributed
+    * union-find). Output: (id, cluster) with cluster = smallest member id —
+    * the canonical representative (keep-one dedup selects cluster == id).
+    *
+    * Each iteration is one join + aggregate; iteration count is O(log n) for
+    * the near-clique components dedup produces. Labels are persisted per
+    * round and lineage is cut so plans stay bounded.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (NOT persist): each round must TRUNCATE the logical plan,
+    // otherwise the plan tree deepens per iteration and AQE's per-action plan
+    // stringification goes quadratic (measured: a 10-round loop spun minutes of
+    // pure CPU inside explainString before any work ran)
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // candidate label per node: min over own label and neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.select(col("id"), col("cluster"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
   /** SimHash over token multiset: bit j of the signature is the sign of the
     * sum over tokens of (2*bit_j(md5(token)) - 1). `bits` <= 128 (md5 width).
     * Bit j of a token = low bit of md5 hex digit j — declarative, engine-portable. */

@@ -10,10 +10,10 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
   private def corpus = {
     import spark.implicits._
     val base = (0 until 40).map(i =>
-      (i.toLong, s"alpha beta gamma delta$i epsilon zeta eta theta iota kappa"))
+      (i.toLong, s"alpha$i beta gamma$i delta$i epsilon zeta$i eta theta$i iota kappa$i"))
     val exactDups = Seq((100L, base(3)._2), (101L, base(3)._2)) // two copies of doc 3
     val nearDup = Seq((102L,
-      "alpha beta gamma delta3 epsilon zeta eta theta iota NEARBY")) // 1 token differs from doc 3
+      "alpha3 beta gamma3 delta3 epsilon zeta3 eta theta3 iota NEARBY")) // 1 token differs from doc 3
     (base ++ exactDups ++ nearDup).toDF("doc_id", "text").repartition(4)
   }
 
@@ -37,6 +37,24 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     // near duplicate of doc 3: high but < 1
     val near = verified.get((3L, 102L))
     assert(near.exists(j => j > 0.5 && j < 1.0), s"near-dup jaccard: $near")
+  }
+
+  test("clusters: connected components assign canonical min-id representatives") {
+    import spark.implicits._
+    // components: {1,2,3} via chain, {7,8}, singleton 9 not in pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a_id", "b_id")
+    val c = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("clusters on planted duplicates: exact dups + near dup share one cluster") {
+    val sigs = Dedup.minhashSignatures(corpus, col("text"), col("doc_id"),
+      bands = 8, shingleW = 2, rowsPerBand = 1)
+    val cand = Dedup.minhashCandidates(sigs)
+    val verified = Dedup.jaccardVerify(corpus, col("text"), col("doc_id"), cand, shingleW = 2)
+      .filter(col("jaccard") >= 0.6)
+    val c = Dedup.clusters(verified).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(100L) == 3L && c(101L) == 3L && c(102L) == 3L)
   }
 
   test("simhash: identical texts identical signatures; near-dup differs in few bits") {
