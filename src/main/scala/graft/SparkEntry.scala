@@ -60,6 +60,17 @@ object SparkEntry {
         bands = 4, shingleW = 2, rowsPerBand = 2)))),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), col("text"), col("doc_id"), bits = 16)),
+    // ---- entity linking: distributed LSH over a surface-form vocabulary
+    // (vocabulary = document tokens + deterministic variant forms, mirroring
+    // near-duplicate entity surface forms; P9 at north_star scale)
+    "link_groups" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(explode(split(trim(col("text")), raw"\s+")).as("t")).distinct()
+      val vocab = toks.select(col("t").as("value"))
+        .union(toks.select(concat(col("t"), lit("s"))))
+        .union(toks.select(concat(lit("the "), col("t"))))
+      graft.link.Linker.linkGroupsDf(vocab, col("value"))
+    }),
     // ---- similarity search
     "ann_bruteforce" -> ((s, d) => {
       val e = embeds(s, d)
@@ -73,6 +84,17 @@ object SparkEntry {
       Similarity.bucketedTopK(e, e.filter(col("vec_id") < 50), col("vec_id"), col("embedding"),
         k = 3, probeDims = 8)
         .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
+    }),
+    // scale path for near-dup pairs: LSH bucket join (NO cross join in the
+    // plan — asserted by PlanSpec); near-dups planted deterministically
+    // (perturbed copy of every vector at id+10000) since the synthetic
+    // embeddings carry no high-cosine pairs of their own
+    "ann_lsh_pairs" -> ((s, d) => {
+      val e = embeds(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val aug = e.union(e.select((col("vec_id") + 10000).as("vec_id"),
+        concat(array(element_at(col("e"), 1) + 0.5), slice(col("e"), 2, 63)).as("e")))
+      Similarity.lshCosinePairs(aug, col("vec_id"), col("e"), threshold = 0.9, dim = 64)
     }),
     // ---- text analysis
     "text_quality" -> ((s, d) => TextStats.quality(docs(s, d), col("text"), col("doc_id"))
@@ -175,6 +197,19 @@ object SparkEntry {
     s"CASE WHEN list_aggregate(list_transform(terms, t -> ((instr('0123456789abcdef', substr(md5(t), ${j + 1}, 1)) - 1) % 2) * 2 - 1), 'sum') > 0 THEN '1' ELSE '0' END"
   }.mkString(" || ")
 
+  // ann_lsh_pairs oracle: the SAME ±1 hyperplanes as the Spark side, embedded
+  // as SQL literals (Similarity.hyperplanes is seeded and deterministic)
+  private val annDim = 64
+  private val annBands = 4
+  private val annRowsPerBand = 8
+  private lazy val annPlanes = Similarity.hyperplanes(annBands * annRowsPerBand, annDim)
+  private def annBitSql(k: Int): String = {
+    val p = annPlanes(k).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    s"CASE WHEN list_reduce(list_transform(range(1, ${annDim + 1}), i -> e[i] * ($p)[i]), (x, y) -> x + y) > 0 THEN '1' ELSE '0' END"
+  }
+  private def annBandSql(b: Int): String =
+    (0 until annRowsPerBand).map(r => annBitSql(b * annRowsPerBand + r)).mkString("concat(", ", ", ")")
+
   private val dotSeq =
     "list_reduce(list_transform(range(1, len(%s)+1), i -> %s[i] * %s[i]), (x, y) -> x + y)"
   private def dot(a: String, b: String) = dotSeq.format(a, a, b)
@@ -212,8 +247,10 @@ object SparkEntry {
     "kg_radial" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)}
-         |SELECT target, list_sort(list(struct_pack(source := source, sent := sent, c := c))) AS imports
-         |FROM edges GROUP BY target""".stripMargin,
+         |SELECT target,
+         |       row_number() OVER (PARTITION BY target ORDER BY source, sent, c) - 1 AS pos,
+         |       source, sent, c
+         |FROM edges""".stripMargin,
     "kg_graph_union" ->
       s"""WITH $langEdgesCtes,
          |u AS (SELECT source, target, sent, coalesce(a.c, 0) + coalesce(b.c, 0) AS c
@@ -257,6 +294,34 @@ object SparkEntry {
     "dedup_simhash" ->
       s"""WITH $toksCte
          |SELECT doc_id AS id, $simhashBits AS simhash FROM toks""".stripMargin,
+    "link_groups" ->
+      s"""WITH RECURSIVE $toksCte,
+         |t0 AS (SELECT DISTINCT unnest(terms) AS t FROM toks),
+         |vocab AS (SELECT t AS value FROM t0 UNION ALL SELECT t || 's' FROM t0 UNION ALL SELECT 'the ' || t FROM t0),
+         |canon AS (SELECT DISTINCT lower(trim(value)) AS value FROM vocab),
+         |padded AS (SELECT value, '$$' || regexp_replace(value, '\\s+', ' ', 'g') || '$$' AS p FROM canon),
+         |shg AS (SELECT value, CASE WHEN length(p) < 3 THEN [p] ELSE list_transform(range(0, length(p) - 2), i -> substr(p, i + 1, 3)) END AS sh FROM padded),
+         |based AS (SELECT value, list_distinct(sh) AS shd, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS base FROM shg),
+         |bb AS (SELECT value, unnest(range(0, 8)) AS band, base FROM based),
+         |sig AS (SELECT value, band,
+         |          concat(list_aggregate(list_transform(base, h -> ((1103515245 + 12345 * (band * 2)) * h + 104729 + 7919 * (band * 2)) % 2147483647), 'min')::VARCHAR,
+         |                 '_',
+         |                 list_aggregate(list_transform(base, h -> ((1103515245 + 12345 * (band * 2 + 1)) * h + 104729 + 7919 * (band * 2 + 1)) % 2147483647), 'min')::VARCHAR) AS sig
+         |        FROM bb),
+         |cand AS (SELECT DISTINCT a.value AS a_id, b.value AS b_id
+         |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.value < b.value),
+         |ver AS (SELECT a_id, b_id FROM cand
+         |        JOIN based sa ON cand.a_id = sa.value JOIN based sb ON cand.b_id = sb.value
+         |        WHERE len(list_intersect(sa.shd, sb.shd))::DOUBLE / len(list_distinct(sa.shd || sb.shd))::DOUBLE >= 0.5),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM ver UNION SELECT b_id, a_id FROM ver),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS grp FROM reach GROUP BY src)
+         |SELECT c.value, coalesce(l.grp, c.value) AS group_value
+         |FROM canon c LEFT JOIN labels l ON c.value = l.id""".stripMargin,
     "ann_bruteforce" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |q AS (SELECT * FROM v WHERE vec_id < 20),
@@ -269,6 +334,18 @@ object SparkEntry {
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosineSql("a.e", "b.e")} AS score
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE ${cosineSql("a.e", "b.e")} >= 0.3""".stripMargin,
+    "ann_lsh_pairs" ->
+      s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |v AS (SELECT vec_id AS id, e FROM v0
+         |      UNION ALL SELECT vec_id + 10000, [e[1] + 0.5] || e[2:${annDim}] FROM v0),
+         |sig AS (${(0 until annBands).map(b =>
+               s"SELECT id, $b AS band, ${annBandSql(b)} AS sig FROM v")
+               .mkString("\n       UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+         |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id)
+         |SELECT a_id, b_id, ${cosineSql("va.e", "vb.e")} AS score
+         |FROM cand JOIN v va ON cand.a_id = va.id JOIN v vb ON cand.b_id = vb.id
+         |WHERE ${cosineSql("va.e", "vb.e")} >= 0.9""".stripMargin,
     "ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
          |                  list_position(embedding[1:8]::DOUBLE[], list_max(embedding[1:8]::DOUBLE[])) AS bucket

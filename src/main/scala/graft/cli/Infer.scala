@@ -105,19 +105,38 @@ object Infer {
     val minLinks = opts.getOrElse("--min-links", "1").toDouble
     val name = opts.getOrElse("--name", "pages")
     val t = spark.read.parquet(s"$out/triples")
-    val typeMap = t.select(col("subj").as("value"), col("subjType").as("type"))
-      .union(t.select(col("obj"), col("objType")))
-      .groupBy("value").agg(org.apache.spark.sql.functions.last("type").as("type"))
+    // last-occurrence-wins value->type map with an EXPLICIT deterministic order
+    // (docId, sentInd, sampleId, subj-before-obj): plain last() over an unordered
+    // aggregation can flip node keys between runs/retries, breaking resume-stable
+    // determinism (reference: dict-overwrite in flatten order, J2)
+    val sides = t.select(col("subj").as("value"), col("subjType").as("type"),
+        struct(col("docId"), col("sentInd"), col("sampleId"), lit(0).as("side")).as("ord"))
+      .union(t.select(col("obj"), col("objType"),
+        struct(col("docId"), col("sentInd"), col("sampleId"), lit(1).as("side"))))
+    val typeMap = sides.groupBy("value").agg(max_by(col("type"), col("ord")).as("type"))
     val rels = t.select(col("subj").as("source"), col("obj").as("target"), col("pred").as("sent"))
     val edges = GraphBuilder.edges(GraphBuilder.withNodeKeys(rels, typeMap), minLinks)
     val nodes = GraphBuilder.nodes(edges)
-    val graph = graft.core.Graph(
+    // Guard the driver collect: post-aggregation graphs are normally small, but
+    // with --min-links 1 at web scale the edge set need not be driver-sized.
+    // Above the cap, write the graph distributed as JSON-lines parquet-side files
+    // instead of one pretty d3js file.
+    val maxEdges = opts.getOrElse("--max-collected-edges", "2000000").toLong
+    val nEdges = edges.count()
+    if (nEdges > maxEdges) {
+      edges.write.mode(SaveMode.Overwrite).json(s"$out/force_edges_json")
+      nodes.write.mode(SaveMode.Overwrite).json(s"$out/force_nodes_json")
+      System.err.println(s"graph too large to collect ($nEdges edges > cap $maxEdges); " +
+        s"wrote distributed JSON under $out/force_{edges,nodes}_json")
+    }
+    val graph = if (nEdges > maxEdges) graft.core.Graph(Seq(name), s"[$name]", Seq.empty, Seq.empty)
+    else graft.core.Graph(
       Seq(name), s"[$name]",
       nodes.orderBy("id").collect().map(r =>
         graft.core.GraphNode(r.getString(0), r.getDouble(1))).toSeq,
       edges.orderBy("source", "target", "sent").collect().map(r =>
         graft.core.GraphLink(r.getString(0), r.getString(1), r.getDouble(3), r.getString(2))).toSeq)
-    D3Json.save(graph, out, name, intLinkC = true, intNodeC = false)
+    if (nEdges <= maxEdges) D3Json.save(graph, out, name, intLinkC = true, intNodeC = false)
 
     val nSamples = samples.count()
     val nTriples = triples.count()

@@ -13,41 +13,87 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `path`:
   *   data/     parquet, partitioned by graft_bucket = pmod(xxhash64(url), n)
-  *   _lineage/ parquet (bucket, rows, wall_ms) — one row per COMPLETED bucket
+  *   _lineage/ parquet (bucket, rows, wall_ms, n_buckets) — one row per
+  *             COMPLETED bucket; n_buckets pins the modulus so a resume with a
+  *             different bucket count FAILS FAST instead of silently
+  *             reinterpreting bucket ids over a different url partitioning.
   *
   * Exactly-once per bucket: data is written with dynamic partition overwrite,
   * so re-processing a bucket (e.g. after a crash between the data write and
   * the lineage append) REPLACES its partition instead of duplicating rows.
   * The transform must be deterministic per url — which the whole engine is by
   * construction (deterministic ids, SURVEY.md §4.3).
+  *
+  * Row metrics come from `Dataset.observe` ON the write pass (collected via a
+  * QueryExecutionListener) — NOT from re-reading the just-written output,
+  * which at 100 TB would be a second full pass over stage output.
   */
 object Checkpoint {
 
   val BucketCol = "graft_bucket"
 
-  def bucketOf(url: Column, nBuckets: Int): Column = pmod(xxhash64(url), lit(nBuckets))
+  /** Null urls hash a fixed sentinel (deterministic, explicit) rather than
+    * relying on hash-of-null semantics. */
+  def bucketOf(url: Column, nBuckets: Int): Column =
+    pmod(xxhash64(coalesce(url.cast("string"), lit("\u0000graft_null_url"))), lit(nBuckets))
 
-  final case class ResumeReport(processedBuckets: Seq[Long], skippedBuckets: Long, rowsWritten: Long) {
+  final case class ResumeReport(
+      processedBuckets: Seq[Long],
+      skippedBuckets: Long,
+      rowsWritten: Long,
+      rowCountSource: String = "observed") {
     def isComplete: Boolean = processedBuckets.isEmpty
   }
 
   private def lineagePath(path: String) = s"$path/_lineage"
   private def dataPath(path: String) = s"$path/data"
 
-  /** Buckets already recorded as complete. */
-  def completedBuckets(spark: SparkSession, path: String): Set[Long] =
+  /** Buckets already recorded as complete; fails fast if the recorded modulus
+    * differs from `expectNBuckets` (bucket ids would mean different url sets). */
+  def completedBuckets(spark: SparkSession, path: String, expectNBuckets: Int = -1): Set[Long] =
     try {
-      spark.read.parquet(lineagePath(path)).select("bucket")
-        .collect().map(_.getLong(0)).toSet
-    } catch { case _: Exception => Set.empty } // no lineage yet
+      val lin = spark.read.parquet(lineagePath(path))
+      if (expectNBuckets > 0) {
+        val recorded = lin.select("n_buckets").distinct().collect().map(_.getLong(0))
+        require(recorded.forall(_ == expectNBuckets.toLong),
+          s"checkpoint at $path was written with n_buckets=${recorded.mkString(",")}, " +
+            s"resume requested $expectNBuckets — bucket ids are incompatible")
+      }
+      lin.select("bucket").collect().map(_.getLong(0)).toSet
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case _: Exception                => Set.empty // no lineage yet
+    }
 
-  /** Per-bucket lineage/metrics table (bucket, rows, wall_ms). */
+  /** Per-bucket lineage/metrics table (bucket, rows, wall_ms, n_buckets). */
   def lineage(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(lineagePath(path))
 
   /** The stage's (complete or partial) output. */
   def result(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(dataPath(path))
+
+  /** Collects the named observe-metric row emitted by a blocking action.
+    * QueryExecutionListener events arrive asynchronously, so the value is
+    * polled with a bounded wait; None on timeout (caller falls back). */
+  private final class ObservedMetric(spark: SparkSession, name: String) {
+    private val ref = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.Row]()
+    private val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get(name).foreach(ref.set)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    def await(timeoutMs: Long = 30000): Option[org.apache.spark.sql.Row] = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      try {
+        while (ref.get() == null && System.nanoTime() < deadline) Thread.sleep(10)
+        Option(ref.get())
+      } finally spark.listenerManager.unregister(listener)
+    }
+  }
 
   /** Run `transform` over the buckets of `input` not yet recorded in lineage,
     * writing outputs partitioned by bucket and appending lineage rows.
@@ -68,7 +114,7 @@ object Checkpoint {
       maxBuckets: Int = Int.MaxValue)(
       transform: DataFrame => DataFrame)(implicit spark: SparkSession): ResumeReport = {
 
-    val done = completedBuckets(spark, path)
+    val done = completedBuckets(spark, path, nBuckets)
     val pendingAll = (0L until nBuckets.toLong).filterNot(done)
     val pending = pendingAll.take(maxBuckets)
     if (pending.isEmpty) return ResumeReport(Seq.empty, done.size.toLong, 0L)
@@ -82,27 +128,42 @@ object Checkpoint {
     val out = transform(selected.drop(BucketCol))
       .withColumn(BucketCol, bucketOf(col(outUrlCol), nBuckets))
 
-    out.write
+    // per-bucket row counts observed during the single write pass (one
+    // conditional-sum aggregate per pending bucket — nBuckets is an operator
+    // config, small by design)
+    val metricName = "graft_ckpt"
+    val perBucket = pending.map(b =>
+      sum(when(col(BucketCol) === b, 1L).otherwise(0L)).as(s"rows_$b"))
+    val observed = out.observe(metricName, perBucket.head, perBucket.tail: _*)
+    val collector = new ObservedMetric(spark, metricName)
+
+    observed.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(BucketCol)
       .parquet(dataPath(path))
     val wallMs = (System.nanoTime() - t0) / 1000000L
 
+    val (counts, source) = collector.await() match {
+      case Some(row) =>
+        (pending.zipWithIndex.map { case (b, i) => b -> row.getLong(i) }.toMap, "observed")
+      case None => // listener bus never delivered (should not happen) — fall back
+        val c = spark.read.parquet(dataPath(path))
+          .withColumn(BucketCol, col(BucketCol).cast("long"))
+          .filter(col(BucketCol).isin(pending: _*))
+          .groupBy(col(BucketCol).as("bucket")).agg(count(lit(1)).as("rows"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (c, "rescan")
+    }
+
     // lineage: one row per bucket actually processed this run (buckets whose
     // input was empty still complete — recorded with rows=0)
     import spark.implicits._
-    // partition-dir column comes back type-inferred (int) — normalize to long
-    val counts = spark.read.parquet(dataPath(path))
-      .withColumn(BucketCol, col(BucketCol).cast("long"))
-      .filter(col(BucketCol).isin(pending: _*))
-      .groupBy(col(BucketCol).as("bucket")).agg(count(lit(1)).as("rows"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val lineageRows = pending.map(b => (b, counts.getOrElse(b, 0L), wallMs))
+    val lineageRows = pending.map(b => (b, counts.getOrElse(b, 0L), wallMs, nBuckets.toLong))
     val rowsWritten = lineageRows.map(_._2).sum
-    lineageRows.toDF("bucket", "rows", "wall_ms")
+    lineageRows.toDF("bucket", "rows", "wall_ms", "n_buckets")
       .repartition(1).write.mode("append").parquet(lineagePath(path))
 
-    ResumeReport(pending, done.size.toLong, rowsWritten)
+    ResumeReport(pending, done.size.toLong, rowsWritten, source)
   }
 }

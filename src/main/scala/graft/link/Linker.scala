@@ -136,9 +136,12 @@ object Linker {
     canon.indices.map(i => canon(i) -> hashGroupId(canon(find(i)))).toMap
   }
 
-  /** Distributed front of [[lshGroups]]: collect the distinct mention
+  /** Driver-side front of [[lshGroups]]: collect the distinct mention
     * vocabulary (bounded), link it driver-side, return the broadcastable
-    * canonical dictionary. */
+    * canonical dictionary. Appropriate for vocabularies that comfortably fit
+    * one machine (≲1M values); above that use [[lshDictionaryDf]] /
+    * [[withLshGroups]], which run the SAME blocking+verify+components shape
+    * as a distributed DataFrame job. */
   def lshDictionary(docs: Dataset[ParsedDoc], maxEntries: Int = 10_000_000,
       jaccardThreshold: Double = 0.7)(implicit spark: SparkSession): Map[String, Long] = {
     import spark.implicits._
@@ -147,6 +150,119 @@ object Linker {
       .distinct().orderBy("value").limit(maxEntries).as[String].collect()
     lshGroups(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals),
       jaccardThreshold = jaccardThreshold)
+  }
+
+  // ------------------------------------- distributed LSH linking (DataFrame)
+
+  /** Distributed entity linking over a distinct-value relation — the web-scale
+    * path (vocabulary of 10^8-10^9 surface forms does not fit a driver, and
+    * driver union-find with per-bucket O(members²) does not survive hot
+    * buckets). Same algorithmic shape as [[lshGroups]], expressed as
+    * declarative DataFrame stages reusing the dedup machinery:
+    *
+    *   canonicalize -> char-shingle -> md5 base hash -> band signatures
+    *   (graft.ops.Dedup.bandSignatures) -> bucket self-join candidates
+    *   (Dedup.minhashCandidates) -> exact-Jaccard verify -> distributed
+    *   connected components (Dedup.clusters, min-label + pointer halving).
+    *
+    * Output: (value, group_value) where group_value is the lexicographically
+    * smallest member of the value's group — same canonical-representative rule
+    * as [[lshGroups]] (which returns hashGroupId of that representative).
+    *
+    * Hash-family note: the shingle hash here is md5-derived (DuckDB-oracle
+    * parity, like Dedup), while [[lshGroups]] uses an FNV base hash — candidate
+    * RECALL on marginal pairs may differ between the two paths; the verify
+    * stage (exact Jaccard ≥ threshold) is identical.
+    */
+  def linkGroupsDf(values: org.apache.spark.sql.DataFrame,
+      valueCol: org.apache.spark.sql.Column,
+      bands: Int = 8, rowsPerBand: Int = 2,
+      jaccardThreshold: Double = 0.5, shingleW: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    val canon = values.select(lower(trim(valueCol)).as("value")).distinct()
+    // padded form materialized in its own projection: the shingle lambda below
+    // captures it, and a captured subtree is re-evaluated per element — keep it
+    // an attribute reference, not an expression tree
+    val padded = canon.select(col("value"),
+      concat(lit("$"), regexp_replace(col("value"), raw"\s+", " "), lit("$")).as("p"))
+    val sh = padded.select(col("value"),
+      when(length(col("p")) < shingleW, array(col("p")))
+        .otherwise(transform(sequence(lit(0), length(col("p")) - shingleW),
+          i => col("p").substr(i + lit(1), lit(shingleW)))).as("sh"))
+    val based = sh.select(col("value").as("id"),
+      array_distinct(col("sh")).as("shd"),
+      transform(col("sh"), s => Dedup.baseHash(s)).as("base"))
+    val sets = based.select(col("id").as("value"), col("shd"))
+    val sigs = Dedup.bandSignatures(based.select(col("id"), col("base")), bands, rowsPerBand)
+    val cand = Dedup.minhashCandidates(sigs)
+    val verified = cand
+      .join(sets.withColumnRenamed("value", "a_id").withColumnRenamed("shd", "a_sh"), "a_id")
+      .join(sets.withColumnRenamed("value", "b_id").withColumnRenamed("shd", "b_sh"), "b_id")
+      .filter(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        size(array_union(col("a_sh"), col("b_sh"))).cast("double") >= jaccardThreshold)
+      .select("a_id", "b_id")
+    val labels = Dedup.clusters(verified) // (id, cluster) — min-value canonical
+    canon
+      .join(labels.withColumnRenamed("id", "value").withColumnRenamed("cluster", "grp"),
+        Seq("value"), "left")
+      .select(col("value"), coalesce(col("grp"), col("value")).as("group_value"))
+  }
+
+  /** Distributed dictionary relation over the mention vocabulary:
+    * (value, group_id) with group_id = hashGroupId(canonical representative) —
+    * the same id rule as [[lshGroups]]. */
+  def lshDictionaryDf(docs: Dataset[ParsedDoc], bands: Int = 8, rowsPerBand: Int = 2,
+      jaccardThreshold: Double = 0.5, shingleW: Int = 3)(
+      implicit spark: SparkSession): Dataset[(String, Long)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vals = docs
+      .flatMap(_.sentences.flatMap(_.mentions.map(m => TextOps.canonicalKey(m.value))))
+      .toDF("value")
+    linkGroupsDf(vals, col("value"), bands, rowsPerBand, jaccardThreshold, shingleW)
+      .as[(String, String)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING))
+      .map { case (v, g) => (v, hashGroupId(g)) }
+  }
+
+  /** Assign LSH-linked group ids to every mention. The LINKING always runs
+    * distributed ([[lshDictionaryDf]]); the assignment strategy switches on
+    * vocabulary size: ≤ maxBroadcastEntries collects the dictionary and probes
+    * it map-side (one pass over docs), larger vocabularies use a mention-level
+    * join + per-doc regroup (two extra shuffles of mention rows — the price of
+    * a vocabulary that fits no single machine). */
+  def withLshGroups(docs: Dataset[ParsedDoc], maxBroadcastEntries: Long = 1_000_000L,
+      bands: Int = 8, rowsPerBand: Int = 2, jaccardThreshold: Double = 0.5, shingleW: Int = 3)(
+      implicit spark: SparkSession): Dataset[ParsedDoc] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dict = lshDictionaryDf(docs, bands, rowsPerBand, jaccardThreshold, shingleW)
+      .toDF("value", "group_id")
+    val n = dict.count()
+    if (n <= maxBroadcastEntries) {
+      val m = dict.as[(String, Long)].collect().toMap
+      withDictionary(docs, m)
+    } else {
+      // mention-level join path: explode (url, sentInd, mentionId, value),
+      // join on the dictionary, regroup per doc, merge ids back row-locally
+      val mentionRows = docs.flatMap(d => d.sentences.flatMap(s =>
+        s.mentions.map(m => (d.url, s.sentInd, m.id, TextOps.canonicalKey(m.value)))))
+        .toDF("url", "sent_ind", "mention_id", "value")
+      val joined = mentionRows.join(dict, Seq("value"))
+        .select(col("url").as("_1"), col("sent_ind").as("_2"),
+          col("mention_id").as("_3"), col("group_id").as("_4"))
+        .as[(String, Int, Long, Long)]
+      docs.groupByKey(_.url).cogroup(joined.groupByKey(_._1)) { (_, ds, gs) =>
+        val byMention = gs.map(g => (g._2, g._3) -> g._4).toMap
+        ds.map { d =>
+          d.copy(sentences = d.sentences.map { s =>
+            s.copy(mentions = s.mentions.map(m =>
+              m.copy(groupId = byMention.getOrElse((s.sentInd, m.id), m.groupId))))
+          })
+        }
+      }
+    }
   }
 
   /** Reference register-unseen semantics as a batch two-pass: returns the base

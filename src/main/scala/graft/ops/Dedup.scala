@@ -74,9 +74,15 @@ object Dedup {
     * array is materialized in its own projection so downstream band
     * expressions re-read it instead of recomputing the md5s. Map-side only. */
   def minhashSignatures(df: DataFrame, text: Column, id: Column, bands: Int, shingleW: Int,
-      rowsPerBand: Int = 1): DataFrame = {
-    val based = df.select(id.as("id"),
-      transform(shingles(tokens(text), shingleW), baseHash(_)).as("base"))
+      rowsPerBand: Int = 1): DataFrame =
+    bandSignatures(
+      df.select(id.as("id"), transform(shingles(tokens(text), shingleW), baseHash(_)).as("base")),
+      bands, rowsPerBand)
+
+  /** Band signatures from a pre-hashed shingle relation (id, base: array<long>).
+    * Shared by document dedup (word shingles) and entity linking (char
+    * shingles, graft.link.Linker): one row per (id, band). Map-side only. */
+  def bandSignatures(based: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandRows = (0 until bands).map { b =>
       val hashes = (0 until rowsPerBand).map { k =>
         array_min(transform(col("base"), h => affine(b * rowsPerBand + k, h))).cast("string")
@@ -138,15 +144,28 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("cluster"))
-      val next = labels.select(col("id"), col("cluster"))
+      val propagated = labels.select(col("id"), col("cluster"))
         .union(viaNeighbors)
         .groupBy("id").agg(min(col("cluster")).as("cluster"))
+      // pointer halving (union-find path compression, distributed): follow the
+      // label one hop — cluster(id) := cluster(cluster(id)). Labels are node
+      // ids, so the self-join always resolves; this turns chain-shaped
+      // components (graph diameter d) from O(d) rounds into O(log d).
+      val next = propagated
+        .join(propagated.select(col("id").as("cluster"), col("cluster").as("cluster2")),
+          Seq("cluster"), "left")
+        .select(col("id"), coalesce(col("cluster2"), col("cluster")).as("cluster"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).count()
       labels = next
       it += 1
     }
+    // never exit silently with a non-fixpoint labeling: split clusters would
+    // diverge from the connected-components contract without any signal
+    if (changed > 0) throw new IllegalStateException(
+      s"Dedup.clusters did not converge in $maxIter iterations ($changed labels still " +
+        s"changing) — component diameter exceeds 2^$maxIter; raise maxIter")
     labels
   }
 

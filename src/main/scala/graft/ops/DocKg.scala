@@ -117,12 +117,18 @@ object DocKg {
 
   /** A7 radial rollup as a relation: per target node, the sorted adjacency
     * list (deterministic order for cross-engine comparison). At scale use
-    * Skew.saltedCollect — hot targets would otherwise funnel into one task. */
+    * Skew.saltedCollect — hot targets would otherwise funnel into one task.
+    * Flattened back to (target, pos, source, sent, c) rows for the comparison
+    * gate: the driver's hash/sort step cannot process array<struct> columns,
+    * and posexplode keeps the rollup's adjacency ORDER observable. */
   def radial(spark: SparkSession, dir: String): DataFrame =
     edges(spark, dir)
       .groupBy(col("target"))
       .agg(sort_array(collect_list(struct(col("source"), col("sent"), col("c"))))
         .as("imports"))
+      .select(col("target"), posexplode(col("imports")))
+      .select(col("target"), col("pos").cast("long"),
+        col("col.source").as("source"), col("col.sent").as("sent"), col("col.c").as("c"))
 
   /** Two sub-corpora for the graph algebra: english docs vs the rest.
     * Aggregated ONCE with the lang flag as an extra grouping key, then split —

@@ -64,6 +64,55 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  /** Deterministic ±1 random-hyperplane matrix: k rows of `dim` signs drawn
+    * from an explicit 64-bit LCG (wrapping arithmetic is JVM-stable across
+    * platforms; the same constants are embedded into the DuckDB oracle SQL, so
+    * both engines use the IDENTICAL planes). */
+  def hyperplanes(k: Int, dim: Int, seed: Long = 0x5EED5EEDL): Array[Array[Double]] = {
+    var x = seed
+    Array.fill(k, dim) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      if (x < 0) -1.0 else 1.0
+    }
+  }
+
+  /** Random-hyperplane LSH near-duplicate pairs — the 100 TB replacement for
+    * [[cosinePairs]]'s all-pairs cross join:
+    *
+    *   sign-bit signature (bit k = sign⟨v, plane_k⟩, map-side) -> band bucket
+    *   self-join (shuffles on the bucket key only, graft.ops.Dedup
+    *   .minhashCandidates) -> exact-cosine verify on candidates.
+    *
+    * P(candidate) per band = (1 - θ/π)^rowsPerBand — rowsPerBand controls
+    * bucket selectivity (spurious candidates), bands controls recall. Defaults
+    * (4 bands × 8 rows = 32 bits) give ~0.99 recall at cosine ≥ 0.99 and pass
+    * ~1.6% of uncorrelated pairs to the verify stage. The sign dot product is
+    * a strictly sequential fold -> bit-identical across engines, so bucket
+    * contents (not just verified output) match the DuckDB oracle exactly. */
+  def lshCosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double, dim: Int,
+      bands: Int = 4, rowsPerBand: Int = 8, seed: Long = 0x5EED5EEDL): DataFrame = {
+    val planes = hyperplanes(bands * rowsPerBand, dim, seed)
+    val v = df.select(id.as("id"), asDouble(vec).as("v"))
+    val bits = planes.map { p =>
+      val d = aggregate(zip_with(col("v"), typedlit(p.toSeq), (x, r) => x * r),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit("1")).otherwise(lit("0"))
+    }
+    val bandRows = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          bits.slice(b * rowsPerBand, (b + 1) * rowsPerBand)): _*).as("sig"))
+    }
+    val sigs = v.select(col("id"), explode(array(bandRows: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = graft.ops.Dedup.minhashCandidates(sigs)
+    val a = df.select(id.as("a_id"), asDouble(vec).as("a_vec"))
+    val b = df.select(id.as("b_id"), asDouble(vec).as("b_vec"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .select(col("a_id"), col("b_id"), cosine(col("a_vec"), col("b_vec")).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** IVF-style coarse bucket: index (1-based) of the maximum coordinate among
     * the first `probeDims` dimensions. Deterministic, engine-portable. */
   def bucket(vec: Column, probeDims: Int): Column = {

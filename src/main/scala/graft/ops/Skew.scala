@@ -40,9 +40,18 @@ object Skew {
 
   /** Salted equi-join for a skewed LEFT side: left rows get a deterministic
     * salt, right rows are replicated across all salts; the join key becomes
-    * (key, salt) so one hot key spreads over `salt` reducers. */
+    * (key, salt) so one hot key spreads over `salt` reducers.
+    *
+    * Only inner/left_outer/left_semi/left_anti are sound: right-preserving
+    * joins would emit every unmatched right row once PER SALT REPLICA. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports left-preserving join types only (got '$joinType'): " +
+        "the right side is replicated across salts, so right/full outer joins " +
+        "would duplicate unmatched right rows once per salt")
     val l = left.withColumn("__salt", saltCol(salt, scala.collection.immutable.ArraySeq.unsafeWrapArray(left.columns.map(col)): _*))
     val r = right.withColumn("__salt", explode(sequence(lit(0L), lit(salt - 1L))))
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")

@@ -35,6 +35,12 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("ann_lsh_pairs: scaled near-dup path is a bucket join — no cartesian product") {
+    val p = planOf("ann_lsh_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("entry: flagship pipeline has no shuffle before the final aggregation") {
     val df = SparkEntry.entry(spark)
     val p = df.queryExecution.executedPlan.toString

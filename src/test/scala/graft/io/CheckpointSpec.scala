@@ -28,6 +28,9 @@ class CheckpointSpec extends AnyFunSuite with SparkTestSession {
     val full = tmp()
     val r0 = Checkpoint.runResumable(pages, "url", "docId", n, full)(triplesTransform)
     assert(r0.processedBuckets.size == n && r0.skippedBuckets == 0)
+    // row metrics must come from the single write pass (observe), not a re-scan
+    assert(r0.rowCountSource == "observed")
+    assert(r0.rowsWritten == Checkpoint.result(spark, full).count())
 
     // partial (3 buckets) then resume (rest)
     val part = tmp()
@@ -64,11 +67,33 @@ class CheckpointSpec extends AnyFunSuite with SparkTestSession {
     // wipe lineage, pretend only bucket 0 completed
     val linDir = new java.io.File(s"$p/_lineage")
     linDir.listFiles().foreach(_.delete())
-    Seq((0L, 0L, 0L)).toDF("bucket", "rows", "wall_ms")
+    Seq((0L, 0L, 0L, n.toLong)).toDF("bucket", "rows", "wall_ms", "n_buckets")
       .write.mode("overwrite").parquet(s"$p/_lineage")
     // resume: buckets 1..3 re-processed; their partitions REPLACED, not appended
     val r = Checkpoint.runResumable(pages, "url", "docId", n, p)(triplesTransform)
     assert(r.processedBuckets == (1L until n.toLong))
     assert(Checkpoint.result(spark, p).count() == fullRows)
+  }
+
+  test("resume with a different nBuckets fails fast (bucket ids incompatible)") {
+    import spark.implicits._
+    val pages = PageGen.pages(10, 17L, 2).toDF()
+    val p = tmp()
+    Checkpoint.runResumable(pages, "url", "docId", 4, p, maxBuckets = 2)(triplesTransform)
+    val e = intercept[IllegalArgumentException] {
+      Checkpoint.runResumable(pages, "url", "docId", 8, p)(triplesTransform)
+    }
+    assert(e.getMessage.contains("n_buckets"))
+  }
+
+  test("null urls are bucketed deterministically and processed (not silently skipped)") {
+    import spark.implicits._
+    val rows = Seq(("a", 1), (null: String, 2), (null: String, 3)).toDF("url", "v")
+    val p = tmp()
+    val r = Checkpoint.runResumable(rows, "url", "url", 4, p)(df => df)
+    assert(r.rowsWritten == 3)
+    assert(Checkpoint.result(spark, p).count() == 3)
+    // complete -> no-op (null rows were recorded, not perpetually pending)
+    assert(Checkpoint.runResumable(rows, "url", "url", 4, p)(df => df).isComplete)
   }
 }

@@ -31,3 +31,59 @@ class LinkerLshSpec extends AnyFunSuite {
       groups(graft.text.TextOps.canonicalKey("X  Y  Z")))
   }
 }
+
+/** Distributed linking path (the web-scale replacement for the driver-side
+  * union-find): DataFrame band join + exact verify + distributed components. */
+class LinkerDistributedSpec extends AnyFunSuite with graft.SparkTestSession {
+
+  private val fixture = Seq(
+    "Barack Obama", "Barak Obama", "barack  obama",
+    "European Union", "Europan Union",
+    "France", "Germany", "alpha corp", "alpha corp.", "beta fund")
+
+  private def distributedPartition(threshold: Double): Set[Set[String]] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    Linker.linkGroupsDf(fixture.toDF("value"), col("value"), jaccardThreshold = threshold)
+      .as[(String, String)].collect()
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+  }
+
+  test("distributed linkGroupsDf partitions the vocabulary exactly like driver lshGroups") {
+    // same banding params + threshold on both paths; fixture pairs sit far from
+    // the threshold so the md5-vs-FNV hash family difference cannot flip recall
+    val driver = Linker.lshGroups(fixture, jaccardThreshold = 0.55)
+      .groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(distributedPartition(0.55) == driver)
+  }
+
+  test("distributed groups: near-dups merged, distinct entities separated, canonical rep is min value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Linker.linkGroupsDf(fixture.toDF("value"), col("value"), jaccardThreshold = 0.55)
+      .as[(String, String)].collect().toMap
+    assert(out("barack obama") == out("barak obama"))
+    assert(out("barack obama") == out("barack  obama")) // inner-space variant
+    assert(out("european union") == out("europan union"))
+    assert(out("france") != out("germany"))
+    // representative = lexicographically smallest member (the double-space
+    // variant: canonicalKey lowercases/trims but keeps interior whitespace)
+    assert(out("barack obama") == Seq("barack obama", "barak obama", "barack  obama").min)
+    // singleton keeps itself
+    assert(out("beta fund") == "beta fund")
+  }
+
+  test("withLshGroups: broadcast path and mention-join path assign identical group ids") {
+    import spark.implicits._
+    val pages = graft.gen.PageGen.pages(40, 7L, 4)
+    val docs = graft.kg.KgPipeline.parsePages(pages, graft.ner.BracketNer,
+      graft.kg.KgPipeline.Config()).cache()
+    def groupsOf(d: org.apache.spark.sql.Dataset[graft.core.ParsedDoc]) =
+      d.collect().flatMap(p => p.sentences.flatMap(s =>
+        s.mentions.map(m => (p.url, s.sentInd, m.id) -> m.groupId))).toMap
+    val viaBroadcast = groupsOf(Linker.withLshGroups(docs))
+    val viaJoin = groupsOf(Linker.withLshGroups(docs, maxBroadcastEntries = 0L))
+    assert(viaBroadcast == viaJoin)
+    assert(viaBroadcast.nonEmpty)
+  }
+}
