@@ -36,6 +36,8 @@ object SparkEntry {
     "kg_nodes" -> ((s, d) => DocKg.nodes(s, d)),
     "kg_radial" -> ((s, d) => DocKg.radial(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
+    "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
+    "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
     "kg_graph_intersection" -> ((s, d) => DocKg.graphIntersection(s, d)),
     "kg_graph_difference" -> ((s, d) => DocKg.graphDifference(s, d)),
     // ---- dedup family
@@ -256,6 +258,23 @@ object SparkEntry {
          |u AS (SELECT source, target, sent, coalesce(a.c, 0) + coalesce(b.c, 0) AS c
          |      FROM ea a FULL JOIN eb b USING (source, target, sent))
          |SELECT source, target, sent, c / max(c) OVER () AS c FROM u""".stripMargin,
+    "kg_graph_union_unweighted" ->
+      s"""WITH $langEdgesCtes,
+         |keys AS (SELECT source, target, sent FROM ea UNION SELECT source, target, sent FROM eb)
+         |SELECT source, target, sent, 1.0::DOUBLE AS c FROM keys""".stripMargin,
+    "kg_graph_intersection_empty" ->
+      s"""WITH $langEdgesCtes,
+         |ia AS (SELECT * FROM na WHERE sent = 'pos'),
+         |ib AS (SELECT * FROM nb WHERE sent = 'neg'),
+         |j AS (SELECT source, target, sent, least(ia.c, ib.c) AS c FROM ia JOIN ib USING (source, target, sent)),
+         |n AS (SELECT source, target, sent, c / max(c) OVER () AS c FROM j),
+         |nodes AS (SELECT id, sum(c) AS c FROM
+         |            (SELECT source AS id, c FROM n UNION ALL SELECT target, c FROM n)
+         |          GROUP BY id)
+         |SELECT id, c FROM nodes
+         |UNION ALL
+         |SELECT 'GPE.EMPTY_GRAPH(no_similarity_OR_no_difference)', 1.0::DOUBLE
+         |WHERE NOT EXISTS (SELECT 1 FROM nodes)""".stripMargin,
     "kg_graph_intersection" ->
       s"""WITH $langEdgesCtes,
          |j AS (SELECT source, target, sent, least(a.c, b.c) AS c

@@ -127,6 +127,16 @@ object GraphOps {
     renormalize(joined, weights)
   }
 
+  /** U5 sentinel as a relation: node weights of the edge set, or the
+    * EMPTY_GRAPH sentinel row when the algebra result is empty
+    * (relations_graph_operations.py:77-82 — a driver-side guard in the
+    * reference too; post-algebra edge sets are driver-sized). */
+  def nodesOrSentinel(edges: DataFrame): DataFrame =
+    if (edges.isEmpty) {
+      import edges.sparkSession.implicits._
+      Seq(("GPE.EMPTY_GRAPH(no_similarity_OR_no_difference)", 1.0)).toDF("id", "c")
+    } else nodeWeights(edges)
+
   /** Node weights from an edge relation: per node, sum of incident c (A4). */
   def nodeWeights(edges: DataFrame): DataFrame =
     edges

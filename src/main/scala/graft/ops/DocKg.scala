@@ -164,6 +164,18 @@ object DocKg {
   def graphUnion(spark: SparkSession, dir: String): DataFrame = {
     val (a, b) = langEdges(spark, dir); GraphOps.edgeUnion(a, b)
   }
+  /** U4: weights=n — inputs forced to 1 before the op, outputs forced to 1
+    * after (relations_graph_operations.py:39-44,103-107). */
+  def graphUnionUnweighted(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = langEdges(spark, dir); GraphOps.edgeUnion(a, b, weights = false)
+  }
+  /** U5: a structurally-empty intersection (disjoint sentiment slices) must
+    * yield the EMPTY_GRAPH sentinel node relation. */
+  def graphIntersectionEmpty(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = langEdges(spark, dir)
+    GraphOps.nodesOrSentinel(GraphOps.edgeIntersection(
+      a.filter(col("sent") === "pos"), b.filter(col("sent") === "neg")))
+  }
   def graphIntersection(spark: SparkSession, dir: String): DataFrame = {
     val (a, b) = langEdges(spark, dir); GraphOps.edgeIntersection(a, b)
   }
