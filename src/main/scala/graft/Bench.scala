@@ -7,18 +7,28 @@ import org.apache.spark.sql.SparkSession
   *    "throughput":{...},"scaling":{...}}
   *
   * Parts:
-  *  1. headline queries from SparkEntry over SPARK_GRAFT_SF_DIR (warm + timed count()),
-  *  2. KG pipeline end-to-end (parquet pages scan -> triples) at two parallelism
-  *     levels ON THE SAME INPUT in ONE session — parallelism bounded by input
-  *     partition count via coalesce (the pipeline is shuffle-free, so partitions
-  *     == concurrent cores). This is the in-sandbox evidence for the north_rule
-  *     N-vs-4N scaling criterion; there is no real cluster here (BASELINE.md).
+  *  1. headline queries from SparkEntry over SPARK_GRAFT_SF_DIR (warm + timed
+  *     count()), plus `kg_edges_agg` — the edge aggregation timed from a
+  *     PERSISTED triples relation, so the number reflects aggregation cost,
+  *     not a re-run of the whole parse->pairs lineage (bench hygiene);
+  *  2. KG pipeline end-to-end (parquet pages scan -> triples) at several
+  *     parallelism levels ON THE SAME INPUT in ONE session — parallelism
+  *     bounded by input partition count via coalesce (the pipeline is
+  *     shuffle-free, so partitions == concurrent cores). This is the
+  *     in-sandbox evidence for the north_rule N-vs-4N scaling criterion;
+  *     there is no real cluster here (BASELINE.md);
+  *  3. a pure-CPU CONTROL job (LCG loop, no allocation-heavy pipeline)
+  *     measured at the same levels, interleaved in the same rep loop — the
+  *     hardware/virtualization scaling ceiling of this box, measured under
+  *     identical host-noise conditions;
+  *  4. stop-the-world GC time fraction per level (GC MXBean delta over the
+  *     best rep) — evidence for whether scaling decay is allocation-driven.
   *
   * Methodology notes (empirically derived, see BASELINE.md):
   *  - one SparkSession for everything: recreating a session in the same JVM
   *    invalidates codegen/JIT state and collapses throughput;
-  *  - best-of-k timing: the container shows sporadic host-level CPU starvation
-  *    (pure-CPU control job collapses 4x on occasion);
+  *  - best-of-k timing, levels interleaved: the container shows sporadic
+  *    host-level CPU starvation (pure-CPU control collapses 4x on occasion);
   *  - ParallelGC via build.sbt javaOptions: the allocation-heavy NLP path
   *    thrashes G1 into collapse-recover swings.
   */
@@ -43,6 +53,24 @@ object Bench {
       graft.kg.LexiconScorer())
   }
 
+  /** Pure-CPU control (same work shape as graft.tools.CpuProbe): rows of LCG
+    * spins, zero shuffle, negligible allocation. */
+  private def controlJob(spark: SparkSession, rows: Long, parts: Int): Long = {
+    import spark.implicits._
+    spark.range(0, rows, 1, parts).map { i =>
+      var h = i
+      var k = 0
+      while (k < 2000) { h = h * 6364136223846793005L + 1442695040888963407L; k += 1 }
+      h & 1L
+    }.reduce(_ + _)
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -52,7 +80,8 @@ object Bench {
 
     val headline = Seq(
       "kg_triples", "kg_edges", "kg_graph_union", "dedup_exact", "dedup_minhash_pairs",
-      "dedup_simhash", "ann_bruteforce", "ann_ivf", "text_quality", "text_fingerprint",
+      "dedup_simhash", "link_groups", "ann_bruteforce", "ann_ivf", "ann_lsh_pairs",
+      "text_quality", "text_fingerprint",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
     val spark = SparkSession.builder()
@@ -66,51 +95,79 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    headline.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
         fn(spark, sfDir).count() // warm: JIT + codegen + file listing
         val sec = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }.min
-        name -> sec
+        results += name -> sec
       }
+    }
+
+    // bench hygiene: edge aggregation from a PERSISTED triples relation —
+    // the operator's own cost, not a re-run of the full pipeline lineage
+    {
+      val triples = graft.ops.DocKg.triples(spark, sfDir).persist()
+      triples.count() // materialize
+      graft.ops.DocKg.edgesFromTriples(spark, triples).count() // warm
+      val sec = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ops.DocKg.edgesFromTriples(spark, triples).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      results += "kg_edges_agg" -> sec
+      triples.unpersist()
     }
 
     // ---- scaling: same parquet input, parallelism = coalesced partitions.
     // Pages are Common-Crawl-realistic sizes (15-40 sentences). Measurements
-    // are best-of-`reps`, interleaved across levels, because the container
-    // shows sporadic host-level CPU starvation (see BASELINE.md methodology).
+    // are best-of-`reps`, interleaved across levels AND interleaved with the
+    // pure-CPU control (identical host-noise windows for engine and control).
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val pagesPath = s"$tmp/pages"
     graft.gen.PageGen.pages(kgPages, 42L, 64, sentsMin = 15, sentsMax = 40)(spark)
       .write.mode("overwrite").parquet(pagesPath)
     val nTriples = kgJob(spark, pagesPath, cpus).count() // warm 1 (+ true count)
     kgJob(spark, pagesPath, cpus).count() // warm 2
+    val controlRows = 1000000L
+    controlJob(spark, controlRows, cpus) // warm control
 
     val levels = Seq(1, 4, cpus / 4, cpus / 2, cpus).distinct.filter(_ >= 1)
     val best = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
+    val bestCtl = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
+    val gcAtBest = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
     // small levels are cheap to re-measure and dominate the efficiency pairs —
     // give them extra repetitions against the host-noise windows
     def repsFor(p: Int): Int = if (p <= 4) math.max(reps, 6) else reps
     (1 to levels.map(repsFor).max).foreach { r =>
       levels.foreach { p =>
         if (r <= repsFor(p)) {
+          val gc0 = gcMillis()
           val t0 = System.nanoTime()
           kgJob(spark, pagesPath, p).count()
-          val tp = kgPages / ((System.nanoTime() - t0) / 1e9)
-          if (tp > best(p)) best(p) = tp
+          val wallMs = (System.nanoTime() - t0) / 1e6
+          val gcMs = gcMillis() - gc0
+          val tp = kgPages / (wallMs / 1e3)
+          if (tp > best(p)) { best(p) = tp; gcAtBest(p) = gcMs.toDouble / wallMs }
+          val c0 = System.nanoTime()
+          controlJob(spark, controlRows, p)
+          val ctp = controlRows / ((System.nanoTime() - c0) / 1e9)
+          if (ctp > bestCtl(p)) bestCtl(p) = ctp
         }
       }
     }
     // efficiency pairs guarded for small SPARK_GRAFT_CPUS (avoid NaN/div-zero
     // leaking into the JSON line the driver parses)
-    def pair(label: String, n: Int, n4: Int): Option[String] =
-      if (n >= 1 && n4 > n && best(n) > 0 && best(n4) > 0)
-        Some(s""""$label":{"n":$n,"n4":$n4,"efficiency":${(best(n4) / best(n)) / (n4.toDouble / n)}}""")
+    def pairFrom(m: collection.Map[Int, Double])(label: String, n: Int, n4: Int): Option[String] =
+      if (n >= 1 && n4 > n && m.getOrElse(n, 0.0) > 0 && m.getOrElse(n4, 0.0) > 0)
+        Some(s""""$label":{"n":$n,"n4":$n4,"efficiency":${(m(n4) / m(n)) / (n4.toDouble / n)}}""")
       else None
-    val curve = levels.map(p => s""""$p":${best(p)}""").mkString("{", ",", "}")
+    def curveOf(m: collection.Map[Int, Double]): String =
+      levels.map(p => s""""$p":${m.getOrElse(p, 0.0)}""").mkString("{", ",", "}")
     val docsHi = best(cpus)
     val triplesPerSec = docsHi * (nTriples.toDouble / kgPages)
 
@@ -118,10 +175,18 @@ object Bench {
     val total = results.map(_._2).sum
     val throughput =
       s"""{"kg_pages":$kgPages,"kg_triples":$nTriples,"docs_per_sec":$docsHi,"triples_per_sec":$triplesPerSec}"""
-    val scaling = (Seq(s""""curve_docs_per_sec":$curve""") ++
+    val pair = pairFrom(best) _
+    val cpair = pairFrom(bestCtl) _
+    val scaling = (Seq(
+      s""""curve_docs_per_sec":${curveOf(best)}""",
+      s""""control_rows_per_sec":${curveOf(bestCtl)}""",
+      s""""gc_fraction":${curveOf(gcAtBest)}""") ++
       pair("pair_unsaturated", 1, 4) ++
       pair("pair_mid", cpus / 8, cpus / 2) ++
-      pair("pair_full_box", cpus / 4, cpus)).mkString("{", ",", "}")
+      pair("pair_full_box", cpus / 4, cpus) ++
+      cpair("control_pair_unsaturated", 1, 4) ++
+      cpair("control_pair_mid", cpus / 8, cpus / 2) ++
+      cpair("control_pair_full_box", cpus / 4, cpus)).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""throughput":$throughput,"scaling":$scaling}""")
     spark.stop()

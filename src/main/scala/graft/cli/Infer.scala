@@ -21,6 +21,12 @@ import graft.ner.{BracketNer, CapitalizedNer}
   * Options: --terms-per-context N (50)  --min-links N (1)  --ner bracket|cap|stub-bio
   *          --name NAME (graph name)    --master local[N]   --synonyms FILE
   *          --docs-limit N (F2)         --checkpoint DIR --buckets N (resumable triples)
+  *          --link hash|lsh (synonym grouping: shuffle-free hash ids, or the
+  *            distributed minhash-LSH surface-form linking — P9 at scale)
+  *          --sqlite FILE --sqlite-table T --sqlite-column C (S4 source via the
+  *            built-in read-only sqlite parser)
+  *          --max-collected-edges N (driver guard; above it the graph is
+  *            written as distributed JSON instead of one d3js file)
   */
 object Infer {
   def main(args: Array[String]): Unit = {
@@ -48,6 +54,9 @@ object Infer {
         .orElse(opts.get("--jsonl").map(p =>
           graft.sources.DocSources.jsonl(spark, p, opts.getOrElse("--jsonl-field", "text"))))
         .orElse(opts.get("--zip").map(p => graft.sources.DocSources.zip(spark, p)))
+        .orElse(opts.get("--sqlite").map(p => graft.sources.DocSources.sqliteTable(spark, p,
+          opts.getOrElse("--sqlite-table", "contents"),
+          opts.getOrElse("--sqlite-column", "text_a"))))
         .map(d => opts.get("--docs-limit").map(n =>
           graft.sources.DocSources.docsLimit(d, n.toInt)).getOrElse(d))
 
@@ -74,7 +83,14 @@ object Infer {
         v => dict.getOrElse(graft.text.TextOps.canonicalKey(v), Linker.hashGroupId(v))
       case None => Linker.hashGroupId
     }
-    val parsed = KgPipeline.parsePages(pages, ner, cfg, groupId)
+    val parsed0 = KgPipeline.parsePages(pages, ner, cfg, groupId)
+    // --link lsh: re-link mention groups via the distributed minhash-LSH
+    // surface-form linking (near-duplicate values share a group — P9 at scale)
+    val parsed = opts.getOrElse("--link", "hash") match {
+      case "lsh"  => Linker.withLshGroups(parsed0.persist())
+      case "hash" => parsed0
+      case other  => throw new IllegalArgumentException(s"unknown --link mode: $other")
+    }
 
     // resumable path: triples written bucket-checkpointed, then exit
     opts.get("--checkpoint").foreach { ckptDir =>

@@ -45,17 +45,21 @@ object KgPipeline {
     val sents =
       if (cfg.splitter == "linesplit") TextOps.splitLines(text)
       else TextOps.splitSentences(text)
+    // index loop, pre-sized output array (hot path: once per document of 10^12)
     var nextId = 0L
-    val parsed = sents.zipWithIndex.map { case (s, i) =>
-      val (terms, raw) = ner.tag(TextOps.tokenize(s))
+    val out = new Array[Sentence](sents.length)
+    var i = 0
+    while (i < sents.length) {
+      val (terms, raw) = ner.tag(TextOps.tokenize(sents(i)))
       val kept = NerOps.filterTypes(raw, cfg.nerTypes)
       val mentions = kept.map { m =>
         val id = nextId; nextId += 1
         Mention(i, m.ind, m.value, m.eType, id, groupId = groupId(m.value))
       }
-      Sentence(i, terms, mentions)
+      out(i) = Sentence(i, terms, mentions)
+      i += 1
     }
-    ParsedDoc(p.url, p.lang, parsed)
+    ParsedDoc(p.url, p.lang, scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
   }
 
   /** Stage 1d+2: pair generation + context sampling (row-local flatMap). */

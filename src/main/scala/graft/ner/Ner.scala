@@ -31,26 +31,40 @@ trait Ner extends Serializable {
   * `[TYPE:value]`, falling back to UNDEFINED for plain `[value]`). */
 object BracketNer extends Ner {
   def tag(terms: Seq[String]): (Seq[String], Seq[RawMention]) = {
-    val out = Seq.newBuilder[String]
-    val ms = Seq.newBuilder[RawMention]
+    // Hot path (runs per sentence of 10^12 docs): output length == input
+    // length (1:1 rewrite), so terms land in one pre-sized array instead of a
+    // per-term cons list; sentences without any bracket return the input
+    // sequence unchanged (zero allocation).
+    val n = terms.length
+    var hasBracket = false
     var i = 0
-    terms.foreach { w =>
-      if (w.length >= 3 && w.head == '[' && w.last == ']') {
+    while (i < n && !hasBracket) {
+      val w = terms(i)
+      hasBracket = w.length >= 3 && w.charAt(0) == '[' && w.charAt(w.length - 1) == ']'
+      i += 1
+    }
+    if (!hasBracket) return (terms, Nil)
+    val out = new Array[String](n)
+    val ms = Seq.newBuilder[RawMention]
+    i = 0
+    while (i < n) {
+      val w = terms(i)
+      if (w.length >= 3 && w.charAt(0) == '[' && w.charAt(w.length - 1) == ']') {
         val inner = w.substring(1, w.length - 1)
         val colon = inner.indexOf(':')
         // value kept VERBATIM incl. dashes — the reference does `word[1:-1]`
         // (test/utils_entity_parser.py:20-22) and its fixture pins values like
         // "Джо-Байден" (opennre-data-test-predict.sqlite entity_values).
         val (tpe, value) =
-          if (colon > 0 && inner.take(colon).forall(c => c.isUpper || c == '_'))
-            (inner.take(colon), inner.drop(colon + 1))
+          if (colon > 0 && inner.substring(0, colon).forall(c => c.isUpper || c == '_'))
+            (inner.substring(0, colon), inner.substring(colon + 1))
           else ("UNDEFINED", inner)
-        out += value
+        out(i) = value
         ms += RawMention(i, value, tpe)
-      } else out += w
+      } else out(i) = w
       i += 1
     }
-    (out.result(), ms.result())
+    (scala.collection.immutable.ArraySeq.unsafeWrapArray(out), ms.result())
   }
 }
 
@@ -60,10 +74,17 @@ object BracketNer extends Ner {
   * fully SQL-expressible so DuckDB can oracle-check the whole KG tail. */
 final case class LexiconNer(lexicon: Map[String, String]) extends Ner {
   def tag(terms: Seq[String]): (Seq[String], Seq[RawMention]) = {
-    val ms = terms.iterator.zipWithIndex.flatMap { case (w, i) =>
-      lexicon.get(graft.text.TextOps.canonicalKey(w)).map(t => RawMention(i, w, t))
-    }.toSeq
-    (terms, ms)
+    // index loop, no per-term Option/tuple garbage (hot path; already-lowercase
+    // terms also hit String.toLowerCase's return-this fast path in canonicalKey)
+    val b = Seq.newBuilder[RawMention]
+    var i = 0
+    while (i < terms.length) {
+      val w = terms(i)
+      val t = lexicon.getOrElse(graft.text.TextOps.canonicalKey(w), null)
+      if (t != null) b += RawMention(i, w, t)
+      i += 1
+    }
+    (terms, b.result())
   }
 }
 

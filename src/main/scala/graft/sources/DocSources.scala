@@ -89,6 +89,16 @@ object DocSources {
     }.toDF("doc_id", "text")
   }
 
+  /** S4: one sqlite table row (named column) = one document, via the built-in
+    * read-only sqlite parser (graft.sources.Sqlite; reference
+    * arelight/third_party/sqlite3.py:27-43). Row index = rowid order. */
+  def sqliteTable(spark: SparkSession, path: String, table: String, column: String): DataFrame = {
+    import spark.implicits._
+    Sqlite.table(spark, path, table).select(col(column).cast("string").as("text"))
+      .rdd.zipWithIndex().map { case (r, i) => (s"$path:$i", r.getString(0)) }
+      .toDF("doc_id", "text")
+  }
+
   /** F2: per-source docs limit (arelight/doc_provider.py:43-44) — keep the
     * first `n` documents of each file by row index. */
   def docsLimit(docs: DataFrame, n: Int): DataFrame =

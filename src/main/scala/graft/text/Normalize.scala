@@ -13,16 +13,16 @@ import graft.core.ParsedDoc
   * suffix-stripping stemmer usable as the synonym-dictionary key function.
   */
 trait Translator extends Serializable {
-  /** Translate a batch of term lists; entity positions in `keepIdx` are left
-    * untranslated (reference do_translate_entity=False,
-    * arelight/arekit/utils_translator.py). */
-  def translateBatch(termLists: Seq[Seq[String]], keepIdx: Seq[Set[Int]]): Seq[Seq[String]]
+  /** Translate a batch of plain-text fragments — the reference model shape
+    * (gt_310a.py:35-44 get_func: list of strings -> list of translated
+    * strings). Fragments are maximal runs of non-entity terms; entities are
+    * never passed here (do_translate_entity=False, infer.py:272-284). */
+  def translateBatch(fragments: Seq[String]): Seq[String]
 }
 
 /** Deterministic stand-in: identity (the english-only baseline path). */
 object IdentityTranslator extends Translator {
-  def translateBatch(termLists: Seq[Seq[String]], keepIdx: Seq[Set[Int]]): Seq[Seq[String]] =
-    termLists
+  def translateBatch(fragments: Seq[String]): Seq[String] = fragments
 }
 
 trait Stemmer extends Serializable {
@@ -44,18 +44,75 @@ object SuffixStemmer extends Stemmer {
 
 object Normalize {
 
-  /** Translation as a pipeline stage over parsed docs (entities excluded from
-    * translation like the reference's do_translate_entity=False). */
+  /** Translation as a pipeline stage over parsed docs, full reference
+    * semantics (P7, infer.py:272-284 + utils.py string_terms_to_list):
+    *
+    *  1. each sentence's terms are segmented into maximal non-entity runs
+    *     (fragments) with entity terms as atomic separators
+    *     (do_translate_entity=False — entities are NEVER translated);
+    *  2. fragments of a whole doc batch go to the model in ONE
+    *     translateBatch call (reference batch translation);
+    *  3. translated fragments are RE-FLATTENED: a translated string splits on
+    *     whitespace back into terms (string_terms_to_list), so the term count
+    *     may change — mention indices are recomputed accordingly.
+    */
   def translate(docs: Dataset[ParsedDoc], translator: Translator, batchSize: Int = 16)(
       implicit spark: SparkSession): Dataset[ParsedDoc] = {
     import spark.implicits._
-    docs.mapPartitions(_.grouped(batchSize).flatMap { docBatch =>
-      val flat = docBatch.flatMap(d => d.sentences.map(s =>
-        (s.terms, s.mentions.map(_.ind).toSet)))
-      val translated = translator.translateBatch(flat.map(_._1), flat.map(_._2)).iterator
-      docBatch.map(d => d.copy(sentences = d.sentences.map(s =>
-        s.copy(terms = translated.next()))))
-    })
+    docs.mapPartitions(_.grouped(batchSize).flatMap(translateDocs(_, translator)))
+  }
+
+  /** Batch-local translation (pure — testable without a session). */
+  def translateDocs(batch: Seq[ParsedDoc], translator: Translator): Seq[ParsedDoc] = {
+    // pass 1: segment every sentence into Left(fragment text) | Right(mention)
+    val fragments = scala.collection.mutable.ArrayBuffer.empty[String]
+    val segmented = batch.map { d =>
+      d -> d.sentences.map { s =>
+        val mentionAt = s.mentions.map(m => m.ind -> m).toMap
+        val segs = Seq.newBuilder[Either[String, (graft.core.Mention, String)]]
+        val cur = new StringBuilder
+        var i = 0
+        while (i < s.terms.length) {
+          mentionAt.get(i) match {
+            case Some(m) =>
+              if (cur.nonEmpty) { segs += Left(cur.toString); cur.clear() }
+              segs += Right((m, s.terms(i)))
+            case None =>
+              if (cur.nonEmpty) cur.append(' ')
+              cur.append(s.terms(i))
+          }
+          i += 1
+        }
+        if (cur.nonEmpty) segs += Left(cur.toString)
+        val result = segs.result()
+        result.foreach { case Left(f) => fragments += f; case _ => () }
+        (s, result)
+      }
+    }
+    // pass 2: one model call for the whole batch
+    val translated = translator.translateBatch(fragments.toSeq)
+    require(translated.length == fragments.length,
+      s"translator returned ${translated.length} fragments for ${fragments.length}")
+    val it = translated.iterator
+    // pass 3: re-flatten + re-index
+    segmented.map { case (d, sents) =>
+      d.copy(sentences = sents.map { case (s, segs) =>
+        val newTerms = Seq.newBuilder[String]
+        val newMentions = Seq.newBuilder[graft.core.Mention]
+        var idx = 0
+        segs.foreach {
+          case Left(_) =>
+            it.next().split(raw"\s+").iterator.filter(_.nonEmpty).foreach { w =>
+              newTerms += w; idx += 1
+            }
+          case Right((m, term)) =>
+            newTerms += term
+            newMentions += m.copy(ind = idx)
+            idx += 1
+        }
+        s.copy(terms = newTerms.result(), mentions = newMentions.result())
+      })
+    }
   }
 
   /** Stemmer-keyed group function for Linker dictionaries (lemmatized synonym

@@ -46,5 +46,10 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     val p = df.queryExecution.executedPlan.toString
     // triples lineage: generator -> flatMap chain; only count-side exchange allowed
     assert(!p.contains("Exchange"), s"pages->triples must be shuffle-free:\n$p")
+    // the typed stages (parse -> sample -> score) must chain as ONE object
+    // pipeline: EliminateSerialization leaves exactly one serialize boundary
+    // (objects are never round-tripped through InternalRow between stages)
+    assert("SerializeFromObject".r.findAllIn(p).size == 1,
+      s"typed stages must not re-serialize between maps:\n$p")
   }
 }

@@ -31,6 +31,14 @@ class DocSourcesSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.map(_.getString(0)).toSeq == Seq(s"$p:0", s"$p:1"))
   }
 
+  test("sqlite table: one row (named column) = one doc, row-ordered ids (S4)") {
+    val p = "/root/reference/test/data/opennre-data-test-predict.sqlite"
+    val rows = DocSources.sqliteTable(spark, p, "contents", "text_a").collect()
+    assert(rows.length == 32)
+    assert(rows.map(_.getString(0)).toSet == (0 until 32).map(i => s"$p:$i").toSet)
+    assert(rows.forall(_.getString(1).nonEmpty))
+  }
+
   test("jsonl: one line = one doc (S7)") {
     val p = write("c.jsonl", """{"text":"x1"}""" + "\n" + """{"text":"x2"}""" + "\n")
     val rows = DocSources.jsonl(spark, p, "text").collect().sortBy(_.getString(0))
