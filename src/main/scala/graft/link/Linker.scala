@@ -180,7 +180,10 @@ object Linker {
       jaccardThreshold: Double = 0.5, shingleW: Int = 3): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.ops.Dedup
-    val canon = values.select(lower(trim(valueCol)).as("value")).distinct()
+    // the canonical vocabulary is consumed by THREE downstream lineages (band
+    // signatures, shingle sets for verify, the final group join) — checkpoint
+    // it once so the upstream scan/distinct doesn't re-run per consumer
+    val canon = values.select(lower(trim(valueCol)).as("value")).distinct().localCheckpoint()
     // padded form materialized in its own projection: the shingle lambda below
     // captures it, and a captured subtree is re-evaluated per element — keep it
     // an attribute reference, not an expression tree

@@ -96,11 +96,28 @@ object Dedup {
   }
 
   /** LSH candidate pairs: ids sharing at least one (band, sig) bucket, a < b.
-    * The self-join shuffles on the bucket key only; hot buckets are bounded by
-    * the band construction (at scale add bucket-size capping before the join). */
-  def minhashCandidates(sigs: DataFrame): DataFrame = {
-    val a = sigs.select(col("band"), col("sig"), col("id").as("a_id"))
-    val b = sigs.select(col("band"), col("sig"), col("id").as("b_id"))
+    * The self-join shuffles on the bucket key only.
+    *
+    * `maxBucketSize` is the web-scale safety knob: a degenerate bucket (e.g.
+    * boilerplate/empty-ish shingle sets hashing together across 10^9 docs)
+    * would otherwise produce |bucket|² candidate pairs in one reducer. Buckets
+    * larger than the cap are DROPPED before the join — for near-duplicate
+    * detection that loses only pathological collisions (true near-dup clusters
+    * that big are better handled by exact-hash dedup first). Default: no cap
+    * (exact LSH semantics — what the DuckDB oracle checks). */
+  def minhashCandidates(sigs: DataFrame, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val bounded =
+      if (maxBucketSize == Int.MaxValue) sigs
+      else {
+        // window-free capping: count per bucket (map-side partials), anti-join
+        // the oversized buckets away
+        val oversized = sigs.groupBy("band", "sig")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+          .select("band", "sig")
+        sigs.join(oversized, Seq("band", "sig"), "left_anti")
+      }
+    val a = bounded.select(col("band"), col("sig"), col("id").as("a_id"))
+    val b = bounded.select(col("band"), col("sig"), col("id").as("b_id"))
     a.join(b, Seq("band", "sig"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()

@@ -34,6 +34,19 @@ object StreamOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the continuous-ingest counterpart of
+    * graft.ops.Dedup.exact: keep the FIRST document per content hash, with
+    * state bounded by the watermark (a duplicate arriving within the watermark
+    * horizon is dropped even across micro-batches; later re-crawls of old
+    * content re-enter, which is the standard bounded-state trade-off). */
+  def dedupExactStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("ts", col(tsCol).cast("timestamp"))
+      .withColumn("text_hash", md5(col(textCol).cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** 30-minute-gap sessions per user via the native session_window operator
     * (the streaming counterpart of Relational.eventsSessions). */
   def eventsSessions(events: DataFrame): DataFrame =

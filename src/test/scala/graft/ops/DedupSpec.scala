@@ -57,6 +57,21 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(c(100L) == 3L && c(101L) == 3L && c(102L) == 3L)
   }
 
+  test("bucket-size cap drops degenerate hot buckets, keeps normal candidates") {
+    import spark.implicits._
+    // 30 identical docs (one degenerate bucket of 30) + one true near-dup pair
+    val hot = (0 until 30).map(i => (100L + i, "the same boilerplate text every time"))
+    val pair = Seq((1L, "a unique document about spark graphs"),
+                   (2L, "a unique document about spark graphs")) // exact dup: guaranteed bucket share
+    val df = (hot ++ pair).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, col("text"), col("doc_id"), bands = 4, shingleW = 2, rowsPerBand = 2)
+    val uncapped = Dedup.minhashCandidates(sigs).count()
+    val capped = Dedup.minhashCandidates(sigs, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped >= 30L * 29 / 2) // the hot clique dominates uncapped
+    assert(capped == Set((1L, 2L)))  // cap kills the clique, keeps the real pair
+  }
+
   test("simhash: identical texts identical signatures; near-dup differs in few bits") {
     val sh = Dedup.simhash(corpus, col("text"), col("doc_id"), bits = 32)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -79,6 +79,23 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows == Seq(("click", 1L, 4.0), ("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
 
+  test("streaming exact dedup keeps first doc per content hash across micro-batches") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamOps.dedupExactStream(
+        mem.toDF().toDF("doc_id", "crawl_ts", "text"), "text", "crawl_ts")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    mem.addData(Seq(
+      (1L, ts(0), "alpha beta"), (2L, ts(1), "gamma"), (3L, ts(2), "alpha beta")))
+    q.processAllAvailable()
+    mem.addData(Seq( // duplicate arriving in a LATER micro-batch is still dropped
+      (4L, ts(3), "alpha beta"), (5L, ts(4), "delta")))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_stream").select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 5L))
+  }
+
   test("session_window sessionizes with 30-minute gaps") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
