@@ -62,6 +62,31 @@ object SparkEntry {
         bands = 4, shingleW = 2, rowsPerBand = 2)))),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), col("text"), col("doc_id"), bits = 16)),
+    // keep-one dedup: cluster representatives + never-duplicated docs
+    "dedup_keep_one" -> ((s, d) => {
+      val dd = docs(s, d)
+      val labels = Dedup.clusters(Dedup.minhashCandidates(
+        Dedup.minhashSignatures(dd, col("text"), col("doc_id"),
+          bands = 4, shingleW = 2, rowsPerBand = 2)))
+      dd.select(col("doc_id"))
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+        .select(col("doc_id"))
+    }),
+    // training-data curation pipeline: quality thresholds -> langid -> exact
+    // dedup keep-one — the composed filter chain a 100 TB curation job runs
+    "curate_keep" -> ((s, d) => {
+      val dd = docs(s, d)
+      val toks = split(trim(col("text")), raw"\s+")
+      dd.select(col("doc_id"), col("text"),
+          size(toks).cast("long").as("n_tokens"),
+          (size(array_distinct(toks)).cast("double") / size(toks).cast("double")).as("ttr"),
+          TextStats.langId(col("text")).as("lang_pred"))
+        .filter(col("n_tokens") >= 40 && col("ttr") >= 0.4 && col("lang_pred") === "en")
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), max(col("n_tokens")).as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"))
+    }),
     // ---- entity linking: distributed LSH over a surface-form vocabulary
     // (vocabulary = document tokens + deterministic variant forms, mirroring
     // near-duplicate entity surface forms; P9 at north_star scale)
@@ -313,6 +338,32 @@ object SparkEntry {
     "dedup_simhash" ->
       s"""WITH $toksCte
          |SELECT doc_id AS id, $simhashBits AS simhash FROM toks""".stripMargin,
+    "dedup_keep_one" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM cand UNION SELECT b_id, a_id FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
+         |SELECT d.doc_id FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+         |WHERE l.cluster IS NULL OR l.cluster = d.doc_id""".stripMargin,
+    "curate_keep" ->
+      s"""WITH $toksCte,
+         |q AS (SELECT t.doc_id, d.text, len(terms) AS n_tokens,
+         |             len(list_distinct(terms))::DOUBLE / len(terms)::DOUBLE AS ttr,
+         |             len(list_filter(terms, x -> x IN ('the','a','of','and','is','to','in'))) AS v_en,
+         |             len(list_filter(terms, x -> x IN ('der','die','das','und','ist','zu'))) AS v_de,
+         |             len(list_filter(terms, x -> x IN ('le','la','les','et','est','de'))) AS v_fr,
+         |             len(list_filter(terms, x -> x IN ('el','los','las','y','es','de'))) AS v_es
+         |      FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
+         |f AS (SELECT * FROM q
+         |      WHERE n_tokens >= 40 AND ttr >= 0.4
+         |        AND greatest(v_en, v_de, v_fr, v_es) > 0
+         |        AND v_en = greatest(v_en, v_de, v_fr, v_es))
+         |SELECT min(doc_id) AS doc_id, max(n_tokens) AS n_tokens
+         |FROM f GROUP BY md5(text)""".stripMargin,
     "link_groups" ->
       s"""WITH RECURSIVE $toksCte,
          |t0 AS (SELECT DISTINCT unnest(terms) AS t FROM toks),
