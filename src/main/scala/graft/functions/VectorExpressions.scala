@@ -81,7 +81,78 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Native random-hyperplane LSH signature: one string of sign bits per band
+  * (bit k = sign of the sequential-fold dot ⟨vec, plane_k⟩ — bit-identical to
+  * the `aggregate(zip_with(...))` HOF formulation and the DuckDB oracle, but a
+  * tight primitive loop inside whole-stage codegen instead of K interpreted
+  * higher-order functions per row; at 10^9 vectors the K×D multiply-adds are
+  * the signature stage's entire cost). The plane matrix rides along as a
+  * codegen reference object, not generated source. */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]], rowsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes.nonEmpty && planes.length % rowsPerBand == 0,
+    "planes count must be a positive multiple of rowsPerBand")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hyperplane_sig expects array<double>, got $t")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "hyperplane_sig"
+
+  private lazy val flat: Array[Double] = planes.flatten
+  private lazy val dim: Int = planes.head.length
+
+  override def nullSafeEval(a: Any): Any =
+    HyperplaneSig.compute(a.asInstanceOf[ArrayData], flat, dim, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HyperplaneSig.compute($a, $planesRef, $dim, $rowsPerBand);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneSig {
+  /** Shared eval/codegen kernel. Sequential fold per plane over the first
+    * min(dim, |vec|) elements — the exact HOF/oracle semantics. */
+  def compute(vec: ArrayData, flat: Array[Double], dim: Int, rowsPerBand: Int): ArrayData = {
+    val k = flat.length / dim
+    val bands = k / rowsPerBand
+    val n = math.min(vec.numElements(), dim)
+    val out = new Array[AnyRef](bands)
+    val sb = new java.lang.StringBuilder(rowsPerBand)
+    var b = 0
+    var kk = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var r = 0
+      while (r < rowsPerBand) {
+        val base = kk * dim
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += vec.getDouble(i) * flat(base + i); i += 1 }
+        sb.append(if (dot > 0) '1' else '0')
+        r += 1; kk += 1
+      }
+      out(b) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
+
+  /** Column API: per-band hyperplane sign signatures over array<double>. */
+  def hyperplane_sig(vec: Column, planes: Array[Array[Double]], rowsPerBand: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(HyperplaneSig(
+      org.apache.spark.sql.graft.bridge.expression(vec), planes, rowsPerBand))
 
   /** Column API: cosine_similarity(a, b) over array<double> (cast upstream). */
   def cosine_similarity(a: Column, b: Column): Column =

@@ -92,19 +92,13 @@ object Similarity {
   def lshCosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double, dim: Int,
       bands: Int = 4, rowsPerBand: Int = 8, seed: Long = 0x5EED5EEDL): DataFrame = {
     val planes = hyperplanes(bands * rowsPerBand, dim, seed)
-    val v = df.select(id.as("id"), asDouble(vec).as("v"))
-    val bits = planes.map { p =>
-      val d = aggregate(zip_with(col("v"), typedlit(p.toSeq), (x, r) => x * r),
-        lit(0.0), (acc, x) => acc + x)
-      when(d > 0, lit("1")).otherwise(lit("0"))
-    }
-    val bandRows = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-          bits.slice(b * rowsPerBand, (b + 1) * rowsPerBand)): _*).as("sig"))
-    }
-    val sigs = v.select(col("id"), explode(array(bandRows: _*)).as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // per-band sign signatures via the native codegen kernel (one primitive
+    // K×D loop per row inside whole-stage codegen; bit-identical to the HOF
+    // aggregate(zip_with) formulation — asserted by VectorExpressionsSpec)
+    val v = df.select(id.as("id"),
+      graft.functions.VectorExpressions.hyperplane_sig(asDouble(vec), planes, rowsPerBand).as("bsigs"))
+    val sigs = v.select(col("id"), posexplode(col("bsigs")))
+      .select(col("id"), col("pos").as("band"), col("col").as("sig"))
     val cand = graft.ops.Dedup.minhashCandidates(sigs)
     val a = df.select(id.as("a_id"), asDouble(vec).as("a_vec"))
     val b = df.select(id.as("b_id"), asDouble(vec).as("b_vec"))

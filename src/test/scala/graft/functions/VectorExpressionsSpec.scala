@@ -27,6 +27,26 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
       s"bitwise mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
   }
 
+  test("native hyperplane_sig == HOF sign-bit formulation bit-for-bit") {
+    val planes = Similarity.hyperplanes(32, 64)
+    val native = vecs.select(col("id"),
+      VectorExpressions.hyperplane_sig(col("v"), planes, rowsPerBand = 8).as("sigs"))
+    // the original HOF formulation as the parity oracle
+    val bits = planes.map { p =>
+      val d = aggregate(zip_with(col("v"), typedlit(p.toSeq), (x, r) => x * r),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit("1")).otherwise(lit("0"))
+    }
+    val hofSigs = (0 until 4).map(b => concat(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(bits.slice(b * 8, (b + 1) * 8)): _*))
+    val hof = vecs.select(col("id"), array(hofSigs: _*).as("sigs"))
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(n == h && n.nonEmpty)
+    // every sig: 4 bands x 8 bits
+    assert(n.values.forall(s => s.length == 4 && s.forall(_.length == 8)))
+  }
+
   test("SQL registration + codegen plan") {
     VectorExpressions.register(spark)
     vecs.createOrReplaceTempView("vx")
