@@ -79,7 +79,7 @@ object Linker {
 
   /** Character w-gram shingles of a canonical value ("$" padded, inner
     * whitespace runs collapsed — linking should not distinguish spacing). */
-  private[link] def charShingles(value: String, w: Int = 3): Seq[String] = {
+  private[graft] def charShingles(value: String, w: Int = 3): Seq[String] = {
     val s = "$" + graft.text.TextOps.canonicalKey(value).replaceAll(raw"\s+", " ") + "$"
     if (s.length < w) Seq(s) else (0 to s.length - w).map(i => s.substring(i, i + w))
   }
