@@ -62,6 +62,13 @@ object SparkEntry {
         bands = 4, shingleW = 2, rowsPerBand = 2)))),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), col("text"), col("doc_id"), bits = 16)),
+    // eval-set decontamination: corpus docs sharing exact 3-grams with a
+    // probe set (inverted-index join on the gram key — never doc x doc)
+    "decontaminate_overlap" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.ngramOverlap(dd, dd.filter(col("doc_id") < 25), col("text"), col("doc_id"),
+        n = 3, minShared = 2)
+    }),
     // keep-one dedup: cluster representatives + never-duplicated docs
     "dedup_keep_one" -> ((s, d) => {
       val dd = docs(s, d)
@@ -338,6 +345,15 @@ object SparkEntry {
     "dedup_simhash" ->
       s"""WITH $toksCte
          |SELECT doc_id AS id, $simhashBits AS simhash FROM toks""".stripMargin,
+    "decontaminate_overlap" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(terms) - 2),
+         |        i -> terms[i+1] || ' ' || terms[i+2] || ' ' || terms[i+3]))) AS g
+         |      FROM toks WHERE len(terms) >= 3),
+         |p AS (SELECT doc_id AS probe_id, g FROM g WHERE doc_id < 25)
+         |SELECT c.doc_id, p.probe_id, count(*) AS shared_ngrams
+         |FROM g c JOIN p ON c.g = p.g AND c.doc_id <> p.probe_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "dedup_keep_one" ->
       s"""WITH RECURSIVE $minhashPairsCte,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM cand UNION SELECT b_id, a_id FROM cand),

@@ -186,6 +186,35 @@ object Dedup {
     labels
   }
 
+  /** Exact n-gram overlap between a corpus and a probe set (eval-set
+    * DECONTAMINATION: training documents sharing long exact n-grams with
+    * benchmark/eval documents must be dropped — the standard contamination
+    * check for LLM training data). Inverted-index join: explode distinct
+    * n-grams on both sides, equi-join on the gram (shuffles on the gram key
+    * only — never a doc×doc product), count shared grams per (doc, probe)
+    * pair.
+    *
+    * `maxPostings` drops grams whose corpus document frequency exceeds the
+    * cap — boilerplate grams both blow up the join (df² postings pairs) and
+    * carry no contamination signal. */
+  def ngramOverlap(corpus: DataFrame, probes: DataFrame, text: Column, id: Column,
+      n: Int, minShared: Int = 1, maxPostings: Int = Int.MaxValue): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      df.select(id.as(as), explode(array_distinct(shingles(tokens(text), n))).as("g"))
+    val c0 = grams(corpus, "doc_id")
+    val c =
+      if (maxPostings == Int.MaxValue) c0
+      else {
+        val hot = c0.groupBy("g").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxPostings).select("g")
+        c0.join(hot, Seq("g"), "left_anti")
+      }
+    c.join(grams(probes, "probe_id"), Seq("g"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy("doc_id", "probe_id").agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   /** SimHash over token multiset: bit j of the signature is the sign of the
     * sum over tokens of (2*bit_j(md5(token)) - 1). `bits` <= 128 (md5 width).
     * Bit j of a token = low bit of md5 hex digit j — declarative, engine-portable. */

@@ -72,6 +72,28 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(capped == Set((1L, 2L)))  // cap kills the clique, keeps the real pair
   }
 
+  test("ngramOverlap: planted contamination found; boilerplate grams capped away") {
+    import spark.implicits._
+    val eval_ = Seq((1000L, "the quick brown fox jumps over the lazy dog tonight"))
+    val corpus = Seq(
+      (1L, "intro text then the quick brown fox jumps over the lazy dog tonight and more"),
+      (2L, "completely unrelated content about spark execution plans and shuffles here"),
+      (3L, "the quick brown fox appears but the rest differs a lot from the probe"))
+    val c = corpus.toDF("doc_id", "text"); val p = eval_.toDF("doc_id", "text")
+    val hits = Dedup.ngramOverlap(c, p, col("text"), col("doc_id"), n = 5, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.map(h => (h._1, h._2)).toSeq == Seq((1L, 1000L)))
+    assert(hits.head._3 >= 5) // long contiguous overlap = many shared 5-grams
+    // boilerplate capping: a gram present in EVERY corpus doc is dropped
+    val boiler = (1 to 20).map(i => (i.toLong, s"standard footer text appears here always plus unique$i"))
+      .toDF("doc_id", "text")
+    val probes2 = Seq((999L, "standard footer text appears here always plus nothing")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramOverlap(boiler, probes2, col("text"), col("doc_id"), n = 5).count()
+    val capped = Dedup.ngramOverlap(boiler, probes2, col("text"), col("doc_id"), n = 5,
+      maxPostings = 5).count()
+    assert(uncapped == 20 && capped == 0)
+  }
+
   test("simhash: identical texts identical signatures; near-dup differs in few bits") {
     val sh = Dedup.simhash(corpus, col("text"), col("doc_id"), bits = 32)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
