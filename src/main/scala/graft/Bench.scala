@@ -136,13 +136,13 @@ object Bench {
     val controlRows = 1000000L
     controlJob(spark, controlRows, cpus) // warm control
 
-    val levels = Seq(1, 4, cpus / 4, cpus / 2, cpus).distinct.filter(_ >= 1)
+    val levels = Seq(1, 2, 4, cpus / 4, cpus / 2, cpus).distinct.filter(_ >= 1)
     val best = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
     val bestCtl = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
     val gcAtBest = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
     // small levels are cheap to re-measure and dominate the efficiency pairs —
     // give them extra repetitions against the host-noise windows
-    def repsFor(p: Int): Int = if (p <= 4) math.max(reps, 6) else reps
+    def repsFor(p: Int): Int = if (p <= 4) math.max(reps, 8) else reps
     (1 to levels.map(repsFor).max).foreach { r =>
       levels.foreach { p =>
         if (r <= repsFor(p)) {
@@ -153,10 +153,12 @@ object Bench {
           val gcMs = gcMillis() - gc0
           val tp = kgPages / (wallMs / 1e3)
           if (tp > best(p)) { best(p) = tp; gcAtBest(p) = gcMs.toDouble / wallMs }
-          val c0 = System.nanoTime()
-          controlJob(spark, controlRows, p)
-          val ctp = controlRows / ((System.nanoTime() - c0) / 1e9)
-          if (ctp > bestCtl(p)) bestCtl(p) = ctp
+          if (r <= reps) { // control: base reps only (its level-1 runs are long)
+            val c0 = System.nanoTime()
+            controlJob(spark, controlRows, p)
+            val ctp = controlRows / ((System.nanoTime() - c0) / 1e9)
+            if (ctp > bestCtl(p)) bestCtl(p) = ctp
+          }
         }
       }
     }
@@ -182,9 +184,11 @@ object Bench {
       s""""control_rows_per_sec":${curveOf(bestCtl)}""",
       s""""gc_fraction":${curveOf(gcAtBest)}""") ++
       pair("pair_unsaturated", 1, 4) ++
+      pair("pair_small", 2, 8) ++
       pair("pair_mid", cpus / 8, cpus / 2) ++
       pair("pair_full_box", cpus / 4, cpus) ++
       cpair("control_pair_unsaturated", 1, 4) ++
+      cpair("control_pair_small", 2, 8) ++
       cpair("control_pair_mid", cpus / 8, cpus / 2) ++
       cpair("control_pair_full_box", cpus / 4, cpus)).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +

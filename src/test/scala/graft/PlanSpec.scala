@@ -41,6 +41,19 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("decontaminate_overlap: inverted-index join (probe filter pushed, no cartesian)") {
+    val p = planOf("decontaminate_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LessThan(doc_id,25)") || p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id"),
+      s"probe-side doc_id filter must reach the scan:\n$p")
+  }
+
+  test("curate_keep: documents scan pruned to (doc_id, text)") {
+    val p = planOf("curate_keep")
+    assert(!p.contains("n_chars") && !p.contains("source"), "unused columns must be pruned")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("entry: flagship pipeline has no shuffle before the final aggregation") {
     val df = SparkEntry.entry(spark)
     val p = df.queryExecution.executedPlan.toString
