@@ -54,7 +54,8 @@ object Bench {
   }
 
   /** Pure-CPU control (same work shape as graft.tools.CpuProbe): rows of LCG
-    * spins, zero shuffle, negligible allocation. */
+    * spins, zero shuffle, negligible allocation. Register-resident — scales
+    * with cores up to the host's scheduling ceiling. */
   private def controlJob(spark: SparkSession, rows: Long, parts: Int): Long = {
     import spark.implicits._
     spark.range(0, rows, 1, parts).map { i =>
@@ -62,6 +63,24 @@ object Bench {
       var k = 0
       while (k < 2000) { h = h * 6364136223846793005L + 1442695040888963407L; k += 1 }
       h & 1L
+    }.reduce(_ + _)
+  }
+
+  /** Memory-streaming control: per row, allocate + write + re-read a 4 KB
+    * buffer — the workload character of the text pipeline (strings streaming
+    * through the cache hierarchy), with none of its logic. If THIS decays like
+    * the engine at high core counts while the LCG control does not, the
+    * scaling limiter is shared DRAM bandwidth, not engine structure. */
+  private def memControlJob(spark: SparkSession, rows: Long, parts: Int): Long = {
+    import spark.implicits._
+    spark.range(0, rows, 1, parts).map { i =>
+      val buf = new Array[Byte](4096)
+      var k = 0
+      while (k < buf.length) { buf(k) = ((i + k) & 0xff).toByte; k += 1 }
+      var acc = 0L
+      k = 0
+      while (k < buf.length) { acc += buf(k); k += 8 }
+      acc
     }.reduce(_ + _)
   }
 
@@ -135,14 +154,17 @@ object Bench {
     kgJob(spark, pagesPath, cpus).count() // warm 2
     val controlRows = 1000000L
     controlJob(spark, controlRows, cpus) // warm control
+    val memRows = 400000L
+    memControlJob(spark, memRows, cpus) // warm memory control
 
     val levels = Seq(1, 2, 4, cpus / 4, cpus / 2, cpus).distinct.filter(_ >= 1)
     val best = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
     val bestCtl = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
+    val bestMem = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
     val gcAtBest = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
     // small levels are cheap to re-measure and dominate the efficiency pairs —
     // give them extra repetitions against the host-noise windows
-    def repsFor(p: Int): Int = if (p <= 4) math.max(reps, 8) else reps
+    def repsFor(p: Int): Int = if (p <= 4) math.max(reps, 10) else reps
     (1 to levels.map(repsFor).max).foreach { r =>
       levels.foreach { p =>
         if (r <= repsFor(p)) {
@@ -153,11 +175,15 @@ object Bench {
           val gcMs = gcMillis() - gc0
           val tp = kgPages / (wallMs / 1e3)
           if (tp > best(p)) { best(p) = tp; gcAtBest(p) = gcMs.toDouble / wallMs }
-          if (r <= reps) { // control: base reps only (its level-1 runs are long)
+          if (r <= reps) { // controls: base reps only (their level-1 runs are long)
             val c0 = System.nanoTime()
             controlJob(spark, controlRows, p)
             val ctp = controlRows / ((System.nanoTime() - c0) / 1e9)
             if (ctp > bestCtl(p)) bestCtl(p) = ctp
+            val m0 = System.nanoTime()
+            memControlJob(spark, memRows, p)
+            val mtp = memRows / ((System.nanoTime() - m0) / 1e9)
+            if (mtp > bestMem(p)) bestMem(p) = mtp
           }
         }
       }
@@ -179,9 +205,11 @@ object Bench {
       s"""{"kg_pages":$kgPages,"kg_triples":$nTriples,"docs_per_sec":$docsHi,"triples_per_sec":$triplesPerSec}"""
     val pair = pairFrom(best) _
     val cpair = pairFrom(bestCtl) _
+    val mpair = pairFrom(bestMem) _
     val scaling = (Seq(
       s""""curve_docs_per_sec":${curveOf(best)}""",
       s""""control_rows_per_sec":${curveOf(bestCtl)}""",
+      s""""mem_control_rows_per_sec":${curveOf(bestMem)}""",
       s""""gc_fraction":${curveOf(gcAtBest)}""") ++
       pair("pair_unsaturated", 1, 4) ++
       pair("pair_small", 2, 8) ++
@@ -190,7 +218,11 @@ object Bench {
       cpair("control_pair_unsaturated", 1, 4) ++
       cpair("control_pair_small", 2, 8) ++
       cpair("control_pair_mid", cpus / 8, cpus / 2) ++
-      cpair("control_pair_full_box", cpus / 4, cpus)).mkString("{", ",", "}")
+      cpair("control_pair_full_box", cpus / 4, cpus) ++
+      mpair("mem_pair_unsaturated", 1, 4) ++
+      mpair("mem_pair_small", 2, 8) ++
+      mpair("mem_pair_mid", cpus / 8, cpus / 2) ++
+      mpair("mem_pair_full_box", cpus / 4, cpus)).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""throughput":$throughput,"scaling":$scaling}""")
     spark.stop()
