@@ -1,0 +1,111 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextStats}
+
+/** Training-data curation CLI — the composed filter chain a web-scale corpus
+  * runs before training (quality -> language -> exact dedup -> near-dup dedup
+  * -> eval-set decontamination), each stage an engine operator from
+  * graft.ops. Prints ONE JSON line with per-stage survivor counts.
+  *
+  * Usage:
+  *   runMain graft.cli.Curate --docs docs.parquet --out /tmp/kept
+  *     [--id-col doc_id --text-col text]
+  *     [--min-tokens 40] [--min-ttr 0.0] [--lang en]
+  *     [--near-dup y] [--bands 4] [--rows-per-band 2] [--shingle-w 2] [--jaccard 0.7]
+  *     [--max-bucket 10000]
+  *     [--probes eval.parquet --ngram 5 --min-shared 3]
+  *
+  * Every stage is a declarative DataFrame transform (one shuffle per dedup
+  * stage, on the hash/bucket key); nothing is collected to the driver except
+  * the stage counts.
+  */
+object Curate {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val docsPath = opts.getOrElse("--docs", sys.error("--docs required"))
+    val out = opts.getOrElse("--out", sys.error("--out required"))
+    val idCol = opts.getOrElse("--id-col", "doc_id")
+    val textCol = opts.getOrElse("--text-col", "text")
+
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(opts.getOrElse("--master", s"local[${Runtime.getRuntime.availableProcessors}]"))
+      .appName("graft-curate")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(docsPath)
+    val nInput = docs.count()
+
+    // 1. quality thresholds (graft.ops.TextStats metrics)
+    val minTokens = opts.getOrElse("--min-tokens", "0").toInt
+    val minTtr = opts.getOrElse("--min-ttr", "0.0").toDouble
+    val toks = split(trim(col(textCol)), raw"\s+")
+    val q0 = docs
+      .withColumn("__n_tokens", size(toks))
+      .withColumn("__ttr", size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+      .filter(col("__n_tokens") >= minTokens && col("__ttr") >= minTtr)
+    // 2. language filter (stopword-vote langid)
+    val q = opts.get("--lang") match {
+      case Some(l) => q0.filter(TextStats.langId(col(textCol)) === l)
+      case None    => q0
+    }
+    val quality = q.drop("__n_tokens", "__ttr").persist()
+    val nQuality = quality.count()
+
+    // 3. exact dedup keep-one (min id per content hash)
+    val keepExact = quality
+      .withColumn("__h", md5(col(textCol).cast("binary")))
+      .withColumn("__keep", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__h")).orderBy(col(idCol))))
+      .filter(col("__keep") === 1).drop("__h", "__keep")
+      .persist()
+    val nExact = keepExact.count()
+
+    // 4. near-dup minhash-LSH keep-representative
+    val nearDup = opts.getOrElse("--near-dup", "y") == "y"
+    val afterNear =
+      if (!nearDup) keepExact
+      else {
+        val sigs = Dedup.minhashSignatures(keepExact, col(textCol), col(idCol),
+          bands = opts.getOrElse("--bands", "4").toInt,
+          shingleW = opts.getOrElse("--shingle-w", "2").toInt,
+          rowsPerBand = opts.getOrElse("--rows-per-band", "2").toInt)
+        val cand = Dedup.minhashCandidates(sigs, opts.getOrElse("--max-bucket", "10000").toInt)
+        val verified = Dedup.jaccardVerify(keepExact, col(textCol), col(idCol), cand,
+            shingleW = opts.getOrElse("--shingle-w", "2").toInt)
+          .filter(col("jaccard") >= opts.getOrElse("--jaccard", "0.7").toDouble)
+          .select("a_id", "b_id")
+        val labels = Dedup.clusters(verified)
+        keepExact.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+          .filter(col("cluster").isNull || col("cluster") === col(idCol))
+          .drop("cluster")
+      }
+    val afterNearP = afterNear.persist()
+    val nNear = afterNearP.count()
+
+    // 5. decontamination against a probe/eval set (exact n-gram overlap)
+    val kept = opts.get("--probes") match {
+      case Some(pp) =>
+        val probes = spark.read.parquet(pp)
+        val contaminated = Dedup.ngramOverlap(afterNearP, probes, col(textCol), col(idCol),
+            n = opts.getOrElse("--ngram", "5").toInt,
+            minShared = opts.getOrElse("--min-shared", "3").toInt)
+          .select(col("doc_id").as(idCol)).distinct()
+        afterNearP.join(contaminated, Seq(idCol), "left_anti")
+      case None => afterNearP
+    }
+    val keptP = kept.persist()
+    val nKept = keptP.count()
+    keptP.write.mode(SaveMode.Overwrite).parquet(out)
+
+    println(s"""{"input":$nInput,"after_quality":$nQuality,"after_exact_dedup":$nExact,""" +
+      s""""after_near_dedup":$nNear,"kept":$nKept,"out":"$out"}""")
+    spark.stop()
+  }
+}
