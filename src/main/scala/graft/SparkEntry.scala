@@ -119,6 +119,13 @@ object SparkEntry {
         k = 3, probeDims = 8)
         .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
     }),
+    // multi-probe IVF: each query searches its top-2 coarse cells (recall knob)
+    "ann_ivf_probe" -> ((s, d) => {
+      val e = embeds(s, d)
+      Similarity.bucketedTopKMultiProbe(e, e.filter(col("vec_id") < 50), col("vec_id"),
+        col("embedding"), k = 3, probeDims = 8, nProbe = 2)
+        .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
+    }),
     // scale path for near-dup pairs: LSH bucket join (NO cross join in the
     // plan — asserted by PlanSpec); near-dups planted deterministically
     // (perturbed copy of every vector at id+10000) since the synthetic
@@ -420,6 +427,20 @@ object SparkEntry {
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosineSql("a.e", "b.e")} AS score
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE ${cosineSql("a.e", "b.e")} >= 0.3""".stripMargin,
+    "ann_ivf_probe" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |                  list_position(embedding[1:8]::DOUBLE[], list_max(embedding[1:8]::DOUBLE[])) AS bucket
+         |           FROM embeddings),
+         |q0 AS (SELECT vec_id, e FROM v WHERE vec_id < 50),
+         |ranked AS (SELECT vec_id, e, unnest(range(1, 9)) AS p FROM q0),
+         |ordered AS (SELECT vec_id, e, p,
+         |              row_number() OVER (PARTITION BY vec_id ORDER BY e[p] DESC, p) AS r
+         |            FROM ranked),
+         |q AS (SELECT vec_id, e, p AS bucket FROM ordered WHERE r <= 2),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosineSql("q.e", "c.e")} AS score
+         |      FROM v c JOIN q ON c.bucket = q.bucket AND q.vec_id <> c.vec_id),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id FROM rr WHERE rank <= 3""".stripMargin,
     "ann_lsh_pairs" ->
       s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |v AS (SELECT vec_id AS id, e FROM v0

@@ -114,6 +114,38 @@ object Similarity {
     array_position(head, array_max(head))
   }
 
+  /** Multi-probe bucket list for a query: the 1-based positions of the
+    * top-`nProbe` values among the first `probeDims` coordinates (the query
+    * visits its nProbe most-promising IVF cells; corpus vectors still live in
+    * exactly one cell, so probing never duplicates candidates). Ordering ties
+    * break on the smaller position — same rule as [[bucket]]. */
+  def probeBuckets(vec: Column, probeDims: Int, nProbe: Int): Column = {
+    val head = slice(asDouble(vec), 1, probeDims)
+    val ranked = sort_array(
+      zip_with(head, sequence(lit(1), lit(probeDims)),
+        (v, p) => struct(v.as("v"), (-p).as("np"))),
+      asc = false) // v desc, then -p desc == position asc
+    transform(slice(ranked, 1, nProbe), s => -s.getField("np"))
+  }
+
+  /** IVF with multi-probe: each query searches its `nProbe` best coarse cells
+    * instead of one — the standard recall knob. Still a co-partitioned join on
+    * the cell id (queries exploded once per probe), never a cross join. */
+  def bucketedTopKMultiProbe(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+      k: Int, probeDims: Int, nProbe: Int): DataFrame = {
+    val c = corpus.select(id.as("neighbor_id"), asDouble(vec).as("c_vec"),
+      bucket(vec, probeDims).as("bucket"))
+    val q = queries.select(id.as("query_id"), asDouble(vec).as("q_vec"),
+      explode(probeBuckets(vec, probeDims, nProbe)).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** Bucketed ANN: top-k by cosine within the query's coarse bucket only.
     * The join is on bucket id — co-partitioned, no cross join. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,

@@ -47,6 +47,29 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
     assert(n.values.forall(s => s.length == 4 && s.forall(_.length == 8)))
   }
 
+  test("multi-probe IVF: candidates superset of single-probe; recall@3 vs brute force improves") {
+    import org.apache.spark.sql.{functions => F}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 30)
+    def topk(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = topk(Similarity.bruteForceTopK(e, q, col("vec_id"), col("embedding"), k = 3)
+      .select(col("query_id"), col("neighbor_id")))
+    val single = topk(Similarity.bucketedTopK(e, q, col("vec_id"), col("embedding"), k = 3, probeDims = 8))
+    val multi = topk(Similarity.bucketedTopKMultiProbe(e, q, col("vec_id"), col("embedding"),
+      k = 3, probeDims = 8, nProbe = 3))
+    val rSingle = (single intersect brute).size.toDouble / brute.size
+    val rMulti = (multi intersect brute).size.toDouble / brute.size
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single-probe $rSingle")
+    assert(rMulti > 0.0)
+    // the first probe bucket IS the single-probe bucket
+    val pb = e.select(col("vec_id"),
+      Similarity.bucket(col("embedding"), 8).as("b"),
+      F.element_at(Similarity.probeBuckets(col("embedding"), 8, 2), 1).as("p1")).collect()
+    pb.foreach(r => assert(r.getAs[Long]("b") == r.getAs[Int]("p1").toLong ||
+      r.getAs[Int]("b") == r.getAs[Int]("p1")))
+  }
+
   test("SQL registration + codegen plan") {
     VectorExpressions.register(spark)
     vecs.createOrReplaceTempView("vx")
