@@ -177,7 +177,8 @@ object Linker {
   def linkGroupsDf(values: org.apache.spark.sql.DataFrame,
       valueCol: org.apache.spark.sql.Column,
       bands: Int = 8, rowsPerBand: Int = 2,
-      jaccardThreshold: Double = 0.5, shingleW: Int = 3): org.apache.spark.sql.DataFrame = {
+      jaccardThreshold: Double = 0.5, shingleW: Int = 3,
+      maxBucketSize: Int = Int.MaxValue): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.ops.Dedup
     // the canonical vocabulary is consumed by THREE downstream lineages (band
@@ -198,7 +199,10 @@ object Linker {
       transform(col("sh"), s => Dedup.baseHash(s)).as("base"))
     val sets = based.select(col("id").as("value"), col("shd"))
     val sigs = Dedup.bandSignatures(based.select(col("id"), col("base")), bands, rowsPerBand)
-    val cand = Dedup.minhashCandidates(sigs)
+    // maxBucketSize: at web scale a degenerate signature bucket (boilerplate
+    // or empty-ish surface forms) would generate |bucket|^2 candidates —
+    // cap it like document dedup does (Dedup.minhashCandidates)
+    val cand = Dedup.minhashCandidates(sigs, maxBucketSize)
     val verified = cand
       .join(sets.withColumnRenamed("value", "a_id").withColumnRenamed("shd", "a_sh"), "a_id")
       .join(sets.withColumnRenamed("value", "b_id").withColumnRenamed("shd", "b_sh"), "b_id")

@@ -90,7 +90,8 @@ object Similarity {
     * a strictly sequential fold -> bit-identical across engines, so bucket
     * contents (not just verified output) match the DuckDB oracle exactly. */
   def lshCosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double, dim: Int,
-      bands: Int = 4, rowsPerBand: Int = 8, seed: Long = 0x5EED5EEDL): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 8, seed: Long = 0x5EED5EEDL,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val planes = hyperplanes(bands * rowsPerBand, dim, seed)
     // per-band sign signatures via the native codegen kernel (one primitive
     // K×D loop per row inside whole-stage codegen; bit-identical to the HOF
@@ -99,7 +100,9 @@ object Similarity {
       graft.functions.VectorExpressions.hyperplane_sig(asDouble(vec), planes, rowsPerBand).as("bsigs"))
     val sigs = v.select(col("id"), posexplode(col("bsigs")))
       .select(col("id"), col("pos").as("band"), col("col").as("sig"))
-    val cand = graft.ops.Dedup.minhashCandidates(sigs)
+    // maxBucketSize guards degenerate sign-signature buckets (e.g. mass
+    // zero/constant vectors) against the |bucket|^2 candidate blowup
+    val cand = graft.ops.Dedup.minhashCandidates(sigs, maxBucketSize)
     val a = df.select(id.as("a_id"), asDouble(vec).as("a_vec"))
     val b = df.select(id.as("b_id"), asDouble(vec).as("b_vec"))
     cand.join(a, "a_id").join(b, "b_id")
