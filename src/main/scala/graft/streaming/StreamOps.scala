@@ -34,6 +34,24 @@ object StreamOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming graph-edge aggregation: windowed counts over the triple stream
+    * keyed by (source, target, sent) — the continuous counterpart of the A1
+    * edge multiplicity count (GraphBuilder.edges); each closed window emits a
+    * force-graph edge increment. State bounded by the watermark; node keys
+    * composed with the same TYPE.value rule (P17). */
+  def edgesStream(triples: DataFrame, tsCol: String,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    triples
+      .withColumn("ts", col(tsCol).cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_),
+        concat_ws(".", col("subjType"), graft.graph.GraphBuilder.cleanValueCol(col("subj"))).as("source"),
+        concat_ws(".", col("objType"), graft.graph.GraphBuilder.cleanValueCol(col("obj"))).as("target"),
+        col("pred").as("sent"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .select(col("window.start").as("window_start"), col("source"), col("target"),
+        col("sent"), col("c"))
+
   /** Streaming exact dedup — the continuous-ingest counterpart of
     * graft.ops.Dedup.exact: keep the FIRST document per content hash, with
     * state bounded by the watermark (a duplicate arriving within the watermark

@@ -79,6 +79,29 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows == Seq(("click", 1L, 4.0), ("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
 
+  test("streaming edge aggregation: windowed (source,target,sent) counts with node keys") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    // (subj, subjType, pred, obj, objType, ts)
+    val mem = MemoryStream[(String, String, String, String, String, java.sql.Timestamp)]
+    mem.addData(Seq(
+      ("usa", "GPE", "pos", "eu", "ORG", ts(0)),
+      ("usa", "GPE", "pos", "eu", "ORG", ts(5)),
+      ("usa.", "GPE", "neg", "e.u", "ORG", ts(10)), // P16 cleaning: trailing dot / dot mask
+      ("usa", "GPE", "pos", "eu", "ORG", ts(70)))) // next window
+    val q = StreamOps.edgesStream(
+        mem.toDF().toDF("subj", "subjType", "pred", "obj", "objType", "crawl_ts"), "crawl_ts")
+      .writeStream.format("memory").queryName("edges_stream").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("edges_stream")
+      .select("source", "target", "sent", "c").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))).sorted.toSeq
+    assert(rows == Seq(
+      ("GPE.usa", "ORG.eu", "pos", 1.0),  // second window
+      ("GPE.usa", "ORG.eu", "pos", 2.0),  // first window
+      ("GPE.usa", "ORG.e·u", "neg", 1.0)).sorted)
+  }
+
   test("streaming exact dedup keeps first doc per content hash across micro-batches") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
