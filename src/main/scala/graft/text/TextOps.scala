@@ -71,15 +71,32 @@ object TextOps {
     else sentenceBoundary.split(normalized).toSeq.map(_.trim)
   }
 
-  private val ws = java.util.regex.Pattern.compile(raw"\s+")
+  /** Exactly the char set of Java regex \s — tokenize must stay bit-compatible
+    * with the previous Pattern.compile("\\s+").split implementation AND the
+    * DuckDB oracle's regexp_split_to_array(text, '\s+'). */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Whitespace tokenization, mirroring AREkit split_by_whitespaces
     * (usage arelight/run/infer.py:184). Empty input yields no terms.
-    * Pattern precompiled — this runs once per sentence on the hot path. */
+    * Manual scan (no regex machinery) — this runs once per sentence on the
+    * hot path of 10^12 documents; identical output to `\s+` split. */
   def tokenize(sentence: String): Seq[String] = {
-    val t = sentence.trim
-    if (t.isEmpty) Seq.empty
-    else scala.collection.immutable.ArraySeq.unsafeWrapArray(ws.split(t))
+    // trim first (Java trim strips ALL chars <= U+0020 at the ends — the \s
+    // set does not cover every control char; returns `this` when already clean)
+    val s = sentence.trim
+    val n = s.length
+    if (n == 0) return Seq.empty
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && !isWs(s.charAt(j))) j += 1
+      out += s.substring(i, j)
+      i = j
+      while (i < n && isWs(s.charAt(i))) i += 1
+    }
+    out.result()
   }
 
   private val nonAlnum = java.util.regex.Pattern.compile(raw"[^\p{L}\p{N}]")

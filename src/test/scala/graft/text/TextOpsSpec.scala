@@ -1,6 +1,7 @@
 package graft.text
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
 import graft.gen.PageGen
 
 class TextOpsSpec extends AnyFunSuite {
@@ -40,5 +41,23 @@ class TextOpsSpec extends AnyFunSuite {
   test("generator determinism: same (seed, i) -> same page") {
     assert(PageGen.pageText(7L, 3L) == PageGen.pageText(7L, 3L))
     assert(PageGen.pageText(7L, 3L) != PageGen.pageText(8L, 3L))
+  }
+
+  test("tokenize == trim + regex \\s+ split on random strings incl. control chars") {
+    val ws = java.util.regex.Pattern.compile("\\s+")
+    def oracle(s: String): Seq[String] = {
+      val t = s.trim
+      if (t.isEmpty) Seq.empty
+      else scala.collection.immutable.ArraySeq.unsafeWrapArray(ws.split(t))
+    }
+    val charGen = Gen.frequency(
+      (8, Gen.alphaNumChar), (2, Gen.const(' ')), (1, Gen.const('\t')),
+      (1, Gen.const('\n')), (1, Gen.const('\u000B')), (1, Gen.const('\r')),
+      (1, Gen.const('\u0001')), (1, Gen.const('\u00A0')), (1, Gen.const('я')))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    (1 to 300).foreach { i =>
+      val s = strGen.pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong))
+      assert(TextOps.tokenize(s) == oracle(s), s"mismatch on ${s.map(_.toInt)}")
+    }
   }
 }
