@@ -23,6 +23,11 @@ import graft.ner.{BracketNer, CapitalizedNer}
   *          --docs-limit N (F2)         --checkpoint DIR --buckets N (resumable triples)
   *          --link hash|lsh (synonym grouping: shuffle-free hash ids, or the
   *            distributed minhash-LSH surface-form linking — P9 at scale)
+  *          --translate identity (P7 stage: fragment translation with entity
+  *            exclusion + re-flattening; only the identity model exists in
+  *            this environment — the flag exercises the full pipeline shape)
+  *          --stemmer suffix (P8: lemmatized synonym keys via the suffix
+  *            stemmer stand-in, reference --stemmer)
   *          --sqlite FILE --sqlite-table T --sqlite-column C (S4 source via the
   *            built-in read-only sqlite parser)
   *          --max-collected-edges N (driver guard; above it the graph is
@@ -77,13 +82,25 @@ object Infer {
       case _          => BracketNer
     }
 
-    val groupId: String => Long = opts.get("--synonyms") match {
-      case Some(f) =>
-        val dict = Linker.parseSynonyms(scala.io.Source.fromFile(f, "UTF-8").getLines())
-        v => dict.getOrElse(graft.text.TextOps.canonicalKey(v), Linker.hashGroupId(v))
+    val synonymDict: Map[String, Long] = opts.get("--synonyms")
+      .map(f => Linker.parseSynonyms(scala.io.Source.fromFile(f, "UTF-8").getLines()))
+      .getOrElse(Map.empty)
+    val groupId: String => Long = opts.get("--stemmer") match {
+      case Some("suffix") => // P8: lemmatized synonym keys (reference --stemmer)
+        graft.text.Normalize.stemmedGroupId(synonymDict, graft.text.SuffixStemmer)
+      case Some(other) => throw new IllegalArgumentException(s"unknown --stemmer: $other")
+      case None if synonymDict.nonEmpty =>
+        v => synonymDict.getOrElse(graft.text.TextOps.canonicalKey(v), Linker.hashGroupId(v))
       case None => Linker.hashGroupId
     }
-    val parsed0 = KgPipeline.parsePages(pages, ner, cfg, groupId)
+    val parsedRaw = KgPipeline.parsePages(pages, ner, cfg, groupId)
+    // P7 translation stage (entity-excluding fragment translation + re-flatten);
+    // only the identity model exists in this environment
+    val parsed0 = opts.get("--translate") match {
+      case Some("identity") => graft.text.Normalize.translate(parsedRaw, graft.text.IdentityTranslator)
+      case Some(other)      => throw new IllegalArgumentException(s"unknown --translate model: $other")
+      case None             => parsedRaw
+    }
     // --link lsh: re-link mention groups via the distributed minhash-LSH
     // surface-form linking (near-duplicate values share a group — P9 at scale)
     val parsed = opts.getOrElse("--link", "hash") match {
