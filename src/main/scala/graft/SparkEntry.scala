@@ -35,6 +35,7 @@ object SparkEntry {
     "kg_edges" -> ((s, d) => DocKg.edges(s, d)),
     "kg_nodes" -> ((s, d) => DocKg.nodes(s, d)),
     "kg_radial" -> ((s, d) => DocKg.radial(s, d)),
+    "kg_paths2" -> ((s, d) => DocKg.paths2(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
     "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
@@ -297,6 +298,13 @@ object SparkEntry {
          |u AS (SELECT source, target, sent, coalesce(a.c, 0) + coalesce(b.c, 0) AS c
          |      FROM ea a FULL JOIN eb b USING (source, target, sent))
          |SELECT source, target, sent, c / max(c) OVER () AS c FROM u""".stripMargin,
+    "kg_paths2" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)}
+         |SELECT e1.source AS a, e1.target AS b, e2.target AS c_node,
+         |       e1.sent AS s1, e2.sent AS s2, e1.c * e2.c AS w
+         |FROM edges e1 JOIN edges e2 ON e1.target = e2.source
+         |WHERE e1.source <> e2.target""".stripMargin,
     "kg_graph_union_unweighted" ->
       s"""WITH $langEdgesCtes,
          |keys AS (SELECT source, target, sent FROM ea UNION SELECT source, target, sent FROM eb)

@@ -136,6 +136,22 @@ object DocKg {
       .select(col("target"), col("pos").cast("long"),
         col("col.source").as("source"), col("col.sent").as("sent"), col("col.c").as("c"))
 
+  /** 2-hop paths over the aggregated edge relation: a -[s1]-> b -[s2]-> c with
+    * combined weight c1*c2 (post-aggregation graph analytics; the self-join is
+    * on the edge endpoints — bucket the edge table by source/target at scale
+    * for an exchange-free join, see BucketedJoinSpec). */
+  def paths2(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val e1 = e.select(col("source").as("a"), col("target").as("b"),
+      col("sent").as("s1"), col("c").as("c1"))
+    val e2 = e.select(col("source").as("b"), col("target").as("cnode"),
+      col("sent").as("s2"), col("c").as("c2"))
+    e1.join(e2, "b")
+      .filter(col("a") =!= col("cnode"))
+      .select(col("a"), col("b"), col("cnode").as("c_node"), col("s1"), col("s2"),
+        (col("c1") * col("c2")).as("w"))
+  }
+
   /** Two sub-corpora for the graph algebra: english docs vs the rest.
     * Aggregated ONCE with the lang flag as an extra grouping key, then split —
     * the two join sides share an identical aggregate subtree, so Spark's
