@@ -35,6 +35,7 @@ object SparkEntry {
     "kg_edges" -> ((s, d) => DocKg.edges(s, d)),
     "kg_nodes" -> ((s, d) => DocKg.nodes(s, d)),
     "kg_radial" -> ((s, d) => DocKg.radial(s, d)),
+    "kg_radial_salted" -> ((s, d) => DocKg.radialSalted(s, d)),
     "kg_paths2" -> ((s, d) => DocKg.paths2(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
@@ -286,6 +287,13 @@ object SparkEntry {
          |          (SELECT source AS id FROM edges UNION ALL SELECT target AS id FROM edges)
          |        GROUP BY id)
          |SELECT id, degree / max(degree) OVER () AS c FROM deg""".stripMargin,
+    "kg_radial_salted" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)}
+         |SELECT target,
+         |       row_number() OVER (PARTITION BY target ORDER BY source, sent, c) - 1 AS pos,
+         |       source, sent, c
+         |FROM edges""".stripMargin,
     "kg_radial" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)}

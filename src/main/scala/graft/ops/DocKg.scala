@@ -136,6 +136,17 @@ object DocKg {
       .select(col("target"), col("pos").cast("long"),
         col("col.source").as("source"), col("col.sent").as("sent"), col("col.c").as("c"))
 
+  /** [[radial]] via the skew-safe two-phase collect (Skew.saltedCollect):
+    * a hot target's adjacency list is built from `salt` partial lists instead
+    * of funneling every edge into one reducer — the 100 TB shape for A7.
+    * Output identical to [[radial]] (both sort the adjacency list). */
+  def radialSalted(spark: SparkSession, dir: String, salt: Int = 8): DataFrame =
+    Skew.saltedCollect(edges(spark, dir), Seq("target"),
+        struct(col("source"), col("sent"), col("c")), salt, col("source"))
+      .select(col("target"), posexplode(col("values")))
+      .select(col("target"), col("pos").cast("long"),
+        col("col.source").as("source"), col("col.sent").as("sent"), col("col.c").as("c"))
+
   /** 2-hop paths over the aggregated edge relation: a -[s1]-> b -[s2]-> c with
     * combined weight c1*c2 (post-aggregation graph analytics; the self-join is
     * on the edge endpoints — bucket the edge table by source/target at scale
