@@ -42,7 +42,9 @@ object Curate {
     val docs = spark.read.parquet(docsPath)
     val nInput = docs.count()
 
-    // 1. quality thresholds (graft.ops.TextStats metrics)
+    // 1. quality thresholds — same n_tokens/TTR formulas as TextStats.quality,
+    // built inline on just the two needed columns (quality() computes the full
+    // metric set; keep the formulas in sync if tokenization semantics change)
     val minTokens = opts.getOrElse("--min-tokens", "0").toInt
     val minTtr = opts.getOrElse("--min-ttr", "0.0").toDouble
     val toks = split(trim(col(textCol)), raw"\s+")

@@ -93,20 +93,27 @@ object Infer {
         v => synonymDict.getOrElse(graft.text.TextOps.canonicalKey(v), Linker.hashGroupId(v))
       case None => Linker.hashGroupId
     }
-    val parsedRaw = KgPipeline.parsePages(pages, ner, cfg, groupId)
-    // P7 translation stage (entity-excluding fragment translation + re-flatten);
-    // only the identity model exists in this environment
-    val parsed0 = opts.get("--translate") match {
-      case Some("identity") => graft.text.Normalize.translate(parsedRaw, graft.text.IdentityTranslator)
-      case Some(other)      => throw new IllegalArgumentException(s"unknown --translate model: $other")
-      case None             => parsedRaw
-    }
-    // --link lsh: re-link mention groups via the distributed minhash-LSH
-    // surface-form linking (near-duplicate values share a group — P9 at scale)
-    val parsed = opts.getOrElse("--link", "hash") match {
-      case "lsh"  => Linker.withLshGroups(parsed0.persist())
-      case "hash" => parsed0
-      case other  => throw new IllegalArgumentException(s"unknown --link mode: $other")
+    // full parse chain as a function of the page set, so the checkpoint
+    // transform runs the IDENTICAL pipeline (incl. --translate / --link) over
+    // each bucket instead of silently dropping those stages; nothing executes
+    // until a consumer materializes it (withLshGroups's vocabulary job runs
+    // lazily, per invocation, over exactly the pages it receives)
+    def buildParsed(ps: org.apache.spark.sql.Dataset[Page]): org.apache.spark.sql.Dataset[graft.core.ParsedDoc] = {
+      val raw = KgPipeline.parsePages(ps, ner, cfg, groupId)
+      // P7 translation stage (entity-excluding fragment translation +
+      // re-flatten); only the identity model exists in this environment
+      val translated = opts.get("--translate") match {
+        case Some("identity") => graft.text.Normalize.translate(raw, graft.text.IdentityTranslator)
+        case Some(other)      => throw new IllegalArgumentException(s"unknown --translate model: $other")
+        case None             => raw
+      }
+      // --link lsh: re-link mention groups via the distributed minhash-LSH
+      // surface-form linking (near-duplicate values share a group — P9 at scale)
+      opts.getOrElse("--link", "hash") match {
+        case "lsh"  => Linker.withLshGroups(translated.persist())
+        case "hash" => translated
+        case other  => throw new IllegalArgumentException(s"unknown --link mode: $other")
+      }
     }
 
     // resumable path: triples written bucket-checkpointed, then exit
@@ -114,8 +121,7 @@ object Infer {
       val n = opts.getOrElse("--buckets", "16").toInt
       val report = graft.io.Checkpoint.runResumable(
         pages.toDF(), "url", "docId", n, ckptDir) { df =>
-        val ps = df.as[Page]
-        val pd = KgPipeline.parsePages(ps, ner, cfg, groupId)
+        val pd = buildParsed(df.as[Page])
         KgPipeline.triples(KgPipeline.samples(pd, cfg), LexiconScorer()).toDF()
       }
       println(s"""{"checkpoint":"$ckptDir","processed":${report.processedBuckets.size},""" +
@@ -124,7 +130,7 @@ object Infer {
       return
     }
 
-    val samples = KgPipeline.samples(parsed, cfg).persist()
+    val samples = KgPipeline.samples(buildParsed(pages), cfg).persist()
     val scorer = LexiconScorer()
     val preds = KgPipeline.predictions(samples, scorer)
     val triples = KgPipeline.triples(samples, scorer)
@@ -148,7 +154,9 @@ object Infer {
         struct(col("docId"), col("sentInd"), col("sampleId"), lit(1).as("side"))))
     val typeMap = sides.groupBy("value").agg(max_by(col("type"), col("ord")).as("type"))
     val rels = t.select(col("subj").as("source"), col("obj").as("target"), col("pred").as("sent"))
-    val edges = GraphBuilder.edges(GraphBuilder.withNodeKeys(rels, typeMap), minLinks)
+    // persist: the guard count + nodes collect + edges collect would otherwise
+    // re-run the scan+join+aggregation lineage three times
+    val edges = GraphBuilder.edges(GraphBuilder.withNodeKeys(rels, typeMap), minLinks).persist()
     val nodes = GraphBuilder.nodes(edges)
     // Guard the driver collect: post-aggregation graphs are normally small, but
     // with --min-links 1 at web scale the edge set need not be driver-sized.

@@ -54,6 +54,12 @@ object Checkpoint {
     try {
       val lin = spark.read.parquet(lineagePath(path))
       if (expectNBuckets > 0) {
+        // a lineage dir WITHOUT the n_buckets column is a pre-upgrade (or
+        // foreign) checkpoint — fail fast rather than silently restarting
+        // from scratch and mixing schemas in the lineage dir
+        require(lin.schema.fieldNames.contains("n_buckets"),
+          s"checkpoint at $path has lineage without the n_buckets column — " +
+            "unknown bucket modulus; delete the checkpoint or migrate its lineage")
         val recorded = lin.select("n_buckets").distinct().collect().map(_.getLong(0))
         require(recorded.forall(_ == expectNBuckets.toLong),
           s"checkpoint at $path was written with n_buckets=${recorded.mkString(",")}, " +
@@ -132,8 +138,10 @@ object Checkpoint {
     // conditional-sum aggregate per pending bucket — nBuckets is an operator
     // config, small by design)
     val metricName = "graft_ckpt"
+    // coalesce: sum over ZERO rows is null — empty buckets must still record
+    // rows=0 and complete (the documented contract), not NPE on getLong
     val perBucket = pending.map(b =>
-      sum(when(col(BucketCol) === b, 1L).otherwise(0L)).as(s"rows_$b"))
+      coalesce(sum(when(col(BucketCol) === b, 1L).otherwise(0L)), lit(0L)).as(s"rows_$b"))
     val observed = out.observe(metricName, perBucket.head, perBucket.tail: _*)
     val collector = new ObservedMetric(spark, metricName)
 
@@ -146,7 +154,9 @@ object Checkpoint {
 
     val (counts, source) = collector.await() match {
       case Some(row) =>
-        (pending.zipWithIndex.map { case (b, i) => b -> row.getLong(i) }.toMap, "observed")
+        (pending.zipWithIndex.map { case (b, i) =>
+          b -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+        }.toMap, "observed")
       case None => // listener bus never delivered (should not happen) — fall back
         val c = spark.read.parquet(dataPath(path))
           .withColumn(BucketCol, col(BucketCol).cast("long"))

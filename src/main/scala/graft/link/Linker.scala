@@ -251,21 +251,23 @@ object Linker {
       val m = dict.as[(String, Long)].collect().toMap
       withDictionary(docs, m)
     } else {
-      // mention-level join path: explode (url, sentInd, mentionId, value),
-      // join on the dictionary, regroup per doc, merge ids back row-locally
-      val mentionRows = docs.flatMap(d => d.sentences.flatMap(s =>
-        s.mentions.map(m => (d.url, s.sentInd, m.id, TextOps.canonicalKey(m.value)))))
-        .toDF("url", "sent_ind", "mention_id", "value")
-      val joined = mentionRows.join(dict, Seq("value"))
-        .select(col("url").as("_1"), col("sent_ind").as("_2"),
-          col("mention_id").as("_3"), col("group_id").as("_4"))
-        .as[(String, Int, Long, Long)]
+      // mention-level join path: explode each doc's DISTINCT canonical mention
+      // values, join on the dictionary, regroup per doc, assign row-locally.
+      // Keyed by VALUE (group ids are value-determined), so two distinct docs
+      // sharing a url can never cross-assign — (sentInd, mentionId) ordinals
+      // would collide across same-url docs.
+      val valueRows = docs.flatMap(d =>
+        d.sentences.flatMap(_.mentions.map(m => (d.url, TextOps.canonicalKey(m.value)))).distinct)
+        .toDF("url", "value")
+      val joined = valueRows.join(dict, Seq("value"))
+        .select(col("url").as("_1"), col("value").as("_2"), col("group_id").as("_3"))
+        .as[(String, String, Long)]
       docs.groupByKey(_.url).cogroup(joined.groupByKey(_._1)) { (_, ds, gs) =>
-        val byMention = gs.map(g => (g._2, g._3) -> g._4).toMap
+        val byValue = gs.map(g => g._2 -> g._3).toMap
         ds.map { d =>
           d.copy(sentences = d.sentences.map { s =>
             s.copy(mentions = s.mentions.map(m =>
-              m.copy(groupId = byMention.getOrElse((s.sentInd, m.id), m.groupId))))
+              m.copy(groupId = byValue.getOrElse(TextOps.canonicalKey(m.value), m.groupId))))
           })
         }
       }

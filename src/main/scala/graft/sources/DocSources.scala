@@ -95,6 +95,7 @@ object DocSources {
   def sqliteTable(spark: SparkSession, path: String, table: String, column: String): DataFrame = {
     import spark.implicits._
     Sqlite.table(spark, path, table).select(col(column).cast("string").as("text"))
+      .filter(col("text").isNotNull) // sqlite NULLs: fail at the source, not deep in a task
       .rdd.zipWithIndex().map { case (r, i) => (s"$path:$i", r.getString(0)) }
       .toDF("doc_id", "text")
   }

@@ -186,8 +186,9 @@ object Sqlite {
       }
   }
 
-  def tables(path: String): Seq[Table] = {
-    val db = open(path)
+  def tables(path: String): Seq[Table] = tables(open(path))
+
+  private def tables(db: Db): Seq[Table] =
     walkTable(db, 1).flatMap { case (row, _) =>
       // sqlite_master: (type, name, tbl_name, rootpage, sql)
       (row.lift(0), row.lift(1), row.lift(3), row.lift(4)) match {
@@ -197,13 +198,12 @@ object Sqlite {
         case _ => None
       }
     }
-  }
 
   /** All rows of `table` as decoded values, with the rowid. Column order is
     * DDL order; missing trailing columns (older-schema rows) come back null. */
   def readRows(path: String, table: String): (Table, Seq[Seq[Any]]) = {
-    val db = open(path)
-    val t = tables(path).find(_.name == table)
+    val db = open(path) // one read: schema walk and row walk share the buffer
+    val t = tables(db).find(_.name == table)
       .getOrElse(throw new NoSuchElementException(s"table $table not in $path"))
     val rows = walkTable(db, t.rootPage).map { case (row, rowid) =>
       // INTEGER PRIMARY KEY columns store null and alias the rowid; fixtures

@@ -86,6 +86,29 @@ class CheckpointSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("n_buckets"))
   }
 
+  test("zero-output buckets complete with rows=0 (observe over empty write must not NPE)") {
+    import spark.implicits._
+    val rows = Seq(("a", 1), ("b", 2)).toDF("url", "v")
+    val p = tmp()
+    // transform drops every row — all buckets complete with 0 rows
+    val r = Checkpoint.runResumable(rows, "url", "url", 4, p)(
+      df => df.filter(org.apache.spark.sql.functions.lit(false)))
+    assert(r.rowsWritten == 0 && r.processedBuckets.size == 4)
+    assert(Checkpoint.lineage(spark, p).select("rows").collect().forall(_.getLong(0) == 0L))
+    assert(Checkpoint.runResumable(rows, "url", "url", 4, p)(df => df).isComplete)
+  }
+
+  test("pre-upgrade lineage (no n_buckets column) fails fast instead of silently restarting") {
+    import spark.implicits._
+    val p = tmp()
+    Seq((0L, 5L, 10L)).toDF("bucket", "rows", "wall_ms")
+      .write.mode("overwrite").parquet(s"$p/_lineage")
+    val e = intercept[IllegalArgumentException] {
+      Checkpoint.runResumable(Seq(("a", 1)).toDF("url", "v"), "url", "url", 4, p)(df => df)
+    }
+    assert(e.getMessage.contains("n_buckets"))
+  }
+
   test("null urls are bucketed deterministically and processed (not silently skipped)") {
     import spark.implicits._
     val rows = Seq(("a", 1), (null: String, 2), (null: String, 3)).toDF("url", "v")

@@ -86,4 +86,21 @@ class LinkerDistributedSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(viaBroadcast == viaJoin)
     assert(viaBroadcast.nonEmpty)
   }
+
+  test("withLshGroups join path: duplicate-url docs don't cross-assign (value-keyed regroup)") {
+    import spark.implicits._
+    import graft.core.{Mention, ParsedDoc, Sentence}
+    // two DISTINCT docs sharing one url; same (sentInd, mentionId) ordinals
+    // but different values — a (sentInd, id)-keyed regroup would collide
+    val docs = Seq(
+      ParsedDoc("u1", "en", Seq(Sentence(0, Seq("Barack", "Obama"),
+        Seq(Mention(0, 0, "Barack Obama", "PERSON", 0L, 1L))))),
+      ParsedDoc("u1", "en", Seq(Sentence(0, Seq("France", "x"),
+        Seq(Mention(0, 0, "France", "GPE", 0L, 2L)))))).toDS()
+    val out = Linker.withLshGroups(docs, maxBroadcastEntries = 0L).collect()
+    val byValue = out.flatMap(_.sentences.flatMap(_.mentions.map(m => m.value -> m.groupId))).toMap
+    assert(byValue("Barack Obama") == Linker.hashGroupId("barack obama"))
+    assert(byValue("France") == Linker.hashGroupId("france"))
+    assert(byValue("Barack Obama") != byValue("France"))
+  }
 }
