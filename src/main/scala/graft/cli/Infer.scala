@@ -22,10 +22,14 @@ import graft.ner.{BracketNer, CapitalizedNer}
   *          --name NAME (graph name)    --master local[N]   --synonyms FILE
   *          --docs-limit N (F2)         --checkpoint DIR --buckets N (resumable triples)
   *          --link hash|lsh (synonym grouping: shuffle-free hash ids, or the
-  *            distributed minhash-LSH surface-form linking — P9 at scale)
-  *          --translate identity (P7 stage: fragment translation with entity
-  *            exclusion + re-flattening; only the identity model exists in
-  *            this environment — the flag exercises the full pipeline shape)
+  *            distributed minhash-LSH surface-form linking — P9 at scale);
+  *            with --checkpoint the LSH dictionary is computed once over the
+  *            FULL page set (deterministic per url across chunked/resumed
+  *            runs); --max-link-dict N caps its non-trivial entries
+  *          --translate identity|reverse (P7 stage: fragment translation with
+  *            entity exclusion + re-flattening; deterministic models only in
+  *            this environment — `reverse` visibly transforms text while
+  *            keeping entities and triple counts invariant)
   *          --stemmer suffix (P8: lemmatized synonym keys via the suffix
   *            stemmer stand-in, reference --stemmer)
   *          --sqlite FILE --sqlite-table T --sqlite-column C (S4 source via the
@@ -93,35 +97,45 @@ object Infer {
         v => synonymDict.getOrElse(graft.text.TextOps.canonicalKey(v), Linker.hashGroupId(v))
       case None => Linker.hashGroupId
     }
-    // full parse chain as a function of the page set, so the checkpoint
-    // transform runs the IDENTICAL pipeline (incl. --translate / --link) over
-    // each bucket instead of silently dropping those stages; nothing executes
-    // until a consumer materializes it (withLshGroups's vocabulary job runs
-    // lazily, per invocation, over exactly the pages it receives)
-    def buildParsed(ps: org.apache.spark.sql.Dataset[Page]): org.apache.spark.sql.Dataset[graft.core.ParsedDoc] = {
+    // parse + translate as a function of the page set, so the checkpoint
+    // transform runs the IDENTICAL pipeline over each bucket instead of
+    // silently dropping stages; nothing executes until a consumer materializes
+    def parseAndTranslate(ps: org.apache.spark.sql.Dataset[Page]): org.apache.spark.sql.Dataset[graft.core.ParsedDoc] = {
       val raw = KgPipeline.parsePages(ps, ner, cfg, groupId)
       // P7 translation stage (entity-excluding fragment translation +
-      // re-flatten); only the identity model exists in this environment
-      val translated = opts.get("--translate") match {
+      // re-flatten); deterministic models only in this environment
+      opts.get("--translate") match {
         case Some("identity") => graft.text.Normalize.translate(raw, graft.text.IdentityTranslator)
+        case Some("reverse")  => graft.text.Normalize.translate(raw, graft.text.ReverseTranslator)
         case Some(other)      => throw new IllegalArgumentException(s"unknown --translate model: $other")
         case None             => raw
       }
-      // --link lsh: re-link mention groups via the distributed minhash-LSH
-      // surface-form linking (near-duplicate values share a group — P9 at scale)
-      opts.getOrElse("--link", "hash") match {
-        case "lsh"  => Linker.withLshGroups(translated.persist())
-        case "hash" => translated
-        case other  => throw new IllegalArgumentException(s"unknown --link mode: $other")
-      }
+    }
+    val linkLsh = opts.getOrElse("--link", "hash") match {
+      case "lsh"  => true
+      case "hash" => false
+      case other  => throw new IllegalArgumentException(s"unknown --link mode: $other")
     }
 
     // resumable path: triples written bucket-checkpointed, then exit
     opts.get("--checkpoint").foreach { ckptDir =>
       val n = opts.getOrElse("--buckets", "16").toInt
+      // --link lsh under checkpointing: group ids must NOT depend on which
+      // buckets are co-resident in a run (Checkpoint's contract — the
+      // transform must be deterministic per url, or crash-resumed/chunked
+      // runs emit different triples than a single full run). The dictionary
+      // is therefore computed ONCE over the FULL page set and probed
+      // map-side inside every bucket transform; guarded by --max-link-dict.
+      val linkStage: org.apache.spark.sql.Dataset[graft.core.ParsedDoc] => org.apache.spark.sql.Dataset[graft.core.ParsedDoc] =
+        if (!linkLsh) identity
+        else {
+          val dict = Linker.lshBroadcastDictionary(parseAndTranslate(pages),
+            maxEntries = opts.getOrElse("--max-link-dict", "10000000").toInt)
+          Linker.withDictionary(_, dict)
+        }
       val report = graft.io.Checkpoint.runResumable(
         pages.toDF(), "url", "docId", n, ckptDir) { df =>
-        val pd = buildParsed(df.as[Page])
+        val pd = linkStage(parseAndTranslate(df.as[Page]))
         KgPipeline.triples(KgPipeline.samples(pd, cfg), LexiconScorer()).toDF()
       }
       println(s"""{"checkpoint":"$ckptDir","processed":${report.processedBuckets.size},""" +
@@ -130,7 +144,12 @@ object Infer {
       return
     }
 
-    val samples = KgPipeline.samples(buildParsed(pages), cfg).persist()
+    // --link lsh (unchekpointed): distributed minhash-LSH surface-form
+    // linking (near-duplicate values share a group — P9 at scale)
+    val parsed =
+      if (linkLsh) Linker.withLshGroups(parseAndTranslate(pages).persist())
+      else parseAndTranslate(pages)
+    val samples = KgPipeline.samples(parsed, cfg).persist()
     val scorer = LexiconScorer()
     val preds = KgPipeline.predictions(samples, scorer)
     val triples = KgPipeline.triples(samples, scorer)

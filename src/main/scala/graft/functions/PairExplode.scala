@@ -3,11 +3,12 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{CollectionGenerator, Expression, Generator}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalyst `Generator` exposing the engine's pair-candidate operator (J1+F1,
   * SURVEY.md §4 item 2) to SQL:
@@ -20,15 +21,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * fused INSIDE the generator, so no pair beyond the bound is ever
   * materialized (the Rule-pushdown the reference's semantics would otherwise
   * need). Row-local: no shuffle, composes with any per-sentence relation.
+  *
+  * Codegen: a `CollectionGenerator` (inline array<struct> shape, like Spark's
+  * own `Inline`), NOT CodegenFallback — `doGenCode` emits one call to the
+  * static [[PairExplode.compute]] kernel shared with the interpreted path, so
+  * GenerateExec keeps the surrounding whole-stage-codegen span intact and the
+  * O(n·window) pair loop runs as plain JVM code either way.
   */
 case class PairExplode(mentions: Expression, bound: Expression)
-    extends Generator with CodegenFallback {
+    extends Generator with CollectionGenerator {
 
   override def children: Seq[Expression] = Seq(mentions, bound)
 
-  private val mentionStruct = StructType(Seq(
-    StructField("ind", IntegerType), StructField("value", StringType),
-    StructField("type", StringType), StructField("group_id", LongType)))
+  override val inline: Boolean = true
+  override val position: Boolean = false
+  override def collectionType: DataType = ArrayType(elementSchema, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = mentions.dataType match {
     case ArrayType(s: StructType, _)
@@ -49,11 +56,49 @@ case class PairExplode(mentions: Expression, bound: Expression)
     StructField("t_type", StringType)))
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val arr = mentions.eval(input).asInstanceOf[ArrayData]
-    if (arr == null) return Nil
-    val b = bound.eval(input).asInstanceOf[Int]
+    val out = PairExplodeKernel.compute(
+      mentions.eval(input).asInstanceOf[ArrayData],
+      bound.eval(input).asInstanceOf[java.lang.Integer])
+    (0 until out.numElements()).map(i => out.getStruct(i, 6))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = mentions.genCode(ctx)
+    val b = bound.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    // standalone object => static forwarders exist for Janino to call
+    val kernel = "graft.functions.PairExplodeKernel"
+    ev.copy(
+      code = code"""
+        |${m.code}
+        |${b.code}
+        |$arrCls ${ev.value} = $kernel.compute(
+        |  ${m.isNull} ? null : ${m.value},
+        |  ${b.isNull} ? null : (Integer) ${b.value});
+      """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(mentions = c(0), bound = c(1))
+}
+
+/** Standalone holder (NOT the case-class companion: companion objects get no
+  * static forwarders, and the generated code calls this as a plain Java
+  * static). */
+object PairExplodeKernel {
+
+  private val Empty: ArrayData = new GenericArrayData(Array.empty[Any])
+
+  /** The pair-generation kernel — static, shared by the interpreted `eval`
+    * and the generated code (called from Janino-compiled sources, hence the
+    * Java-friendly boxed signature). Returns an array of 6-field rows. */
+  def compute(arr: ArrayData, bound: java.lang.Integer): ArrayData = {
+    if (arr == null || bound == null) return Empty
+    val b = bound.intValue()
     val n = arr.numElements()
-    val rows = Seq.newBuilder[InternalRow]
+    if (n < 2) return Empty
+    val rows = new scala.collection.mutable.ArrayBuffer[Any](n)
     var i = 0
     while (i < n) {
       val mi = arr.getStruct(i, 4)
@@ -63,24 +108,22 @@ case class PairExplode(mentions: Expression, bound: Expression)
         if (i != j) {
           val mj = arr.getStruct(j, 4)
           if (gI != mj.getLong(3) && math.abs(indI - mj.getInt(0)) <= b) {
-            rows += InternalRow(
+            rows += new GenericInternalRow(Array[Any](
               indI, mj.getInt(0),
               mi.getUTF8String(1), mj.getUTF8String(1),
-              mi.getUTF8String(2), mj.getUTF8String(2))
+              mi.getUTF8String(2), mj.getUTF8String(2)))
           }
         }
         j += 1
       }
       i += 1
     }
-    rows.result()
+    if (rows.isEmpty) Empty else new GenericArrayData(rows.toArray)
   }
-
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-    copy(mentions = c(0), bound = c(1))
 }
 
 object PairExplode {
+
   def explode_pairs(mentions: Column, bound: Column): Column =
     org.apache.spark.sql.graft.bridge.column(PairExplode(
       org.apache.spark.sql.graft.bridge.expression(mentions),

@@ -149,19 +149,23 @@ object GraphOps {
   private def weightCol(df: DataFrame, weights: Boolean): DataFrame =
     if (weights) df else df.withColumn("c", lit(1.0))
 
-  private def prenormalize(df: DataFrame, weights: Boolean): DataFrame = {
-    val base = weightCol(df, weights)
+  /** Divide by the relation's max(c) in ONE pass over the input lineage: the
+    * relation feeds both the max aggregate and the division, so it is
+    * persisted first — without this the upstream lineage is evaluated twice
+    * per normalize whenever exchange reuse doesn't fire (round-2 verdict #7).
+    * Post-aggregation edge sets are small; the cache cost is negligible. */
+  private def maxNormalize(rel: DataFrame): DataFrame = {
+    val base = rel.persist()
     val m = base.agg(max(col("c")).as("m"))
     base.crossJoin(broadcast(m)).select(
       col("source"), col("target"), col("sent"), (col("c") / col("m")).as("c"))
   }
 
+  private def prenormalize(df: DataFrame, weights: Boolean): DataFrame =
+    maxNormalize(weightCol(df, weights))
+
   private def renormalize(df: DataFrame, weights: Boolean): DataFrame =
     if (!weights)
       df.select(col("source"), col("target"), col("sent"), lit(1.0).as("c"))
-    else {
-      val m = df.agg(max(col("c")).as("m"))
-      df.crossJoin(broadcast(m)).select(
-        col("source"), col("target"), col("sent"), (col("c") / col("m")).as("c"))
-    }
+    else maxNormalize(df)
 }

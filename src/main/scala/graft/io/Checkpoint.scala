@@ -136,8 +136,10 @@ object Checkpoint {
 
     // per-bucket row counts observed during the single write pass (one
     // conditional-sum aggregate per pending bucket — nBuckets is an operator
-    // config, small by design)
-    val metricName = "graft_ckpt"
+    // config, small by design). The metric name is unique per invocation:
+    // the listener is session-global, and two concurrent runResumable calls
+    // sharing a SparkSession must never cross-read each other's metric row.
+    val metricName = s"graft_ckpt_${java.util.UUID.randomUUID().toString.take(8)}"
     // coalesce: sum over ZERO rows is null — empty buckets must still record
     // rows=0 and complete (the documented contract), not NPE on getLong
     val perBucket = pending.map(b =>

@@ -24,6 +24,11 @@ import graft.text.TextOps
   */
 object Linker {
 
+  /** One Jaccard verify threshold for BOTH linking paths (driver [[lshGroups]]
+    * and distributed [[linkGroupsDf]]): with the shared md5 hash family this
+    * makes candidate recall and final partitions identical across paths. */
+  val DefaultJaccardThreshold = 0.5
+
   /** 64-bit avalanche hash (xxhash64-style finalizer over UTF-8 bytes).
     * Pure JVM, stable across executors/versions — the scale-path group id. */
   def hashGroupId(value: String): Long = {
@@ -85,11 +90,16 @@ object Linker {
   }
 
   private val P = 2147483647L
-  private def baseHash(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      .foreach(b => h = (h ^ (b & 0xffL)) * 0x100000001b3L)
-    java.lang.Long.remainderUnsigned(h, P)
+
+  /** Shingle base hash — md5-derived, IDENTICAL to the distributed family
+    * (graft.ops.Dedup.baseHash: top 60 bits of md5 hex, mod P) so the driver
+    * and DataFrame linkers generate the same candidate buckets and therefore
+    * have identical recall. One hash family everywhere (round-2 verdict #4). */
+  private[graft] def baseHash(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString // first 8 bytes = 16 hex chars; need 15
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % P
   }
   private def minhash(shingles: Seq[Long], k: Int): Long =
     shingles.map(h => ((1103515245L + 12345L * k) * h + 104729L + 7919L * k) % P).min
@@ -104,7 +114,7 @@ object Linker {
     * Returns canonicalKey -> groupId (groupId = FIRST group member's hash id,
     * deterministic under the sorted processing order). */
   def lshGroups(values: Seq[String], bands: Int = 8, rowsPerBand: Int = 2,
-      jaccardThreshold: Double = 0.7, shingleW: Int = 3): Map[String, Long] = {
+      jaccardThreshold: Double = DefaultJaccardThreshold, shingleW: Int = 3): Map[String, Long] = {
     val canon = values.map(graft.text.TextOps.canonicalKey).distinct.sorted
     val shingleSets = canon.map(v => charShingles(v, shingleW).distinct.map(baseHash).toVector)
     // buckets per band
@@ -143,7 +153,7 @@ object Linker {
     * [[withLshGroups]], which run the SAME blocking+verify+components shape
     * as a distributed DataFrame job. */
   def lshDictionary(docs: Dataset[ParsedDoc], maxEntries: Int = 10_000_000,
-      jaccardThreshold: Double = 0.7)(implicit spark: SparkSession): Map[String, Long] = {
+      jaccardThreshold: Double = DefaultJaccardThreshold)(implicit spark: SparkSession): Map[String, Long] = {
     import spark.implicits._
     val vals = docs
       .flatMap(_.sentences.flatMap(_.mentions.map(m => TextOps.canonicalKey(m.value))))
@@ -169,15 +179,15 @@ object Linker {
     * smallest member of the value's group — same canonical-representative rule
     * as [[lshGroups]] (which returns hashGroupId of that representative).
     *
-    * Hash-family note: the shingle hash here is md5-derived (DuckDB-oracle
-    * parity, like Dedup), while [[lshGroups]] uses an FNV base hash — candidate
-    * RECALL on marginal pairs may differ between the two paths; the verify
-    * stage (exact Jaccard ≥ threshold) is identical.
+    * Hash-family note: the shingle hash is md5-derived (DuckDB-oracle parity,
+    * like Dedup) and [[lshGroups]] uses the SAME md5 family and the same
+    * [[DefaultJaccardThreshold]] — driver and distributed paths generate
+    * identical candidate buckets and identical final partitions.
     */
   def linkGroupsDf(values: org.apache.spark.sql.DataFrame,
       valueCol: org.apache.spark.sql.Column,
       bands: Int = 8, rowsPerBand: Int = 2,
-      jaccardThreshold: Double = 0.5, shingleW: Int = 3,
+      jaccardThreshold: Double = DefaultJaccardThreshold, shingleW: Int = 3,
       maxBucketSize: Int = Int.MaxValue): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.ops.Dedup
@@ -220,7 +230,7 @@ object Linker {
     * (value, group_id) with group_id = hashGroupId(canonical representative) —
     * the same id rule as [[lshGroups]]. */
   def lshDictionaryDf(docs: Dataset[ParsedDoc], bands: Int = 8, rowsPerBand: Int = 2,
-      jaccardThreshold: Double = 0.5, shingleW: Int = 3)(
+      jaccardThreshold: Double = DefaultJaccardThreshold, shingleW: Int = 3)(
       implicit spark: SparkSession): Dataset[(String, Long)] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -233,44 +243,79 @@ object Linker {
       .map { case (v, g) => (v, hashGroupId(g)) }
   }
 
+  /** NON-TRIVIAL dictionary entries only: values whose canonical group id is
+    * not their own [[hashGroupId]] (i.e. values actually merged with a
+    * near-duplicate). Singletons dominate real vocabularies and the map-side
+    * probe ([[withDictionary]]) already falls back to hashGroupId on a miss,
+    * so only this fraction ever needs to reach the executors. */
+  def lshNonTrivialDf(docs: Dataset[ParsedDoc], bands: Int = 8, rowsPerBand: Int = 2,
+      jaccardThreshold: Double = DefaultJaccardThreshold, shingleW: Int = 3)(
+      implicit spark: SparkSession): Dataset[(String, Long)] = {
+    import spark.implicits._
+    lshDictionaryDf(docs, bands, rowsPerBand, jaccardThreshold, shingleW)
+      .filter(vg => vg._2 != hashGroupId(vg._1))
+  }
+
+  /** Deterministic broadcastable linking dictionary over the FULL corpus —
+    * the form checkpointed/resumable runs must use (the dictionary may not
+    * depend on which buckets are co-resident in a run; see cli.Infer).
+    * Fails fast when the non-trivial fraction exceeds `maxEntries`. */
+  def lshBroadcastDictionary(docs: Dataset[ParsedDoc], maxEntries: Int = 10_000_000,
+      bands: Int = 8, rowsPerBand: Int = 2,
+      jaccardThreshold: Double = DefaultJaccardThreshold, shingleW: Int = 3)(
+      implicit spark: SparkSession): Map[String, Long] = {
+    val entries = lshNonTrivialDf(docs, bands, rowsPerBand, jaccardThreshold, shingleW)
+      .limit(maxEntries + 1).collect()
+    require(entries.length <= maxEntries,
+      s"LSH linking dictionary exceeds $maxEntries non-trivial entries — too large to " +
+        "broadcast deterministically; raise the cap or link unchekpointed via withLshGroups")
+    entries.toMap
+  }
+
   /** Assign LSH-linked group ids to every mention. The LINKING always runs
-    * distributed ([[lshDictionaryDf]]); the assignment strategy switches on
-    * vocabulary size: ≤ maxBroadcastEntries collects the dictionary and probes
-    * it map-side (one pass over docs), larger vocabularies use a mention-level
-    * join + per-doc regroup (two extra shuffles of mention rows — the price of
-    * a vocabulary that fits no single machine). */
+    * distributed ([[lshDictionaryDf]]); only the NON-TRIVIAL entries
+    * ([[lshNonTrivialDf]]) matter for assignment, which keeps the shuffle-free
+    * broadcast path viable far beyond the raw-vocabulary size (near-duplicate
+    * fractions are small). Above `maxBroadcastEntries` non-trivial entries the
+    * fallback is a mention-row join: per-doc distinct canonical values join
+    * the dictionary (mention-sized rows only), fold to one map per url, and a
+    * single sort-merge join reattaches them to docs — docs are exchanged
+    * exactly once and never cogrouped as objects. */
   def withLshGroups(docs: Dataset[ParsedDoc], maxBroadcastEntries: Long = 1_000_000L,
-      bands: Int = 8, rowsPerBand: Int = 2, jaccardThreshold: Double = 0.5, shingleW: Int = 3)(
+      bands: Int = 8, rowsPerBand: Int = 2,
+      jaccardThreshold: Double = DefaultJaccardThreshold, shingleW: Int = 3)(
       implicit spark: SparkSession): Dataset[ParsedDoc] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val dict = lshDictionaryDf(docs, bands, rowsPerBand, jaccardThreshold, shingleW)
-      .toDF("value", "group_id")
+    // consumed by count + (collect | join): checkpoint so the vocabulary
+    // pipeline (distinct + band join + components) runs once
+    val dict = lshNonTrivialDf(docs, bands, rowsPerBand, jaccardThreshold, shingleW)
+      .toDF("value", "group_id").localCheckpoint()
     val n = dict.count()
     if (n <= maxBroadcastEntries) {
-      val m = dict.as[(String, Long)].collect().toMap
-      withDictionary(docs, m)
+      withDictionary(docs, dict.as[(String, Long)].collect().toMap)
     } else {
-      // mention-level join path: explode each doc's DISTINCT canonical mention
-      // values, join on the dictionary, regroup per doc, assign row-locally.
-      // Keyed by VALUE (group ids are value-determined), so two distinct docs
-      // sharing a url can never cross-assign — (sentInd, mentionId) ordinals
-      // would collide across same-url docs.
+      // mention-row join path. Keyed by VALUE (group ids are value-determined),
+      // so two distinct docs sharing a url can never cross-assign; (url, value)
+      // is made distinct ACROSS docs so map_from_entries sees unique keys.
       val valueRows = docs.flatMap(d =>
         d.sentences.flatMap(_.mentions.map(m => (d.url, TextOps.canonicalKey(m.value)))).distinct)
-        .toDF("url", "value")
-      val joined = valueRows.join(dict, Seq("value"))
-        .select(col("url").as("_1"), col("value").as("_2"), col("group_id").as("_3"))
-        .as[(String, String, Long)]
-      docs.groupByKey(_.url).cogroup(joined.groupByKey(_._1)) { (_, ds, gs) =>
-        val byValue = gs.map(g => g._2 -> g._3).toMap
-        ds.map { d =>
+        .toDF("url", "value").distinct()
+      val perUrl = valueRows.join(dict, Seq("value"))
+        .groupBy("url")
+        .agg(map_from_entries(collect_list(struct(col("value"), col("group_id")))).as("groups"))
+        .as[(String, Map[String, Long])]
+      docs.joinWith(perUrl, docs("url") === perUrl("url"), "left_outer")
+        .map { case (d, kv) =>
+          val byValue = Option(kv).map(_._2).getOrElse(Map.empty[String, Long])
           d.copy(sentences = d.sentences.map { s =>
+            // miss => the value's LSH group IS its own hash id (that is exactly
+            // what lshNonTrivialDf filtered away) — identical to the broadcast
+            // path's withDictionary fallback
             s.copy(mentions = s.mentions.map(m =>
-              m.copy(groupId = byValue.getOrElse(TextOps.canonicalKey(m.value), m.groupId))))
+              m.copy(groupId = byValue.getOrElse(TextOps.canonicalKey(m.value), hashGroupId(m.value)))))
           })
         }
-      }
     }
   }
 

@@ -158,12 +158,20 @@ object Sqlite {
 
   // ------------------------------------------------------------- schema layer
 
-  final case class Table(name: String, columns: Seq[String], declaredTypes: Seq[String], rootPage: Long, sql: String)
+  final case class Table(name: String, columns: Seq[String], declaredTypes: Seq[String],
+      rootPage: Long, sql: String, rowidAlias: Option[Int] = None)
 
-  /** Column (name, declaredType) pairs from a CREATE TABLE statement —
-    * top-level comma split, mirroring the reference's dynamically generated
-    * DDL shape (sqlite_native.py:43-60). */
-  private[sources] def parseColumns(sql: String): Seq[(String, String)] = {
+  private[sources] final case class ColDef(name: String, tpe: String, inlinePk: Boolean)
+
+  private def unquote(s: String): String =
+    s.stripPrefix("\"").stripSuffix("\"").stripPrefix("`").stripSuffix("`")
+      .stripPrefix("[").stripSuffix("]")
+
+  /** Column defs from a CREATE TABLE statement — top-level comma split,
+    * mirroring the reference's dynamically generated DDL shape
+    * (sqlite_native.py:43-60). Returns column defs plus the single-column
+    * table-level PRIMARY KEY target, if any (both feed rowid-alias detection). */
+  private[sources] def parseColumns(sql: String): (Seq[ColDef], Option[String]) = {
     val body = sql.substring(sql.indexOf('(') + 1, sql.lastIndexOf(')'))
     val parts = Seq.newBuilder[String]
     var depth = 0; val cur = new StringBuilder
@@ -174,16 +182,42 @@ object Sqlite {
         cur += c
     }
     parts += cur.toString
-    parts.result().map(_.trim).filter(_.nonEmpty)
-      .filterNot(c => Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
-        .contains(c.takeWhile(!_.isWhitespace).toUpperCase))
+    val defs = parts.result().map(_.trim).filter(_.nonEmpty)
+    val constraintHeads = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+    // table-level `PRIMARY KEY(col)` with ONE column: also a rowid alias
+    // candidate per the sqlite rule (when that column is INTEGER)
+    val tablePk = defs
+      .find(_.takeWhile(!_.isWhitespace).equalsIgnoreCase("PRIMARY"))
+      .flatMap { d =>
+        val inner = d.substring(d.indexOf('(') + 1, d.lastIndexOf(')'))
+        val cols = inner.split(",").map(c => unquote(c.trim.split(raw"\s+")(0)))
+        if (cols.length == 1) Some(cols(0)) else None
+      }
+    val cols = defs
+      .filterNot(c => constraintHeads.contains(c.takeWhile(!_.isWhitespace).toUpperCase))
       .map { colDef =>
         val toks = colDef.split(raw"\s+", 2)
-        val name = toks(0).stripPrefix("\"").stripSuffix("\"").stripPrefix("`").stripSuffix("`")
-          .stripPrefix("[").stripSuffix("]")
-        val tpe = if (toks.length > 1) toks(1).takeWhile(c => c.isLetter).toUpperCase else ""
-        (name, tpe)
+        val name = unquote(toks(0))
+        val rest = if (toks.length > 1) toks(1) else ""
+        val tpe = rest.takeWhile(_.isLetter).toUpperCase
+        // inline `PRIMARY KEY` on the column def — detected on the PARSED def
+        // (quoted/bracketed names included), not by substring-matching raw DDL
+        ColDef(name, tpe, rest.toUpperCase.matches(raw"(?s).*\bPRIMARY\s+KEY\b.*"))
       }
+    (cols, tablePk)
+  }
+
+  /** The rowid-alias column index per the sqlite rule: a column declared
+    * INTEGER that is the (inline or single-column table-level) PRIMARY KEY of
+    * a rowid table. Such columns store null in the record body and take the
+    * cell's rowid. */
+  private[sources] def rowidAliasIndex(sql: String): Option[Int] = {
+    if (sql.toUpperCase.matches(raw"(?s).*\bWITHOUT\s+ROWID\b.*")) return None
+    val (cols, tablePk) = parseColumns(sql)
+    cols.zipWithIndex.collectFirst {
+      case (c, i) if c.tpe == "INTEGER" &&
+        (c.inlinePk || tablePk.exists(_.equalsIgnoreCase(c.name))) => i
+    }
   }
 
   def tables(path: String): Seq[Table] = tables(open(path))
@@ -193,8 +227,8 @@ object Sqlite {
       // sqlite_master: (type, name, tbl_name, rootpage, sql)
       (row.lift(0), row.lift(1), row.lift(3), row.lift(4)) match {
         case (Some("table"), Some(name: String), Some(root: Long), Some(sql: String)) =>
-          val cols = parseColumns(sql)
-          Some(Table(name, cols.map(_._1), cols.map(_._2), root, sql))
+          val (cols, _) = parseColumns(sql)
+          Some(Table(name, cols.map(_.name), cols.map(_.tpe), root, sql, rowidAliasIndex(sql)))
         case _ => None
       }
     }
@@ -207,15 +241,14 @@ object Sqlite {
       .getOrElse(throw new NoSuchElementException(s"table $table not in $path"))
     val rows = walkTable(db, t.rootPage).map { case (row, rowid) =>
       // INTEGER PRIMARY KEY columns store null and alias the rowid; fixtures
-      // have no such alias but the substitution is part of the format
+      // have no such alias but the substitution is part of the format. The
+      // alias is detected from the PARSED column defs (rowidAliasIndex), so
+      // quoted/bracketed column names substitute correctly too.
       val padded = row.padTo(t.columns.length, null)
-      if (t.sql.toUpperCase.contains("INTEGER PRIMARY KEY"))
-        padded.zipWithIndex.map { case (v, i) =>
-          if (v == null && t.declaredTypes.lift(i).contains("INTEGER") &&
-            t.sql.toUpperCase.contains(t.columns(i).toUpperCase + " INTEGER PRIMARY KEY")) rowid
-          else v
-        }
-      else padded
+      t.rowidAlias match {
+        case Some(i) if padded(i) == null => padded.updated(i, rowid: Any)
+        case _                            => padded
+      }
     }
     (t, rows)
   }

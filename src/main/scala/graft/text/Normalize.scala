@@ -25,6 +25,16 @@ object IdentityTranslator extends Translator {
   def translateBatch(fragments: Seq[String]): Seq[String] = fragments
 }
 
+/** Deterministic NON-identity stand-in: reverses the word order of each
+  * fragment. Exercises the full P7 shape end-to-end (entity exclusion,
+  * re-flatten, mention re-indexing) with visibly transformed text while
+  * keeping term counts stable — entities stay in place, triple counts are
+  * invariant. The CLI surface is `--translate reverse` (cli.Infer). */
+object ReverseTranslator extends Translator {
+  def translateBatch(fragments: Seq[String]): Seq[String] =
+    fragments.map(_.split(raw"\s+").filter(_.nonEmpty).reverse.mkString(" "))
+}
+
 trait Stemmer extends Serializable {
   def lemma(word: String): String
 }

@@ -36,6 +36,19 @@ class PairExplodeSpec extends AnyFunSuite with SparkTestSession {
     assert(n == 4)
   }
 
+  test("generator is codegen-native: no CodegenFallback, Generate inside a codegen span") {
+    val df = mentionsDf.select(col("doc_id"),
+      PairExplode.explode_pairs(col("ms"), lit(50)).as(
+        Seq("s_ind", "t_ind", "s_value", "t_value", "s_type", "t_type")))
+    assert(!PairExplode(null, null).isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+    // GenerateExec participates in whole-stage codegen when the generator
+    // supports codegen — the Generate node must sit under a WholeStageCodegen
+    assert(raw"\*\(\d+\) Generate".r.findFirstIn(plan).nonEmpty, plan)
+  }
+
   test("matches the engine's flatMap pair generation on the documents table") {
     val viaGen = graft.ops.DocKg.pairsViaGenerator(spark, "/root/testdata/sf0.001")
       .collect().map(_.toString).sorted.toSeq

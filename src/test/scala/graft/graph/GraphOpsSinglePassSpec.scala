@@ -1,0 +1,43 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Round-2 verdict item 7: pre/renormalize must evaluate each algebra input's
+  * lineage exactly ONCE, independent of exchange-reuse heuristics. Measured
+  * with an accumulator on the input lineage: cached rows don't re-increment. */
+class GraphOpsSinglePassSpec extends AnyFunSuite with SparkTestSession {
+
+  private def counted(rows: Seq[(String, String, String, Double)]) = {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("evals")
+    val df = rows.toDS().map { r => acc.add(1); r }.toDF("source", "target", "sent", "c")
+    (df, acc)
+  }
+
+  test("edgeIntersection evaluates each input once despite max-normalize + join") {
+    val (a, accA) = counted(Seq(("x", "y", "POS", 2.0), ("y", "z", "NEG", 4.0)))
+    val (b, accB) = counted(Seq(("x", "y", "POS", 1.0), ("q", "r", "POS", 3.0)))
+    val out = GraphOps.edgeIntersection(a, b).collect()
+    assert(out.length == 1)
+    assert(accA.value == 2L, s"input A lineage ran ${accA.value} row-evals for 2 rows")
+    assert(accB.value == 2L, s"input B lineage ran ${accB.value} row-evals for 2 rows")
+  }
+
+  test("edgeUnion evaluates each input once despite renormalize") {
+    val (a, accA) = counted(Seq(("x", "y", "POS", 2.0)))
+    val (b, accB) = counted(Seq(("x", "y", "POS", 1.0), ("q", "r", "POS", 3.0)))
+    val out = GraphOps.edgeUnion(a, b).collect()
+    assert(out.length == 2)
+    assert(accA.value == 1L)
+    assert(accB.value == 2L)
+  }
+
+  test("edgeDifference evaluates each input once") {
+    val (a, accA) = counted(Seq(("x", "y", "POS", 2.0), ("y", "z", "NEG", 4.0)))
+    val (b, accB) = counted(Seq(("x", "y", "POS", 1.0)))
+    GraphOps.edgeDifference(a, b).collect()
+    assert(accA.value == 2L)
+    assert(accB.value == 1L)
+  }
+}
