@@ -51,6 +51,13 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidates(
       Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"),
         bands = 4, shingleW = 2, rowsPerBand = 2))),
+    // the web-scale guardrail semantics cross-engine-pinned: degenerate
+    // signature buckets (> maxBucketSize members) are dropped BEFORE the
+    // candidate self-join — at 10^9 docs one boilerplate bucket is |bucket|^2
+    // pairs in a single reducer
+    "dedup_minhash_pairs_capped" -> ((s, d) => Dedup.minhashCandidates(
+      Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"),
+        bands = 4, shingleW = 2, rowsPerBand = 2), maxBucketSize = 3)),
     "dedup_jaccard" -> ((s, d) => {
       val dd = docs(s, d)
       val cand = Dedup.minhashCandidates(
@@ -70,6 +77,14 @@ object SparkEntry {
       val dd = docs(s, d)
       Dedup.ngramOverlap(dd, dd.filter(col("doc_id") < 25), col("text"), col("doc_id"),
         n = 3, minShared = 2)
+    }),
+    // guardrail variant: grams with corpus document frequency > maxPostings
+    // are dropped before the inverted-index join (boilerplate grams are df^2
+    // posting pairs and carry no contamination signal)
+    "decontaminate_capped" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.ngramOverlap(dd, dd.filter(col("doc_id") < 25), col("text"), col("doc_id"),
+        n = 3, minShared = 2, maxPostings = 4)
     }),
     // keep-one dedup: cluster representatives + never-duplicated docs
     "dedup_keep_one" -> ((s, d) => {
@@ -349,6 +364,13 @@ object SparkEntry {
     "dedup_minhash_pairs" ->
       s"""WITH $minhashPairsCte
          |SELECT a_id, b_id FROM cand""".stripMargin,
+    "dedup_minhash_pairs_capped" ->
+      s"""WITH $minhashSigCte,
+         |big AS (SELECT band, sig FROM sig GROUP BY band, sig HAVING count(*) > 3),
+         |s2 AS (SELECT * FROM sig ANTI JOIN big USING (band, sig)),
+         |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+         |         FROM s2 a JOIN s2 b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id)
+         |SELECT a_id, b_id FROM cand""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH $minhashPairsCte,
          |sets AS (SELECT doc_id, list_distinct(list_transform(range(0, len(terms) - 1), i -> terms[i+1] || ' ' || terms[i+2])) AS sh FROM toks)
@@ -376,6 +398,17 @@ object SparkEntry {
          |p AS (SELECT doc_id AS probe_id, g FROM g WHERE doc_id < 25)
          |SELECT c.doc_id, p.probe_id, count(*) AS shared_ngrams
          |FROM g c JOIN p ON c.g = p.g AND c.doc_id <> p.probe_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "decontaminate_capped" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(terms) - 2),
+         |        i -> terms[i+1] || ' ' || terms[i+2] || ' ' || terms[i+3]))) AS g
+         |      FROM toks WHERE len(terms) >= 3),
+         |hot AS (SELECT g FROM g GROUP BY g HAVING count(*) > 4),
+         |c2 AS (SELECT * FROM g ANTI JOIN hot USING (g)),
+         |p AS (SELECT doc_id AS probe_id, g FROM g WHERE doc_id < 25)
+         |SELECT c.doc_id, p.probe_id, count(*) AS shared_ngrams
+         |FROM c2 c JOIN p ON c.g = p.g AND c.doc_id <> p.probe_id
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "dedup_keep_one" ->
       s"""WITH RECURSIVE $minhashPairsCte,

@@ -196,7 +196,12 @@ object Infer {
         graft.core.GraphNode(r.getString(0), r.getDouble(1))).toSeq,
       edges.orderBy("source", "target", "sent").collect().map(r =>
         graft.core.GraphLink(r.getString(0), r.getString(1), r.getDouble(3), r.getString(2))).toSeq)
-    if (nEdges <= maxEdges) D3Json.save(graph, out, name, intLinkC = true, intNodeC = false)
+    if (nEdges <= maxEdges) {
+      D3Json.save(graph, out, name, intLinkC = true, intNodeC = false)
+      // reference parity: --out is an OPENABLE artifact — a viewer page next
+      // to the force/radial JSON folders (backend/d3js/ui_web.py layout)
+      graft.graph.Viewer.save(out, name)
+    }
 
     val nSamples = samples.count()
     val nTriples = triples.count()

@@ -101,6 +101,7 @@ object Operations {
     val name = opts.getOrElse("--name", op.toLowerCase)
     val g = GraphOps(a, b, op, weights)
     D3Json.save(g, out, name, intLinkC = !weights, intNodeC = !weights)
+    graft.graph.Viewer.save(out, name) // openable artifact: <out>/index.html
     println(s"""{"operation":"$op","nodes":${g.nodes.size},"links":${g.links.size},"out":"$out"}""")
   }
 }

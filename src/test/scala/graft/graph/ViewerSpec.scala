@@ -1,0 +1,33 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ViewerSpec extends AnyFunSuite {
+
+  test("index.html references the graph's force and radial JSON by name") {
+    val h = Viewer.html("mygraph")
+    assert(h.contains("\"mygraph\""))
+    // the page fetches layout + "/" + NAME + ".json" relative to itself —
+    // i.e. force/mygraph.json and radial/mygraph.json (ui_web.py folder contract)
+    assert(h.contains("fetch(layout + \"/\" + NAME + \".json\")"))
+    assert(h.contains("show('force')") && h.contains("show('radial')"))
+    assert(h.contains("<!doctype html>"))
+    // offline artifact: no external script/CDN references (the only URL is
+    // the SVG xmlns constant passed to createElementNS)
+    assert(!h.contains("https://") && !h.contains("<script src"))
+    assert(h.linesIterator.filter(_.contains("http://")).forall(_.contains("w3.org/2000/svg")))
+  }
+
+  test("save writes <out>/index.html") {
+    val dir = java.nio.file.Files.createTempDirectory("viewer").toString
+    val p = Viewer.save(dir, "demo")
+    assert(p.getFileName.toString == "index.html")
+    val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    assert(body.contains("\"demo\""))
+  }
+
+  test("name with quotes is escaped into valid JS") {
+    val h = Viewer.html("a\"b")
+    assert(h.contains("const NAME = \"a\\\"b\";"))
+  }
+}
