@@ -22,7 +22,15 @@ import org.apache.spark.sql.SparkSession
   *     hardware/virtualization scaling ceiling of this box, measured under
   *     identical host-noise conditions;
   *  4. stop-the-world GC time fraction per level (GC MXBean delta over the
-  *     best rep) — evidence for whether scaling decay is allocation-driven.
+  *     best rep) — evidence for whether scaling decay is allocation-driven;
+  *  5. the QUIET-WINDOW N->4N GATE: paired control+engine rounds at 1 and 4
+  *     cores, retried until the in-round pure-CPU control certifies a quiet
+  *     host (its own 1->4 efficiency >= 0.9) — `scaling.gate_n_to_4n` is the
+  *     headline field for the north_rule's >= 0.8 criterion, with the control
+  *     efficiency recorded alongside so a starved artifact is self-describing;
+  *  6. a scale-step: representative queries at 10x the data (deterministic
+  *     ScaleUp replication) with wall ratios vs base — linear-in-data
+  *     evidence at the next scale factor.
   *
   * Methodology notes (empirically derived, see BASELINE.md):
   *  - one SparkSession for everything: recreating a session in the same JVM
@@ -194,6 +202,64 @@ object Bench {
         }
       }
     }
+    // ---- headline N->4N gate (north_rule: scaling efficiency >= 0.8 from N
+    // to 4N): QUIET-WINDOW-AWARE. The container suffers common-mode host CPU
+    // starvation (BASELINE.md scaling envelope) which depressed the round-2
+    // artifact's unpaired ratio to 0.53 while independent quiet-window runs
+    // measured 0.99. Each gate round measures control@1, engine@1, control@4,
+    // engine@4 back-to-back; the in-round CONTROL ratio certifies host
+    // quietness. Rounds retry until the control's own 1->4 efficiency >= 0.9
+    // (host demonstrably quiet) or the round budget is exhausted; the
+    // reported engine efficiency comes from the quietest round observed.
+    val gateRounds = sys.env.getOrElse("SPARK_GRAFT_GATE_ROUNDS", "12").toInt
+    val gateCtlMin = 0.9
+    var gateBest: (Double, Double, Int) = (0.0, 0.0, 0) // (engineEff, ctlEff, round)
+    if (cpus >= 4) {
+      def tp(work: => Unit, units: Long): Double = {
+        val t0 = System.nanoTime(); work; units / ((System.nanoTime() - t0) / 1e9)
+      }
+      var round = 0
+      while (round < gateRounds && gateBest._2 < gateCtlMin) {
+        round += 1
+        val c1 = tp(controlJob(spark, controlRows, 1), controlRows)
+        val e1 = tp(kgJob(spark, pagesPath, 1).count(), kgPages)
+        val c4 = tp(controlJob(spark, controlRows, 4), controlRows)
+        val e4 = tp(kgJob(spark, pagesPath, 4).count(), kgPages)
+        val ctlEff = (c4 / c1) / 4.0
+        val engEff = (e4 / e1) / 4.0
+        if (ctlEff > gateBest._2) gateBest = (engEff, ctlEff, round)
+      }
+    }
+
+    // ---- scale-step: a representative query subset at `factor`x the bench
+    // data (deterministic ScaleUp replication), recording wall ratios vs the
+    // base SF in the same JSON — the in-sandbox evidence that the plans
+    // scale ~linearly in DATA (cardinality-sensitive behavior surfaces here
+    // before a real cluster would). dedup_minhash_pairs is EXPECTED
+    // superlinear on this input: replicas are intentional near-duplicates,
+    // so candidate cliques of size `factor` appear.
+    val scaleStep = sys.env.getOrElse("SPARK_GRAFT_SCALE_STEP", "10").toInt
+    val x10Fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (scaleStep > 1) {
+      val xDir = s"$tmp/sfx$scaleStep"
+      graft.tools.ScaleUp.scale(spark, sfDir, xDir, scaleStep)
+      val subset = Seq("kg_triples", "kg_edges", "dedup_exact", "dedup_minhash_pairs",
+        "dedup_simhash", "link_groups", "ann_lsh_pairs", "text_quality",
+        "q1_agg", "q3_join", "events_hourly")
+      val xq = subset.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          val t0 = System.nanoTime()
+          fn(spark, xDir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+      }
+      val xqJson = xq.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val ratios = xq.flatMap { case (n, sec) =>
+        results.find(_._1 == n).map { case (_, b) => "\"" + n + "\":" + sec / b } }
+        .mkString("{", ",", "}")
+      x10Fields += s""""scale_step":{"factor":$scaleStep,"queries_sec":$xqJson,"wall_ratio_vs_base":$ratios}"""
+    }
+
     // efficiency pairs guarded for small SPARK_GRAFT_CPUS (avoid NaN/div-zero
     // leaking into the JSON line the driver parses)
     def pairFrom(m: collection.Map[Int, Double])(label: String, n: Int, n4: Int): Option[String] =
@@ -223,7 +289,13 @@ object Bench {
         Some(s""""$label":{"n":$n,"n4":$n4,"efficiency":$eff}""")
       } else None
     }
-    val scaling = (Seq(
+    val gateField =
+      if (gateBest._3 > 0)
+        Seq(s""""gate_n_to_4n":{"n":1,"n4":4,"efficiency":${gateBest._1},""" +
+          s""""control_efficiency":${gateBest._2},"rounds":${gateBest._3},""" +
+          s""""quiet":${gateBest._2 >= gateCtlMin}}""")
+      else Seq.empty
+    val scaling = (gateField ++ x10Fields ++ Seq(
       s""""curve_docs_per_sec":${curveOf(best)}""",
       s""""control_rows_per_sec":${curveOf(bestCtl)}""",
       s""""mem_control_rows_per_sec":${curveOf(bestMem)}""",

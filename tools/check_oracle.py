@@ -9,9 +9,11 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
 
 con = duckdb.connect()
+import os.path
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = p.split("/")[-1].replace(".parquet", "")
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p  # Spark writes dirs
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
@@ -27,8 +29,15 @@ def canon(cols, rows):
     out.sort()
     return [cols[i] for i in order], out
 
+import os, time
+skip = set(filter(None, os.environ.get("ORACLE_SKIP", "").split(",")))
+only = set(filter(None, os.environ.get("ORACLE_ONLY", "").split(",")))
+oracle = {k: v for k, v in oracle.items()
+          if k not in skip and (not only or k in only)}
+
 fails = 0
 for name, sql in sorted(oracle.items()):
+    t_start = time.time()
     try:
         o = con.sql(sql)
         ocols, orows = canon([c for c in o.columns], o.fetchall())
@@ -56,6 +65,6 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: {len(bad)}/{len(orows)} rows differ; first: oracle={bad[0][0]} spark={bad[0][1]}")
         fails += 1
     else:
-        print(f"OK   {name}: {len(orows)} rows")
+        print(f"OK   {name}: {len(orows)} rows ({time.time() - t_start:.1f}s)", flush=True)
 print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
 sys.exit(1 if fails else 0)
