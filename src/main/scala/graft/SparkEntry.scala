@@ -86,6 +86,23 @@ object SparkEntry {
       Dedup.ngramOverlap(dd, dd.filter(col("doc_id") < 25), col("text"), col("doc_id"),
         n = 3, minShared = 2, maxPostings = 4)
     }),
+    // incremental ingest dedup: a new batch (odd doc_ids) against the corpus
+    // signature store (even doc_ids) — the store joins on (band, sig) only;
+    // the historical corpus is never re-minhashed per batch
+    "dedup_incremental" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.incrementalNearDups(
+        dd.filter(col("doc_id") % 2 === 0), dd.filter(col("doc_id") % 2 === 1),
+        col("text"), col("doc_id"),
+        bands = 4, shingleW = 2, rowsPerBand = 2, threshold = 0.2)
+    }),
+    // deterministic stratified sampling (training-mixture construction):
+    // language-balanced keep decisions as a pure function of doc_id — no rng,
+    // no shuffle, reproducible across runs/partitionings, oracle-checkable
+    "sample_stratified" -> ((s, d) => graft.ops.Sampling.stratifiedSample(
+      docs(s, d), col("doc_id"), col("lang"),
+      Map("en" -> 0.5, "de" -> 0.25), default = 0.05)
+      .select(col("doc_id"), col("lang"))),
     // keep-one dedup: cluster representatives + never-duplicated docs
     "dedup_keep_one" -> ((s, d) => {
       val dd = docs(s, d)
@@ -410,6 +427,22 @@ object SparkEntry {
          |SELECT c.doc_id, p.probe_id, count(*) AS shared_ngrams
          |FROM c2 c JOIN p ON c.g = p.g AND c.doc_id <> p.probe_id
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $minhashSigCte,
+         |corp AS (SELECT * FROM sig WHERE id % 2 = 0),
+         |bat AS (SELECT * FROM sig WHERE id % 2 = 1),
+         |cand AS (SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+         |         FROM bat b JOIN corp c ON b.band = c.band AND b.sig = c.sig),
+         |sets AS (SELECT doc_id, list_distinct(list_transform(range(0, len(terms) - 1), i -> terms[i+1] || ' ' || terms[i+2])) AS sh FROM toks)
+         |SELECT cand.batch_id, cand.corpus_id,
+         |       len(list_intersect(sb.sh, sc.sh))::DOUBLE / len(list_distinct(sb.sh || sc.sh))::DOUBLE AS jaccard
+         |FROM cand JOIN sets sb ON cand.batch_id = sb.doc_id
+         |          JOIN sets sc ON cand.corpus_id = sc.doc_id
+         |WHERE len(list_intersect(sb.sh, sc.sh))::DOUBLE / len(list_distinct(sb.sh || sc.sh))::DOUBLE >= 0.2""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+        |      < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 50000 END""".stripMargin,
     "dedup_keep_one" ->
       s"""WITH RECURSIVE $minhashPairsCte,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM cand UNION SELECT b_id, a_id FROM cand),

@@ -215,6 +215,64 @@ object Dedup {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /** Drop (band, sig) buckets with more than `maxBucketSize` members — the
+    * degenerate-boilerplate guard shared by the pairwise, incremental, and
+    * signature-store candidate generators. Identity when the cap is off. */
+  def cappedSigs(sigs: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize == Int.MaxValue) sigs
+    else {
+      val oversized = sigs.groupBy("band", "sig")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+        .select("band", "sig")
+      sigs.join(oversized, Seq("band", "sig"), "left_anti")
+    }
+
+  /** Incremental near-duplicate candidates: a NEW batch of documents against
+    * an existing corpus SIGNATURE STORE — the shape a continuously-ingesting
+    * 100 TB pipeline needs (re-minhashing the historical corpus per batch
+    * would be O(corpus) work per ingest; the store is computed once by
+    * [[minhashSignatures]] and persisted, each batch only computes its own
+    * signatures map-side and equi-joins the store on the (band, sig) bucket
+    * key).
+    *
+    * `maxBucketSize` caps the CORPUS side: store buckets larger than the cap
+    * (boilerplate signatures accumulated over the corpus lifetime) are dropped
+    * before the join — otherwise one degenerate bucket contributes
+    * |bucket| postings per matching batch doc, forever. Output:
+    * (batch_id, corpus_id) distinct candidate pairs. */
+  def incrementalCandidates(corpusSigs: DataFrame, batchSigs: DataFrame,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val store = cappedSigs(corpusSigs, maxBucketSize)
+    batchSigs.select(col("band"), col("sig"), col("id").as("batch_id"))
+      .join(store.select(col("band"), col("sig"), col("id").as("corpus_id")),
+        Seq("band", "sig"))
+      .select("batch_id", "corpus_id").distinct()
+  }
+
+  /** Incremental dedup end-to-end: batch docs that are near-duplicates of any
+    * corpus doc, with the exact-Jaccard evidence. Output: (batch_id,
+    * corpus_id, jaccard) for pairs at or above `threshold` — dropping
+    * `batch_id`s from the ingest (and appending the survivors' signatures to
+    * the store) completes the cycle. Shingle sets are computed per SIDE, so
+    * the corpus text is touched only for verified candidates' rows. */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame, text: Column, id: Column,
+      bands: Int, shingleW: Int, rowsPerBand: Int = 1, threshold: Double = 0.8,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val cand = incrementalCandidates(
+      minhashSignatures(corpus, text, id, bands, shingleW, rowsPerBand),
+      minhashSignatures(batch, text, id, bands, shingleW, rowsPerBand),
+      maxBucketSize)
+    def sets(df: DataFrame, as: String, shAs: String) =
+      df.select(id.as(as), array_distinct(shingles(tokens(text), shingleW)).as(shAs))
+    cand
+      .join(sets(batch, "batch_id", "b_sh"), "batch_id")
+      .join(sets(corpus, "corpus_id", "c_sh"), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        (size(array_intersect(col("b_sh"), col("c_sh"))).cast("double") /
+          size(array_union(col("b_sh"), col("c_sh"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash over token multiset: bit j of the signature is the sign of the
     * sum over tokens of (2*bit_j(md5(token)) - 1). `bits` <= 128 (md5 width).
     * Bit j of a token = low bit of md5 hex digit j — declarative, engine-portable. */

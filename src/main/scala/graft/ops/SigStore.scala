@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent dedup state for CONTINUOUS ingest: the corpus is represented by
+  * constant-size-per-document artifacts — its exact-content hashes and its
+  * minhash band signatures — so each incoming batch is deduplicated against
+  * the full corpus history without ever re-reading or re-minhashing corpus
+  * text. At 100 TB the store is ~1e-4 of the corpus bytes and both probes are
+  * equi-joins on a hash key (exact: md5; near: (band, sig) bucket), i.e. one
+  * shuffle of the BATCH side against a bucketed store.
+  *
+  * Near-duplicate decision: a batch doc is dropped when it shares at least
+  * `minBands` distinct band buckets with any single stored doc. P(band match)
+  * = J^rowsPerBand per band, so `minBands` is the precision/recall knob that
+  * replaces the exact-Jaccard verify (whose shingle sets would make the store
+  * corpus-sized — the classic space/precision trade of signature-only LSH
+  * state; batch-internal dedup with full verify still runs per batch via
+  * [[Dedup.incrementalNearDups]] when texts are co-resident).
+  *
+  * The LSH parameters are PINNED in the store (`_params.json`): appending
+  * signatures computed under different (bands, shingleW, rowsPerBand) would
+  * silently destroy recall, so a mismatch fails fast — same discipline as
+  * io.Checkpoint's n_buckets lineage pin.
+  */
+object SigStore {
+
+  case class Params(bands: Int = 8, shingleW: Int = 3, rowsPerBand: Int = 2)
+
+  private def sigsPath(store: String) = s"$store/sigs"
+  private def hashesPath(store: String) = s"$store/hashes"
+  private def paramsPath(store: String) = s"$store/_params.json"
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, store: String): Boolean =
+    fs(spark, store).exists(new org.apache.hadoop.fs.Path(paramsPath(store)))
+
+  private def writeParams(spark: SparkSession, store: String, p: Params): Unit = {
+    val out = fs(spark, store).create(new org.apache.hadoop.fs.Path(paramsPath(store)), true)
+    try out.write(
+      s"""{"bands":${p.bands},"shingle_w":${p.shingleW},"rows_per_band":${p.rowsPerBand}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readParams(spark: SparkSession, store: String): Params = {
+    val in = fs(spark, store).open(new org.apache.hadoop.fs.Path(paramsPath(store)))
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def f(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(s)
+      .getOrElse(sys.error(s"malformed $store/_params.json: $s")).group(1).toInt
+    Params(f("bands"), f("shingle_w"), f("rows_per_band"))
+  }
+
+  /** Pin-or-check: first append writes the params; later appends/probes must
+    * match them exactly. */
+  private def pinParams(spark: SparkSession, store: String, p: Params): Unit =
+    if (!exists(spark, store)) writeParams(spark, store, p)
+    else {
+      val have = readParams(spark, store)
+      require(have == p,
+        s"signature store $store was built with $have, probe/append uses $p — " +
+          "mixed LSH parameters silently destroy recall; use the stored parameters " +
+          "or start a new store")
+    }
+
+  /** Append `docs`' exact hashes and band signatures to the store (creating
+    * it if absent). Call AFTER the batch's own dedup decided what to keep. */
+  def append(docs: DataFrame, text: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column, store: String,
+      params: Params = Params()): Unit = {
+    val spark = docs.sparkSession
+    pinParams(spark, store, params)
+    Dedup.minhashSignatures(docs, text, id, params.bands, params.shingleW, params.rowsPerBand)
+      .write.mode(SaveMode.Append).parquet(sigsPath(store))
+    docs.select(md5(text.cast("binary")).as("text_hash")).distinct()
+      .write.mode(SaveMode.Append).parquet(hashesPath(store))
+  }
+
+  /** Batch docs NOT already represented in the store: exact-content matches
+    * are dropped first (anti-join on md5), then near-duplicates sharing >=
+    * `minBands` band buckets with any one stored doc. Returns the surviving
+    * rows of `batch` unchanged. */
+  def filterNew(batch: DataFrame, text: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column, store: String,
+      params: Params = Params(), minBands: Int = 1,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val spark = batch.sparkSession
+    require(exists(spark, store), s"no signature store at $store")
+    val have = readParams(spark, store)
+    require(have == params,
+      s"signature store $store was built with $have, probe uses $params")
+    val noExact = batch.join(
+      spark.read.parquet(hashesPath(store))
+        .withColumnRenamed("text_hash", "__h").distinct(),
+      md5(text.cast("binary")) === col("__h"), "left_anti")
+    val batchSigs = Dedup.minhashSignatures(noExact, text, id,
+      params.bands, params.shingleW, params.rowsPerBand)
+    val storeSigs = Dedup.cappedSigs(
+      spark.read.parquet(sigsPath(store)), maxBucketSize)
+      .select(col("id").as("__store_id"), col("band"), col("sig"))
+    // shared-band count per (batch, stored) pair from ONE bucket join over the
+    // capped store; minBands=1 degenerates to "any shared bucket"
+    val flagged = batchSigs.select(col("band"), col("sig"), col("id").as("batch_id"))
+      .join(storeSigs, Seq("band", "sig"))
+      .groupBy("batch_id", "__store_id")
+      .agg(countDistinct(col("band")).as("__nb"))
+      .filter(col("__nb") >= minBands)
+      .select("batch_id").distinct()
+    noExact.join(flagged.withColumnRenamed("batch_id", "__bid"),
+      id === col("__bid"), "left_anti")
+  }
+}

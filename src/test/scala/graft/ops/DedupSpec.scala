@@ -72,6 +72,36 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(capped == Set((1L, 2L)))  // cap kills the clique, keeps the real pair
   }
 
+  test("incremental dedup: batch vs corpus signature store, never batch x batch") {
+    val corp = corpus.filter(col("doc_id") < 100)  // base docs only
+    val batch = corpus.filter(col("doc_id") >= 100) // 100,101 exact dups of 3; 102 near-dup
+    val hits = Dedup.incrementalNearDups(corp, batch, col("text"), col("doc_id"),
+      bands = 8, shingleW = 2, rowsPerBand = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every batch doc is flagged against corpus doc 3
+    assert(hits.get((100L, 3L)).contains(1.0))
+    assert(hits.get((101L, 3L)).contains(1.0))
+    assert(hits.get((102L, 3L)).exists(j => j > 0.5 && j < 1.0))
+    // pairs are batch x corpus ONLY: 100/101/102 are mutual near-dups but the
+    // incremental operator must not pair them with each other
+    assert(hits.keys.forall { case (b, c) => b >= 100L && c < 100L })
+  }
+
+  test("incremental dedup: corpus-side bucket cap drops degenerate store buckets") {
+    import spark.implicits._
+    val corp = ((0 until 30).map(i => (100L + i, "the same boilerplate text every time")) :+
+      (1L, "a unique document about spark graphs")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1001L, "the same boilerplate text every time"),
+      (1002L, "a unique document about spark graphs")).toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.incrementalNearDups(corp, batch, col("text"), col("doc_id"),
+      bands = 4, shingleW = 2, rowsPerBand = 2, threshold = 0.9, maxBucketSize = cap)
+      .select("batch_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(Int.MaxValue).size == 31) // 30 boilerplate hits + the real pair
+    assert(run(10) == Set((1002L, 1L))) // cap kills the degenerate store bucket
+  }
+
   test("ngramOverlap: planted contamination found; boilerplate grams capped away") {
     import spark.implicits._
     val eval_ = Seq((1000L, "the quick brown fox jumps over the lazy dog tonight"))

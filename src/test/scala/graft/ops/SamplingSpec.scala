@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends AnyFunSuite with SparkTestSession {
+
+  private def docs = {
+    import spark.implicits._
+    (0 until 2000).map(i =>
+      (i.toLong, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr"))
+      .toDF("doc_id", "lang")
+  }
+
+  test("sampleByHash is deterministic and partition-invariant") {
+    val a = Sampling.sampleByHash(docs.repartition(3), col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleByHash(docs.repartition(17), col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // fraction is approximately honored (md5 is uniform; 2000 rows, f=0.3)
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05, s"kept ${a.size}/2000")
+  }
+
+  test("fraction 0 keeps nothing; fraction 1 keeps everything") {
+    assert(Sampling.sampleByHash(docs, col("doc_id"), 0.0).count() == 0)
+    assert(Sampling.sampleByHash(docs, col("doc_id"), 1.0).count() == 2000)
+  }
+
+  test("sample monotonicity: a smaller fraction is a subset of a larger one") {
+    // the property that makes hash-mod sampling USABLE for mixture tuning:
+    // raising a stratum's fraction only ADDS documents, never reshuffles them
+    val small = Sampling.sampleByHash(docs, col("doc_id"), 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val large = Sampling.sampleByHash(docs, col("doc_id"), 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large))
+  }
+
+  test("stratifiedSample honors per-stratum fractions and the default") {
+    val kept = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.8, "de" -> 0.2), default = 0.0)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 500.0 // docs per lang bucket (en, de); fr has 1000
+    assert(math.abs(byLang("en") / n - 0.8) < 0.08, s"en: ${byLang.get("en")}")
+    assert(math.abs(byLang.getOrElse("de", 0L) / n - 0.2) < 0.08, s"de: ${byLang.get("de")}")
+    assert(!byLang.contains("fr")) // default 0.0 drops the unlisted stratum
+  }
+
+  test("plan: the sample is a single filter over the scan (no shuffle, no rng)") {
+    val plan = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.5), default = 0.1).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Sample"), plan) // not Spark's rng sampler
+  }
+}
