@@ -123,9 +123,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val baseRows = scala.collection.mutable.Map.empty[String, Long]
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
-        fn(spark, sfDir).count() // warm: JIT + codegen + file listing
+        baseRows(name) = fn(spark, sfDir).count() // warm: JIT + codegen + file listing
         val sec = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
@@ -256,9 +257,13 @@ object Bench {
     // data (deterministic ScaleUp replication), recording wall ratios vs the
     // base SF in the same JSON — the in-sandbox evidence that the plans
     // scale ~linearly in DATA (cardinality-sensitive behavior surfaces here
-    // before a real cluster would). dedup_minhash_pairs is EXPECTED
-    // superlinear on this input: replicas are intentional near-duplicates,
-    // so candidate cliques of size `factor` appear.
+    // before a real cluster would). The pair-emitting dedup/ANN queries are
+    // EXPECTED superlinear in WALL on this input: replicas are intentional
+    // near-duplicates, so candidate cliques of size `factor` appear and the
+    // OUTPUT grows ~factor^2 (e.g. ann_lsh_pairs emits ~100x the rows at
+    // 10x the vectors). `rows_ratio_vs_base` is recorded alongside the wall
+    // ratio so output-cardinality growth is distinguishable from engine
+    // inefficiency — wall ~ rows means constant per-row cost.
     val scaleStep = sys.env.getOrElse("SPARK_GRAFT_SCALE_STEP", "10").toInt
     val x10Fields = scala.collection.mutable.ArrayBuffer.empty[String]
     if (scaleStep > 1) {
@@ -270,15 +275,19 @@ object Bench {
       val xq = subset.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
           val t0 = System.nanoTime()
-          fn(spark, xDir).count()
-          name -> (System.nanoTime() - t0) / 1e9
+          val rows = fn(spark, xDir).count()
+          (name, (System.nanoTime() - t0) / 1e9, rows)
         }
       }
-      val xqJson = xq.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      val ratios = xq.flatMap { case (n, sec) =>
+      val xqJson = xq.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val ratios = xq.flatMap { case (n, sec, _) =>
         results.find(_._1 == n).map { case (_, b) => "\"" + n + "\":" + sec / b } }
         .mkString("{", ",", "}")
-      x10Fields += s""""scale_step":{"factor":$scaleStep,"queries_sec":$xqJson,"wall_ratio_vs_base":$ratios}"""
+      val rowRatios = xq.flatMap { case (n, _, rows) =>
+        baseRows.get(n).filter(_ > 0).map(b => "\"" + n + "\":" + rows.toDouble / b) }
+        .mkString("{", ",", "}")
+      x10Fields += s""""scale_step":{"factor":$scaleStep,"queries_sec":$xqJson,""" +
+        s""""wall_ratio_vs_base":$ratios,"rows_ratio_vs_base":$rowRatios}"""
     }
 
     // efficiency pairs guarded for small SPARK_GRAFT_CPUS (avoid NaN/div-zero

@@ -171,6 +171,16 @@ object SparkEntry {
         concat(array(element_at(col("e"), 1) + 0.5), slice(col("e"), 2, 63)).as("e")))
       Similarity.lshCosinePairs(aug, col("vec_id"), col("e"), threshold = 0.9, dim = 64)
     }),
+    // semantic dedup (SemDedup-style): LSH cosine pairs -> components ->
+    // keep-one over the same planted-near-dup embedding set; each planted
+    // replica collapses onto its original (minimum id wins)
+    "dedup_semantic" -> ((s, d) => {
+      val e = embeds(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val aug = e.union(e.select((col("vec_id") + 10000).as("vec_id"),
+        concat(array(element_at(col("e"), 1) + 0.5), slice(col("e"), 2, 63)).as("e")))
+      Dedup.semanticKeepOne(aug, col("vec_id"), col("e"), threshold = 0.9, dim = 64)
+    }),
     // ---- text analysis
     "text_quality" -> ((s, d) => TextStats.quality(docs(s, d), col("text"), col("doc_id"))
       .select(col("id"), col("n_tokens").cast("long"), col("n_chars").cast("long"),
@@ -182,6 +192,10 @@ object SparkEntry {
       .select(col("doc_id"), TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe"))),
     "text_fingerprint" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))),
+    // repetition signals (Gopher-rules family): duplicate-line fraction +
+    // most-frequent-bigram share — row-local, no shuffle
+    "text_repetition" -> ((s, d) =>
+      TextStats.repetition(docs(s, d), col("text"), col("doc_id"))),
     // ---- multimodal plumbing: opaque binary column + typed metadata
     "mm_binary_meta" -> ((s, d) => docs(s, d)
       .select(col("doc_id"),
@@ -535,6 +549,38 @@ object SparkEntry {
          |SELECT a_id, b_id, ${cosineSql("va.e", "vb.e")} AS score
          |FROM cand JOIN v va ON cand.a_id = va.id JOIN v vb ON cand.b_id = vb.id
          |WHERE ${cosineSql("va.e", "vb.e")} >= 0.9""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |v AS (SELECT vec_id AS id, e FROM v0
+         |      UNION ALL SELECT vec_id + 10000, [e[1] + 0.5] || e[2:${annDim}] FROM v0),
+         |sig AS (${(0 until annBands).map(b =>
+               s"SELECT id, $b AS band, ${annBandSql(b)} AS sig FROM v")
+               .mkString("\n       UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+         |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+         |pairs AS (SELECT a_id, b_id
+         |          FROM cand JOIN v va ON cand.a_id = va.id JOIN v vb ON cand.b_id = vb.id
+         |          WHERE ${cosineSql("va.e", "vb.e")} >= 0.9),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
+         |SELECT v.id FROM v LEFT JOIN labels l ON v.id = l.id
+         |WHERE l.cluster IS NULL OR l.cluster = v.id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH $toksCte,
+         |rep AS (SELECT t.doc_id, string_split(d.text, chr(10)) AS lines,
+         |               list_transform(range(0, len(terms) - 1), i -> terms[i+1] || ' ' || terms[i+2]) AS bg
+         |        FROM toks t JOIN documents d ON t.doc_id = d.doc_id)
+         |SELECT doc_id AS id, len(lines) AS n_lines,
+         |       (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)::DOUBLE AS dup_line_frac,
+         |       CASE WHEN len(bg) = 0 THEN 0.0
+         |            ELSE list_max(list_transform(list_distinct(bg), s -> len(list_filter(bg, x -> x = s))))::DOUBLE / len(bg)::DOUBLE
+         |       END AS top_bigram_frac
+         |FROM rep""".stripMargin,
     "ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
          |                  list_position(embedding[1:8]::DOUBLE[], list_max(embedding[1:8]::DOUBLE[])) AS bucket

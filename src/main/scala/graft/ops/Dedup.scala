@@ -273,6 +273,26 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Semantic (embedding-space) dedup, SemDedup-style: near-duplicate pairs
+    * from hyperplane-LSH cosine (bucket join, never all-pairs —
+    * [[graft.ops.Similarity.lshCosinePairs]]), connected components over the
+    * pair graph, keep the minimum-id representative per component plus every
+    * never-paired row. The embedding analogue of the minhash keep-one chain:
+    * candidate generation is a band bucket join, verification touches only
+    * candidates, clustering is the same O(log d) pointer-halving components.
+    * Output: one `id` column of survivors. */
+  def semanticKeepOne(df: DataFrame, id: Column, vec: Column, threshold: Double,
+      dim: Int, bands: Int = 4, rowsPerBand: Int = 8,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val pairs = Similarity.lshCosinePairs(df, id, vec, threshold, dim,
+      bands, rowsPerBand, maxBucketSize = maxBucketSize)
+    val labels = clusters(pairs.select(col("a_id"), col("b_id")))
+    df.select(id.as("id"))
+      .join(labels, Seq("id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("id"))
+      .select(col("id"))
+  }
+
   /** SimHash over token multiset: bit j of the signature is the sign of the
     * sum over tokens of (2*bit_j(md5(token)) - 1). `bits` <= 128 (md5 width).
     * Bit j of a token = low bit of md5 hex digit j — declarative, engine-portable. */

@@ -55,6 +55,27 @@ object TextStats {
         .as("punct_token_ratio"))
   }
 
+  /** Repetition signals (the Gopher-rules family): duplicate-line fraction
+    * and the share of bigram occurrences taken by the single most frequent
+    * bigram — the two cheap detectors for boilerplate/looping text. Map-side
+    * built-ins, row-local: the mode count is O(distinct×n) WITHIN a row, no
+    * shuffle. Arrays are materialized in their own projection first so the
+    * nested HOF lambdas reference only attributes (see [[Dedup.shingles]] on
+    * the outer-capture re-evaluation trap). */
+  def repetition(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val base = df.select(id.as("id"),
+      split(text, "\n").as("lines"),
+      Dedup.shingles(tokens(text), 2).as("bg"))
+    base.select(col("id"),
+      size(col("lines")).cast("long").as("n_lines"),
+      ((size(col("lines")) - size(array_distinct(col("lines")))).cast("double") /
+        size(col("lines")).cast("double")).as("dup_line_frac"),
+      when(size(col("bg")) === 0, lit(0.0)).otherwise(
+        array_max(transform(array_distinct(col("bg")),
+          s => size(filter(col("bg"), x => x === s)))).cast("double") /
+          size(col("bg")).cast("double")).as("top_bigram_frac"))
+  }
+
   /** BPE-ish subword token count: word pieces + standalone punctuation via
     * regex extraction (the usual pre-tokenizer shape). */
   def bpeTokenCount(text: Column): Column =

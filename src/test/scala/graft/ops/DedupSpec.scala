@@ -102,6 +102,25 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(run(10) == Set((1002L, 1L))) // cap kills the degenerate store bucket
   }
 
+  test("semanticKeepOne: planted embedding near-dups collapse to min-id representative") {
+    import spark.implicits._
+    // deterministic unit-ish vectors in 8d: base vectors far apart, each with
+    // a tiny-perturbation twin at id+100 (cosine ~ 1), plus one loner
+    def v(seed: Int): Seq[Double] =
+      (0 until 8).map(j => math.sin(seed * 7 + j * 3 + 1).abs + 0.1)
+    val rows =
+      (0 until 5).map(i => (i.toLong, v(i))) ++
+      (0 until 5).map(i => (i + 100L, v(i).updated(0, v(i).head + 1e-4))) :+
+      (999L, Seq.fill(8)(0.0).updated(7, 5.0))
+    val df = rows.toDF("vec_id", "e")
+    val kept = Dedup.semanticKeepOne(df, col("vec_id"), col("e"),
+      threshold = 0.999, dim = 8).collect().map(_.getLong(0)).toSet
+    // each twin pair keeps the min id; the loner survives
+    assert(kept.contains(999L))
+    assert((0 until 5).forall(i => kept.contains(i.toLong) && !kept.contains(i + 100L)),
+      s"kept=$kept")
+  }
+
   test("ngramOverlap: planted contamination found; boilerplate grams capped away") {
     import spark.implicits._
     val eval_ = Seq((1000L, "the quick brown fox jumps over the lazy dog tonight"))
