@@ -71,6 +71,11 @@ object SparkEntry {
         bands = 4, shingleW = 2, rowsPerBand = 2)))),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), col("text"), col("doc_id"), bits = 16)),
+    // simhash Hamming pairs: chunk-banded candidate join (pigeonhole-lossless
+    // for hamming <= chunks-1) + exact Hamming verify — never all-pairs
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), col("text"), col("doc_id"),
+        bits = 16, chunks = 4, maxHamming = 3)),
     // eval-set decontamination: corpus docs sharing exact 3-grams with a
     // probe set (inverted-index join on the gram key — never doc x doc)
     "decontaminate_overlap" -> ((s, d) => {
@@ -421,6 +426,17 @@ object SparkEntry {
     "dedup_simhash" ->
       s"""WITH $toksCte
          |SELECT doc_id AS id, $simhashBits AS simhash FROM toks""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $toksCte,
+         |sh AS (SELECT doc_id AS id, $simhashBits AS sig FROM toks),
+         |ch0 AS (SELECT id, sig, unnest(range(0, 4)) AS band FROM sh),
+         |ch AS (SELECT id, band, substr(sig, band * 4 + 1, 4) AS csig FROM ch0),
+         |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+         |         FROM ch a JOIN ch b ON a.band = b.band AND a.csig = b.csig AND a.id < b.id)
+         |SELECT cand.a_id, cand.b_id,
+         |       len(list_filter(range(1, 17), i -> sa.sig[i] <> sb.sig[i])) AS hamming
+         |FROM cand JOIN sh sa ON cand.a_id = sa.id JOIN sh sb ON cand.b_id = sb.id
+         |WHERE len(list_filter(range(1, 17), i -> sa.sig[i] <> sb.sig[i])) <= 3""".stripMargin,
     "decontaminate_overlap" ->
       s"""WITH $toksCte,
          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(terms) - 2),

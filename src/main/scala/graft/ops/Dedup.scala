@@ -307,4 +307,39 @@ object Dedup {
     }
     df.select(id.as("id"), concat(bitCols: _*).as("simhash"))
   }
+
+  /** SimHash near-duplicate pairs via chunk banding (the classic large-scale
+    * web-dedup candidate scheme, cf. Manku et al., WWW'07 — built here from
+    * the public algorithm statement): the `bits`-bit signature splits into
+    * `chunks` contiguous pieces, and by pigeonhole any two signatures at
+    * Hamming distance <= chunks-1 agree on at least one whole chunk — so an
+    * equi-join on (chunk index, chunk value) generates ALL such candidates
+    * with one shuffle on the chunk key, never an all-pairs comparison. Exact
+    * Hamming distance verifies; `maxHamming <= chunks-1` keeps the banding
+    * lossless. `maxBucketSize` caps degenerate chunk buckets (constant /
+    * boilerplate signature regions) exactly like the minhash band cap.
+    * Output: (a_id, b_id, hamming), a_id < b_id. */
+  def simhashPairs(df: DataFrame, text: Column, id: Column, bits: Int = 16,
+      chunks: Int = 4, maxHamming: Int = 3,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(bits % chunks == 0, s"bits=$bits not divisible by chunks=$chunks")
+    require(maxHamming <= chunks - 1,
+      s"maxHamming=$maxHamming > chunks-1=${chunks - 1}: banding would lose recall " +
+        "(a pair can differ in every chunk); raise chunks or lower maxHamming")
+    val w = bits / chunks
+    val sh = simhash(df, text, id, bits)
+    val chunkRows = sh.select(col("id"),
+      posexplode(array((0 until chunks).map(k =>
+        substring(col("simhash"), k * w + 1, w)): _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("sig"))
+    val cand = minhashCandidates(chunkRows, maxBucketSize)
+    val a = sh.select(col("id").as("a_id"), col("simhash").as("a_sig"))
+    val b = sh.select(col("id").as("b_id"), col("simhash").as("b_sig"))
+    val ham = size(filter(
+      zip_with(split(col("a_sig"), ""), split(col("b_sig"), ""), (x, y) => x =!= y),
+      d => d)).cast("long")
+    cand.join(a, "a_id").join(b, "b_id")
+      .select(col("a_id"), col("b_id"), ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

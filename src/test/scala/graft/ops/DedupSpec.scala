@@ -102,6 +102,37 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(run(10) == Set((1002L, 1L))) // cap kills the degenerate store bucket
   }
 
+  test("simhashPairs: chunk banding finds all close pairs; verify bounds hamming") {
+    val pairs = Dedup.simhashPairs(corpus, col("text"), col("doc_id"),
+      bits = 16, chunks = 4, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exact duplicates of doc 3 have identical signatures: hamming 0
+    assert(pairs.get((3L, 100L)).contains(0L))
+    assert(pairs.get((3L, 101L)).contains(0L))
+    assert(pairs.get((100L, 101L)).contains(0L))
+    // every emitted pair respects the verify bound and the a<b convention
+    assert(pairs.forall { case ((a, b), h) => a < b && h <= 3 })
+    // brute-force cross-check on this small corpus: banding at
+    // maxHamming <= chunks-1 is LOSSLESS (pigeonhole) — no close pair missed
+    val sigs = Dedup.simhash(corpus, col("text"), col("doc_id"), bits = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = sa.zip(sb).count { case (x, y) => x != y } if h <= 3
+    } yield (ia, ib) -> h.toLong).toMap
+    assert(pairs == brute, s"banding missed ${brute.keySet -- pairs.keySet}")
+  }
+
+  test("simhashPairs: parameter guards fail fast") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(corpus, col("text"), col("doc_id"), bits = 16, chunks = 5)
+    }
+    intercept[IllegalArgumentException] { // lossy banding rejected
+      Dedup.simhashPairs(corpus, col("text"), col("doc_id"),
+        bits = 16, chunks = 4, maxHamming = 4)
+    }
+  }
+
   test("semanticKeepOne: planted embedding near-dups collapse to min-id representative") {
     import spark.implicits._
     // deterministic unit-ish vectors in 8d: base vectors far apart, each with
