@@ -16,6 +16,15 @@ import graft.ops.{Dedup, TextStats}
   *     [--near-dup y] [--bands 4] [--rows-per-band 2] [--shingle-w 2] [--jaccard 0.7]
   *     [--max-bucket 10000]
   *     [--probes eval.parquet --ngram 5 --min-shared 3]
+  *     [--store /path/to/sigstore [--store-min-bands 1]]
+  *
+  * `--store` turns a one-shot curation run into CONTINUOUS ingest: the batch
+  * is additionally deduplicated against the persistent signature store
+  * (graft.ops.SigStore — exact md5 anti-join, then shared-band near-dup
+  * probe) BEFORE batch-internal dedup, and the kept survivors' signatures
+  * are appended afterwards, so the next batch dedups against all history
+  * without re-reading it. The store pins its LSH parameters; a run with
+  * different --bands/--shingle-w/--rows-per-band fails fast.
   *
   * Every stage is a declarative DataFrame transform (one shuffle per dedup
   * stage, on the hash/bucket key); nothing is collected to the driver except
@@ -60,8 +69,27 @@ object Curate {
     val quality = q.drop("__n_tokens", "__ttr").persist()
     val nQuality = quality.count()
 
+    val bands = opts.getOrElse("--bands", "4").toInt
+    val shingleW = opts.getOrElse("--shingle-w", "2").toInt
+    val rowsPerBand = opts.getOrElse("--rows-per-band", "2").toInt
+    val maxBucket = opts.getOrElse("--max-bucket", "10000").toInt
+
+    // 2b. incremental ingest: drop docs already represented in the persistent
+    // signature store (exact hash, then shared-band near-dup probe) — history
+    // is joined through its constant-size signatures, never re-read
+    val store = opts.get("--store")
+    val storeParams = graft.ops.SigStore.Params(bands, shingleW, rowsPerBand)
+    val afterStore = store match {
+      case Some(sp) if graft.ops.SigStore.exists(spark, sp) =>
+        graft.ops.SigStore.filterNew(quality, col(textCol), col(idCol), sp, storeParams,
+          minBands = opts.getOrElse("--store-min-bands", "1").toInt,
+          maxBucketSize = maxBucket).persist()
+      case _ => quality
+    }
+    val nStore = afterStore.count()
+
     // 3. exact dedup keep-one (min id per content hash)
-    val keepExact = quality
+    val keepExact = afterStore
       .withColumn("__h", md5(col(textCol).cast("binary")))
       .withColumn("__keep", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__h")).orderBy(col(idCol))))
@@ -75,12 +103,10 @@ object Curate {
       if (!nearDup) keepExact
       else {
         val sigs = Dedup.minhashSignatures(keepExact, col(textCol), col(idCol),
-          bands = opts.getOrElse("--bands", "4").toInt,
-          shingleW = opts.getOrElse("--shingle-w", "2").toInt,
-          rowsPerBand = opts.getOrElse("--rows-per-band", "2").toInt)
-        val cand = Dedup.minhashCandidates(sigs, opts.getOrElse("--max-bucket", "10000").toInt)
+          bands = bands, shingleW = shingleW, rowsPerBand = rowsPerBand)
+        val cand = Dedup.minhashCandidates(sigs, maxBucket)
         val verified = Dedup.jaccardVerify(keepExact, col(textCol), col(idCol), cand,
-            shingleW = opts.getOrElse("--shingle-w", "2").toInt)
+            shingleW = shingleW)
           .filter(col("jaccard") >= opts.getOrElse("--jaccard", "0.7").toDouble)
           .select("a_id", "b_id")
         val labels = Dedup.clusters(verified)
@@ -106,8 +132,13 @@ object Curate {
     val nKept = keptP.count()
     keptP.write.mode(SaveMode.Overwrite).parquet(out)
 
-    println(s"""{"input":$nInput,"after_quality":$nQuality,"after_exact_dedup":$nExact,""" +
-      s""""after_near_dedup":$nNear,"kept":$nKept,"out":"$out"}""")
+    // append the survivors' signatures: the next batch dedups against them
+    store.foreach(sp =>
+      graft.ops.SigStore.append(keptP, col(textCol), col(idCol), sp, storeParams))
+
+    val storeField = store.map(_ => s""""after_store":$nStore,""").getOrElse("")
+    println(s"""{"input":$nInput,"after_quality":$nQuality,$storeField""" +
+      s""""after_exact_dedup":$nExact,"after_near_dedup":$nNear,"kept":$nKept,"out":"$out"}""")
     spark.stop()
   }
 }
