@@ -65,6 +65,47 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Continuous-ingest dedup with UNBOUNDED history: each micro-batch is
+    * exact-deduped within itself (keep min id per content hash), then probed
+    * against the persistent [[graft.ops.SigStore]] (exact md5 anti-join +
+    * shared-band near-dup probe over constant-size-per-doc state), survivors
+    * are appended to `outPath` and their signatures to the store. The
+    * complement of [[dedupExactStream]]: that one bounds state by a watermark
+    * (old content can re-enter); this one's horizon is the full corpus
+    * history at ~1e-4 of corpus bytes.
+    *
+    * Delivery: the foreachBatch body is at-least-once on retry — a crash
+    * between the parquet append and the signature append can re-emit one
+    * micro-batch's survivors. The signature append itself is idempotent for
+    * DEDUP purposes (duplicate signatures only repeat bucket members), so the
+    * dedup decision stays correct; exactly-once output requires an atomic
+    * sink (e.g. the io.Checkpoint partition-overwrite pattern). */
+  def dedupIngestStream(docs: DataFrame, textCol: String, idCol: String,
+      store: String, outPath: String, checkpoint: String,
+      params: graft.ops.SigStore.Params = graft.ops.SigStore.Params(),
+      minBands: Int = 1, maxBucketSize: Int = Int.MaxValue)(
+      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val internal = batch
+          .withColumn("__h", md5(col(textCol).cast("binary")))
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("__h")).orderBy(col(idCol))))
+          .filter(col("__rn") === 1).drop("__h", "__rn")
+        val fresh =
+          if (graft.ops.SigStore.exists(batch.sparkSession, store))
+            graft.ops.SigStore.filterNew(internal, col(textCol), col(idCol), store,
+              params, minBands, maxBucketSize)
+          else internal
+        val freshP = fresh.persist()
+        try {
+          freshP.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
+          graft.ops.SigStore.append(freshP, col(textCol), col(idCol), store, params)
+        } finally { freshP.unpersist(); () }
+      }
+      .start()
+
   /** 30-minute-gap sessions per user via the native session_window operator
     * (the streaming counterpart of Relational.eventsSessions). */
   def eventsSessions(events: DataFrame): DataFrame =

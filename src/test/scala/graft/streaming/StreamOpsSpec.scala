@@ -119,6 +119,30 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(ids == Seq(1L, 2L, 5L))
   }
 
+  test("store-backed ingest dedup: near-dups dropped across micro-batches, unbounded horizon") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupIngestStream(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      s"$dir/store", s"$dir/out", s"$dir/ckpt",
+      params = graft.ops.SigStore.Params(bands = 8, shingleW = 2, rowsPerBand = 1))
+    mem.addData(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"))) // in-batch exact dup
+    q.processAllAvailable()
+    mem.addData(Seq(
+      (4L, "one two three four five six seven eight"),        // exact dup of history
+      (5L, "alpha beta gamma delta epsilon zeta eta EXTRA"),  // near dup of history
+      (6L, "completely fresh words about catalyst planning")))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.read.parquet(s"$dir/out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 6L), s"got $ids")
+  }
+
   test("session_window sessionizes with 30-minute gaps") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
