@@ -48,6 +48,27 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"probe-side doc_id filter must reach the scan:\n$p")
   }
 
+  test("dedup_incremental: batch-vs-store bucket join — no cartesian, no batch x batch") {
+    val p = planOf("dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_semantic: LSH candidate path — no cartesian product") {
+    val p = planOf("dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_simhash_pairs: chunk-banded candidate join — no cartesian product") {
+    val p = planOf("dedup_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sample_stratified: pure filter over the scan — no shuffle, no Spark rng Sample") {
+    val p = planOf("sample_stratified")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Sample"), p)
+  }
+
   test("curate_keep: documents scan pruned to (doc_id, text)") {
     val p = planOf("curate_keep")
     assert(!p.contains("n_chars") && !p.contains("source"), "unused columns must be pruned")
