@@ -66,9 +66,19 @@ object SparkEntry {
       Dedup.jaccardVerify(dd, col("text"), col("doc_id"), cand, shingleW = 2)
         .filter(col("jaccard") >= 0.2)
     }),
-    "dedup_clusters" -> ((s, d) => Dedup.clusters(Dedup.minhashCandidates(
-      Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"),
-        bands = 4, shingleW = 2, rowsPerBand = 2)))),
+    // clusters over VERIFIED pairs, not raw candidates: at 10x data the
+    // candidate graph chains through random band collisions into one giant
+    // component (observed: 49k of 55k docs), which is both semantically
+    // wrong for dedup and a transitive-closure blowup; the verify stage
+    // keeps components at true-near-dup size
+    "dedup_clusters" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cand = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(dd, col("text"), col("doc_id"),
+          bands = 4, shingleW = 2, rowsPerBand = 2))
+      Dedup.clusters(Dedup.jaccardVerify(dd, col("text"), col("doc_id"), cand, shingleW = 2)
+        .filter(col("jaccard") >= 0.5).select("a_id", "b_id"))
+    }),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), col("text"), col("doc_id"), bits = 16)),
     // simhash Hamming pairs: chunk-banded candidate join (pigeonhole-lossless
@@ -108,12 +118,16 @@ object SparkEntry {
       docs(s, d), col("doc_id"), col("lang"),
       Map("en" -> 0.5, "de" -> 0.25), default = 0.05)
       .select(col("doc_id"), col("lang"))),
-    // keep-one dedup: cluster representatives + never-duplicated docs
+    // keep-one dedup: cluster representatives + never-duplicated docs —
+    // components over VERIFIED pairs (see dedup_clusters note)
     "dedup_keep_one" -> ((s, d) => {
       val dd = docs(s, d)
-      val labels = Dedup.clusters(Dedup.minhashCandidates(
+      val cand = Dedup.minhashCandidates(
         Dedup.minhashSignatures(dd, col("text"), col("doc_id"),
-          bands = 4, shingleW = 2, rowsPerBand = 2)))
+          bands = 4, shingleW = 2, rowsPerBand = 2))
+      val labels = Dedup.clusters(
+        Dedup.jaccardVerify(dd, col("text"), col("doc_id"), cand, shingleW = 2)
+          .filter(col("jaccard") >= 0.5).select("a_id", "b_id"))
       dd.select(col("doc_id"))
         .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
@@ -287,6 +301,16 @@ object SparkEntry {
        |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
        |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id)""".stripMargin
 
+  // candidates surviving the exact-Jaccard verify at 0.5 — clustering oracles
+  // run over THIS graph (clustering raw candidates chains through random band
+  // collisions into giant components at scale; see dedup_clusters query note)
+  private val verifiedPairsCte =
+    s"""$minhashPairsCte,
+       |vsets AS (SELECT doc_id, list_distinct(list_transform(range(0, len(terms) - 1), i -> terms[i+1] || ' ' || terms[i+2])) AS sh FROM toks),
+       |vpairs AS (SELECT c.a_id, c.b_id
+       |           FROM cand c JOIN vsets sa ON c.a_id = sa.doc_id JOIN vsets sb ON c.b_id = sb.doc_id
+       |           WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh))::DOUBLE >= 0.5)""".stripMargin
+
   private val simhashBits: String = (0 until 16).map { j =>
     s"CASE WHEN list_aggregate(list_transform(terms, t -> ((instr('0123456789abcdef', substr(md5(t), ${j + 1}, 1)) - 1) % 2) * 2 - 1), 'sum') > 0 THEN '1' ELSE '0' END"
   }.mkString(" || ")
@@ -415,8 +439,8 @@ object SparkEntry {
          |FROM cand c JOIN sets sa ON c.a_id = sa.doc_id JOIN sets sb ON c.b_id = sb.doc_id
          |WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh))::DOUBLE >= 0.2""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashPairsCte,
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM cand UNION SELECT b_id, a_id FROM cand),
+      s"""WITH RECURSIVE $verifiedPairsCte,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM vpairs UNION SELECT b_id, a_id FROM vpairs),
          |reach(src, dst) AS (
          |  SELECT src, dst FROM edges
          |  UNION
@@ -474,8 +498,8 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
         |      < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 50000 END""".stripMargin,
     "dedup_keep_one" ->
-      s"""WITH RECURSIVE $minhashPairsCte,
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM cand UNION SELECT b_id, a_id FROM cand),
+      s"""WITH RECURSIVE $verifiedPairsCte,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM vpairs UNION SELECT b_id, a_id FROM vpairs),
          |reach(src, dst) AS (
          |  SELECT src, dst FROM edges
          |  UNION
