@@ -82,10 +82,14 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), col("text"), col("doc_id"), bits = 16)),
     // simhash Hamming pairs: chunk-banded candidate join (pigeonhole-lossless
-    // for hamming <= chunks-1) + exact Hamming verify — never all-pairs
+    // for hamming <= chunks-1) + exact Hamming verify — never all-pairs.
+    // 64-bit signature: 16-bit chunks give a 65k-value bucket space, so the
+    // join stays selective as the corpus grows (16 bits = 4-bit chunks was
+    // quadratic at 50k docs — caught by the 10x scale gate); bucket cap as
+    // the belt-and-braces guard
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), col("text"), col("doc_id"),
-        bits = 16, chunks = 4, maxHamming = 3)),
+        bits = 64, chunks = 4, maxHamming = 3, maxBucketSize = 1000)),
     // eval-set decontamination: corpus docs sharing exact 3-grams with a
     // probe set (inverted-index join on the gram key — never doc x doc)
     "decontaminate_overlap" -> ((s, d) => {
@@ -315,6 +319,14 @@ object SparkEntry {
     s"CASE WHEN list_aggregate(list_transform(terms, t -> ((instr('0123456789abcdef', substr(md5(t), ${j + 1}, 1)) - 1) % 2) * 2 - 1), 'sum') > 0 THEN '1' ELSE '0' END"
   }.mkString(" || ")
 
+  // wide variant over a PRECOMPUTED md5 list column `hs` (one md5 per token,
+  // not one per token per bit): bit j = bit (j/32) of hex nibble (j%32),
+  // matching Dedup.simhash's shiftright formula for all j
+  private def simhashBitsWide(bits: Int): String = (0 until bits).map { j =>
+    val div = 1 << (j / 32)
+    s"CASE WHEN list_aggregate(list_transform(hs, h -> (((instr('0123456789abcdef', substr(h, ${j % 32 + 1}, 1)) - 1) // $div) % 2) * 2 - 1), 'sum') > 0 THEN '1' ELSE '0' END"
+  }.mkString(" || ")
+
   // ann_lsh_pairs oracle: the SAME ±1 hyperplanes as the Spark side, embedded
   // as SQL literals (Similarity.hyperplanes is seeded and deterministic)
   private val annDim = 64
@@ -452,15 +464,18 @@ object SparkEntry {
          |SELECT doc_id AS id, $simhashBits AS simhash FROM toks""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH $toksCte,
-         |sh AS (SELECT doc_id AS id, $simhashBits AS sig FROM toks),
+         |hx AS (SELECT doc_id AS id, list_transform(terms, t -> md5(t)) AS hs FROM toks),
+         |sh AS (SELECT id, ${simhashBitsWide(64)} AS sig FROM hx),
          |ch0 AS (SELECT id, sig, unnest(range(0, 4)) AS band FROM sh),
-         |ch AS (SELECT id, band, substr(sig, band * 4 + 1, 4) AS csig FROM ch0),
+         |ch AS (SELECT id, band, substr(sig, band * 16 + 1, 16) AS csig FROM ch0),
+         |big AS (SELECT band, csig FROM ch GROUP BY band, csig HAVING count(*) > 1000),
+         |ch2 AS (SELECT * FROM ch ANTI JOIN big USING (band, csig)),
          |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
-         |         FROM ch a JOIN ch b ON a.band = b.band AND a.csig = b.csig AND a.id < b.id)
+         |         FROM ch2 a JOIN ch2 b ON a.band = b.band AND a.csig = b.csig AND a.id < b.id)
          |SELECT cand.a_id, cand.b_id,
-         |       len(list_filter(range(1, 17), i -> sa.sig[i] <> sb.sig[i])) AS hamming
+         |       len(list_filter(range(1, 65), i -> sa.sig[i] <> sb.sig[i])) AS hamming
          |FROM cand JOIN sh sa ON cand.a_id = sa.id JOIN sh sb ON cand.b_id = sb.id
-         |WHERE len(list_filter(range(1, 17), i -> sa.sig[i] <> sb.sig[i])) <= 3""".stripMargin,
+         |WHERE len(list_filter(range(1, 65), i -> sa.sig[i] <> sb.sig[i])) <= 3""".stripMargin,
     "decontaminate_overlap" ->
       s"""WITH $toksCte,
          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(terms) - 2),

@@ -294,14 +294,22 @@ object Dedup {
   }
 
   /** SimHash over token multiset: bit j of the signature is the sign of the
-    * sum over tokens of (2*bit_j(md5(token)) - 1). `bits` <= 128 (md5 width).
-    * Bit j of a token = low bit of md5 hex digit j — declarative, engine-portable. */
+    * sum over tokens of (2*bit_j(md5(token)) - 1). `bits` <= 128 (md5 width:
+    * 32 hex nibbles x 4 bits; bit j = bit (j/32) of nibble (j%32), so j < 32
+    * reproduces the original low-bit-of-nibble formula unchanged).
+    * Declarative, engine-portable. The signature must be wide enough that the
+    * per-chunk value space exceeds the corpus ([[simhashPairs]]): 16 bits is
+    * a toy width — at 50k docs its 4-bit chunks put ~3k docs in every bucket
+    * and the candidate join goes quadratic (caught by the 10x scale gate). */
   def simhash(df: DataFrame, text: Column, id: Column, bits: Int): DataFrame = {
+    require(bits <= 128, s"bits=$bits > 128 (md5 width)")
     val toks = tokens(text)
     val bitCols = (0 until bits).map { j =>
       val votes = aggregate(
         transform(toks, t =>
-          (instr(lit("0123456789abcdef"), substring(md5(t.cast("binary")), j + 1, 1)) - 1) % 2),
+          shiftright(
+            instr(lit("0123456789abcdef"), substring(md5(t.cast("binary")), j % 32 + 1, 1)) - 1,
+            j / 32) % 2),
         lit(0L), (acc, v) => acc + v * 2 - 1)
       when(votes > 0, lit("1")).otherwise(lit("0"))
     }

@@ -123,6 +123,18 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs == brute, s"banding missed ${brute.keySet -- pairs.keySet}")
   }
 
+  test("simhash width > 32: high bits use upper nibble bits, not a repeat of the low bits") {
+    val sigs = Dedup.simhash(corpus, col("text"), col("doc_id"), bits = 64)
+      .collect().map(_.getString(1))
+    assert(sigs.forall(_.length == 64))
+    // bits 33..64 derive from nibble bit 1 (not bit 0): if the shift were
+    // broken they would equal bits 1..32 for every doc
+    assert(sigs.exists(s => s.substring(0, 32) != s.substring(32, 64)))
+    intercept[IllegalArgumentException] {
+      Dedup.simhash(corpus, col("text"), col("doc_id"), bits = 129)
+    }
+  }
+
   test("simhashPairs: parameter guards fail fast") {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(corpus, col("text"), col("doc_id"), bits = 16, chunks = 5)
