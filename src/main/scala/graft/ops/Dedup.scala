@@ -303,17 +303,22 @@ object Dedup {
     * and the candidate join goes quadratic (caught by the 10x scale gate). */
   def simhash(df: DataFrame, text: Column, id: Column, bits: Int): DataFrame = {
     require(bits <= 128, s"bits=$bits > 128 (md5 width)")
-    val toks = tokens(text)
+    // md5 once per token in its OWN projection (not inside each bit's lambda:
+    // `bits` lambdas re-hashing every token made the 64-bit path do 64x the
+    // md5 work; a materialized array column is referenced per bit for free —
+    // same discipline as shingles' pure-lambda rule)
+    val base = df.select(id.as("id"),
+      transform(tokens(text), t => md5(t.cast("binary"))).as("__hs"))
     val bitCols = (0 until bits).map { j =>
       val votes = aggregate(
-        transform(toks, t =>
+        transform(col("__hs"), h =>
           shiftright(
-            instr(lit("0123456789abcdef"), substring(md5(t.cast("binary")), j % 32 + 1, 1)) - 1,
+            instr(lit("0123456789abcdef"), substring(h, j % 32 + 1, 1)) - 1,
             j / 32) % 2),
         lit(0L), (acc, v) => acc + v * 2 - 1)
       when(votes > 0, lit("1")).otherwise(lit("0"))
     }
-    df.select(id.as("id"), concat(bitCols: _*).as("simhash"))
+    base.select(col("id"), concat(bitCols: _*).as("simhash"))
   }
 
   /** SimHash near-duplicate pairs via chunk banding (the classic large-scale
