@@ -147,7 +147,79 @@ object HyperplaneSig {
   }
 }
 
+/** Native SimHash signature over a token array: one compiled pass computing
+  * every bit, instead of `bits` interpreted HOF passes (aggregate+transform
+  * don't codegen; at 64 bits the declarative form re-walks the token array 64
+  * times per document — it benchmarked 27 s where this runs in ~1 s). Bit j
+  * of the signature is the sign of the token-vote sum, where a token votes
+  * +1/-1 by bit (j/32) of hex nibble (j%32) of md5(token) — bit-identical to
+  * the declarative formulation in [[graft.ops.Dedup.simhashDeclarative]] and
+  * the DuckDB oracle. */
+case class SimhashSig(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(bits >= 1 && bits <= 128, s"bits=$bits outside [1, 128] (md5 width)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash_sig expects array<string>, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "simhash_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    SimhashSig.compute(a.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimhashSig.compute($a, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashSig {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Shared eval/codegen kernel. A null token element poisons every bit to
+    * '0' — the declarative aggregate's null fold does exactly that. */
+  def compute(tokens: ArrayData, bits: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val out = new Array[Byte](bits)
+    val n = tokens.numElements()
+    val votes = new Array[Int](bits)
+    val md = mdLocal.get()
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) {
+        java.util.Arrays.fill(out, '0'.toByte)
+        return org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+      }
+      md.reset()
+      val h = md.digest(tokens.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < bits) {
+        val p = j & 31
+        val nib = if ((p & 1) == 0) (h(p >> 1) >> 4) & 0xF else h(p >> 1) & 0xF
+        votes(j) += (((nib >> (j >> 5)) & 1) << 1) - 1
+        j += 1
+      }
+      i += 1
+    }
+    var j = 0
+    while (j < bits) { out(j) = if (votes(j) > 0) '1'.toByte else '0'.toByte; j += 1 }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+}
+
 object VectorExpressions {
+
+  /** Column API: native one-pass SimHash signature over array<string>. */
+  def simhash_sig(toks: Column, bits: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(SimhashSig(
+      org.apache.spark.sql.graft.bridge.expression(toks), bits))
 
   /** Column API: per-band hyperplane sign signatures over array<double>. */
   def hyperplane_sig(vec: Column, planes: Array[Array[Double]], rowsPerBand: Int): Column =

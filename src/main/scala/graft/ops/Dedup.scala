@@ -303,6 +303,22 @@ object Dedup {
     * and the candidate join goes quadratic (caught by the 10x scale gate). */
   def simhash(df: DataFrame, text: Column, id: Column, bits: Int): DataFrame = {
     require(bits <= 128, s"bits=$bits > 128 (md5 width)")
+    // native one-pass codegen kernel (graft.functions.SimhashSig): the
+    // declarative HOF form below re-walks the token array `bits` times per
+    // document interpreted — 64-bit signatures over sf0.1 documents
+    // benchmarked 27 s declarative vs ~1 s native, same bits out
+    // (DedupSpec asserts bit-identical signatures between the two paths)
+    df.select(id.as("id"),
+      coalesce(
+        graft.functions.VectorExpressions.simhash_sig(tokens(text), bits),
+        lit("0" * bits)).as("simhash"))
+  }
+
+  /** The declarative formulation of [[simhash]] (HOF aggregate per bit) —
+    * kept as the cross-check oracle for the native kernel; not the hot path. */
+  private[graft] def simhashDeclarative(df: DataFrame, text: Column, id: Column,
+      bits: Int): DataFrame = {
+    require(bits <= 128, s"bits=$bits > 128 (md5 width)")
     // md5 once per token in its OWN projection (not inside each bit's lambda:
     // `bits` lambdas re-hashing every token made the 64-bit path do 64x the
     // md5 work; a materialized array column is referenced per bit for free —

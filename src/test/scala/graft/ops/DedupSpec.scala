@@ -135,6 +135,24 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("simhash: native codegen kernel is bit-identical to the declarative HOF form") {
+    import spark.implicits._
+    // corpus plus edge cases: empty text (single "" token after split),
+    // whitespace-only, and a null text (declarative yields an all-zero
+    // signature via the null fold — the native path must match)
+    val edge = Seq((200L, ""), (201L, "   "), (202L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val all = corpus.unionByName(edge)
+    for (bits <- Seq(16, 64, 128)) {
+      val native = Dedup.simhash(all, col("text"), col("doc_id"), bits)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val decl = Dedup.simhashDeclarative(all, col("text"), col("doc_id"), bits)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(native == decl, s"bits=$bits: native != declarative")
+      assert(native(202L) == "0" * bits)
+    }
+  }
+
   test("simhashPairs: parameter guards fail fast") {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(corpus, col("text"), col("doc_id"), bits = 16, chunks = 5)
