@@ -183,6 +183,27 @@ object SparkEntry {
         col("embedding"), k = 3, probeDims = 8, nProbe = 2)
         .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
     }),
+    // learned IVF: Lloyd's k-means coarse quantizer over integer-quantized
+    // vectors — deterministic init + exact arithmetic make the trained cells
+    // bit-identical across engines (the oracle unrolls the same two
+    // iterations in SQL); timing includes training (2 scans + K×dim shuffle
+    // per iteration)
+    "ann_kmeans_cells" -> ((s, d) => {
+      val e = embeds(s, d)
+      val cents = Similarity.kmeansCentroids(e, col("vec_id"), col("embedding"),
+        k = 8, iters = 2)
+      Similarity.kmeansAssign(e, col("vec_id"), col("embedding"), cents)
+    }),
+    // IVF search over the learned cells: co-partitioned cell join + exact
+    // cosine top-k (the trained replacement for ann_ivf's coordinate bucket)
+    "ann_kmeans_topk" -> ((s, d) => {
+      val e = embeds(s, d)
+      val cents = Similarity.kmeansCentroids(e, col("vec_id"), col("embedding"),
+        k = 8, iters = 2)
+      Similarity.kmeansTopK(e, e.filter(col("vec_id") < 50), col("vec_id"),
+        col("embedding"), k = 3, cents)
+        .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
+    }),
     // scale path for near-dup pairs: LSH bucket join (NO cross join in the
     // plan — asserted by PlanSpec); near-dups planted deterministically
     // (perturbed copy of every vector at id+10000) since the synthetic
@@ -339,6 +360,53 @@ object SparkEntry {
   }
   private def annBandSql(b: Int): String =
     (0 until annRowsPerBand).map(r => annBitSql(b * annRowsPerBand + r)).mkString("concat(", ", ", ")")
+
+  // ---- k-means IVF oracle: the same two Lloyd iterations unrolled in SQL.
+  // All arithmetic is exact (BIGINT sums/distances; floor-divided means whose
+  // double quotients are exact below 2^53), so assignments hash-match.
+  private def kmAssignCte(inCents: String, out: String): String =
+    s"""d_$out AS (SELECT v.id, v.q, c.cid,
+       |    list_sum(list_transform(list_zip(v.q, c.cq), p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+       |  FROM qv v CROSS JOIN $inCents c),
+       |$out AS MATERIALIZED (SELECT id, q, cid AS cluster FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM d_$out)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def kmUpdateCte(assigned: String, prev: String, out: String): String =
+    s"""s_$out AS (SELECT cluster, i.i AS pos, sum(q[i.i]) AS s, count(*) AS cnt
+       |  FROM $assigned CROSS JOIN (SELECT unnest(range(1, ${annDim + 1})) AS i) i GROUP BY 1, 2),
+       |n_$out AS (SELECT cluster AS cid, list(CAST(floor(s::DOUBLE / cnt) AS BIGINT) ORDER BY pos) AS cq
+       |  FROM s_$out GROUP BY 1),
+       |$out AS MATERIALIZED (SELECT p.cid, coalesce(n.cq, p.cq) AS cq FROM $prev p LEFT JOIN n_$out n ON p.cid = n.cid)""".stripMargin
+
+  // deterministic maximin seeding, unrolled: i0 = smallest id; each step
+  // adds the point with the largest min-distance to the chosen set (ties to
+  // the smaller id) — mirrors Similarity.kmeansCentroids exactly
+  private def kmInitCtes(k: Int): String = {
+    val b = new StringBuilder(
+      "i0 AS MATERIALIZED (SELECT 0 AS cid, q AS cq FROM (SELECT * FROM qv ORDER BY id LIMIT 1))")
+    for (j <- 1 until k) {
+      b.append(s""",
+         |p$j AS (SELECT v.id, min(list_sum(list_transform(list_zip(v.q, c.cq), p -> (p[1]-p[2])*(p[1]-p[2])))) AS d
+         |  FROM qv v CROSS JOIN i${j - 1} c GROUP BY v.id),
+         |pick$j AS (SELECT $j AS cid, qv.q AS cq FROM p$j JOIN qv ON p$j.id = qv.id
+         |           ORDER BY p$j.d DESC, p$j.id LIMIT 1),
+         |i$j AS MATERIALIZED (SELECT * FROM i${j - 1} UNION ALL SELECT * FROM pick$j)""".stripMargin)
+    }
+    b.toString
+  }
+
+  private lazy val kmCtes =
+    s"""qv AS MATERIALIZED (SELECT vec_id AS id,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |${kmInitCtes(8)},
+       |c0 AS (SELECT cid, cq FROM i7),
+       |${kmAssignCte("c0", "a1")},
+       |${kmUpdateCte("a1", "c0", "c1")},
+       |${kmAssignCte("c1", "a2")},
+       |${kmUpdateCte("a2", "c1", "c2")},
+       |${kmAssignCte("c2", "a3")}""".stripMargin
 
   private val dotSeq =
     "list_reduce(list_transform(range(1, len(%s)+1), i -> %s[i] * %s[i]), (x, y) -> x + y)"
@@ -643,6 +711,18 @@ object SparkEntry {
          |q AS (SELECT * FROM v WHERE vec_id < 50),
          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosineSql("q.e", "c.e")} AS score
          |      FROM v c JOIN q ON c.bucket = q.bucket AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
+    "ann_kmeans_cells" ->
+      s"""WITH $kmCtes
+         |SELECT id, cluster FROM a3""".stripMargin,
+    "ann_kmeans_topk" ->
+      s"""WITH $kmCtes,
+         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cells AS (SELECT a3.id, a3.cluster, ev.e FROM a3 JOIN ev ON a3.id = ev.vec_id),
+         |qq AS (SELECT * FROM cells WHERE id < 50),
+         |s AS (SELECT qq.id AS query_id, c.id AS neighbor_id, ${cosineSql("qq.e", "c.e")} AS score
+         |      FROM cells c JOIN qq ON c.cluster = qq.cluster AND qq.id <> c.id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
     "text_quality" ->

@@ -149,6 +149,115 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  // ------------------------------------------------ learned IVF (k-means)
+
+  /** Distance-to-centroid argmin over driver-held centroids, embedded as
+    * literals (the "broadcast" of a K×dim table this small): squared L2 in
+    * exact integer arithmetic, ties to the smaller centroid id via
+    * lexicographic struct min. */
+  private def nearestCentroid(q: Column, cents: Array[Array[Long]]): Column =
+    element_at(
+      array_min(array(cents.zipWithIndex.map { case (ct, ci) =>
+        // [distance, centroid id]: lexicographic array ordering == ORDER BY
+        // d, cid — the argmin with ties to the smaller centroid id
+        array(
+          aggregate(zip_with(q, typedLit(ct.toSeq), (x, c) => (x - c) * (x - c)),
+            lit(0L), (a, v) => a + v),
+          lit(ci.toLong))
+      }: _*)), 2)
+
+  /** Integer quantization q_d = floor(v_d * scale) — every later step (sums,
+    * squared distances, floor-divided centroid means) is exact BIGINT /
+    * exactly-representable-double arithmetic, so the learned centroids and
+    * assignments are bit-identical across engines and partitionings (the
+    * DuckDB oracle runs the same unrolled iterations). */
+  private def quantCol(vec: Column, scale: Int): Column =
+    transform(asDouble(vec), x => floor(x * scale).cast("long"))
+
+  private def quantized(df: DataFrame, id: Column, vec: Column, scale: Int): DataFrame =
+    df.select(id.as("id"), quantCol(vec, scale).as("q"))
+
+  /** Lloyd's k-means coarse quantizer for IVF — the learned replacement for
+    * the [[bucket]] heuristic. Deterministic init (the k vectors with the
+    * smallest ids), `iters` rounds of assign + update. Each round is ONE scan
+    * of the (lineage-truncated) quantized input: map-side argmin against
+    * centroid literals (no join), then a posexplode partial-sum aggregation
+    * whose result is K×dim rows — collected to the driver (tiny by
+    * construction) and re-embedded the next round. The classic Spark k-means
+    * shape: per iteration one scan + one K×dim-sized shuffle, nothing else.
+    * Centroid update is the element-wise floor(sum/count) over quantized
+    * coordinates (exact; empty clusters keep their previous centroid).
+    * Returns the K×dim centroid matrix. */
+  /** Min squared distance to any of the given centroids (seeding helper). */
+  private def minDistCol(q: Column, cents: Seq[Array[Long]]): Column =
+    array_min(array(cents.map(ct =>
+      aggregate(zip_with(q, typedLit(ct.toSeq), (x, c) => (x - c) * (x - c)),
+        lit(0L), (a, v) => a + v)): _*))
+
+  def kmeansCentroids(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
+      scale: Int = 1000): Array[Array[Long]] = {
+    // localCheckpoint, not persist: iterative consumers (memory note — AQE
+    // re-stringifies nested plans per action otherwise)
+    val q = quantized(df, id, vec, scale).localCheckpoint()
+    require(q.limit(k).count() == k, s"corpus has fewer than k=$k vectors")
+    // deterministic farthest-point (maximin) seeding: start from the smallest
+    // id, then repeatedly take the point farthest from the chosen set (ties
+    // to the smaller id). Naive smallest-k-ids seeding collapses when the
+    // input is ordered by cluster (all seeds land in one blob and Lloyd
+    // cannot escape — the planted-cluster spec caught exactly that); maximin
+    // guarantees spread, stays deterministic/SQL-expressible, and costs k-1
+    // TakeOrdered passes (k is small by construction).
+    val init = scala.collection.mutable.ArrayBuffer(
+      q.orderBy(col("id")).limit(1).collect().headOption
+        .getOrElse(throw new IllegalArgumentException("empty corpus"))
+        .getSeq[Long](1).toArray)
+    while (init.length < k) {
+      val next = q.select(col("q"), minDistCol(col("q"), init.toSeq).as("d"), col("id"))
+        .orderBy(col("d").desc, col("id")).limit(1).collect()
+      init += next(0).getSeq[Long](0).toArray
+    }
+    var cents: Array[Array[Long]] = init.toArray
+    val dim = cents.head.length
+    for (_ <- 1 to iters) {
+      val sums = q.select(nearestCentroid(col("q"), cents).as("cluster"),
+          posexplode(col("q")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val c = r.getLong(0).toInt
+        next(c)(r.getInt(1)) = math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Cell assignment under a trained centroid matrix: map-side only. */
+  def kmeansAssign(df: DataFrame, id: Column, vec: Column,
+      cents: Array[Array[Long]], scale: Int = 1000): DataFrame =
+    quantized(df, id, vec, scale)
+      .select(col("id"), nearestCentroid(col("q"), cents).as("cluster"))
+
+  /** IVF search over learned cells: exact cosine top-k within the query's
+    * k-means cell. Same co-partitioned-join shape as [[bucketedTopK]], with
+    * the trained quantizer instead of the coordinate heuristic. */
+  def kmeansTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+      k: Int, cents: Array[Array[Long]], scale: Int = 1000): DataFrame = {
+    val c = corpus.select(id.as("neighbor_id"), asDouble(vec).as("c_vec"),
+      nearestCentroid(quantCol(vec, scale), cents).as("bucket"))
+    val q = queries.select(id.as("query_id"), asDouble(vec).as("q_vec"),
+      nearestCentroid(quantCol(vec, scale), cents).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** Bucketed ANN: top-k by cosine within the query's coarse bucket only.
     * The join is on bucket id — co-partitioned, no cross join. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,

@@ -70,6 +70,48 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
       r.getAs[Int]("b") == r.getAs[Int]("p1")))
   }
 
+  test("k-means IVF: recovers planted clusters; partition-invariant; search stays in-cell") {
+    import spark.implicits._
+    // three well-separated planted centers in 8-d; 20 points each, small jitter
+    val rnd = new scala.util.Random(11)
+    val centers = Seq(
+      Array.fill(8)(0.9), Array.fill(8)(-0.9),
+      Array.tabulate(8)(i => if (i % 2 == 0) 0.9 else -0.9))
+    val pts = for {
+      (c, g) <- centers.zipWithIndex
+      i <- 0 until 20
+    } yield ((g * 20 + i).toLong, g, c.map(v => v + rnd.nextDouble() * 0.1 - 0.05))
+    val df = pts.map { case (id, g, v) => (id, g, v) }.toDF("id", "planted", "v")
+
+    val cents = Similarity.kmeansCentroids(df, col("id"), col("v"), k = 3, iters = 2)
+    assert(cents.length == 3 && cents.forall(_.length == 8))
+    val assigned = Similarity.kmeansAssign(df, col("id"), col("v"), cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted group lands in exactly one cell, and the cells differ
+    val cellOf = pts.groupBy(_._2).map { case (g, ps) =>
+      g -> ps.map(p => assigned(p._1)).distinct }
+    assert(cellOf.values.forall(_.size == 1), s"split planted group: $cellOf")
+    assert(cellOf.values.flatten.toSet.size == 3, s"merged groups: $cellOf")
+
+    // partition-invariance: identical centroids and assignments from a
+    // differently-partitioned input (exact integer arithmetic => no
+    // float-order sensitivity)
+    val cents2 = Similarity.kmeansCentroids(df.repartition(7), col("id"), col("v"), k = 3, iters = 2)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+
+    // search: top-k neighbors come from the query's own cell
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ec = Similarity.kmeansCentroids(e, col("vec_id"), col("embedding"), k = 4, iters = 2)
+    val res = Similarity.kmeansTopK(e, e.filter(col("vec_id") < 10), col("vec_id"),
+      col("embedding"), k = 3, ec)
+    val cells = Similarity.kmeansAssign(e, col("vec_id"), col("embedding"), ec)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(
+      cells(r.getAs[Long]("query_id")) == cells(r.getAs[Long]("neighbor_id"))))
+  }
+
   test("SQL registration + codegen plan") {
     VectorExpressions.register(spark)
     vecs.createOrReplaceTempView("vx")
