@@ -119,7 +119,7 @@ object Bench {
     val headline = Seq(
       "kg_triples", "kg_edges", "kg_graph_union", "dedup_exact", "dedup_minhash_pairs",
       "dedup_simhash", "dedup_simhash_pairs", "dedup_incremental", "dedup_semantic",
-      "link_groups", "ann_bruteforce", "ann_ivf", "ann_lsh_pairs",
+      "link_groups", "ann_bruteforce", "ann_ivf", "ann_lsh_pairs", "ann_kmeans_topk",
       "text_quality", "text_fingerprint", "text_repetition", "sample_stratified",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
