@@ -37,6 +37,10 @@ object SparkEntry {
     "kg_radial" -> ((s, d) => DocKg.radial(s, d)),
     "kg_radial_salted" -> ((s, d) => DocKg.radialSalted(s, d)),
     "kg_paths2" -> ((s, d) => DocKg.paths2(s, d)),
+    // exact fixed-point PageRank over the edge relation: BIGINT arithmetic
+    // with truncating division -> bit-identical ranks cross-engine (a
+    // double-valued PageRank could never hash-match; see GraphOps.pageRank)
+    "kg_pagerank" -> ((s, d) => DocKg.pageRank(s, d, iters = 3)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
     "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
@@ -435,6 +439,25 @@ object SparkEntry {
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)}
          |SELECT source, target, sent, c FROM edges""".stripMargin,
+    "kg_pagerank" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |ew AS MATERIALIZED (SELECT source, target, CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS w
+         |      FROM edges GROUP BY 1, 2),
+         |ow AS (SELECT source, CAST(sum(w) AS BIGINT) AS ow FROM ew GROUP BY 1),
+         |ewj AS MATERIALIZED (SELECT e.source, e.target, e.w, o.ow FROM ew e JOIN ow o ON e.source = o.source),
+         |pn AS MATERIALIZED (SELECT DISTINCT id FROM
+         |      (SELECT source AS id FROM ew UNION ALL SELECT target FROM ew)),
+         |meta AS MATERIALIZED (SELECT 1000000000000 // count(*) AS t FROM pn),
+         |r0 AS MATERIALIZED (SELECT id, (SELECT t FROM meta) AS r FROM pn),
+         |${(1 to 3).map(i =>
+              s"""c$i AS (SELECT e.target, CAST(sum((85 * r.r * e.w) // (100 * e.ow)) AS BIGINT) AS cin
+                 |      FROM ewj e JOIN r${i - 1} r ON e.source = r.id GROUP BY 1),
+                 |r$i AS MATERIALIZED (SELECT pn.id,
+                 |      CAST((SELECT (15 * t) // 100 FROM meta) + coalesce(c.cin, 0) AS BIGINT) AS r
+                 |      FROM pn LEFT JOIN c$i c ON pn.id = c.target)""".stripMargin)
+            .mkString(",\n")}
+         |SELECT id, r FROM r3""".stripMargin,
     "kg_nodes" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

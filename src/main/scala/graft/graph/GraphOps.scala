@@ -168,4 +168,50 @@ object GraphOps {
     if (!weights)
       df.select(col("source"), col("target"), col("sent"), lit(1.0).as("c"))
     else maxNormalize(df)
+
+  /** Exact fixed-point PageRank over an aggregated edge relation
+    * (source, target, c) — engine extension for post-construction graph
+    * analytics. All arithmetic is BIGINT with truncating division on
+    * positive values, so ranks are BIT-IDENTICAL across engines and
+    * partitionings (no float-summation order sensitivity — the property that
+    * makes a double-valued PageRank un-oracle-able):
+    *
+    *   T        = 10^12 div N                      (initial rank, total mass 10^12)
+    *   r_0(v)   = T
+    *   r_t+1(v) = (15*T div 100) + Σ_{u->v} (85 * r_t(u) * w_uv) div (100 * W_u)
+    *
+    * where W_u = Σ_v w_uv. Dangling mass (nodes with no out-edges) is dropped,
+    * not redistributed (documented deviation from the classic formulation;
+    * ranks stay proportional for ranking purposes). Per iteration: one join
+    * of the lineage-truncated edge relation with the rank relation on the
+    * SAME key (source) — co-partitioned under one shuffle partitioning — plus
+    * a partial+final aggregation on target. Overflow bound: 85 * r * w must
+    * stay under 2^62 for the DuckDB mirror, i.e. max edge weight * 8.5*10^13
+    * — holds for any real count-weighted KG edge relation.
+    *
+    * Output: (id, r) with Σ r <= 10^12. `iters` fixed (unrolled in the SQL
+    * oracle); convergence-by-epsilon is a driver-side stop rule at scale. */
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val ew0 = edges.groupBy(col("source"), col("target"))
+      .agg(sum(col("c").cast("long")).as("w"))
+    val outw = ew0.groupBy(col("source")).agg(sum(col("w")).as("ow"))
+    // localCheckpoint: iterative consumer (nested-plan/AQE re-stringification)
+    val ew = ew0.join(outw, "source").localCheckpoint()
+    val nodes = ew0.select(col("source").as("id"))
+      .union(ew0.select(col("target").as("id"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "empty edge relation")
+    val t = 1000000000000L / n
+    val base = (15L * t) / 100L
+    var ranks = nodes.select(col("id"), lit(t).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = ew.join(ranks, ew("source") === ranks("id"))
+        .select(col("target"), expr("(85 * r * w) div (100 * ow)").as("contrib"))
+        .groupBy(col("target")).agg(sum(col("contrib")).as("cin"))
+      ranks = nodes.join(contribs, nodes("id") === contribs("target"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("cin"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

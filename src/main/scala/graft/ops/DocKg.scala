@@ -163,6 +163,12 @@ object DocKg {
         (col("c1") * col("c2")).as("w"))
   }
 
+  /** Exact fixed-point PageRank over the aggregated KG edge relation
+    * (GraphOps.pageRank) — post-construction graph analytics with
+    * bit-identical cross-engine ranks. */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    GraphOps.pageRank(edges(spark, dir), iters)
+
   /** Two sub-corpora for the graph algebra: english docs vs the rest.
     * Aggregated ONCE with the lang flag as an extra grouping key, then split —
     * the two join sides share an identical aggregate subtree, so Spark's
