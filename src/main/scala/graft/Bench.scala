@@ -53,7 +53,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def kgJob(spark: SparkSession, pagesPath: String, parts: Int) = {
+  /** The scaling-gate pipeline (pages parquet -> triples); also reused by
+    * graft.tools.GateProbe so the probe measures exactly what Bench runs. */
+  private[graft] def kgJob(spark: SparkSession, pagesPath: String, parts: Int) = {
     implicit val s: SparkSession = spark
     import s.implicits._
     val cfg = graft.kg.KgPipeline.Config(

@@ -185,15 +185,30 @@ object GraphOps {
     * ranks stay proportional for ranking purposes). Per iteration: one join
     * of the lineage-truncated edge relation with the rank relation on the
     * SAME key (source) — co-partitioned under one shuffle partitioning — plus
-    * a partial+final aggregation on target. Overflow bound: 85 * r * w must
-    * stay under 2^62 for the DuckDB mirror, i.e. max edge weight * 8.5*10^13
-    * — holds for any real count-weighted KG edge relation.
+    * a partial+final aggregation on target. Guarded: non-integral c and
+    * collapsed-weight (w <= 0) edges raise instead of silently producing
+    * teleport-only ranks, and w is capped at 54,000 so 85 * r * w stays
+    * under 2^62 (r <= 10^12 since mass is non-increasing under floor) —
+    * Spark would wrap Long overflow silently where the DuckDB mirror errors.
     *
     * Output: (id, r) with Σ r <= 10^12. `iters` fixed (unrolled in the SQL
     * oracle); convergence-by-epsilon is a driver-side stop rule at scale. */
   def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    // fail fast instead of silently truncating: a normalized edge relation
+    // (c in (0,1], e.g. maxNormalize output) would cast to w=0 and produce
+    // teleport-only ranks; fractional counts would silently round down
+    val cInt = when(col("c") =!= floor(col("c")),
+      raise_error(concat(lit("pageRank requires integral edge weights, got c="), col("c")))
+        .cast("double")).otherwise(col("c")).cast("long")
     val ew0 = edges.groupBy(col("source"), col("target"))
-      .agg(sum(col("c").cast("long")).as("w"))
+      .agg(sum(cInt).as("w"))
+      // w <= 5.4e4 keeps 85 * r * w < 2^62 for r <= the 10^12 total mass
+      // (mass is non-increasing under floor), the bound the DuckDB mirror
+      // needs; Spark would wrap silently where DuckDB errors. Pre-scale
+      // (cap/log-bucket) pathological edge multiplicities upstream.
+      .withColumn("w", when(col("w") <= 0 || col("w") > 54000L,
+        raise_error(concat(lit("pageRank edge weight out of (0, 54000]: w="), col("w")))
+          .cast("double").cast("long")).otherwise(col("w")))
     val outw = ew0.groupBy(col("source")).agg(sum(col("w")).as("ow"))
     // localCheckpoint: iterative consumer (nested-plan/AQE re-stringification)
     val ew = ew0.join(outw, "source").localCheckpoint()

@@ -177,40 +177,39 @@ object Similarity {
   private def quantized(df: DataFrame, id: Column, vec: Column, scale: Int): DataFrame =
     df.select(id.as("id"), quantCol(vec, scale).as("q"))
 
-  /** Lloyd's k-means coarse quantizer for IVF — the learned replacement for
-    * the [[bucket]] heuristic. Deterministic init (the k vectors with the
-    * smallest ids), `iters` rounds of assign + update. Each round is ONE scan
-    * of the (lineage-truncated) quantized input: map-side argmin against
-    * centroid literals (no join), then a posexplode partial-sum aggregation
-    * whose result is K×dim rows — collected to the driver (tiny by
-    * construction) and re-embedded the next round. The classic Spark k-means
-    * shape: per iteration one scan + one K×dim-sized shuffle, nothing else.
-    * Centroid update is the element-wise floor(sum/count) over quantized
-    * coordinates (exact; empty clusters keep their previous centroid).
-    * Returns the K×dim centroid matrix. */
   /** Min squared distance to any of the given centroids (seeding helper). */
   private def minDistCol(q: Column, cents: Seq[Array[Long]]): Column =
     array_min(array(cents.map(ct =>
       aggregate(zip_with(q, typedLit(ct.toSeq), (x, c) => (x - c) * (x - c)),
         lit(0L), (a, v) => a + v)): _*))
 
+  /** Lloyd's k-means coarse quantizer for IVF — the learned replacement for
+    * the [[bucket]] heuristic. Deterministic farthest-point (maximin)
+    * seeding: start from the smallest id, then repeatedly take the point
+    * farthest from the chosen set (ties to the smaller id) — naive
+    * smallest-k-ids seeding collapses when the input is ordered by cluster
+    * (all seeds land in one blob and Lloyd cannot escape; the
+    * planted-cluster spec caught exactly that), while maximin guarantees
+    * spread, stays deterministic/SQL-expressible, and costs k-1 TakeOrdered
+    * passes (k is small by construction). Then `iters` rounds of
+    * assign + update; each round is ONE scan of the (lineage-truncated)
+    * quantized input: map-side argmin against centroid literals (no join),
+    * then a posexplode partial-sum aggregation whose result is K×dim rows —
+    * collected to the driver (tiny by construction) and re-embedded the next
+    * round. The classic Spark k-means shape: per iteration one scan + one
+    * K×dim-sized shuffle, nothing else. Centroid update is the element-wise
+    * floor(sum/count) over quantized coordinates (exact; empty clusters keep
+    * their previous centroid). Returns the K×dim centroid matrix. */
   def kmeansCentroids(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
       scale: Int = 1000): Array[Array[Long]] = {
+    require(k >= 1, s"k=$k must be >= 1")
     // localCheckpoint, not persist: iterative consumers (memory note — AQE
     // re-stringifies nested plans per action otherwise)
     val q = quantized(df, id, vec, scale).localCheckpoint()
+    // guards maximin from silently seeding duplicate centroids on N < k
     require(q.limit(k).count() == k, s"corpus has fewer than k=$k vectors")
-    // deterministic farthest-point (maximin) seeding: start from the smallest
-    // id, then repeatedly take the point farthest from the chosen set (ties
-    // to the smaller id). Naive smallest-k-ids seeding collapses when the
-    // input is ordered by cluster (all seeds land in one blob and Lloyd
-    // cannot escape — the planted-cluster spec caught exactly that); maximin
-    // guarantees spread, stays deterministic/SQL-expressible, and costs k-1
-    // TakeOrdered passes (k is small by construction).
     val init = scala.collection.mutable.ArrayBuffer(
-      q.orderBy(col("id")).limit(1).collect().headOption
-        .getOrElse(throw new IllegalArgumentException("empty corpus"))
-        .getSeq[Long](1).toArray)
+      q.orderBy(col("id")).limit(1).collect()(0).getSeq[Long](1).toArray)
     while (init.length < k) {
       val next = q.select(col("q"), minDistCol(col("q"), init.toSeq).as("d"), col("id"))
         .orderBy(col("d").desc, col("id")).limit(1).collect()

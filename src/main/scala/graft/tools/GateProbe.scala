@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   * plan on EVERY call) vs plan-once/execute-many (`queryExecution.toRdd`
   * kept across measurements, like a real cluster job that plans once), and
   * reports gate-style paired 1-vs-4-core engine efficiencies both ways.
-  */
+  * The pipeline under test is graft.Bench.kgJob itself, so the probe measures
+  * exactly what the gate measures. */
 object GateProbe {
   def main(args: Array[String]): Unit = {
     val pagesN = if (args.nonEmpty) args(0).toLong else 50000L
@@ -27,23 +28,9 @@ object GateProbe {
     graft.gen.PageGen.pages(pagesN, 42L, 64, sentsMin = 15, sentsMax = 40)(spark)
       .write.mode("overwrite").parquet(pagesPath)
 
-    def kgDf(parts: Int) = {
-      implicit val s: SparkSession = spark
-      import s.implicits._
-      import org.apache.spark.sql.functions.{col, lit}
-      val cfg = graft.kg.KgPipeline.Config(
-        sampler = graft.kg.Sampler.Config(renderText = false))
-      val pages = spark.read.parquet(pagesPath)
-        .select(col("url"), col("warc_ts"),
-          lit(null).cast("binary").as("html"), col("text"), col("lang"))
-        .as[graft.core.Page].coalesce(parts)
-      graft.kg.KgPipeline.triplesFast(
-        graft.kg.KgPipeline.parsePages(pages, graft.ner.BracketNer, cfg), cfg,
-        graft.kg.LexiconScorer())
-    }
-
     // warm everything
-    kgDf(32).count(); kgDf(32).count()
+    graft.Bench.kgJob(spark, pagesPath, 32).count()
+    graft.Bench.kgJob(spark, pagesPath, 32).count()
 
     def t(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -54,37 +41,22 @@ object GateProbe {
     val tinyPath = s"$tmp/tiny"
     graft.gen.PageGen.pages(200L, 7L, 64, 15, 40)(spark)
       .write.mode("overwrite").parquet(tinyPath)
-    def tinyDf() = {
-      implicit val s: SparkSession = spark
-      import s.implicits._
-      import org.apache.spark.sql.functions.{col, lit}
-      val cfg = graft.kg.KgPipeline.Config(
-        sampler = graft.kg.Sampler.Config(renderText = false))
-      val pages = spark.read.parquet(tinyPath)
-        .select(col("url"), col("warc_ts"),
-          lit(null).cast("binary").as("html"), col("text"), col("lang"))
-        .as[graft.core.Page].coalesce(32)
-      graft.kg.KgPipeline.triplesFast(
-        graft.kg.KgPipeline.parsePages(pages, graft.ner.BracketNer, cfg), cfg,
-        graft.kg.LexiconScorer())
-    }
-    tinyDf().count() // warm
-    val freshCounts = (1 to 5).map(_ => t(tinyDf().count()))
-    val keptTiny = tinyDf()
-    val tinyRdd = keptTiny.queryExecution.toRdd
+    graft.Bench.kgJob(spark, tinyPath, 32).count() // warm
+    val freshCounts = (1 to 5).map(_ => t(graft.Bench.kgJob(spark, tinyPath, 32).count()))
+    val tinyRdd = graft.Bench.kgJob(spark, tinyPath, 32).queryExecution.toRdd
     tinyRdd.count() // warm
     val rddCounts = (1 to 5).map(_ => t(tinyRdd.count()))
     println(f"fresh-count overhead (tiny input, s): ${freshCounts.mkString(", ")}")
     println(f"plan-once rdd.count (tiny input, s):  ${rddCounts.mkString(", ")}")
 
     // 2) gate-style rounds both ways
-    val rdd1 = kgDf(1).queryExecution.toRdd
-    val rdd4 = kgDf(4).queryExecution.toRdd
+    val rdd1 = graft.Bench.kgJob(spark, pagesPath, 1).queryExecution.toRdd
+    val rdd4 = graft.Bench.kgJob(spark, pagesPath, 4).queryExecution.toRdd
     rdd4.count() // warm
     println("round, e1_fresh, e4_fresh, eff_fresh, e1_rdd, e4_rdd, eff_rdd")
     (1 to rounds).foreach { r =>
-      val e1f = pagesN / t(kgDf(1).count())
-      val e4f = pagesN / t(kgDf(4).count())
+      val e1f = pagesN / t(graft.Bench.kgJob(spark, pagesPath, 1).count())
+      val e4f = pagesN / t(graft.Bench.kgJob(spark, pagesPath, 4).count())
       val e1r = pagesN / t(rdd1.count())
       val e4r = pagesN / t(rdd4.count())
       println(f"$r, ${e1f}%.0f, ${e4f}%.0f, ${(e4f / e1f) / 4}%.3f, ${e1r}%.0f, ${e4r}%.0f, ${(e4r / e1r) / 4}%.3f")

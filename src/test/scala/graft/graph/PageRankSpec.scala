@@ -61,6 +61,22 @@ class PageRankSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.forall(_.getLong(1) >= base))
   }
 
+  test("guards: fractional (normalized) weights raise instead of truncating to teleport-only") {
+    import spark.implicits._
+    val normalized = Seq(("a", "b", "pos", 0.5), ("b", "a", "pos", 1.0))
+      .toDF("source", "target", "sent", "c")
+    val ex = intercept[Exception] {
+      GraphOps.pageRank(normalized, iters = 1).collect()
+    }
+    assert(ex.getMessage.contains("integral edge weights"), ex.getMessage)
+    val huge = Seq(("a", "b", "pos", 100000.0), ("b", "a", "pos", 1.0))
+      .toDF("source", "target", "sent", "c")
+    val ex2 = intercept[Exception] {
+      GraphOps.pageRank(huge, iters = 1).collect()
+    }
+    assert(ex2.getMessage.contains("out of (0, 54000]"), ex2.getMessage)
+  }
+
   test("multigraph edges (parallel sents) collapse into one weight") {
     import spark.implicits._
     val multi = Seq(("a", "b", "pos", 2.0), ("a", "b", "neg", 1.0), ("b", "a", "pos", 1.0))
