@@ -187,8 +187,8 @@ object GraphOps {
     * SAME key (source) — co-partitioned under one shuffle partitioning — plus
     * a partial+final aggregation on target. Guarded: non-integral c and
     * collapsed-weight (w <= 0) edges raise instead of silently producing
-    * teleport-only ranks, and w is capped at 54,000 so 85 * r * w stays
-    * under 2^62 (r <= 10^12 since mass is non-increasing under floor) —
+    * teleport-only ranks, and w is capped at 100,000 so 85 * r * w stays
+    * under 2^63 (r <= 10^12 since mass is non-increasing under floor) —
     * Spark would wrap Long overflow silently where the DuckDB mirror errors.
     *
     * Output: (id, r) with Σ r <= 10^12. `iters` fixed (unrolled in the SQL
@@ -202,12 +202,13 @@ object GraphOps {
         .cast("double")).otherwise(col("c")).cast("long")
     val ew0 = edges.groupBy(col("source"), col("target"))
       .agg(sum(cInt).as("w"))
-      // w <= 5.4e4 keeps 85 * r * w < 2^62 for r <= the 10^12 total mass
-      // (mass is non-increasing under floor), the bound the DuckDB mirror
-      // needs; Spark would wrap silently where DuckDB errors. Pre-scale
-      // (cap/log-bucket) pathological edge multiplicities upstream.
-      .withColumn("w", when(col("w") <= 0 || col("w") > 54000L,
-        raise_error(concat(lit("pageRank edge weight out of (0, 54000]: w="), col("w")))
+      // w <= 1e5 keeps 85 * r * w < 2^63 for r <= the 10^12 total mass
+      // (mass is non-increasing under floor): above that Spark would WRAP
+      // silently while the DuckDB mirror errors — this guard makes both
+      // engines fail fast identically. Pre-scale (cap/log-bucket)
+      // pathological edge multiplicities upstream.
+      .withColumn("w", when(col("w") <= 0 || col("w") > 100000L,
+        raise_error(concat(lit("pageRank edge weight out of (0, 100000]: w="), col("w")))
           .cast("double").cast("long")).otherwise(col("w")))
     val outw = ew0.groupBy(col("source")).agg(sum(col("w")).as("ow"))
     // localCheckpoint: iterative consumer (nested-plan/AQE re-stringification)

@@ -69,12 +69,12 @@ class PageRankSpec extends AnyFunSuite with SparkTestSession {
       GraphOps.pageRank(normalized, iters = 1).collect()
     }
     assert(ex.getMessage.contains("integral edge weights"), ex.getMessage)
-    val huge = Seq(("a", "b", "pos", 100000.0), ("b", "a", "pos", 1.0))
+    val huge = Seq(("a", "b", "pos", 200000.0), ("b", "a", "pos", 1.0))
       .toDF("source", "target", "sent", "c")
     val ex2 = intercept[Exception] {
       GraphOps.pageRank(huge, iters = 1).collect()
     }
-    assert(ex2.getMessage.contains("out of (0, 54000]"), ex2.getMessage)
+    assert(ex2.getMessage.contains("out of (0, 100000]"), ex2.getMessage)
   }
 
   test("multigraph edges (parallel sents) collapse into one weight") {
