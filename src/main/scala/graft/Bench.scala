@@ -119,7 +119,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
 
     val headline = Seq(
-      "kg_triples", "kg_edges", "kg_graph_union", "dedup_exact", "dedup_minhash_pairs",
+      "kg_triples", "kg_edges", "kg_graph_union", "kg_pagerank", "dedup_exact", "dedup_minhash_pairs",
       "dedup_simhash", "dedup_simhash_pairs", "dedup_incremental", "dedup_semantic",
       "link_groups", "ann_bruteforce", "ann_ivf", "ann_lsh_pairs", "ann_kmeans_topk",
       "text_quality", "text_fingerprint", "text_repetition", "sample_stratified",
@@ -287,8 +287,8 @@ object Bench {
     if (scaleStep > 1) {
       val xDir = s"$tmp/sfx$scaleStep"
       graft.tools.ScaleUp.scale(spark, sfDir, xDir, scaleStep)
-      val subset = Seq("kg_triples", "kg_edges", "dedup_exact", "dedup_minhash_pairs",
-        "dedup_simhash", "link_groups", "ann_lsh_pairs", "text_quality",
+      val subset = Seq("kg_triples", "kg_edges", "kg_pagerank", "dedup_exact", "dedup_minhash_pairs",
+        "dedup_simhash", "link_groups", "ann_lsh_pairs", "ann_kmeans_cells", "text_quality",
         "q1_agg", "q3_join", "events_hourly")
       val xq = subset.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
