@@ -214,7 +214,98 @@ object SimhashSig {
   }
 }
 
+/** Native k-means kernels over integer-quantized vectors (array<bigint>):
+  * the K×D squared-L2 loop against a centroid matrix carried as a codegen
+  * reference object. The HOF formulation (aggregate(zip_with) per centroid)
+  * is interpreted AND its K big expression trees make every one of the
+  * training loop's driver-synchronous jobs pay ~1s of Catalyst analysis —
+  * the 8-centroid/64-dim training at sf0.1 ran 13 s with HOF trees vs ~3 s
+  * with these single-node expressions. Integer arithmetic is
+  * order-insensitive, so results are bit-identical to the HOF form and the
+  * DuckDB oracle. */
+object CentroidKernel {
+  /** Index of the nearest centroid (squared L2), ties to the smaller index. */
+  def argmin(q: ArrayData, flat: Array[Long], dim: Int): Long = {
+    val k = flat.length / dim
+    val n = math.min(q.numElements(), dim)
+    var best = 0L; var bestD = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      val base = c * dim
+      var d = 0L
+      var i = 0
+      while (i < n) { val x = q.getLong(i) - flat(base + i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c.toLong }
+      c += 1
+    }
+    best
+  }
+
+  /** Min squared L2 distance to any centroid (maximin seeding). */
+  def minDist(q: ArrayData, flat: Array[Long], dim: Int): Long = {
+    val k = flat.length / dim
+    val n = math.min(q.numElements(), dim)
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      val base = c * dim
+      var d = 0L
+      var i = 0
+      while (i < n) { val x = q.getLong(i) - flat(base + i); d += x * x; i += 1 }
+      if (d < bestD) bestD = d
+      c += 1
+    }
+    bestD
+  }
+}
+
+abstract class CentroidExpr
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  def cents: Array[Array[Long]]
+  protected lazy val flat: Array[Long] = cents.flatten
+  protected lazy val dim: Int = cents.head.length
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<bigint>, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  protected def kernelName: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", flat, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.CentroidKernel.$kernelName($a, $ref, $dim);")
+  }
+}
+
+case class CentroidArgmin(child: Expression, cents: Array[Array[Long]]) extends CentroidExpr {
+  override def prettyName: String = "centroid_argmin"
+  override protected def kernelName: String = "argmin"
+  override def nullSafeEval(a: Any): Any =
+    CentroidKernel.argmin(a.asInstanceOf[ArrayData], flat, dim)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class CentroidMinDist(child: Expression, cents: Array[Array[Long]]) extends CentroidExpr {
+  override def prettyName: String = "centroid_min_dist"
+  override protected def kernelName: String = "minDist"
+  override def nullSafeEval(a: Any): Any =
+    CentroidKernel.minDist(a.asInstanceOf[ArrayData], flat, dim)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
+
+  /** Column API: nearest-centroid index over array<bigint> (ties -> smaller). */
+  def centroid_argmin(q: Column, cents: Array[Array[Long]]): Column =
+    org.apache.spark.sql.graft.bridge.column(CentroidArgmin(
+      org.apache.spark.sql.graft.bridge.expression(q), cents))
+
+  /** Column API: min squared L2 distance to any centroid over array<bigint>. */
+  def centroid_min_dist(q: Column, cents: Array[Array[Long]]): Column =
+    org.apache.spark.sql.graft.bridge.column(CentroidMinDist(
+      org.apache.spark.sql.graft.bridge.expression(q), cents))
 
   /** Column API: native one-pass SimHash signature over array<string>. */
   def simhash_sig(toks: Column, bits: Int): Column =

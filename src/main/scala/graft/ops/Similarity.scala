@@ -151,11 +151,20 @@ object Similarity {
 
   // ------------------------------------------------ learned IVF (k-means)
 
-  /** Distance-to-centroid argmin over driver-held centroids, embedded as
-    * literals (the "broadcast" of a K×dim table this small): squared L2 in
-    * exact integer arithmetic, ties to the smaller centroid id via
-    * lexicographic struct min. */
+  /** Distance-to-centroid argmin over driver-held centroids (squared L2 in
+    * exact integer arithmetic, ties to the smaller centroid id) via the
+    * native codegen kernel: the centroid matrix rides as a reference object,
+    * so the expression is ONE plan node — the HOF formulation (K
+    * aggregate(zip_with) trees) was interpreted AND cost ~1 s of Catalyst
+    * analysis on every training-loop job (13 s -> ~3 s training at sf0.1).
+    * Integer sums are order-insensitive: bit-identical to the HOF form
+    * (VectorExpressionsSpec parity) and the DuckDB oracle. */
   private def nearestCentroid(q: Column, cents: Array[Array[Long]]): Column =
+    graft.functions.VectorExpressions.centroid_argmin(q, cents)
+
+  /** The HOF formulation of [[nearestCentroid]] — parity oracle for the
+    * native kernel; not the hot path. */
+  private[graft] def nearestCentroidHof(q: Column, cents: Array[Array[Long]]): Column =
     element_at(
       array_min(array(cents.zipWithIndex.map { case (ct, ci) =>
         // [distance, centroid id]: lexicographic array ordering == ORDER BY
@@ -177,11 +186,10 @@ object Similarity {
   private def quantized(df: DataFrame, id: Column, vec: Column, scale: Int): DataFrame =
     df.select(id.as("id"), quantCol(vec, scale).as("q"))
 
-  /** Min squared distance to any of the given centroids (seeding helper). */
+  /** Min squared distance to any of the given centroids (seeding helper) —
+    * native kernel, same reasoning as [[nearestCentroid]]. */
   private def minDistCol(q: Column, cents: Seq[Array[Long]]): Column =
-    array_min(array(cents.map(ct =>
-      aggregate(zip_with(q, typedLit(ct.toSeq), (x, c) => (x - c) * (x - c)),
-        lit(0L), (a, v) => a + v)): _*))
+    graft.functions.VectorExpressions.centroid_min_dist(q, cents.toArray)
 
   /** Lloyd's k-means coarse quantizer for IVF — the learned replacement for
     * the [[bucket]] heuristic. Deterministic farthest-point (maximin)

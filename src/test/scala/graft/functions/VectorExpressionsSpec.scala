@@ -70,6 +70,27 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
       r.getAs[Int]("b") == r.getAs[Int]("p1")))
   }
 
+  test("native centroid argmin/minDist == HOF lexicographic formulation (incl. ties)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // include exact duplicates of centroid rows to exercise tie-breaking
+    val cents = Array.fill(5)(Array.fill(16)(rnd.nextInt(2000).toLong - 1000))
+    val dupTie = cents(2).clone() // equidistant (d=0) to centroid 2 only
+    val qs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextInt(2000).toLong - 1000))) ++
+      Seq((200L, dupTie), (201L, cents(0).clone()))
+    val df = qs.toDF("id", "q")
+    val rows = df.select(col("id"),
+      VectorExpressions.centroid_argmin(col("q"), cents).as("native"),
+      Similarity.nearestCentroidHof(col("q"), cents).as("hof"),
+      VectorExpressions.centroid_min_dist(col("q"), cents).as("md")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"argmin mismatch at id=${r.getLong(0)}")
+      assert(r.getLong(3) >= 0L)
+    }
+    assert(rows.find(_.getLong(0) == 201L).get.getLong(3) == 0L)
+  }
+
   test("k-means IVF: recovers planted clusters; partition-invariant; search stays in-cell") {
     import spark.implicits._
     // three well-separated planted centers in 8-d; 20 points each, small jitter
