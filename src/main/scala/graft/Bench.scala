@@ -237,9 +237,25 @@ object Bench {
     // engine at 0.74 — certifying on the LCG alone stamps a starved artifact
     // "quiet"). Each family's 1-core/4-core pair runs back-to-back so its
     // ratio is paired against the same seconds-scale host-noise state.
-    val gateRounds = sys.env.getOrElse("SPARK_GRAFT_GATE_ROUNDS", "30").toInt
-    val gateQuietTarget = sys.env.getOrElse("SPARK_GRAFT_GATE_QUIET", "3").toInt
+    val gateRounds = sys.env.getOrElse("SPARK_GRAFT_GATE_ROUNDS", "40").toInt
+    val gateQuietTarget = sys.env.getOrElse("SPARK_GRAFT_GATE_QUIET", "5").toInt
     val gateCtlMin = 0.9
+    // the gate gets a LARGER input than the curve (default 2x): at 4 cores a
+    // 50k-page execution is ~1 s, so even the ~0.08 s plan-once scheduling
+    // residue caps measured efficiency at ~0.92, and a sub-second starvation
+    // burst inside one run dominates the paired ratio; doubling the work
+    // halves both sensitivities (the curve keeps the smaller input so its
+    // 6-level rep loop stays affordable)
+    val gatePages = sys.env.getOrElse("SPARK_GRAFT_GATE_PAGES", (kgPages * 2).toString).toLong
+    val gatePath = if (gatePages == kgPages) pagesPath else {
+      val p = s"$tmp/pages_gate"
+      graft.gen.PageGen.pages(gatePages, 43L, 64, sentsMin = 15, sentsMax = 40)(spark)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    val gateRdd1 = kgJob(spark, gatePath, 1).queryExecution.toRdd
+    val gateRdd4 = kgJob(spark, gatePath, 4).queryExecution.toRdd
+    gateRdd4.count() // warm
     // (engineEff, ctlEff, memEff, round, quietRoundsSeen)
     var gateBest: (Double, Double, Double, Int, Int) = (0.0, 0.0, 0.0, 0, 0)
     if (cpus >= 4) {
@@ -254,8 +270,8 @@ object Bench {
         val c4 = tp(controlJob(spark, controlRows, 4), controlRows)
         val m1 = tp(memControlJob(spark, memRows, 1), memRows)
         val m4 = tp(memControlJob(spark, memRows, 4), memRows)
-        val e1 = tp(kgRdd(1).count(), kgPages)
-        val e4 = tp(kgRdd(4).count(), kgPages)
+        val e1 = tp(gateRdd1.count(), gatePages)
+        val e4 = tp(gateRdd4.count(), gatePages)
         val ctlEff = (c4 / c1) / 4.0
         val memEff = (m4 / m1) / 4.0
         val engEff = (e4 / e1) / 4.0
