@@ -69,9 +69,10 @@ object Bench {
         org.apache.spark.sql.functions.col("text"),
         org.apache.spark.sql.functions.col("lang"))
       .as[graft.core.Page].coalesce(parts)
-    graft.kg.KgPipeline.triplesFast(
-      graft.kg.KgPipeline.parsePages(pages, graft.ner.BracketNer, cfg), cfg,
-      graft.kg.LexiconScorer())
+    // fused zero-token-allocation kernel (KgPipeline.triplesFused): bit-equal
+    // to parsePages+triplesFast (KgPipelineSpec parity) at a fraction of the
+    // allocation traffic — the honest fast path a 10^12-page job would run
+    graft.kg.KgPipeline.triplesFused(pages, cfg, graft.kg.LexiconScorer())
   }
 
   /** Pure-CPU control (same work shape as graft.tools.CpuProbe): rows of LCG
@@ -255,7 +256,11 @@ object Bench {
     }
     val gateRdd1 = kgJob(spark, gatePath, 1).queryExecution.toRdd
     val gateRdd4 = kgJob(spark, gatePath, 4).queryExecution.toRdd
-    gateRdd4.count() // warm
+    // warm BOTH levels: a cold first 1-core run (page cache, JIT) would
+    // depress e1 and INFLATE round 1's e4/e1 — and the max-picker would
+    // prefer exactly that biased round
+    gateRdd4.count()
+    gateRdd1.count()
     // (engineEff, ctlEff, memEff, round, quietRoundsSeen)
     var gateBest: (Double, Double, Double, Int, Int) = (0.0, 0.0, 0.0, 0, 0)
     if (cpus >= 4) {

@@ -154,6 +154,212 @@ object KgPipeline {
     }
   }
 
+  /** Zero-token-allocation fused kernel: pages -> triples in ONE pass over the
+    * raw text, materializing a String ONLY per emitted mention (~5/doc) and
+    * per emitted triple — never per token (~400/doc). [[triplesFast]] still
+    * allocates every token String plus the ParsedDoc object graph (~20-30 KB
+    * of garbage per document), which at tens of kdocs/s/core is hundreds of
+    * MB/s/core of DRAM write traffic — measurably the resource that caps the
+    * N->4N scaling of a shuffle-free pipeline on a shared-memory box, and at
+    * a 10^12-document scale pure waste. This path scans sentence/token
+    * boundaries as index ranges over the page text and matches cue words by
+    * (hash, region-equals) against the scorer lexicon without substring
+    * allocation.
+    *
+    * Bit-identical output to
+    * `triplesFast(parsePages(pages, BracketNer, cfg), cfg, scorer)` — the
+    * replicated semantics (each pinned by KgPipelineSpec's fused-parity spec):
+    * splitLines' `split("\n", -1)` + Java trim, tokenize's \s runs,
+    * BracketNer's bracket/type/value rules INCLUDING the term rewrite of
+    * filtered mentions (their bare value participates in cue scoring),
+    * NerOps.filterTypes, per-doc mention ordinals, hashGroupId on the mention
+    * value, cropBounds prefix-sum scoring, and opinion-id emission order.
+    * Supports exactly the fused configuration (linesplit, BracketNer,
+    * renderText off, text column) and fails fast otherwise. */
+  def triplesFused(pages: Dataset[Page], cfg: Config, scorer: LexiconScorer)(
+      implicit spark: SparkSession): Dataset[Triple] = {
+    import spark.implicits._
+    require(cfg.splitter == "linesplit", "triplesFused supports splitter=linesplit")
+    require(!cfg.sampler.renderText, "triplesFused is the renderText=false path")
+    require(!cfg.extractFromHtml, "triplesFused reads the text column directly")
+    val nerTypes = cfg.nerTypes
+    val pos = scorer.positive
+    val neg = scorer.negative
+    val bound = cfg.sampler.distInTermsBound
+    val tpc = cfg.sampler.termsPerContext
+    pages.mapPartitions { it =>
+      // cue lexicon keyed by String.hashCode-compatible region hash
+      val cueSign = new java.util.HashMap[String, Integer]
+      pos.foreach(w => cueSign.put(w, 1))
+      neg.foreach(w => cueSign.put(w, -1))
+      val cueByHash: Map[Int, List[(String, Int)]] =
+        (pos.iterator.map(_ -> 1) ++ neg.iterator.map(_ -> -1)).toList
+          .groupBy(_._1.hashCode)
+      val typeArr = nerTypes.toArray
+
+      import graft.text.TextOps.isWs // the exact Java-regex \s set
+
+      def regionEquals(text: String, a: Int, b: Int, w: String): Boolean = {
+        if (w.length != b - a) return false
+        var i = 0
+        while (i < w.length) { if (text.charAt(a + i) != w.charAt(i)) return false; i += 1 }
+        true
+      }
+
+      /** Cue sign of the term region — TextOps.cueKey semantics: a region of
+        * pure [a-z0-9] is its own key (looked up by hash + region equality,
+        * no allocation); anything else takes the allocating slow path. */
+      def regionSign(text: String, a: Int, b: Int): Int = {
+        var fast = true
+        var i = a
+        while (i < b && fast) {
+          val c = text.charAt(i)
+          fast = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+          i += 1
+        }
+        if (!fast) {
+          val s = cueSign.get(graft.text.TextOps.cueKey(text.substring(a, b)))
+          return if (s == null) 0 else s.intValue()
+        }
+        var h = 0
+        i = a
+        while (i < b) { h = 31 * h + text.charAt(i); i += 1 }
+        cueByHash.get(h) match {
+          case Some(lst) =>
+            var r = 0
+            lst.foreach { case (w, sg) => if (r == 0 && regionEquals(text, a, b, w)) r = sg }
+            r
+          case None => 0
+        }
+      }
+
+      // per-partition reusable scratch (grown on demand, never shrunk)
+      var tokS = new Array[Int](256); var tokE = new Array[Int](256)
+      var termS = new Array[Int](256); var termE = new Array[Int](256)
+      var entity = new Array[Boolean](256)
+      var prefix = new Array[Int](257)
+      var mInd = new Array[Int](64); var mVal = new Array[String](64)
+      var mTyp = new Array[String](64); var mGrp = new Array[Long](64)
+
+      it.flatMap { p =>
+        val text = p.text
+        val nL = text.length
+        val out = Seq.newBuilder[Triple]
+        var opinionId = 0L
+        var sentInd = 0
+        var lineStart = 0
+        var done = false
+        while (!done) {
+          var lineEnd = text.indexOf('\n', lineStart)
+          if (lineEnd < 0) { lineEnd = nL; done = true }
+          // Java trim: strip chars <= U+0020 at both ends
+          var a = lineStart
+          var b = lineEnd
+          while (a < b && text.charAt(a) <= ' ') a += 1
+          while (b > a && text.charAt(b - 1) <= ' ') b -= 1
+          // tokenize [a, b): maximal non-\s runs
+          var nTok = 0
+          var i = a
+          while (i < b) {
+            var j = i
+            while (j < b && !isWs(text.charAt(j))) j += 1
+            if (nTok == tokS.length) {
+              tokS = java.util.Arrays.copyOf(tokS, nTok * 2)
+              tokE = java.util.Arrays.copyOf(tokE, nTok * 2)
+              termS = java.util.Arrays.copyOf(termS, nTok * 2)
+              termE = java.util.Arrays.copyOf(termE, nTok * 2)
+              entity = java.util.Arrays.copyOf(entity, nTok * 2)
+              prefix = java.util.Arrays.copyOf(prefix, nTok * 2 + 1)
+            }
+            tokS(nTok) = i; tokE(nTok) = j; nTok += 1
+            i = j
+            while (i < b && isWs(text.charAt(i))) i += 1
+          }
+          // mention detection + term regions (BracketNer + filterTypes)
+          var nm = 0
+          var k = 0
+          while (k < nTok) {
+            val ts = tokS(k); val te = tokE(k)
+            termS(k) = ts; termE(k) = te; entity(k) = false
+            if (te - ts >= 3 && text.charAt(ts) == '[' && text.charAt(te - 1) == ']') {
+              // inner region [ts+1, te-1)
+              var colon = -1
+              var q = ts + 1
+              while (q < te - 1 && colon < 0) { if (text.charAt(q) == ':') colon = q; q += 1 }
+              var typed = colon > ts + 1 // colon index within inner > 0
+              q = ts + 1
+              while (q < colon && typed) {
+                val c = text.charAt(q)
+                typed = Character.isUpperCase(c) || c == '_'
+                q += 1
+              }
+              if (typed) { termS(k) = colon + 1; termE(k) = te - 1 }
+              else { termS(k) = ts + 1; termE(k) = te - 1 }
+              // filterTypes: typed region vs nerTypes ("UNDEFINED" if untyped)
+              var keep = nerTypes.isEmpty
+              var t = 0
+              while (!keep && t < typeArr.length) {
+                val ty = typeArr(t)
+                keep =
+                  if (typed) regionEquals(text, ts + 1, colon, ty)
+                  else ty == "UNDEFINED"
+                t += 1
+              }
+              if (keep) {
+                if (nm == mInd.length) {
+                  mInd = java.util.Arrays.copyOf(mInd, nm * 2)
+                  mVal = java.util.Arrays.copyOf(mVal, nm * 2)
+                  mTyp = java.util.Arrays.copyOf(mTyp, nm * 2)
+                  mGrp = java.util.Arrays.copyOf(mGrp, nm * 2)
+                }
+                entity(k) = true
+                mInd(nm) = k
+                mVal(nm) = text.substring(termS(k), termE(k))
+                mTyp(nm) = if (typed) text.substring(ts + 1, colon) else "UNDEFINED"
+                mGrp(nm) = graft.link.Linker.hashGroupId(mVal(nm))
+                nm += 1
+              }
+            }
+            k += 1
+          }
+          if (nm >= 2) {
+            // cue prefix sums over term regions, entity positions zeroed
+            prefix(0) = 0
+            k = 0
+            while (k < nTok) {
+              val v = if (entity(k)) 0 else regionSign(text, termS(k), termE(k))
+              prefix(k + 1) = prefix(k) + v
+              k += 1
+            }
+            var si = 0
+            while (si < nm) {
+              var ti = 0
+              while (ti < nm) {
+                if (si != ti && mGrp(si) != mGrp(ti) &&
+                    math.abs(mInd(si) - mInd(ti)) <= bound) {
+                  val (start, end) = Sampler.cropBounds(nTok, mInd(si), mInd(ti), tpc)
+                  val score = prefix(end) - prefix(start)
+                  val label =
+                    if (score > 0) Sentiment.Positive
+                    else if (score < 0) Sentiment.Negative
+                    else Sentiment.Neutral
+                  out += Triple(mVal(si), mTyp(si), Sentiment.name(label),
+                    mVal(ti), mTyp(ti), p.url, sentInd, s"${p.url}#$opinionId")
+                  opinionId += 1
+                }
+                ti += 1
+              }
+              si += 1
+            }
+          }
+          sentInd += 1
+          lineStart = lineEnd + 1
+        }
+        out.result()
+      }
+    }
+  }
+
   /** Join variant (reference J3/J4 semantics: samples INNER JOIN predictions ON id)
     * for when predictions were materialized separately (resume, external model). */
   def triplesJoined(ss: Dataset[Sample], preds: Dataset[Prediction])(

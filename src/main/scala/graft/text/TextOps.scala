@@ -74,7 +74,7 @@ object TextOps {
   /** Exactly the char set of Java regex \s — tokenize must stay bit-compatible
     * with the previous Pattern.compile("\\s+").split implementation AND the
     * DuckDB oracle's regexp_split_to_array(text, '\s+'). */
-  @inline private def isWs(c: Char): Boolean =
+  @inline private[graft] def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Whitespace tokenization, mirroring AREkit split_by_whitespaces

@@ -63,6 +63,43 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(fast.sortBy(_.sampleId).toSeq == fused.sortBy(_.sampleId).toSeq)
   }
 
+  test("triplesFused == triplesFast bit-for-bit on generated corpus + edge-case pages") {
+    import spark.implicits._
+    val fcfg = KgPipeline.Config(sampler = Sampler.Config(renderText = false))
+    val gen = PageGen.pages(300, 99L, 64, sentsMin = 1, sentsMax = 40)
+    // edge cases: empty text, blank/whitespace lines, trailing newlines,
+    // untyped brackets (term rewrite of a FILTERED mention feeds the cue
+    // sums), non-kept types, empty values, punctuated/uppercase cue words,
+    // bracket-only tokens below the len>=3 bar, colon-first brackets
+    val edge = Seq(
+      Page("e0", null, null, "", "en"),
+      Page("e1", null, null, "\n\n", "en"),
+      Page("e2", null, null, "  [ORG:acme] fast [PERSON:bob] \n", "en"),
+      Page("e3", null, null, "[abc] [ORG:x] slow [GPE:y]", "en"), // [abc] filtered -> "abc" cue-checked
+      Page("e4", null, null, "[XYZ:q] [ORG:x] good [LOC:z]", "en"), // XYZ not kept
+      Page("e5", null, null, "[ORG:] bad [PERSON:p]", "en"), // empty value
+      Page("e6", null, null, "[ORG:a] Fast, big! [PERSON:b]", "en"), // slow-path cues
+      Page("e7", null, null, "[] [: ] [ORG:a] war [GPE:g]", "en"),
+      Page("e8", null, null, "[ORG:a]big\t[PERSON:b]\r\nnext line", "en"),
+      Page("e9", null, null, "[or_g:a] [ORG:b] win [GPE:c]", "en")) // lowercase type -> untyped
+    val pages = gen.union(edge.toDS())
+    val scorer = LexiconScorer()
+    val fast = KgPipeline.triplesFast(
+      KgPipeline.parsePages(pages, BracketNer, fcfg), fcfg, scorer)
+      .collect().sortBy(_.sampleId)
+    val fused = KgPipeline.triplesFused(pages, fcfg, scorer)
+      .collect().sortBy(_.sampleId)
+    assert(fast.length == fused.length && fast.nonEmpty)
+    assert(fast.toSeq == fused.toSeq)
+    // unsupported configurations fail fast
+    intercept[IllegalArgumentException] {
+      KgPipeline.triplesFused(pages, fcfg.copy(splitter = "sentence"), scorer)
+    }
+    intercept[IllegalArgumentException] {
+      KgPipeline.triplesFused(pages, KgPipeline.Config(), scorer)
+    }
+  }
+
   test("tripleRecords read API mirrors sample_service.py record shape + filter") {
     import org.apache.spark.sql.functions._
     val (_, ss) = run(20)
