@@ -22,6 +22,16 @@ object StreamOps {
       implicit spark: SparkSession): Dataset[Triple] =
     KgPipeline.triples(KgPipeline.samples(KgPipeline.parsePages(pages, ner, cfg), cfg), scorer)
 
+  /** [[triplesStream]] on the fused zero-token-allocation kernel
+    * (KgPipeline.triplesFused — bracket NER + lexicon scoring, renderText
+    * off): the stream processes pages at the batch fast path's per-core rate.
+    * Stateless, so the streaming/batch parity is structural; StreamOpsSpec
+    * asserts it on a MemoryStream. */
+  def triplesStreamFused(pages: Dataset[Page], cfg: KgPipeline.Config,
+      scorer: graft.kg.LexiconScorer)(
+      implicit spark: SparkSession): Dataset[Triple] =
+    KgPipeline.triplesFused(pages, cfg, scorer)
+
   /** Tumbling 1h windowed counts per event type with a 2h watermark
     * (late data beyond the watermark is dropped, state is bounded). */
   def eventsHourly(events: DataFrame): DataFrame =

@@ -32,6 +32,24 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("fused streaming triples == fused batch triples (zero-token-allocation kernel)") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val pages = (0L until 20L).map(i => PageGen.page(42L, i))
+    val mem = MemoryStream[Page]
+    mem.addData(pages)
+    val cfg = graft.kg.KgPipeline.Config(
+      sampler = graft.kg.Sampler.Config(renderText = false))
+    val q = StreamOps.triplesStreamFused(mem.toDS(), cfg, graft.kg.LexiconScorer())(spark)
+      .writeStream.format("memory").queryName("triples_fused_stream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("triples_fused_stream").collect().map(_.toString).sorted.toSeq
+    val batch = graft.kg.KgPipeline
+      .triplesFused(pages.toDS(), cfg, graft.kg.LexiconScorer())(spark)
+      .toDF().collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("checkpointed restart resumes exactly-once (file sink + checkpointLocation)") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
