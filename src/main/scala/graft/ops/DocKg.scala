@@ -27,9 +27,12 @@ object DocKg {
   val DistBound = 10
 
   /** Whole-doc windows (termsPerContext larger than any document) keep sample
-    * term indices absolute — the SQL-oracle-friendly configuration. */
+    * term indices absolute — the SQL-oracle-friendly configuration.
+    * renderText off: none of the registered queries read the rendered prompt
+    * columns, and rendering them was the dominant per-sample cost. */
   val cfg: KgPipeline.Config = KgPipeline.Config(
-    sampler = Sampler.Config(termsPerContext = 1 << 20, distInTermsBound = DistBound))
+    sampler = Sampler.Config(termsPerContext = 1 << 20, distInTermsBound = DistBound,
+      renderText = false))
 
   val scorer: LexiconScorer = LexiconScorer(posCues, negCues)
 
