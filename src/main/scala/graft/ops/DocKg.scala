@@ -230,8 +230,9 @@ object DocKg {
   def entryTriples(spark: SparkSession): DataFrame = {
     implicit val s: SparkSession = spark
     val p = PageGen.pages(200, seed = 42L)
-    val c = KgPipeline.Config()
-    val parsed = KgPipeline.parsePages(p, graft.ner.BracketNer, c)
-    KgPipeline.triples(KgPipeline.samples(parsed, c), LexiconScorer()).toDF()
+    // the fused zero-token-allocation kernel — the 100 TB scan shape
+    // (bit-identical to the object pipeline, KgPipelineSpec parity)
+    val c = KgPipeline.Config(sampler = Sampler.Config(renderText = false))
+    KgPipeline.triplesFused(p, c, LexiconScorer()).toDF()
   }
 }
