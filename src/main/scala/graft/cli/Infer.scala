@@ -36,6 +36,9 @@ import graft.ner.{BracketNer, CapitalizedNer}
   *            built-in read-only sqlite parser)
   *          --max-collected-edges N (driver guard; above it the graph is
   *            written as distributed JSON instead of one d3js file)
+  *          --fused on (zero-token-allocation kernel: triples + graph only,
+  *            no contents/predict exports — the 10^12-page production shape;
+  *            composes with --checkpoint for resumable fused runs)
   */
 object Infer {
   def main(args: Array[String]): Unit = {
@@ -117,6 +120,21 @@ object Infer {
       case other  => throw new IllegalArgumentException(s"unknown --link mode: $other")
     }
 
+    // --fused on: the zero-token-allocation kernel (KgPipeline.triplesFused,
+    // bit-identical to the object pipeline) — triples + graph only, no
+    // contents/predict exports (nothing is rendered on this path). The shape
+    // a 10^12-page production run uses.
+    val fusedMode = opts.get("--fused").exists(v => v == "on" || v == "true")
+    if (fusedMode) {
+      require(opts.getOrElse("--ner", "bracket") == "bracket",
+        "--fused supports --ner bracket (the fused kernel's tagger)")
+      require(!linkLsh && opts.get("--translate").isEmpty &&
+        opts.get("--stemmer").isEmpty && synonymDict.isEmpty,
+        "--fused is the hash-grouping bracket fast path; drop --link lsh/--translate/--stemmer/--synonyms")
+    }
+    val fusedCfg = KgPipeline.Config(sampler =
+      Sampler.Config(termsPerContext = tpc, distInTermsBound = tpc, renderText = false))
+
     // resumable path: triples written bucket-checkpointed, then exit
     opts.get("--checkpoint").foreach { ckptDir =>
       val n = opts.getOrElse("--buckets", "16").toInt
@@ -135,8 +153,11 @@ object Infer {
         }
       val report = graft.io.Checkpoint.runResumable(
         pages.toDF(), "url", "docId", n, ckptDir) { df =>
-        val pd = linkStage(parseAndTranslate(df.as[Page]))
-        KgPipeline.triples(KgPipeline.samples(pd, cfg), LexiconScorer()).toDF()
+        if (fusedMode) KgPipeline.triplesFused(df.as[Page], fusedCfg, LexiconScorer()).toDF()
+        else {
+          val pd = linkStage(parseAndTranslate(df.as[Page]))
+          KgPipeline.triples(KgPipeline.samples(pd, cfg), LexiconScorer()).toDF()
+        }
       }
       println(s"""{"checkpoint":"$ckptDir","processed":${report.processedBuckets.size},""" +
         s""""skipped":${report.skippedBuckets},"rows":${report.rowsWritten}}""")
@@ -146,16 +167,20 @@ object Infer {
 
     // --link lsh (unchekpointed): distributed minhash-LSH surface-form
     // linking (near-duplicate values share a group — P9 at scale)
-    val parsed =
+    lazy val parsed =
       if (linkLsh) Linker.withLshGroups(parseAndTranslate(pages).persist())
       else parseAndTranslate(pages)
-    val samples = KgPipeline.samples(parsed, cfg).persist()
+    lazy val samples = KgPipeline.samples(parsed, cfg).persist()
     val scorer = LexiconScorer()
-    val preds = KgPipeline.predictions(samples, scorer)
-    val triples = KgPipeline.triples(samples, scorer)
+    val triples =
+      if (fusedMode) KgPipeline.triplesFused(pages, fusedCfg, scorer)
+      else KgPipeline.triples(samples, scorer)
 
-    KgPipeline.contentsCompat(samples).write.mode(SaveMode.Overwrite).parquet(s"$out/contents")
-    KgPipeline.predictionsOneHot(preds).write.mode(SaveMode.Overwrite).parquet(s"$out/predict")
+    if (!fusedMode) {
+      val preds = KgPipeline.predictions(samples, scorer)
+      KgPipeline.contentsCompat(samples).write.mode(SaveMode.Overwrite).parquet(s"$out/contents")
+      KgPipeline.predictionsOneHot(preds).write.mode(SaveMode.Overwrite).parquet(s"$out/predict")
+    }
     triples.write.mode(SaveMode.Overwrite).parquet(s"$out/triples")
 
     // graph build (driver-side finish: edges are post-aggregation small)
@@ -203,8 +228,8 @@ object Infer {
       graft.graph.Viewer.save(out, name)
     }
 
-    val nSamples = samples.count()
     val nTriples = triples.count()
+    val nSamples = if (fusedMode) nTriples else samples.count() // fused: 1 sample == 1 triple
     println(s"""{"pages_out":"$out","samples":$nSamples,"triples":$nTriples,""" +
       s""""nodes":${graph.nodes.size},"links":${graph.links.size}}""")
     spark.stop()
