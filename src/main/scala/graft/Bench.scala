@@ -122,7 +122,7 @@ object Bench {
     val headline = Seq(
       "kg_triples", "kg_edges", "kg_graph_union", "kg_pagerank", "dedup_exact", "dedup_minhash_pairs",
       "dedup_simhash", "dedup_simhash_pairs", "dedup_incremental", "dedup_semantic",
-      "link_groups", "ann_bruteforce", "ann_ivf", "ann_lsh_pairs", "ann_kmeans_topk",
+      "link_groups", "ann_bruteforce", "ann_ivf", "ann_lsh_pairs", "ann_kmeans_cells", "ann_kmeans_topk",
       "text_quality", "text_fingerprint", "text_repetition", "sample_stratified",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
@@ -248,22 +248,22 @@ object Bench {
     // halves both sensitivities (the curve keeps the smaller input so its
     // 6-level rep loop stays affordable)
     val gatePages = sys.env.getOrElse("SPARK_GRAFT_GATE_PAGES", (kgPages * 2).toString).toLong
-    val gatePath = if (gatePages == kgPages) pagesPath else {
-      val p = s"$tmp/pages_gate"
-      graft.gen.PageGen.pages(gatePages, 43L, 64, sentsMin = 15, sentsMax = 40)(spark)
-        .write.mode("overwrite").parquet(p)
-      p
-    }
-    val gateRdd1 = kgJob(spark, gatePath, 1).queryExecution.toRdd
-    val gateRdd4 = kgJob(spark, gatePath, 4).queryExecution.toRdd
-    // warm BOTH levels: a cold first 1-core run (page cache, JIT) would
-    // depress e1 and INFLATE round 1's e4/e1 — and the max-picker would
-    // prefer exactly that biased round
-    gateRdd4.count()
-    gateRdd1.count()
     // (engineEff, ctlEff, memEff, round, quietRoundsSeen)
     var gateBest: (Double, Double, Double, Int, Int) = (0.0, 0.0, 0.0, 0, 0)
-    if (cpus >= 4) {
+    if (cpus >= 4) { // gate input + warm-ups only exist when the gate runs
+      val gatePath = if (gatePages == kgPages) pagesPath else {
+        val p = s"$tmp/pages_gate"
+        graft.gen.PageGen.pages(gatePages, 43L, 64, sentsMin = 15, sentsMax = 40)(spark)
+          .write.mode("overwrite").parquet(p)
+        p
+      }
+      val gateRdd1 = kgJob(spark, gatePath, 1).queryExecution.toRdd
+      val gateRdd4 = kgJob(spark, gatePath, 4).queryExecution.toRdd
+      // warm BOTH levels: a cold first 1-core run (page cache, JIT) would
+      // depress e1 and INFLATE round 1's e4/e1 — and the max-picker would
+      // prefer exactly that biased round
+      gateRdd4.count()
+      gateRdd1.count()
       def tp(work: => Unit, units: Long): Double = {
         val t0 = System.nanoTime(); work; units / ((System.nanoTime() - t0) / 1e9)
       }

@@ -124,7 +124,12 @@ object Infer {
     // bit-identical to the object pipeline) — triples + graph only, no
     // contents/predict exports (nothing is rendered on this path). The shape
     // a 10^12-page production run uses.
-    val fusedMode = opts.get("--fused").exists(v => v == "on" || v == "true")
+    val fusedMode = opts.get("--fused") match {
+      case Some("on") | Some("true")   => true
+      case Some("off") | Some("false") => false
+      case Some(other) => throw new IllegalArgumentException(s"unknown --fused value: $other (on|off)")
+      case None => false
+    }
     if (fusedMode) {
       require(opts.getOrElse("--ner", "bracket") == "bracket",
         "--fused supports --ner bracket (the fused kernel's tagger)")
@@ -228,7 +233,7 @@ object Infer {
       graft.graph.Viewer.save(out, name)
     }
 
-    val nTriples = triples.count()
+    val nTriples = t.count() // count the WRITTEN parquet, not a pipeline re-run
     val nSamples = if (fusedMode) nTriples else samples.count() // fused: 1 sample == 1 triple
     println(s"""{"pages_out":"$out","samples":$nSamples,"triples":$nTriples,""" +
       s""""nodes":${graph.nodes.size},"links":${graph.links.size}}""")

@@ -224,17 +224,33 @@ object SimhashSig {
   * order-insensitive, so results are bit-identical to the HOF form and the
   * DuckDB oracle. */
 object CentroidKernel {
+  /** Vectors must match the centroid dimensionality exactly and contain no
+    * nulls — the HOF formulation null-propagates a mismatch into a null cell
+    * id, which would DIVERGE silently from this kernel's prefix arithmetic;
+    * failing fast keeps the cross-engine parity contract honest. */
+  private def checkShape(q: ArrayData, dim: Int): Unit = {
+    if (q.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"centroid kernel: vector has ${q.numElements()} elements, centroids have $dim")
+    var i = 0
+    while (i < dim) {
+      if (q.isNullAt(i))
+        throw new IllegalArgumentException(s"centroid kernel: null element at $i")
+      i += 1
+    }
+  }
+
   /** Index of the nearest centroid (squared L2), ties to the smaller index. */
   def argmin(q: ArrayData, flat: Array[Long], dim: Int): Long = {
+    checkShape(q, dim)
     val k = flat.length / dim
-    val n = math.min(q.numElements(), dim)
     var best = 0L; var bestD = Long.MaxValue
     var c = 0
     while (c < k) {
       val base = c * dim
       var d = 0L
       var i = 0
-      while (i < n) { val x = q.getLong(i) - flat(base + i); d += x * x; i += 1 }
+      while (i < dim) { val x = q.getLong(i) - flat(base + i); d += x * x; i += 1 }
       if (d < bestD) { bestD = d; best = c.toLong }
       c += 1
     }
@@ -243,15 +259,15 @@ object CentroidKernel {
 
   /** Min squared L2 distance to any centroid (maximin seeding). */
   def minDist(q: ArrayData, flat: Array[Long], dim: Int): Long = {
+    checkShape(q, dim)
     val k = flat.length / dim
-    val n = math.min(q.numElements(), dim)
     var bestD = Long.MaxValue
     var c = 0
     while (c < k) {
       val base = c * dim
       var d = 0L
       var i = 0
-      while (i < n) { val x = q.getLong(i) - flat(base + i); d += x * x; i += 1 }
+      while (i < dim) { val x = q.getLong(i) - flat(base + i); d += x * x; i += 1 }
       if (d < bestD) bestD = d
       c += 1
     }

@@ -188,13 +188,18 @@ object KgPipeline {
     val bound = cfg.sampler.distInTermsBound
     val tpc = cfg.sampler.termsPerContext
     pages.mapPartitions { it =>
-      // cue lexicon keyed by String.hashCode-compatible region hash
+      // cue lexicon keyed by String.hashCode-compatible region hash. A word
+      // present in BOTH sets scores +1 — triplesFast checks positive FIRST
+      // (`if (pos.contains(w)) 1 else if (neg.contains(w)) -1`), so negative
+      // entries are inserted first and positive ones overwrite
       val cueSign = new java.util.HashMap[String, Integer]
-      pos.foreach(w => cueSign.put(w, 1))
       neg.foreach(w => cueSign.put(w, -1))
-      val cueByHash: Map[Int, List[(String, Int)]] =
-        (pos.iterator.map(_ -> 1) ++ neg.iterator.map(_ -> -1)).toList
+      pos.foreach(w => cueSign.put(w, 1))
+      val cueByHash: Map[Int, List[(String, Int)]] = {
+        import scala.jdk.CollectionConverters._
+        cueSign.asScala.toList.map { case (w, s) => (w, s.intValue()) }
           .groupBy(_._1.hashCode)
+      }
       val typeArr = nerTypes.toArray
 
       import graft.text.TextOps.isWs // the exact Java-regex \s set
