@@ -177,6 +177,24 @@ object KgPipeline {
     * Supports exactly the fused configuration (linesplit, BracketNer,
     * renderText off, text column) and fails fast otherwise. */
   def triplesFused(pages: Dataset[Page], cfg: Config, scorer: LexiconScorer)(
+      implicit spark: SparkSession): Dataset[Triple] =
+    fusedImpl(pages, cfg, scorer, entityLexicon = null)
+
+  /** [[triplesFused]] with LexiconNer semantics instead of BracketNer: a
+    * token whose canonicalKey (trim + lowercase) is a lexicon key becomes a
+    * mention of the mapped type (term NOT rewritten; value = the original
+    * token). Matching is allocation-free for ASCII tokens (lowercased region
+    * hash + region equality); bit-identical to
+    * `triples(samples(parsePages(pages, LexiconNer(lexicon), cfg), cfg), scorer)`
+    * — KgPipelineSpec fused-lexicon parity. This is the kernel the
+    * oracle-checked DocKg configuration runs. */
+  def triplesFusedLexicon(pages: Dataset[Page], cfg: Config,
+      lexicon: Map[String, String], scorer: LexiconScorer)(
+      implicit spark: SparkSession): Dataset[Triple] =
+    fusedImpl(pages, cfg, scorer, entityLexicon = lexicon)
+
+  private def fusedImpl(pages: Dataset[Page], cfg: Config, scorer: LexiconScorer,
+      entityLexicon: Map[String, String])(
       implicit spark: SparkSession): Dataset[Triple] = {
     import spark.implicits._
     require(cfg.splitter == "linesplit", "triplesFused supports splitter=linesplit")
@@ -201,6 +219,11 @@ object KgPipeline {
           .groupBy(_._1.hashCode)
       }
       val typeArr = nerTypes.toArray
+      // LexiconNer mode: entity lexicon keyed by the hash of the CANONICAL
+      // (trim+lowercase) token — keys used verbatim like LexiconNer does
+      val lexMode = entityLexicon != null
+      val lexByHash: Map[Int, List[(String, String)]] =
+        if (!lexMode) Map.empty else entityLexicon.toList.groupBy(_._1.hashCode)
 
       import graft.text.TextOps.isWs // the exact Java-regex \s set
 
@@ -209,6 +232,48 @@ object KgPipeline {
         var i = 0
         while (i < w.length) { if (text.charAt(a + i) != w.charAt(i)) return false; i += 1 }
         true
+      }
+
+      // ASCII per-char lowercase == String.toLowerCase for ASCII-only input
+      def regionEqualsLower(text: String, a: Int, b: Int, w: String): Boolean = {
+        if (w.length != b - a) return false
+        var i = 0
+        while (i < w.length) {
+          var c = text.charAt(a + i)
+          if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+          if (c != w.charAt(i)) return false
+          i += 1
+        }
+        true
+      }
+
+      /** Lexicon type of token region [ts,te) under canonicalKey semantics
+        * (Java trim then lowercase); null if absent. ASCII fast path is
+        * allocation-free; anything else goes through canonicalKey. */
+      def lexType(text: String, ts: Int, te: Int): String = {
+        var a = ts; var b = te
+        while (a < b && text.charAt(a) <= ' ') a += 1
+        while (b > a && text.charAt(b - 1) <= ' ') b -= 1
+        var ascii = true
+        var q = a
+        while (q < b && ascii) { ascii = text.charAt(q) < 128; q += 1 }
+        if (!ascii)
+          return entityLexicon.getOrElse(
+            graft.text.TextOps.canonicalKey(text.substring(ts, te)), null)
+        var h = 0
+        q = a
+        while (q < b) {
+          var c = text.charAt(q)
+          if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+          h = 31 * h + c; q += 1
+        }
+        lexByHash.get(h) match {
+          case Some(lst) =>
+            var r: String = null
+            lst.foreach { case (k, v) => if (r == null && regionEqualsLower(text, a, b, k)) r = v }
+            r
+          case None => null
+        }
       }
 
       /** Cue sign of the term region — TextOps.cueKey semantics: a region of
@@ -286,7 +351,23 @@ object KgPipeline {
           while (k < nTok) {
             val ts = tokS(k); val te = tokE(k)
             termS(k) = ts; termE(k) = te; entity(k) = false
-            if (te - ts >= 3 && text.charAt(ts) == '[' && text.charAt(te - 1) == ']') {
+            if (lexMode) {
+              val tpe = lexType(text, ts, te)
+              if (tpe != null && (nerTypes.isEmpty || nerTypes.contains(tpe))) {
+                if (nm == mInd.length) {
+                  mInd = java.util.Arrays.copyOf(mInd, nm * 2)
+                  mVal = java.util.Arrays.copyOf(mVal, nm * 2)
+                  mTyp = java.util.Arrays.copyOf(mTyp, nm * 2)
+                  mGrp = java.util.Arrays.copyOf(mGrp, nm * 2)
+                }
+                entity(k) = true
+                mInd(nm) = k
+                mVal(nm) = text.substring(ts, te) // the RAW token, like LexiconNer
+                mTyp(nm) = tpe
+                mGrp(nm) = graft.link.Linker.hashGroupId(mVal(nm))
+                nm += 1
+              }
+            } else if (te - ts >= 3 && text.charAt(ts) == '[' && text.charAt(te - 1) == ']') {
               // inner region [ts+1, te-1)
               var colon = -1
               var q = ts + 1

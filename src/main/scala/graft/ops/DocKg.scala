@@ -55,7 +55,10 @@ object DocKg {
 
   def triplesDs(spark: SparkSession, dir: String): Dataset[Triple] = {
     implicit val s: SparkSession = spark
-    KgPipeline.triples(samples(spark, dir), scorer)
+    // fused lexicon kernel — bit-identical to triples(samples(parsed), scorer)
+    // (KgPipelineSpec fused-lexicon parity); the mentions/pairs relations keep
+    // the object path, which the same oracle family pins
+    KgPipeline.triplesFusedLexicon(pages(spark, dir), cfg, entityLexicon, scorer)
   }
 
   // ------------------------------------------------- oracle-checked relations

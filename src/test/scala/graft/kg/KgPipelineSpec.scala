@@ -100,6 +100,32 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("triplesFusedLexicon == object pipeline with LexiconNer (DocKg configuration)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val lex = graft.ops.DocKg.entityLexicon
+    val fcfg = KgPipeline.Config(sampler = Sampler.Config(
+      termsPerContext = 1 << 20, distInTermsBound = 10, renderText = false))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("string").as("url"), col("text"), col("lang"))
+      .map(r => Page(r.getString(0), null, null, r.getString(1), r.getString(2)))
+    val edge = Seq(
+      Page("x1", null, null, "Spark fast CUSTOMER slow table", "en"), // case variants
+      Page("x2", null, null, "spark fast customer", "en"), // control char: trim at region ends
+      Page("x3", null, null, "spark spark fast customer customer", "en"), // same-group pairs suppressed
+      Page("x4", null, null, "", "en"),
+      Page("x5", null, null, "sparké fast customer stream", "en")).toDS() // non-ASCII slow path
+    val pages = docs.union(edge)
+    val scorer = graft.ops.DocKg.scorer
+    val obj = KgPipeline.triples(KgPipeline.samples(
+      KgPipeline.parsePages(pages, graft.ner.LexiconNer(lex), fcfg), fcfg), scorer)
+      .collect().sortBy(_.sampleId)
+    val fused = KgPipeline.triplesFusedLexicon(pages, fcfg, lex, scorer)
+      .collect().sortBy(_.sampleId)
+    assert(obj.length == fused.length && obj.nonEmpty)
+    assert(obj.toSeq == fused.toSeq)
+  }
+
   test("tripleRecords read API mirrors sample_service.py record shape + filter") {
     import org.apache.spark.sql.functions._
     val (_, ss) = run(20)
