@@ -100,6 +100,52 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("fused-kernel randomized parity: 400 adversarial random pages (both modes)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val token = Gen.oneOf(
+      "word", "fast", "slow", "Fast,", "big!", "small", "the", "a1", "x",
+      "[ORG:acme]", "[PERSON:a-b]", "[XYZ:n]", "[abc]", "[]", "[:x]",
+      "[OR_G:y]", "[ORG:]", "[GPE:q]", "spark", "customer", "ab", "war",
+      "good", "[LOC:l]", "[ORG:spark]")
+    val sep = Gen.oneOf(" ", "  ", "\t", "", " \t ")
+    val line = for {
+      n <- Gen.choose(0, 12)
+      ts <- Gen.listOfN(n, token)
+      ss <- Gen.listOfN(math.max(n - 1, 0), sep)
+      lead <- Gen.oneOf("", " ", "\t")
+    } yield lead + (if (ts.isEmpty) "" else
+      ts.head + ss.zip(ts.tail).map { case (s, t) => s + t }.mkString)
+    val pageText = for {
+      k <- Gen.choose(0, 6)
+      ls <- Gen.listOfN(k, line)
+      tail <- Gen.oneOf("", "\n", "\n\n")
+    } yield ls.mkString("\n") + tail
+    val params = Gen.Parameters.default
+    val texts = (1 to 400).map(i =>
+      pageText.pureApply(params, org.scalacheck.rng.Seed(i.toLong)))
+    val pages = texts.zipWithIndex
+      .map { case (t, i) => Page(s"r$i", null, null, t, "en") }.toDS()
+    val fcfg = KgPipeline.Config(sampler = Sampler.Config(
+      termsPerContext = 7, distInTermsBound = 5, renderText = false))
+    val scorer = LexiconScorer()
+    // bracket mode
+    val objB = KgPipeline.triplesFast(
+      KgPipeline.parsePages(pages, BracketNer, fcfg), fcfg, scorer)
+      .collect().sortBy(_.sampleId).toSeq
+    val fusB = KgPipeline.triplesFused(pages, fcfg, scorer)
+      .collect().sortBy(_.sampleId).toSeq
+    assert(objB == fusB && objB.nonEmpty)
+    // lexicon mode
+    val lex = Map("spark" -> "ORG", "customer" -> "PERSON", "ab" -> "GPE")
+    val objL = KgPipeline.triples(KgPipeline.samples(
+      KgPipeline.parsePages(pages, graft.ner.LexiconNer(lex), fcfg), fcfg), scorer)
+      .collect().sortBy(_.sampleId).toSeq
+    val fusL = KgPipeline.triplesFusedLexicon(pages, fcfg, lex, scorer)
+      .collect().sortBy(_.sampleId).toSeq
+    assert(objL == fusL && objL.nonEmpty)
+  }
+
   test("triplesFusedLexicon == object pipeline with LexiconNer (DocKg configuration)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
