@@ -351,15 +351,16 @@ object KgPipeline {
           while (k < nTok) {
             val ts = tokS(k); val te = tokE(k)
             termS(k) = ts; termE(k) = te; entity(k) = false
+            def growMentions(): Unit = if (nm == mInd.length) {
+              mInd = java.util.Arrays.copyOf(mInd, nm * 2)
+              mVal = java.util.Arrays.copyOf(mVal, nm * 2)
+              mTyp = java.util.Arrays.copyOf(mTyp, nm * 2)
+              mGrp = java.util.Arrays.copyOf(mGrp, nm * 2)
+            }
             if (lexMode) {
               val tpe = lexType(text, ts, te)
               if (tpe != null && (nerTypes.isEmpty || nerTypes.contains(tpe))) {
-                if (nm == mInd.length) {
-                  mInd = java.util.Arrays.copyOf(mInd, nm * 2)
-                  mVal = java.util.Arrays.copyOf(mVal, nm * 2)
-                  mTyp = java.util.Arrays.copyOf(mTyp, nm * 2)
-                  mGrp = java.util.Arrays.copyOf(mGrp, nm * 2)
-                }
+                growMentions()
                 entity(k) = true
                 mInd(nm) = k
                 mVal(nm) = text.substring(ts, te) // the RAW token, like LexiconNer
@@ -392,12 +393,7 @@ object KgPipeline {
                 t += 1
               }
               if (keep) {
-                if (nm == mInd.length) {
-                  mInd = java.util.Arrays.copyOf(mInd, nm * 2)
-                  mVal = java.util.Arrays.copyOf(mVal, nm * 2)
-                  mTyp = java.util.Arrays.copyOf(mTyp, nm * 2)
-                  mGrp = java.util.Arrays.copyOf(mGrp, nm * 2)
-                }
+                growMentions()
                 entity(k) = true
                 mInd(nm) = k
                 mVal(nm) = text.substring(termS(k), termE(k))

@@ -120,9 +120,14 @@ object TextOps {
   private def cueKeySlow(value: String): String =
     nonAlnum.matcher(canonicalKey(value)).replaceAll("")
 
-  /** Canonical form used as synonym-dictionary key: trim + lowercase
-    * (the reference lemmatizes via language-specific stemmers,
+  /** Canonical form used as synonym-dictionary key: trim + ROOT-locale
+    * lowercase (the reference lemmatizes via language-specific stemmers,
     * arelight/stemmers/ru_mystem.py:31-49; lowercase-trim is the engine's
-    * language-neutral key). */
-  def canonicalKey(value: String): String = value.trim.toLowerCase
+    * language-neutral key). Locale.ROOT, not the JVM default: group ids and
+    * dictionary keys must be identical across heterogeneous executors (a
+    * tr/az default locale would map I -> dotless i and silently split
+    * synonym groups between nodes), and it keeps the fused kernel's
+    * allocation-free ASCII lowercase fast path exactly equivalent. */
+  def canonicalKey(value: String): String =
+    value.trim.toLowerCase(java.util.Locale.ROOT)
 }

@@ -107,7 +107,7 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestSession {
       "word", "fast", "slow", "Fast,", "big!", "small", "the", "a1", "x",
       "[ORG:acme]", "[PERSON:a-b]", "[XYZ:n]", "[abc]", "[]", "[:x]",
       "[OR_G:y]", "[ORG:]", "[GPE:q]", "spark", "customer", "ab", "war",
-      "good", "[LOC:l]", "[ORG:spark]")
+      "good", "[LOC:l]", "[ORG:spark]", "\u0001spark", "Caf\u00e9", "CAF\u00c9")
     val sep = Gen.oneOf(" ", "  ", "\t", "", " \t ")
     val line = for {
       n <- Gen.choose(0, 12)
@@ -137,7 +137,8 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestSession {
       .collect().sortBy(_.sampleId).toSeq
     assert(objB == fusB && objB.nonEmpty)
     // lexicon mode
-    val lex = Map("spark" -> "ORG", "customer" -> "PERSON", "ab" -> "GPE")
+    val lex = Map("spark" -> "ORG", "customer" -> "PERSON", "ab" -> "GPE",
+      "caf\u00e9" -> "LOC") // non-ASCII key: slow-path lookup must MATCH
     val objL = KgPipeline.triples(KgPipeline.samples(
       KgPipeline.parsePages(pages, graft.ner.LexiconNer(lex), fcfg), fcfg), scorer)
       .collect().sortBy(_.sampleId).toSeq
@@ -150,8 +151,7 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestSession {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val lex = graft.ops.DocKg.entityLexicon
-    val fcfg = KgPipeline.Config(sampler = Sampler.Config(
-      termsPerContext = 1 << 20, distInTermsBound = 10, renderText = false))
+    val fcfg = graft.ops.DocKg.cfg // pin the ACTUAL oracle-checked configuration
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").cast("string").as("url"), col("text"), col("lang"))
       .map(r => Page(r.getString(0), null, null, r.getString(1), r.getString(2)))
