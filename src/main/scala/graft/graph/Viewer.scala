@@ -15,13 +15,38 @@ package graft.graph
   */
 object Viewer {
 
+  /** HTML-entity escape for element text (the <title>). */
+  private[graph] def escHtml(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c   => c.toString
+    }
+
+  /** JS string-literal escape; also encodes angle brackets so a name
+    * containing `</script>` cannot terminate the inline script block. */
+  private[graph] def escJs(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '<'  => "\\u003c"
+      case '>'  => "\\u003e"
+      case '&'  => "\\u0026"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case c    => c.toString
+    }
+
   def html(name: String): String = {
-    val n = name.replace("\"", "\\\"")
+    val nHtml = escHtml(name)
+    val n = escJs(name)
     s"""<!doctype html>
 <html lang="en">
 <head>
 <meta charset="utf-8">
-<title>graft graph — $n</title>
+<title>graft graph — $nHtml</title>
 <style>
   body { margin: 0; font: 13px system-ui, sans-serif; background: #111; color: #ddd; }
   #bar { padding: 8px 12px; background: #1b1b1b; border-bottom: 1px solid #333; }

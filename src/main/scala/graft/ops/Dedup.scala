@@ -347,8 +347,11 @@ object Dedup {
     * Hamming distance verifies; `maxHamming <= chunks-1` keeps the banding
     * lossless. `maxBucketSize` caps degenerate chunk buckets (constant /
     * boilerplate signature regions) exactly like the minhash band cap.
-    * Output: (a_id, b_id, hamming), a_id < b_id. */
-  def simhashPairs(df: DataFrame, text: Column, id: Column, bits: Int = 16,
+    * Default bits=64: 16-bit chunks give a 65k-value bucket space, the
+    * minimum that stays sub-quadratic at ~100k docs (a 16-bit signature with
+    * 4-bit chunks saturates its 16 buckets by ~1k docs — toy widths must be
+    * opted into explicitly). Output: (a_id, b_id, hamming), a_id < b_id. */
+  def simhashPairs(df: DataFrame, text: Column, id: Column, bits: Int = 64,
       chunks: Int = 4, maxHamming: Int = 3,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(bits % chunks == 0, s"bits=$bits not divisible by chunks=$chunks")

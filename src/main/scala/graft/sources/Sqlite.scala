@@ -201,8 +201,12 @@ object Sqlite {
         val rest = if (toks.length > 1) toks(1) else ""
         val tpe = rest.takeWhile(_.isLetter).toUpperCase
         // inline `PRIMARY KEY` on the column def — detected on the PARSED def
-        // (quoted/bracketed names included), not by substring-matching raw DDL
-        ColDef(name, tpe, rest.toUpperCase.matches(raw"(?s).*\bPRIMARY\s+KEY\b.*"))
+        // (quoted/bracketed names included), not by substring-matching raw DDL.
+        // `INTEGER PRIMARY KEY DESC` inline is NOT a rowid alias per the
+        // sqlite file-format quirk (only the table-level PRIMARY KEY(x DESC)
+        // form is); `ASC` and `AUTOINCREMENT` still qualify.
+        ColDef(name, tpe,
+          rest.toUpperCase.matches(raw"(?s).*\bPRIMARY\s+KEY\b(?!\s+DESC\b).*"))
       }
     (cols, tablePk)
   }

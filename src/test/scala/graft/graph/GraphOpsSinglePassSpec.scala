@@ -40,4 +40,16 @@ class GraphOpsSinglePassSpec extends AnyFunSuite with SparkTestSession {
     assert(accA.value == 2L)
     assert(accB.value == 1L)
   }
+
+  test("algebra calls leave no lingering CacheManager entry (round-3 advice)") {
+    // maxNormalize materializes via localCheckpoint (RDD-layer storage,
+    // ContextCleaner-reclaimed), NOT df.persist — so a long-lived session
+    // issuing many algebra calls never accumulates CacheManager relations.
+    val (a, _) = counted(Seq(("x", "y", "POS", 2.0), ("y", "z", "NEG", 4.0)))
+    val (b, _) = counted(Seq(("x", "y", "POS", 1.0)))
+    GraphOps.edgeUnion(a, b).collect()
+    GraphOps.edgeIntersection(a, b).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "graph algebra left persisted relations in the CacheManager")
+  }
 }

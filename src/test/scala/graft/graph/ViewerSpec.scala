@@ -30,4 +30,21 @@ class ViewerSpec extends AnyFunSuite {
     val h = Viewer.html("a\"b")
     assert(h.contains("const NAME = \"a\\\"b\";"))
   }
+
+  test("hostile names cannot break out of the script block or the title") {
+    val h = Viewer.html("""x</script><script>alert(1)</script>\"; evil()//""")
+    // no literal </script> (or any angle bracket from the name) survives
+    // inside the generated page's inline script
+    assert(!h.contains("</script><script>"))
+    assert(h.contains("\\u003c/script\\u003e"))
+    // backslashes are doubled so the JS string literal stays closed
+    assert(h.contains("\\\\\\\""))
+    // the HTML title uses entity escaping, not raw angle brackets
+    assert(h.contains("graft graph — x&lt;/script&gt;"))
+  }
+
+  test("backslash-only name yields a valid JS literal") {
+    val h = Viewer.html("""a\b""")
+    assert(h.contains("const NAME = \"a\\\\b\";"))
+  }
 }

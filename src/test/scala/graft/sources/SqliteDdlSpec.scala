@@ -30,6 +30,18 @@ class SqliteDdlSpec extends AnyFunSuite {
     assert(Sqlite.rowidAliasIndex("CREATE TABLE t(id INT PRIMARY KEY, x TEXT)").isEmpty)
   }
 
+  test("PRIMARY KEY DESC: inline form is NOT a rowid alias, table-level form IS") {
+    // sqlite file-format quirk: `x INTEGER PRIMARY KEY DESC` inline does NOT
+    // alias the rowid; only the table-level `PRIMARY KEY(x DESC)` form does.
+    assert(Sqlite.rowidAliasIndex("CREATE TABLE t(id INTEGER PRIMARY KEY DESC, x TEXT)").isEmpty)
+    assert(Sqlite.rowidAliasIndex("CREATE TABLE t(id integer primary key desc, x TEXT)").isEmpty)
+    // ASC and AUTOINCREMENT still alias
+    assert(Sqlite.rowidAliasIndex("CREATE TABLE t(id INTEGER PRIMARY KEY ASC, x TEXT)").contains(0))
+    // table-level DESC aliases
+    assert(Sqlite.rowidAliasIndex("CREATE TABLE t(id INTEGER, x TEXT, PRIMARY KEY(id DESC))").contains(0))
+    assert(Sqlite.rowidAliasIndex("CREATE TABLE t(id INTEGER, x TEXT, PRIMARY KEY(\"id\" DESC))").contains(0))
+  }
+
   test("a PRIMARY KEY mention inside another column's CHECK never misfires") {
     assert(Sqlite.rowidAliasIndex(
       "CREATE TABLE t(a TEXT CHECK(a <> 'PRIMARY KEY'), id INTEGER PRIMARY KEY)").contains(1))
