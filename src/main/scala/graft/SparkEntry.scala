@@ -41,6 +41,10 @@ object SparkEntry {
     // with truncating division -> bit-identical ranks cross-engine (a
     // double-valued PageRank could never hash-match; see GraphOps.pageRank)
     "kg_pagerank" -> ((s, d) => DocKg.pageRank(s, d, iters = 3)),
+    "kg_pagerank_dangling" -> ((s, d) => DocKg.pageRankDangling(s, d, iters = 3)),
+    // epsilon stop actually exercised: eps=10^8 stops within the 20-round cap
+    // at whatever round BOTH engines' exact arithmetic first meets it
+    "kg_pagerank_eps" -> ((s, d) => DocKg.pageRankDangling(s, d, iters = 20, eps = 100000000L)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
     "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
@@ -458,6 +462,60 @@ object SparkEntry {
                  |      FROM pn LEFT JOIN c$i c ON pn.id = c.target)""".stripMargin)
             .mkString(",\n")}
          |SELECT id, r FROM r3""".stripMargin,
+    "kg_pagerank_dangling" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |ew AS MATERIALIZED (SELECT source, target, CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS w
+         |      FROM edges GROUP BY 1, 2),
+         |ow AS (SELECT source, CAST(sum(w) AS BIGINT) AS ow FROM ew GROUP BY 1),
+         |ewj AS MATERIALIZED (SELECT e.source, e.target, e.w, o.ow FROM ew e JOIN ow o ON e.source = o.source),
+         |pn AS MATERIALIZED (SELECT DISTINCT id FROM
+         |      (SELECT source AS id FROM ew UNION ALL SELECT target FROM ew)),
+         |meta AS MATERIALIZED (SELECT count(*) AS n, 1000000000000 // count(*) AS t FROM pn),
+         |dang AS MATERIALIZED (SELECT id FROM pn WHERE id NOT IN (SELECT source FROM ew)),
+         |r0 AS MATERIALIZED (SELECT id, (SELECT t FROM meta) AS r FROM pn),
+         |${(1 to 3).map(i =>
+              s"""d$i AS (SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dm
+                 |      FROM r${i - 1} r JOIN dang USING (id)),
+                 |c$i AS (SELECT e.target, CAST(sum((85 * r.r * e.w) // (100 * e.ow)) AS BIGINT) AS cin
+                 |      FROM ewj e JOIN r${i - 1} r ON e.source = r.id GROUP BY 1),
+                 |r$i AS MATERIALIZED (SELECT pn.id,
+                 |      CAST((SELECT (15 * t) // 100 FROM meta)
+                 |           + (85 * (SELECT dm FROM d$i)) // (100 * (SELECT n FROM meta))
+                 |           + coalesce(c.cin, 0) AS BIGINT) AS r
+                 |      FROM pn LEFT JOIN c$i c ON pn.id = c.target)""".stripMargin)
+            .mkString(",\n")}
+         |SELECT id, r FROM r3""".stripMargin,
+    "kg_pagerank_eps" ->
+      s"""WITH RECURSIVE $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |ew AS MATERIALIZED (SELECT source, target, CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS w
+         |      FROM edges GROUP BY 1, 2),
+         |ow AS (SELECT source, CAST(sum(w) AS BIGINT) AS ow FROM ew GROUP BY 1),
+         |ewj AS MATERIALIZED (SELECT e.source, e.target, e.w, o.ow FROM ew e JOIN ow o ON e.source = o.source),
+         |pn AS MATERIALIZED (SELECT DISTINCT id FROM
+         |      (SELECT source AS id FROM ew UNION ALL SELECT target FROM ew)),
+         |meta AS MATERIALIZED (SELECT count(*) AS n, 1000000000000 // count(*) AS t FROM pn),
+         |dang AS MATERIALIZED (SELECT id FROM pn WHERE id NOT IN (SELECT source FROM ew)),
+         |pr AS (
+         |  SELECT 0 AS it, id, (SELECT t FROM meta) AS r, CAST(1000000000000 AS BIGINT) AS delta
+         |  FROM pn
+         |  UNION ALL
+         |  SELECT q.it + 1, q.id, q.rn, abs(q.rn - q.prev)
+         |  FROM (
+         |    SELECT p.it AS it, p.id AS id, p.r AS prev,
+         |           CAST((SELECT (15 * t) // 100 FROM meta)
+         |             + (85 * (SELECT coalesce(sum(p2.r), 0) FROM pr p2 JOIN dang dg ON p2.id = dg.id))
+         |               // (100 * (SELECT n FROM meta))
+         |             + coalesce(c.cin, 0) AS BIGINT) AS rn
+         |    FROM pr p
+         |    LEFT JOIN (SELECT e.target, CAST(sum((85 * p3.r * e.w) // (100 * e.ow)) AS BIGINT) AS cin
+         |               FROM ewj e JOIN pr p3 ON e.source = p3.id GROUP BY 1) c
+         |      ON p.id = c.target
+         |    WHERE p.it < 20 AND (SELECT max(delta) FROM pr) > 100000000
+         |  ) q
+         |)
+         |SELECT id, r FROM pr WHERE it = (SELECT max(it) FROM pr)""".stripMargin,
     "kg_nodes" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

@@ -198,7 +198,12 @@ object GraphOps {
     *
     * Output: (id, r) with Σ r <= 10^12. `iters` fixed (unrolled in the SQL
     * oracle); convergence-by-epsilon is a driver-side stop rule at scale. */
-  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+  /** Shared PageRank prep: validated integer edge weights with per-source
+    * out-weight, the node set, and the exact-arithmetic constants. */
+  private final case class PrGraph(ew: DataFrame, nodes: DataFrame,
+      n: Long, t: Long, base: Long)
+
+  private def prPrep(edges: DataFrame): PrGraph = {
     // fail fast instead of silently truncating: a normalized edge relation
     // (c in (0,1], e.g. maxNormalize output) would cast to w=0 and produce
     // teleport-only ranks; fractional counts would silently round down
@@ -223,8 +228,13 @@ object GraphOps {
     val n = nodes.count()
     require(n > 0, "empty edge relation")
     val t = 1000000000000L / n
-    val base = (15L * t) / 100L
-    var ranks = nodes.select(col("id"), lit(t).as("r"))
+    PrGraph(ew, nodes, n, t, (15L * t) / 100L)
+  }
+
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val g = prPrep(edges)
+    val (ew, nodes, base) = (g.ew, g.nodes, g.base)
+    var ranks = nodes.select(col("id"), lit(g.t).as("r"))
     for (_ <- 1 to iters) {
       val contribs = ew.join(ranks, ew("source") === ranks("id"))
         .select(col("target"), expr("(85 * r * w) div (100 * ow)").as("contrib"))
@@ -232,6 +242,68 @@ object GraphOps {
       ranks = nodes.join(contribs, nodes("id") === contribs("target"), "left")
         .select(col("id"), (lit(base) + coalesce(col("cin"), lit(0L))).as("r"))
         .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** PageRank with CLASSIC dangling-mass redistribution plus an epsilon stop
+    * rule — the two completions [[pageRank]] documents as deviations. Same
+    * exact BIGINT arithmetic (bit-identical cross-engine), extended with:
+    *
+    *   D_t        = Σ_{u: no out-edges} r_t(u)                (dangling mass)
+    *   r_{t+1}(v) = base + (85 * D_t) div (100 * N)
+    *                     + Σ_{u->v} (85 * r_t(u) * w_uv) div (100 * W_u)
+    *
+    * Stop: before computing round t+1, stop if round t's max |r_t - r_t-1|
+    * was <= eps (or t == iters). The per-round delta is collected via an
+    * observe() metric during the SAME action that checkpoints the round's
+    * ranks, and the dangling mass enters the plan as a broadcast one-row
+    * aggregate — so each round is still exactly ONE Spark job with one
+    * co-partitioned join + aggregation, never a driver-synchronous count
+    * (the round-3 verdict #1 discipline). eps must stay below the 10^12
+    * initial-delta sentinel the cross-engine oracle uses.
+    *
+    * Engine extension with no reference counterpart (the reference computes
+    * d3js edge weights, not centrality — see [[pageRank]]'s deviation note);
+    * 85/100 damping follows the classic public formulation. */
+  def pageRankDangling(edges: DataFrame, iters: Int = 3, eps: Long = 0L): DataFrame = {
+    require(eps >= 0 && eps < 1000000000000L, s"eps out of [0, 1e12): $eps")
+    val g = prPrep(edges)
+    val (ew, nodes, base) = (g.ew, g.nodes, g.base)
+    // dangling = nodes with no out-edges; static across rounds
+    val dangling = nodes.join(ew.select(col("source")).distinct(),
+      nodes("id") === col("source"), "left_anti").localCheckpoint()
+    var ranks = nodes.select(col("id"), lit(g.t).as("r"))
+    val metricBase = s"graft_pr_${java.util.UUID.randomUUID().toString.take(8)}_"
+    var maxDelta = Long.MaxValue
+    var it = 0
+    while (it < iters && maxDelta > eps) {
+      // one-row dangling-mass aggregate, broadcast into the rank update —
+      // stays inside the round's single job (85 * D <= 8.5e13: no overflow)
+      val dagg = dangling.join(ranks, "id")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+      val contribs = ew.join(ranks, ew("source") === ranks("id"))
+        .select(col("target"), expr("(85 * r * w) div (100 * ow)").as("contrib"))
+        .groupBy(col("target")).agg(sum(col("contrib")).as("cin"))
+      val stepped = nodes.join(contribs, nodes("id") === contribs("target"), "left")
+        .crossJoin(broadcast(dagg))
+        .select(col("id"),
+          (lit(base) + coalesce(col("cin"), lit(0L)) +
+            expr(s"(85 * dm) div (100 * ${g.n})")).as("r"))
+      val metricName = metricBase + it
+      val next = stepped
+        .join(ranks.select(col("id"), col("r").as("prev_r")), "id")
+        .select(col("id"), col("r"), abs(col("r") - col("prev_r")).as("delta"))
+        .observe(metricName, coalesce(max(col("delta")), lit(0L)).as("md"))
+        .select(col("id"), col("r"))
+      val materialized = next.localCheckpoint()
+      maxDelta = next.queryExecution.observedMetrics.get(metricName) match {
+        case Some(row) => if (row.isNullAt(0)) 0L else row.getLong(0)
+        case None => throw new IllegalStateException(
+          s"observe metric $metricName not collected — epsilon stop would stall")
+      }
+      ranks = materialized
+      it += 1
     }
     ranks
   }

@@ -175,6 +175,12 @@ object DocKg {
   def pageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
     GraphOps.pageRank(edges(spark, dir), iters)
 
+  /** PageRank with dangling-mass redistribution + epsilon stop
+    * (GraphOps.pageRankDangling) over the same aggregated edge relation. */
+  def pageRankDangling(spark: SparkSession, dir: String, iters: Int = 3,
+      eps: Long = 0L): DataFrame =
+    GraphOps.pageRankDangling(edges(spark, dir), iters, eps)
+
   /** Two sub-corpora for the graph algebra: english docs vs the rest.
     * Aggregated ONCE with the lang flag as an extra grouping key, then split —
     * the two join sides share an identical aggregate subtree, so Spark's

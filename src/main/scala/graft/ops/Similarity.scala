@@ -191,6 +191,72 @@ object Similarity {
   private def minDistCol(q: Column, cents: Seq[Array[Long]]): Column =
     graft.functions.VectorExpressions.centroid_min_dist(q, cents.toArray)
 
+  /** Exact farthest-point (maximin) seeding over the full corpus: start from
+    * the smallest id, then k-1 TakeOrdered passes, each taking the point
+    * farthest from the chosen set (ties to the smaller id). Deterministic
+    * and oracle-expressible, but k-1 driver-synchronous full scans — the
+    * right shape only while k is small (the oracle's k=8). */
+  private def maximinExact(q: DataFrame, k: Int): Array[Array[Long]] = {
+    val init = scala.collection.mutable.ArrayBuffer(
+      q.orderBy(col("id")).limit(1).collect()(0).getSeq[Long](1).toArray)
+    while (init.length < k) {
+      val next = q.select(col("q"), minDistCol(col("q"), init.toSeq).as("d"), col("id"))
+        .orderBy(col("d").desc, col("id")).limit(1).collect()
+      init += next(0).getSeq[Long](0).toArray
+    }
+    init.toArray
+  }
+
+  /** Scale-shaped seeding (round-3 verdict #2): ONE scan collects a
+    * deterministic hash-selected sample ([[Sampling.hashBucket]]:
+    * partition-invariant, rng-free, the same per-id decision on every
+    * re-run) and maximin runs driver-side over the sample with the SAME
+    * start/tie rules as [[maximinExact]] — so seeding costs one scan
+    * regardless of k, where the exact path pays k-1 scans (a production IVF
+    * trains k in the thousands). Sampled seeds generally differ from exact
+    * seeds (a fraction < 1 can exclude the true farthest point) but are
+    * bit-reproducible: same input => same sample => same seeds => same
+    * trained centroids, independent of partitioning. Driver cost is
+    * O(|sample| * k * dim); the sample must still hold >= k points. */
+  private def maximinSampled(q: DataFrame, k: Int, fraction: Double): Array[Array[Long]] = {
+    require(fraction > 0 && fraction <= 1, s"seedSampleFraction out of (0,1]: $fraction")
+    val rows = Sampling.sampleByHash(q, col("id"), fraction)
+      .select(col("id"), col("q")).collect()
+    require(rows.length >= k,
+      s"seed sample has ${rows.length} < k=$k points; raise seedSampleFraction")
+    // sort driver-side by id with SQL ordering semantics (no global sort job)
+    val pts: Array[(Any, Array[Long])] =
+      rows.map(r => (r.get(0), r.getSeq[Long](1).toArray)).sortWith { (a, b) =>
+        (a._1, b._1) match {
+          case (x: Long, y: Long)     => x < y
+          case (x: Int, y: Int)       => x < y
+          case (x: String, y: String) => x < y
+          case (x, y) => throw new IllegalArgumentException(
+            s"unorderable id type for sampled seeding: ${x.getClass} vs ${y.getClass}")
+        }
+      }
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(pts(0)._2)
+    val minD = pts.map(p => d2(p._2, chosen(0)))
+    while (chosen.length < k) {
+      // farthest point from the chosen set; ties to the smaller id — pts is
+      // id-sorted, so the first index attaining the max wins
+      var best = 0; var i = 1
+      while (i < pts.length) { if (minD(i) > minD(best)) best = i; i += 1 }
+      val seed = pts(best)._2
+      chosen += seed
+      i = 0
+      while (i < pts.length) {
+        val d = d2(pts(i)._2, seed); if (d < minD(i)) minD(i) = d; i += 1
+      }
+    }
+    chosen.toArray
+  }
+
   /** Lloyd's k-means coarse quantizer for IVF — the learned replacement for
     * the [[bucket]] heuristic. Deterministic farthest-point (maximin)
     * seeding: start from the smallest id, then repeatedly take the point
@@ -199,7 +265,9 @@ object Similarity {
     * (all seeds land in one blob and Lloyd cannot escape; the
     * planted-cluster spec caught exactly that), while maximin guarantees
     * spread, stays deterministic/SQL-expressible, and costs k-1 TakeOrdered
-    * passes (k is small by construction). Then `iters` rounds of
+    * passes — pass `seedSampleFraction` to switch to the one-scan
+    * seed-on-sample variant ([[maximinSampled]]) when k is large. Then
+    * `iters` rounds of
     * assign + update; each round is ONE scan of the (lineage-truncated)
     * quantized input: map-side argmin against centroid literals (no join),
     * then a posexplode partial-sum aggregation whose result is K×dim rows —
@@ -209,21 +277,17 @@ object Similarity {
     * floor(sum/count) over quantized coordinates (exact; empty clusters keep
     * their previous centroid). Returns the K×dim centroid matrix. */
   def kmeansCentroids(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
-      scale: Int = 1000): Array[Array[Long]] = {
+      scale: Int = 1000, seedSampleFraction: Option[Double] = None): Array[Array[Long]] = {
     require(k >= 1, s"k=$k must be >= 1")
     // localCheckpoint, not persist: iterative consumers (memory note — AQE
     // re-stringifies nested plans per action otherwise)
     val q = quantized(df, id, vec, scale).localCheckpoint()
     // guards maximin from silently seeding duplicate centroids on N < k
     require(q.limit(k).count() == k, s"corpus has fewer than k=$k vectors")
-    val init = scala.collection.mutable.ArrayBuffer(
-      q.orderBy(col("id")).limit(1).collect()(0).getSeq[Long](1).toArray)
-    while (init.length < k) {
-      val next = q.select(col("q"), minDistCol(col("q"), init.toSeq).as("d"), col("id"))
-        .orderBy(col("d").desc, col("id")).limit(1).collect()
-      init += next(0).getSeq[Long](0).toArray
+    var cents: Array[Array[Long]] = seedSampleFraction match {
+      case None    => maximinExact(q, k)
+      case Some(f) => maximinSampled(q, k, f)
     }
-    var cents: Array[Array[Long]] = init.toArray
     val dim = cents.head.length
     for (_ <- 1 to iters) {
       val sums = q.select(nearestCentroid(col("q"), cents).as("cluster"),

@@ -91,6 +91,46 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.find(_.getLong(0) == 201L).get.getLong(3) == 0L)
   }
 
+  test("sampled maximin seeding: deterministic, partition-invariant, recovers planted clusters") {
+    import spark.implicits._
+    // same planted-centers corpus shape as the exact-seeding test: if
+    // seed-on-sample collapsed into one blob, Lloyd could not separate them
+    val rnd = new scala.util.Random(23)
+    val centers = Seq(
+      Array.fill(8)(0.9), Array.fill(8)(-0.9),
+      Array.tabulate(8)(i => if (i % 2 == 0) 0.9 else -0.9))
+    val pts = for {
+      (c, g) <- centers.zipWithIndex
+      i <- 0 until 40
+    } yield ((g * 40 + i).toLong, g, c.map(v => v + rnd.nextDouble() * 0.1 - 0.05))
+    val df = pts.toDF("id", "planted", "v")
+
+    val sampled = Similarity.kmeansCentroids(df, col("id"), col("v"), k = 3, iters = 2,
+      seedSampleFraction = Some(0.5))
+    // bit-reproducible across partitionings AND re-runs (hash-selected
+    // sample + driver-side maximin have no rng / partition dependence)
+    val sampled2 = Similarity.kmeansCentroids(df.repartition(7), col("id"), col("v"),
+      k = 3, iters = 2, seedSampleFraction = Some(0.5))
+    assert(sampled.map(_.toSeq).toSeq == sampled2.map(_.toSeq).toSeq)
+
+    val assigned = Similarity.kmeansAssign(df, col("id"), col("v"), sampled)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cellOf = pts.groupBy(_._2).map { case (g, ps) =>
+      g -> ps.map(p => assigned(p._1)).distinct }
+    assert(cellOf.values.forall(_.size == 1), s"split planted group: $cellOf")
+    assert(cellOf.values.flatten.toSet.size == 3, s"merged groups: $cellOf")
+
+    // guards: sample too small for k fails fast, bad fraction fails fast
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(df, col("id"), col("v"), k = 100, iters = 1,
+        seedSampleFraction = Some(0.01))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(df, col("id"), col("v"), k = 3, iters = 1,
+        seedSampleFraction = Some(0.0))
+    }
+  }
+
   test("k-means IVF: recovers planted clusters; partition-invariant; search stays in-cell") {
     import spark.implicits._
     // three well-separated planted centers in 8-d; 20 points each, small jitter
