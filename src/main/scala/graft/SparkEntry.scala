@@ -212,6 +212,16 @@ object SparkEntry {
         col("embedding"), k = 3, cents)
         .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
     }),
+    // multi-probe recall knob over the learned quantizer: each query
+    // searches its 2 nearest trained cells (still a broadcast cell join)
+    "ann_kmeans_probe" -> ((s, d) => {
+      val e = embeds(s, d)
+      val cents = Similarity.kmeansCentroids(e, col("vec_id"), col("embedding"),
+        k = 8, iters = 2)
+      Similarity.kmeansTopKMultiProbe(e, e.filter(col("vec_id") < 50), col("vec_id"),
+        col("embedding"), k = 3, cents, nProbe = 2)
+        .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
+    }),
     // scale path for near-dup pairs: LSH bucket join (NO cross join in the
     // plan — asserted by PlanSpec); near-dups planted deterministically
     // (perturbed copy of every vector at id+10000) since the synthetic
@@ -804,6 +814,21 @@ object SparkEntry {
          |qq AS (SELECT * FROM cells WHERE id < 50),
          |s AS (SELECT qq.id AS query_id, c.id AS neighbor_id, ${cosineSql("qq.e", "c.e")} AS score
          |      FROM cells c JOIN qq ON c.cluster = qq.cluster AND qq.id <> c.id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
+    "ann_kmeans_probe" ->
+      s"""WITH $kmCtes,
+         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cells AS (SELECT a3.id, a3.cluster, ev.e FROM a3 JOIN ev ON a3.id = ev.vec_id),
+         |qq0 AS (SELECT qv.id, qv.q, ev.e FROM qv JOIN ev ON qv.id = ev.vec_id WHERE qv.id < 50),
+         |qd AS (SELECT qq0.id, qq0.e, c.cid,
+         |    list_sum(list_transform(list_zip(qq0.q, c.cq), p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+         |  FROM qq0 CROSS JOIN c2 c),
+         |probes AS (SELECT id, e, cid AS cluster FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM qd)
+         |  WHERE rn <= 2),
+         |s AS (SELECT p.id AS query_id, c.id AS neighbor_id, ${cosineSql("p.e", "c.e")} AS score
+         |      FROM cells c JOIN probes p ON c.cluster = p.cluster AND p.id <> c.id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
     "text_quality" ->

@@ -329,6 +329,43 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Learned-IVF multi-probe (round-3 verdict #6): each query searches its
+    * `nProbe` nearest TRAINED cells instead of one — [[probeBuckets]]'s
+    * recall knob ported from the coordinate heuristic to centroid space.
+    * Probe selection ranks exact integer squared-L2 distance to each of the
+    * K driver-held centroids (ties to the smaller cell id — the same rule as
+    * [[nearestCentroid]]): the centroid matrix rides as a LITERAL that each
+    * query row posexplodes over, so picking probe cells is pure map-side
+    * work with no join node; corpus vectors still live in exactly ONE cell,
+    * so probing never duplicates a (query, neighbor) pair, and the search
+    * stays a broadcast cell join — never a corpus cross join. */
+  def kmeansTopKMultiProbe(corpus: DataFrame, queries: DataFrame, id: Column,
+      vec: Column, k: Int, cents: Array[Array[Long]], nProbe: Int,
+      scale: Int = 1000): DataFrame = {
+    require(nProbe >= 1 && nProbe <= cents.length,
+      s"nProbe=$nProbe out of [1, ${cents.length}]")
+    val c = corpus.select(id.as("neighbor_id"), asDouble(vec).as("c_vec"),
+      nearestCentroid(quantCol(vec, scale), cents).as("bucket"))
+    val q0 = queries.select(id.as("query_id"), asDouble(vec).as("q_vec"),
+      quantCol(vec, scale).as("q_q"))
+    val qd = q0.select(col("query_id"), col("q_vec"), col("q_q"),
+        posexplode(typedlit(cents.map(_.toSeq).toSeq)))
+      .select(col("query_id"), col("q_vec"), col("pos").cast("long").as("bucket"),
+        aggregate(zip_with(col("q_q"), col("col"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    val wp = Window.partitionBy("query_id").orderBy(col("d2"), col("bucket"))
+    val probes = qd.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("bucket"))
+    val scored = c.join(broadcast(probes), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** Bucketed ANN: top-k by cosine within the query's coarse bucket only.
     * The join is on bucket id — co-partitioned, no cross join. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,

@@ -63,6 +63,11 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("ann_kmeans_probe: multi-probe search is still a cell join — no cartesian product") {
+    val p = planOf("ann_kmeans_probe")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dedup_simhash_pairs: chunk-banded candidate join — no cartesian product") {
     val p = planOf("dedup_simhash_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

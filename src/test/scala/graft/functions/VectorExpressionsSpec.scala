@@ -131,6 +131,37 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("k-means multi-probe: superset of single-cell results; probes are the nearest cells") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, col("vec_id"), col("embedding"), k = 4, iters = 2)
+    val q = e.filter(col("vec_id") < 10)
+    val single = Similarity.kmeansTopK(e, q, col("vec_id"), col("embedding"), k = 3, cents)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    // nProbe=1 must equal the single-cell search exactly
+    val p1 = Similarity.kmeansTopKMultiProbe(e, q, col("vec_id"), col("embedding"),
+        k = 3, cents, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    assert(p1 == single)
+    // nProbe=4 (all cells) == brute force top-3 (recall 1.0 by construction)
+    val pAll = Similarity.kmeansTopKMultiProbe(e, q, col("vec_id"), col("embedding"),
+        k = 3, cents, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = Similarity.bruteForceTopK(e, q, col("vec_id"), col("embedding"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    assert(pAll == brute)
+    // recall is monotone in nProbe vs the brute-force truth
+    val p2 = Similarity.kmeansTopKMultiProbe(e, q, col("vec_id"), col("embedding"),
+        k = 3, cents, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    assert((p1 intersect brute).size <= (p2 intersect brute).size)
+    assert((p2 intersect brute).size <= (pAll intersect brute).size)
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansTopKMultiProbe(e, q, col("vec_id"), col("embedding"),
+        k = 3, cents, nProbe = 5)
+    }
+  }
+
   test("k-means IVF: recovers planted clusters; partition-invariant; search stays in-cell") {
     import spark.implicits._
     // three well-separated planted centers in 8-d; 20 points each, small jitter
