@@ -16,7 +16,7 @@ import graft.ops.{Dedup, TextStats}
   *     [--near-dup y] [--bands 4] [--rows-per-band 2] [--shingle-w 2] [--jaccard 0.7]
   *     [--max-bucket 10000]
   *     [--probes eval.parquet --ngram 5 --min-shared 3]
-  *     [--store /path/to/sigstore [--store-min-bands 1]]
+  *     [--store /path/to/sigstore [--store-min-bands 1] [--compact-store y]]
   *
   * `--store` turns a one-shot curation run into CONTINUOUS ingest: the batch
   * is additionally deduplicated against the persistent signature store
@@ -135,6 +135,11 @@ object Curate {
     // append the survivors' signatures: the next batch dedups against them
     store.foreach(sp =>
       graft.ops.SigStore.append(keptP, col(textCol), col(idCol), sp, storeParams))
+    // --compact-store y: fold the store's accumulated per-batch file-sets
+    // into one bucketed layout (run at maintenance cadence, ~every 100
+    // batches — see SigStore.compact scaladoc; probe results are unchanged)
+    if (opts.get("--compact-store").exists(_ == "y"))
+      store.foreach(sp => graft.ops.SigStore.compact(spark, sp))
 
     val storeField = store.map(_ => s""""after_store":$nStore,""").getOrElse("")
     println(s"""{"input":$nInput,"after_quality":$nQuality,$storeField""" +

@@ -76,7 +76,9 @@ object SigStore {
     pinParams(spark, store, params)
     Dedup.minhashSignatures(docs, text, id, params.bands, params.shingleW, params.rowsPerBand)
       .write.mode(SaveMode.Append).parquet(sigsPath(store))
-    docs.select(md5(text.cast("binary")).as("text_hash")).distinct()
+    // id rides along so [[compact]]'s retention can drop a retired doc's
+    // exact-hash row too (the probe itself joins on text_hash only)
+    docs.select(id.as("id"), md5(text.cast("binary")).as("text_hash")).distinct()
       .write.mode(SaveMode.Append).parquet(hashesPath(store))
   }
 
@@ -95,7 +97,7 @@ object SigStore {
       s"signature store $store was built with $have, probe uses $params")
     val noExact = batch.join(
       spark.read.parquet(hashesPath(store))
-        .withColumnRenamed("text_hash", "__h").distinct(),
+        .select(col("text_hash").as("__h")).distinct(),
       md5(text.cast("binary")) === col("__h"), "left_anti")
     val batchSigs = Dedup.minhashSignatures(noExact, text, id,
       params.bands, params.shingleW, params.rowsPerBand)
@@ -112,5 +114,55 @@ object SigStore {
       .select("batch_id").distinct()
     noExact.join(flagged.withColumnRenamed("batch_id", "__bid"),
       id === col("__bid"), "left_anti")
+  }
+
+  /** Rewrite the store's accumulated per-batch parquet file-sets into ONE
+    * deduplicated layout bucketed by the probe join key — sigs repartitioned
+    * on (band, sig), hashes on text_hash — with `partitions` files each.
+    * Continuous ingest appends one file-set per [[append]] forever (the
+    * classic small-files failure: at per-minute cadence a year of ingest is
+    * ~500k files whose listing dominates every probe), so run this at a
+    * maintenance cadence of roughly every ~100 batches, or whenever the
+    * file count per relation reaches a few hundred.
+    *
+    * Probe results are IDENTICAL pre/post: both probes have set semantics
+    * (distinct/anti-join), so dropping duplicate rows only shrinks the join.
+    * `dropIds` (a one-column `id` relation) optionally retires documents —
+    * their band signatures and exact-hash rows are removed, so retired
+    * content stops suppressing future ingests (retention requires a store
+    * written by a version that records `id` in hashes; older stores fail
+    * fast rather than half-retiring).
+    *
+    * Crash safety: the new layout is fully written to a temp dir before the
+    * old dir is swapped out via rename, so an interrupted compaction leaves
+    * either the old or the new layout plus at worst an orphan temp/backup
+    * dir, which the next compact() clears. */
+  def compact(spark: SparkSession, store: String, partitions: Int = 32,
+      dropIds: Option[DataFrame] = None): Unit = {
+    require(exists(spark, store), s"no signature store at $store")
+    require(partitions >= 1, s"partitions=$partitions must be >= 1")
+    val f = fs(spark, store)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val drop = dropIds.map(_.select(col(dropIds.get.columns.head).as("__drop_id")))
+    def swapIn(path: String)(rewrite: DataFrame => DataFrame): Unit = {
+      val tmp = s"$path.compact-tmp"
+      val bak = s"$path.compact-bak"
+      f.delete(p(tmp), true); f.delete(p(bak), true)
+      rewrite(spark.read.parquet(path)).write.parquet(tmp)
+      if (!f.rename(p(path), p(bak)) || !f.rename(p(tmp), p(path)))
+        sys.error(s"compaction swap failed for $path — store left on the old layout")
+      f.delete(p(bak), true)
+    }
+    def retire(df: DataFrame): DataFrame = drop match {
+      case None => df
+      case Some(d) =>
+        require(df.columns.contains("id"),
+          "store predates id-carrying hashes; retention would half-retire — recreate the store")
+        df.join(d, df("id") === d("__drop_id"), "left_anti")
+    }
+    swapIn(sigsPath(store))(df =>
+      retire(df).distinct().repartition(partitions, col("band"), col("sig")))
+    swapIn(hashesPath(store))(df =>
+      retire(df).distinct().repartition(partitions, col("text_hash")))
   }
 }

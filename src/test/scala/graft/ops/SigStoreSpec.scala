@@ -100,4 +100,59 @@ class SigStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(capped == Set(1001L), s"capped kept $capped") // boilerplate bucket dropped
     assert(batch.count() == 2) // (silence unused warning; exact path covered above)
   }
+
+  test("compact: probe results identical pre/post; file-sets fold into the bucketed layout") {
+    val store = tmp()
+    // five appends = five parquet file-sets per relation (the small-files shape)
+    for (b <- 0 until 5)
+      SigStore.append(
+        df((0 until 4).map(i =>
+          (b * 10L + i, s"batch $b doc $i alpha beta gamma delta epsilon$i zeta")): _*),
+        col("text"), col("doc_id"), store, p)
+    val batch = df(
+      900L -> "batch 2 doc 1 alpha beta gamma delta epsilon1 zeta",  // exact dup
+      901L -> "batch 4 doc 3 alpha beta gamma delta epsilon3 NEAR",  // near dup
+      902L -> "entirely novel content about catalyst optimizer rules")
+    val pre = SigStore.filterNew(batch, col("text"), col("doc_id"), store, p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    def files(rel: String) = new java.io.File(s"$store/$rel").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val sigFilesBefore = files("sigs")
+    SigStore.compact(spark, store, partitions = 2)
+    assert(files("sigs") == 2 && files("hashes") == 2,
+      s"expected 2 files per relation, got sigs=${files("sigs")} hashes=${files("hashes")}")
+    assert(sigFilesBefore > 2, s"test setup should accumulate file-sets: $sigFilesBefore")
+
+    val post = SigStore.filterNew(batch, col("text"), col("doc_id"), store, p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(post == pre, s"probe changed across compaction: pre=$pre post=$post")
+    assert(pre == Set(902L))
+
+    // appends keep working on the compacted layout
+    SigStore.append(df(902L -> "entirely novel content about catalyst optimizer rules"),
+      col("text"), col("doc_id"), store, p)
+    val again = SigStore.filterNew(batch, col("text"), col("doc_id"), store, p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == Set.empty[Long])
+  }
+
+  test("compact with retention: retired ids stop suppressing future ingests") {
+    import spark.implicits._
+    val store = tmp()
+    SigStore.append(
+      df(1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+         2L -> "one two three four five six seven eight nine ten"),
+      col("text"), col("doc_id"), store, p)
+    val batch = df(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      11L -> "one two three four five six seven eight nine ten")
+    assert(SigStore.filterNew(batch, col("text"), col("doc_id"), store, p).count() == 0)
+    // retire doc 1: its exact AND near suppression must disappear
+    SigStore.compact(spark, store, partitions = 1,
+      dropIds = Some(Seq(1L).toDF("id")))
+    val kept = SigStore.filterNew(batch, col("text"), col("doc_id"), store, p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L), s"kept $kept")
+  }
 }
