@@ -81,7 +81,9 @@ object Dedup {
 
   /** Band signatures from a pre-hashed shingle relation (id, base: array<long>).
     * Shared by document dedup (word shingles) and entity linking (char
-    * shingles, graft.link.Linker): one row per (id, band). Map-side only. */
+    * shingles, graft.link.Linker): one row per (id, band). Map-side only.
+    * Columns besides `base` pass through unchanged (e.g. an event-time
+    * column for the streaming variant). */
   def bandSignatures(based: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandRows = (0 until bands).map { b =>
       val hashes = (0 until rowsPerBand).map { k =>
@@ -90,8 +92,9 @@ object Dedup {
       val sig = hashes.reduceLeft((a, c) => concat(a, lit("_"), c))
       struct(lit(b).as("band"), sig.as("sig"))
     }
-    based.select(col("id"), explode(array(bandRows: _*)).as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val keep = based.columns.filterNot(_ == "base").map(col)
+    based.select(keep :+ explode(array(bandRows: _*)).as("bs"): _*)
+      .select(keep :+ col("bs.band").as("band") :+ col("bs.sig").as("sig"): _*)
       .filter(col("sig").isNotNull)
   }
 

@@ -75,6 +75,43 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** In-stream watermarked NEAR-duplicate candidate pairs — minhash band
+    * signatures (map-side, graft.ops.Dedup.bandSignatures) feeding a
+    * stream-stream self-join on the (band, sig) bucket key, bounded to pairs
+    * whose event times lie within `horizon` of each other. Completes the
+    * streaming dedup family: [[dedupExactStream]] (exact, bounded state),
+    * [[dedupIngestStream]] (unbounded history via the signature store), and
+    * this — near-dups detected wholly in-stream, join state bounded by the
+    * watermark. Inside one horizon the emitted pair set equals the batch
+    * candidate generator (Dedup.minhashCandidates) on the same documents —
+    * asserted by StreamOpsSpec; a downstream Jaccard verify stays the
+    * caller's precision stage exactly as in batch. Pairs sharing several
+    * bands are collapsed by a watermarked dedup on the pair key (chained
+    * stateful operators, append mode). Output: (a_id, b_id, ts) with
+    * a_id < b_id and ts = the a-side event time. */
+  def dedupMinhashStream(docs: DataFrame, textCol: String, idCol: String,
+      tsCol: String, watermark: String = "1 hour", horizon: String = "1 hour",
+      bands: Int = 8, shingleW: Int = 3, rowsPerBand: Int = 2): DataFrame = {
+    import graft.ops.Dedup
+    val based = docs.select(col(idCol).as("id"),
+      col(tsCol).cast("timestamp").as("ts"),
+      transform(Dedup.shingles(Dedup.tokens(col(textCol)), shingleW),
+        h => Dedup.baseHash(h)).as("base"))
+    val sigs = Dedup.bandSignatures(based, bands, rowsPerBand)
+    val a = sigs.select(col("id").as("a_id"), col("ts").as("a_ts"),
+      col("band").as("a_band"), col("sig").as("a_sig")).withWatermark("a_ts", watermark)
+    val b = sigs.select(col("id").as("b_id"), col("ts").as("b_ts"),
+      col("band").as("b_band"), col("sig").as("b_sig")).withWatermark("b_ts", watermark)
+    a.join(b, expr(
+        s"""a_band = b_band AND a_sig = b_sig AND a_id < b_id AND
+           |b_ts BETWEEN a_ts - INTERVAL $horizon AND a_ts + INTERVAL $horizon""".stripMargin))
+      .select(col("a_id"), col("b_id"), col("a_ts").as("ts"))
+      // no fresh withWatermark here: ts (= a_ts) already carries the join
+      // input's watermark, which PROPAGATES through chained stateful
+      // operators — redefining it on the join output is disallowed
+      .dropDuplicatesWithinWatermark("a_id", "b_id")
+  }
+
   /** Continuous-ingest dedup with UNBOUNDED history: each micro-batch is
     * exact-deduped within itself (keep min id per content hash), then probed
     * against the persistent [[graft.ops.SigStore]] (exact md5 anti-join +

@@ -137,6 +137,37 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(ids == Seq(1L, 2L, 5L))
   }
 
+  test("watermarked minhash stream: candidate pairs inside the horizon == batch candidates") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val docs = Seq(
+      (1L, ts(0), "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, ts(5), "one two three four five six seven eight nine ten"),
+      (3L, ts(10), "alpha beta gamma delta epsilon zeta eta theta iota NEARBY"), // near dup of 1
+      (4L, ts(15), "one two three four five six seven eight nine ten"),          // exact dup of 2
+      (5L, ts(20), "totally different content about catalyst optimizer rules"))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamOps.dedupMinhashStream(
+        mem.toDF().toDF("doc_id", "crawl_ts", "text"), "text", "doc_id", "crawl_ts",
+        watermark = "1 hour", horizon = "1 hour",
+        bands = 8, shingleW = 2, rowsPerBand = 1)
+      .writeStream.format("memory").queryName("minhash_stream").outputMode("append").start()
+    mem.addData(docs.take(3))
+    q.processAllAvailable()
+    mem.addData(docs.drop(3)) // candidates must still form across micro-batches
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("minhash_stream").select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all docs lie within one horizon: parity with the batch candidate set
+    val batch = graft.ops.Dedup.minhashCandidates(
+      graft.ops.Dedup.minhashSignatures(
+        docs.toDF("doc_id", "crawl_ts", "text"), col("text"), col("doc_id"),
+        bands = 8, shingleW = 2, rowsPerBand = 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    assert(batch.contains((1L, 3L)) && batch.contains((2L, 4L)))
+  }
+
   test("store-backed ingest dedup: near-dups dropped across micro-batches, unbounded horizon") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
