@@ -120,9 +120,11 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
 
     val headline = Seq(
-      "kg_triples", "kg_edges", "kg_graph_union", "kg_pagerank", "dedup_exact", "dedup_minhash_pairs",
+      "kg_triples", "kg_edges", "kg_graph_union", "kg_pagerank", "kg_pagerank_dangling",
+      "dedup_exact", "dedup_minhash_pairs",
       "dedup_simhash", "dedup_simhash_pairs", "dedup_incremental", "dedup_semantic",
-      "link_groups", "ann_bruteforce", "ann_ivf", "ann_lsh_pairs", "ann_kmeans_cells", "ann_kmeans_topk",
+      "link_groups", "ann_bruteforce", "ann_ivf", "ann_lsh_pairs", "ann_kmeans_cells",
+      "ann_kmeans_topk", "ann_kmeans_probe",
       "text_quality", "text_fingerprint", "text_repetition", "sample_stratified",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
@@ -329,6 +331,31 @@ object Bench {
         s""""wall_ratio_vs_base":$ratios,"rows_ratio_vs_base":$rowRatios}"""
     }
 
+    // ---- k-means training regimes (round-3 verdict #7): the headline
+    // ann_kmeans_* timings above are WARM, plan-kept query numbers; training
+    // itself is a driver-synchronous action loop whose cold cost is a
+    // different regime and must be labeled as such in the artifact. Also
+    // records the production-shaped k=256 run that one-scan sampled seeding
+    // makes feasible (exact maximin would pay 255 full scans).
+    val kmeansField = {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val id = org.apache.spark.sql.functions.col("vec_id")
+      val v = org.apache.spark.sql.functions.col("embedding")
+      def time(work: => Unit): Double = {
+        val t0 = System.nanoTime(); work; (System.nanoTime() - t0) / 1e9
+      }
+      val cold8 = time(graft.ops.Similarity.kmeansCentroids(e, id, v, k = 8, iters = 2))
+      val warm8 = time(graft.ops.Similarity.kmeansCentroids(e, id, v, k = 8, iters = 2))
+      // k=256 needs the half-corpus seed sample to hold >= 256 vectors
+      val k256 = if (e.count() >= 1024)
+        s""""k256_sampled_seed_sec":${time(graft.ops.Similarity.kmeansCentroids(
+          e, id, v, k = 256, iters = 2, seedSampleFraction = Some(0.5)))},"""
+      else ""
+      s""""kmeans_training":{"k8_exact_seed_cold_sec":$cold8,""" +
+        s""""k8_exact_seed_warm_sec":$warm8,$k256""" +
+        s""""regime_note":"training = driver-synchronous Lloyd loop (cold vs warm labeled); headline ann_kmeans_* queries are warm plan-kept"}"""
+    }
+
     // efficiency pairs guarded for small SPARK_GRAFT_CPUS (avoid NaN/div-zero
     // leaking into the JSON line the driver parses)
     def pairFrom(m: collection.Map[Int, Double])(label: String, n: Int, n4: Int): Option[String] =
@@ -349,13 +376,19 @@ object Bench {
     val mpair = pairFrom(bestMem) _
     // paired efficiency: per rep round r, (tp_{4N,r} / tp_{N,r}) / 4 — both
     // measurements share the round's host-noise state, so common-mode
-    // starvation cancels; report the max round (the quietest window's ratio)
+    // starvation cancels. Estimator: MEDIAN over rounds (the round-3 verdict
+    // flagged the max as upward-biased under noise — it exceeded 1.0 by 45%);
+    // the max rides along as a labeled diagnostic. The dual-control
+    // gate_n_to_4n field remains the only headline scaling number.
     def pairedPair(label: String, n: Int, n4: Int): Option[String] = {
       val (a, b) = (repTp(n), repTp(n4))
       val k = math.min(a.length, b.length)
       if (n4 > n && k > 0) {
-        val eff = (0 until k).map(r => (b(r) / a(r)) / (n4.toDouble / n)).max
-        Some(s""""$label":{"n":$n,"n4":$n4,"efficiency":$eff}""")
+        val effs = (0 until k).map(r => (b(r) / a(r)) / (n4.toDouble / n)).sorted
+        val median =
+          if (k % 2 == 1) effs(k / 2) else (effs(k / 2 - 1) + effs(k / 2)) / 2.0
+        Some(s""""$label":{"n":$n,"n4":$n4,"efficiency":$median,""" +
+          s""""max_diagnostic":${effs.last},"estimator":"median_paired"}""")
       } else None
     }
     val gateField =
@@ -365,7 +398,7 @@ object Bench {
           s""""round":${gateBest._4},"quiet_rounds":${gateBest._5},""" +
           s""""quiet":${gateBest._2 >= gateCtlMin && gateBest._3 >= gateCtlMin}}""")
       else Seq.empty
-    val scaling = (gateField ++ x10Fields ++ Seq(
+    val scaling = (gateField ++ x10Fields ++ Seq(kmeansField) ++ Seq(
       s""""curve_docs_per_sec":${curveOf(best)}""",
       s""""control_rows_per_sec":${curveOf(bestCtl)}""",
       s""""mem_control_rows_per_sec":${curveOf(bestMem)}""",
