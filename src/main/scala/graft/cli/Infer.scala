@@ -156,8 +156,11 @@ object Infer {
             maxEntries = opts.getOrElse("--max-link-dict", "10000000").toInt)
           Linker.withDictionary(_, dict)
         }
+      // --max-buckets: bound one invocation's failure domain / enable
+      // incremental operation (Checkpoint.runResumable's maxBuckets knob)
+      val maxB = opts.get("--max-buckets").map(_.toInt).getOrElse(Int.MaxValue)
       val report = graft.io.Checkpoint.runResumable(
-        pages.toDF(), "url", "docId", n, ckptDir) { df =>
+        pages.toDF(), "url", "docId", n, ckptDir, maxBuckets = maxB) { df =>
         if (fusedMode) KgPipeline.triplesFused(df.as[Page], fusedCfg, LexiconScorer()).toDF()
         else {
           val pd = linkStage(parseAndTranslate(df.as[Page]))

@@ -56,6 +56,40 @@ class CheckpointSpec extends AnyFunSuite with SparkTestSession {
     assert(r3.isComplete && r3.skippedBuckets == n)
   }
 
+  test("fused kernel under checkpointing at scale-up size: interrupted chunks resume to single-run equality") {
+    import spark.implicits._
+    // round-3 verdict #9: --fused composes with --checkpoint; exercise the
+    // composition at a larger page count than the basic resume case, with
+    // the run split across three partial invocations (the crash/kill shape:
+    // each invocation only records fully-written buckets in lineage)
+    val pages = PageGen.pages(3000, 97L, 64, sentsMin = 10, sentsMax = 25).toDF()
+    val n = 16
+    val cfg = KgPipeline.Config(sampler =
+      graft.kg.Sampler.Config(renderText = false))
+    def fusedTransform(df: DataFrame): DataFrame =
+      KgPipeline.triplesFused(df.as[graft.core.Page], cfg, LexiconScorer()).toDF()
+
+    val full = tmp()
+    Checkpoint.runResumable(pages, "url", "docId", n, full)(fusedTransform)
+    val chunked = tmp()
+    val r1 = Checkpoint.runResumable(pages, "url", "docId", n, chunked, maxBuckets = 5)(fusedTransform)
+    val r2 = Checkpoint.runResumable(pages, "url", "docId", n, chunked, maxBuckets = 7)(fusedTransform)
+    val r3 = Checkpoint.runResumable(pages, "url", "docId", n, chunked)(fusedTransform)
+    assert(r1.processedBuckets.size == 5 && r2.processedBuckets.size == 7 &&
+      r3.processedBuckets.size == 4)
+    assert(r3.skippedBuckets == 12)
+
+    def tset(p: String) = Checkpoint.result(spark, p)
+      .select("docId", "subj", "subjType", "pred", "obj", "objType")
+      .collect().map(_.toString).sorted.toSeq
+    assert(tset(chunked) == tset(full))
+    // and the checkpointed output equals the plain unchunked fused pipeline
+    val direct = fusedTransform(pages)
+      .select("docId", "subj", "subjType", "pred", "obj", "objType")
+      .collect().map(_.toString).sorted.toSeq
+    assert(tset(full) == direct)
+  }
+
   test("crash between data write and lineage append stays exactly-once (partition overwrite)") {
     import spark.implicits._
     val pages = PageGen.pages(30, 13L, 4).toDF()
