@@ -45,11 +45,17 @@ class GraphOpsSinglePassSpec extends AnyFunSuite with SparkTestSession {
     // maxNormalize materializes via localCheckpoint (RDD-layer storage,
     // ContextCleaner-reclaimed), NOT df.persist — so a long-lived session
     // issuing many algebra calls never accumulates CacheManager relations.
+    // Asserted hermetically on the result's own plan (the session-global
+    // CacheManager is shared with concurrently-running suites): a persist()
+    // inside the algebra would surface as an InMemoryRelation node here.
     val (a, _) = counted(Seq(("x", "y", "POS", 2.0), ("y", "z", "NEG", 4.0)))
     val (b, _) = counted(Seq(("x", "y", "POS", 1.0)))
-    GraphOps.edgeUnion(a, b).collect()
-    GraphOps.edgeIntersection(a, b).collect()
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "graph algebra left persisted relations in the CacheManager")
+    for (out <- Seq(GraphOps.edgeUnion(a, b), GraphOps.edgeIntersection(a, b))) {
+      out.collect()
+      val cached = out.queryExecution.optimizedPlan.collect {
+        case n if n.getClass.getSimpleName.startsWith("InMemoryRelation") => n
+      }
+      assert(cached.isEmpty, s"graph algebra persisted a relation:\n$cached")
+    }
   }
 }
