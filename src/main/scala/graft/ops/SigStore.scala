@@ -134,31 +134,63 @@ object SigStore {
     * fast rather than half-retiring).
     *
     * Crash safety: the new layout is fully written to a temp dir before the
-    * old dir is swapped out via rename, so an interrupted compaction leaves
-    * either the old or the new layout plus at worst an orphan temp/backup
-    * dir, which the next compact() clears. */
+    * old dir is swapped out via rename. A crash in the window between the
+    * two renames (old already moved to the backup dir, new not yet in
+    * place) is healed at the START of the next compact()/probe-independent
+    * recovery step: a missing live dir with a present backup is rolled back
+    * to the backup before anything is deleted — so an interrupted
+    * compaction always leaves a recoverable layout, never a half-deleted
+    * one. Orphan temp dirs from a crash before the swap are cleared.
+    *
+    * Retention preconditions (hashes carrying `id`, no null ids from
+    * mixed-era files) are validated on BOTH relations before EITHER swap
+    * runs, so a failed validation can never retire one relation and not the
+    * other (the half-retire state the guard exists to prevent). */
   def compact(spark: SparkSession, store: String, partitions: Int = 32,
       dropIds: Option[DataFrame] = None): Unit = {
     require(exists(spark, store), s"no signature store at $store")
     require(partitions >= 1, s"partitions=$partitions must be >= 1")
     val f = fs(spark, store)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def recover(path: String): Unit = {
+      val bak = s"$path.compact-bak"
+      if (!f.exists(p(path)) && f.exists(p(bak))) {
+        if (!f.rename(p(bak), p(path)))
+          sys.error(s"crash recovery failed: cannot restore $bak to $path")
+      }
+    }
+    recover(sigsPath(store)); recover(hashesPath(store))
+    // mergeSchema: hashes files from before the id column and after it can
+    // coexist in one store — a single arbitrary footer must not decide
+    // whether id exists (silently dropping it would make retention
+    // impossible; reading old rows as id=null would silently skip them)
+    def read(path: String) = spark.read.option("mergeSchema", "true").parquet(path)
     val drop = dropIds.map(_.select(col(dropIds.get.columns.head).as("__drop_id")))
+    if (drop.isDefined) {
+      val hashes = read(hashesPath(store))
+      require(hashes.columns.contains("id"),
+        "store predates id-carrying hashes; retention would half-retire — recreate the store")
+      require(hashes.filter(col("id").isNull).isEmpty,
+        "store has pre-id hash rows (id=null): retention cannot retire them — " +
+          "recreate the store or compact without dropIds first")
+    }
     def swapIn(path: String)(rewrite: DataFrame => DataFrame): Unit = {
       val tmp = s"$path.compact-tmp"
       val bak = s"$path.compact-bak"
       f.delete(p(tmp), true); f.delete(p(bak), true)
-      rewrite(spark.read.parquet(path)).write.parquet(tmp)
-      if (!f.rename(p(path), p(bak)) || !f.rename(p(tmp), p(path)))
+      rewrite(read(path)).write.parquet(tmp)
+      if (!f.rename(p(path), p(bak)))
         sys.error(s"compaction swap failed for $path — store left on the old layout")
+      if (!f.rename(p(tmp), p(path))) {
+        // roll the backup straight back so the live dir never stays missing
+        f.rename(p(bak), p(path))
+        sys.error(s"compaction swap failed for $path — old layout restored")
+      }
       f.delete(p(bak), true)
     }
     def retire(df: DataFrame): DataFrame = drop match {
       case None => df
-      case Some(d) =>
-        require(df.columns.contains("id"),
-          "store predates id-carrying hashes; retention would half-retire — recreate the store")
-        df.join(d, df("id") === d("__drop_id"), "left_anti")
+      case Some(d) => df.join(d, df("id") === d("__drop_id"), "left_anti")
     }
     swapIn(sigsPath(store))(df =>
       retire(df).distinct().repartition(partitions, col("band"), col("sig")))

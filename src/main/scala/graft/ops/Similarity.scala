@@ -224,13 +224,20 @@ object Similarity {
       .select(col("id"), col("q")).collect()
     require(rows.length >= k,
       s"seed sample has ${rows.length} < k=$k points; raise seedSampleFraction")
-    // sort driver-side by id with SQL ordering semantics (no global sort job)
+    // sort driver-side by id with SQL ordering semantics (no global sort
+    // job). Strings compare as unsigned UTF-8 BYTES — Spark's UTF8String
+    // binary order, which differs from Java String's UTF-16 code-unit order
+    // for supplementary characters; the exact path's orderBy(col("id"))
+    // start/tie rules must hold identically here.
     val pts: Array[(Any, Array[Long])] =
       rows.map(r => (r.get(0), r.getSeq[Long](1).toArray)).sortWith { (a, b) =>
         (a._1, b._1) match {
-          case (x: Long, y: Long)     => x < y
-          case (x: Int, y: Int)       => x < y
-          case (x: String, y: String) => x < y
+          case (x: Long, y: Long) => x < y
+          case (x: Int, y: Int)   => x < y
+          case (x: String, y: String) =>
+            java.util.Arrays.compareUnsigned(
+              x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
           case (x, y) => throw new IllegalArgumentException(
             s"unorderable id type for sampled seeding: ${x.getClass} vs ${y.getClass}")
         }

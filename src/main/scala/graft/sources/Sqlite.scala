@@ -194,19 +194,19 @@ object Sqlite {
         if (cols.length == 1) Some(cols(0)) else None
       }
     val cols = defs
-      .filterNot(c => constraintHeads.contains(c.takeWhile(!_.isWhitespace).toUpperCase))
+      .filterNot(c => constraintHeads.contains(c.takeWhile(!_.isWhitespace).toUpperCase(java.util.Locale.ROOT)))
       .map { colDef =>
         val toks = colDef.split(raw"\s+", 2)
         val name = unquote(toks(0))
         val rest = if (toks.length > 1) toks(1) else ""
-        val tpe = rest.takeWhile(_.isLetter).toUpperCase
+        val tpe = rest.takeWhile(_.isLetter).toUpperCase(java.util.Locale.ROOT)
         // inline `PRIMARY KEY` on the column def — detected on the PARSED def
         // (quoted/bracketed names included), not by substring-matching raw DDL.
         // `INTEGER PRIMARY KEY DESC` inline is NOT a rowid alias per the
         // sqlite file-format quirk (only the table-level PRIMARY KEY(x DESC)
         // form is); `ASC` and `AUTOINCREMENT` still qualify.
         ColDef(name, tpe,
-          rest.toUpperCase.matches(raw"(?s).*\bPRIMARY\s+KEY\b(?!\s+DESC\b).*"))
+          rest.toUpperCase(java.util.Locale.ROOT).matches(raw"(?s).*\bPRIMARY\s+KEY\b(?!\s+DESC\b).*"))
       }
     (cols, tablePk)
   }
@@ -216,7 +216,7 @@ object Sqlite {
     * a rowid table. Such columns store null in the record body and take the
     * cell's rowid. */
   private[sources] def rowidAliasIndex(sql: String): Option[Int] = {
-    if (sql.toUpperCase.matches(raw"(?s).*\bWITHOUT\s+ROWID\b.*")) return None
+    if (sql.toUpperCase(java.util.Locale.ROOT).matches(raw"(?s).*\bWITHOUT\s+ROWID\b.*")) return None
     val (cols, tablePk) = parseColumns(sql)
     cols.zipWithIndex.collectFirst {
       case (c, i) if c.tpe == "INTEGER" &&

@@ -48,7 +48,11 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("clusters: one Spark action per round — no separate changed-count job (round-3 verdict #1)") {
-    import spark.implicits._
+    // a CHILD session: ExecutionListenerManager is per-session, so actions
+    // from concurrently-running suites (which use the parent session) never
+    // land in this listener — the assertion observes only this clustering run
+    val s2 = spark.newSession()
+    import s2.implicits._
     // long chain (diameter 15) forces several propagate rounds
     val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val funcNames = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -59,7 +63,7 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
     }
-    spark.listenerManager.register(listener)
+    s2.listenerManager.register(listener)
     try {
       val c = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(c == (0L to 15L).map(_ -> 0L).toMap)
@@ -78,7 +82,7 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       // 2 setup checkpoints + 1 checkpoint per round + the final collect;
       // diameter 15 with pointer halving converges well inside 8 rounds
       assert(names.size <= 11, s"too many actions for a 15-diameter chain: $names")
-    } finally spark.listenerManager.unregister(listener)
+    } finally s2.listenerManager.unregister(listener)
   }
 
   test("clusters on planted duplicates: exact dups + near dup share one cluster") {

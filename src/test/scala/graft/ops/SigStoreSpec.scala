@@ -137,6 +137,27 @@ class SigStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(again == Set.empty[Long])
   }
 
+  test("compact heals a crash between the swap renames (live dir missing, backup present)") {
+    val store = tmp()
+    SigStore.append(
+      df(1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+         2L -> "one two three four five six seven eight nine ten"),
+      col("text"), col("doc_id"), store, p)
+    val batch = df(10L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                   11L -> "fresh unrelated words about adaptive query execution")
+    val before = SigStore.filterNew(batch, col("text"), col("doc_id"), store, p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // simulate the kill window: old sigs moved to backup, new layout never
+    // landed — the live dir is missing
+    val sigs = java.nio.file.Paths.get(s"$store/sigs")
+    java.nio.file.Files.move(sigs, java.nio.file.Paths.get(s"$store/sigs.compact-bak"))
+    assert(!java.nio.file.Files.exists(sigs))
+    SigStore.compact(spark, store, partitions = 1) // must roll back, then compact
+    val after = SigStore.filterNew(batch, col("text"), col("doc_id"), store, p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == before && before == Set(11L), s"before=$before after=$after")
+  }
+
   test("compact with retention: retired ids stop suppressing future ingests") {
     import spark.implicits._
     val store = tmp()
