@@ -220,6 +220,11 @@ object GraphOps {
       .withColumn("w", when(col("w") <= 0 || col("w") > 100000L,
         raise_error(concat(lit("pageRank edge weight out of (0, 100000]: w="), col("w")))
           .cast("double").cast("long")).otherwise(col("w")))
+      // materialize the aggregated edge relation ONCE: ew and nodes both
+      // derive from it, and without this each would re-evaluate the full
+      // upstream lineage (e.g. the whole pages->triples pipeline) — at
+      // 100 TB that's two corpus scans instead of one
+      .localCheckpoint()
     val outw = ew0.groupBy(col("source")).agg(sum(col("w")).as("ow"))
     // localCheckpoint: iterative consumer (nested-plan/AQE re-stringification)
     val ew = ew0.join(outw, "source").localCheckpoint()
@@ -270,32 +275,38 @@ object GraphOps {
     require(eps >= 0 && eps < 1000000000000L, s"eps out of [0, 1e12): $eps")
     val g = prPrep(edges)
     val (ew, nodes, base) = (g.ew, g.nodes, g.base)
-    // dangling = nodes with no out-edges; static across rounds
-    val dangling = nodes.join(ew.select(col("source")).distinct(),
-      nodes("id") === col("source"), "left_anti").localCheckpoint()
-    var ranks = nodes.select(col("id"), lit(g.t).as("r"))
+    // the rank relation carries a static per-node dangling flag, so each
+    // round needs neither a dangling join (the mass aggregate is a flagged
+    // conditional sum over ranks) nor a nodes/prev-rank join (prev rides the
+    // same row): one co-partitioned join + one broadcast per round, total
+    val dang0 = nodes.join(ew.select(col("source")).distinct(),
+        nodes("id") === col("source"), "left_anti")
+      .select(col("id"), lit(true).as("dang"))
+    var ranks = nodes.join(dang0, Seq("id"), "left")
+      .select(col("id"), lit(g.t).as("r"), coalesce(col("dang"), lit(false)).as("dang"))
+      .localCheckpoint()
     val metricBase = s"graft_pr_${java.util.UUID.randomUUID().toString.take(8)}_"
     var maxDelta = Long.MaxValue
     var it = 0
     while (it < iters && maxDelta > eps) {
       // one-row dangling-mass aggregate, broadcast into the rank update —
       // stays inside the round's single job (85 * D <= 8.5e13: no overflow)
-      val dagg = dangling.join(ranks, "id")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
-      val contribs = ew.join(ranks, ew("source") === ranks("id"))
+      val dagg = ranks.agg(
+        coalesce(sum(when(col("dang"), col("r"))), lit(0L)).as("dm"))
+      val contribs = ew.join(ranks.select(col("id"), col("r")),
+          ew("source") === col("id"))
         .select(col("target"), expr("(85 * r * w) div (100 * ow)").as("contrib"))
         .groupBy(col("target")).agg(sum(col("contrib")).as("cin"))
-      val stepped = nodes.join(contribs, nodes("id") === contribs("target"), "left")
-        .crossJoin(broadcast(dagg))
-        .select(col("id"),
-          (lit(base) + coalesce(col("cin"), lit(0L)) +
-            expr(s"(85 * dm) div (100 * ${g.n})")).as("r"))
+      val newR = lit(base) + coalesce(col("cin"), lit(0L)) +
+        expr(s"(85 * dm) div (100 * ${g.n})")
       val metricName = metricBase + it
-      val next = stepped
-        .join(ranks.select(col("id"), col("r").as("prev_r")), "id")
-        .select(col("id"), col("r"), abs(col("r") - col("prev_r")).as("delta"))
+      val next = ranks.select(col("id"), col("r").as("prev_r"), col("dang"))
+        .join(contribs, col("id") === contribs("target"), "left")
+        .crossJoin(broadcast(dagg))
+        .select(col("id"), newR.as("r"), col("dang"),
+          abs(newR - col("prev_r")).as("delta"))
         .observe(metricName, coalesce(max(col("delta")), lit(0L)).as("md"))
-        .select(col("id"), col("r"))
+        .select(col("id"), col("r"), col("dang"))
       val materialized = next.localCheckpoint()
       maxDelta = next.queryExecution.observedMetrics.get(metricName) match {
         case Some(row) => if (row.isNullAt(0)) 0L else row.getLong(0)
@@ -305,6 +316,6 @@ object GraphOps {
       ranks = materialized
       it += 1
     }
-    ranks
+    ranks.select(col("id"), col("r"))
   }
 }
