@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, DocKg, Relational, Similarity, TextStats}
+import graft.ops.{Dedup, DocKg, LangModel, Relational, Similarity, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,9 @@ object SparkEntry {
     "kg_radial" -> ((s, d) => DocKg.radial(s, d)),
     "kg_radial_salted" -> ((s, d) => DocKg.radialSalted(s, d)),
     "kg_paths2" -> ((s, d) => DocKg.paths2(s, d)),
+    // §2.7 windows: top-k strongest targets per source (rank<=k pushed into
+    // the window operator via WindowGroupLimit — PlanSpec)
+    "kg_top_relations" -> ((s, d) => DocKg.topRelations(s, d, k = 3)),
     // exact fixed-point PageRank over the edge relation: BIGINT arithmetic
     // with truncating division -> bit-identical ranks cross-engine (a
     // double-valued PageRank could never hash-match; see GraphOps.pageRank)
@@ -222,6 +225,14 @@ object SparkEntry {
         col("embedding"), k = 3, cents, nProbe = 2)
         .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
     }),
+    // SQ8 vector compression: per-dim min/max codebook, int8 quantization,
+    // integer-dot top-k — the 4x-memory scale path with zero FP drift
+    "ann_sq8" -> ((s, d) => {
+      val e = embeds(s, d)
+      val (mn, mx) = Similarity.sq8Stats(e, col("embedding"), dim = 64)
+      val qz = Similarity.sq8Quantize(e, col("vec_id"), col("embedding"), mn, mx)
+      Similarity.sq8TopK(qz, qz.filter(col("id") < 50), k = 3)
+    }),
     // scale path for near-dup pairs: LSH bucket join (NO cross join in the
     // plan — asserted by PlanSpec); near-dups planted deterministically
     // (perturbed copy of every vector at id+10000) since the synthetic
@@ -258,6 +269,10 @@ object SparkEntry {
     // most-frequent-bigram share — row-local, no shuffle
     "text_repetition" -> ((s, d) =>
       TextStats.repetition(docs(s, d), col("text"), col("doc_id"))),
+    // CCNet-style LM quality scoring: self-trained bigram counts, per-doc
+    // integer-log2 surprisal (exact cross-engine; see ops/LangModel.scala)
+    "text_lm_surprisal" -> ((s, d) =>
+      LangModel.selfSurprisal(docs(s, d), col("text"), col("doc_id"))),
     // ---- multimodal plumbing: opaque binary column + typed metadata
     "mm_binary_meta" -> ((s, d) => docs(s, d)
       .select(col("doc_id"),
@@ -453,6 +468,13 @@ object SparkEntry {
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)}
          |SELECT source, target, sent, c FROM edges""".stripMargin,
+    "kg_top_relations" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |r AS (SELECT source, target, sent, c,
+         |             row_number() OVER (PARTITION BY source ORDER BY c DESC, sent, target) AS rank
+         |      FROM edges)
+         |SELECT source, rank, target, sent, c FROM r WHERE rank <= 3""".stripMargin,
     "kg_pagerank" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},
@@ -804,6 +826,20 @@ object SparkEntry {
          |      FROM v c JOIN q ON c.bucket = q.bucket AND q.vec_id <> c.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
+    "ann_sq8" ->
+      s"""WITH ev AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |px AS (SELECT unnest(range(0, len(e))) AS d, unnest(e) AS v FROM ev),
+         |st AS (SELECT d, min(v) AS mn, max(v) AS mx FROM px GROUP BY d),
+         |cb AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM st),
+         |qz AS MATERIALIZED (SELECT vec_id, list_transform(list_zip(e, mns, mxs),
+         |        p -> CASE WHEN p[3] = p[2] THEN CAST(0 AS BIGINT)
+         |                  ELSE CAST(floor((p[1] - p[2]) * 255.0 / (p[3] - p[2])) AS BIGINT) END) AS q
+         |      FROM ev CROSS JOIN cb),
+         |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |             CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS BIGINT) AS score
+         |      FROM qz b JOIN (SELECT * FROM qz WHERE vec_id < 50) a ON a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 3""".stripMargin,
     "ann_kmeans_cells" ->
       s"""WITH $kmCtes
          |SELECT id, cluster FROM a3""".stripMargin,
@@ -831,6 +867,18 @@ object SparkEntry {
          |      FROM cells c JOIN probes p ON c.cluster = p.cluster AND p.id <> c.id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
+    "text_lm_surprisal" ->
+      s"""WITH $toksCte,
+         |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(terms) - 1), i -> terms[i+1] || ' ' || terms[i+2])) AS bigram FROM toks),
+         |docbg AS MATERIALIZED (SELECT doc_id AS id, bigram, count(*)::BIGINT AS c_doc FROM bg GROUP BY 1, 2),
+         |model AS (SELECT bigram, CAST(sum(c_doc) AS BIGINT) AS c FROM docbg GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM model),
+         |sc AS (SELECT id, CAST(sum(c_doc) AS BIGINT) AS n_bigrams,
+         |              CAST(sum(c_doc * ((length(bin(n)) - 1) - (length(bin(c)) - 1))) AS BIGINT) AS surprisal
+         |       FROM docbg JOIN model USING (bigram) CROSS JOIN tot GROUP BY id)
+         |SELECT id, n_bigrams, surprisal,
+         |       surprisal::DOUBLE / n_bigrams::DOUBLE AS mean_surprisal
+         |FROM sc""".stripMargin,
     "text_quality" ->
       s"""WITH $toksCte
          |SELECT doc_id AS id, len(terms) AS n_tokens, length(text) AS n_chars,

@@ -169,6 +169,26 @@ object DocKg {
         (col("c1") * col("c2")).as("w"))
   }
 
+  /** Top-k strongest targets per source node by edge weight (§2.7 windows:
+    * the reference never sorts mid-pipeline, but a KG consumer's first query
+    * is "the k strongest relations of X"). One row_number window over the
+    * aggregated edge relation with a deterministic total order (weight desc,
+    * then sent/target asc — (source, target, sent) is unique post-agg).
+    * Scale shape: the rank<=k filter is pushed INTO the window operator by
+    * Spark's WindowGroupLimit rule, so each partition retains only k rows
+    * per key before the final sort — no full per-key materialization
+    * (PlanSpec asserts the pushdown). */
+  def topRelations(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("sent"), col("target"))
+    edges(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("target"), col("sent"), col("c"))
+  }
+
   /** Exact fixed-point PageRank over the aggregated KG edge relation
     * (GraphOps.pageRank) — post-construction graph analytics with
     * bit-identical cross-engine ranks. */

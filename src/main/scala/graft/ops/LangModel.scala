@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language-model scoring for corpus quality filtering —
+  * the CCNet/Gopher "perplexity filter" shape (train a cheap LM on a trusted
+  * slice, score every candidate document, drop the tail), re-expressed as two
+  * relational passes. Engine extension: no reference counterpart in
+  * /root/reference/arelight (the reference filters by NER structure only);
+  * the op family follows the published CCNet pipeline design.
+  *
+  * Cross-engine exactness: real log-probs (ln/log2 of a ratio) are not
+  * bit-reproducible across engines, so the scorer works in integer log2
+  * space — `ilog2(x) = length(bin(x)) - 1 = floor(log2(x))` is exact in both
+  * Spark and DuckDB, and the per-document surprisal
+  * `sum(c_doc * (ilog2(N) - ilog2(c)))` stays a BIGINT (bounded by
+  * 64 * tokens, far under 2^62). The mean is a double division of two
+  * integers < 2^53 — also exact. Within-integer-log2 resolution this is the
+  * standard corpus-frequency surprisal: rare-bigram-heavy (gibberish, boiler
+  * tails) documents score high, fluent text scores low.
+  *
+  * Scale shape (100 TB): the trainer is a two-level aggregation with map-side
+  * partial combines (per-doc counts, then global counts); the scorer is one
+  * key-partitioned join on the bigram plus a final per-doc aggregation. The
+  * shared (id, bigram, c_doc) relation feeds three consumers (scorer probe,
+  * model build, total count) whose subtrees differ structurally (the join
+  * inserts an isnotnull null-filter on its own branch only), so ReusedExchange
+  * can NOT dedupe them — [[selfSurprisal]] therefore localCheckpoints the
+  * relation once, the repo's standard multi-consumer pattern (see
+  * link/Linker), and PlanSpec asserts the corpus is tokenized exactly once.
+  * Nothing collects to the driver; the model relation is only as large as the
+  * bigram vocabulary.
+  */
+object LangModel {
+
+  /** floor(log2(x)) for a positive integral column, integer-exact in both
+    * engines: the bit-length of x minus one. */
+  def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+
+  /** Per-(id, bigram) occurrence counts — the shared relation the trainer and
+    * the scorer both consume. Map-side explode, one shuffle on (id, bigram). */
+  def docBigrams(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("id"),
+        explode(Dedup.shingles(Dedup.tokens(text), 2)).as("bigram"))
+      .groupBy(col("id"), col("bigram"))
+      .agg(count(lit(1)).as("c_doc"))
+
+  /** Bigram count model: (bigram, c). Derives from [[docBigrams]] so the
+    * scorer's plan can reuse the exchange. */
+  def train(docBg: DataFrame): DataFrame =
+    docBg.groupBy(col("bigram")).agg(sum(col("c_doc")).as("c"))
+
+  /** Score each document's bigrams under `model` counts: one row per doc with
+    * (n_bigrams, surprisal, mean_surprisal). Bigrams absent from the model
+    * contribute the maximal per-event surprisal ilog2(N) (add-one floor:
+    * c -> 1, ilog2(1) = 0) — the held-out-scoring path. Documents with no
+    * bigrams (< 2 tokens) emit no row, consistently in both engines. */
+  def surprisal(docBg: DataFrame, model: DataFrame): DataFrame = {
+    val tot = model.agg(sum(col("c")).cast("long").as("n"))
+    docBg
+      .join(model, Seq("bigram"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("id"), col("c_doc"),
+        (col("c_doc") *
+          (ilog2(col("n")) - ilog2(coalesce(col("c"), lit(1L))))).as("s"))
+      .groupBy(col("id"))
+      .agg(sum(col("c_doc")).cast("long").as("n_bigrams"),
+        sum(col("s")).cast("long").as("surprisal"))
+      .withColumn("mean_surprisal",
+        col("surprisal").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  /** Self-scored corpus surprisal (train and score on the same documents) —
+    * the registered-query composition; callers with a trusted training slice
+    * pass distinct DataFrames through [[docBigrams]]/[[train]]/[[surprisal]].
+    * The shared bigram-count relation is localCheckpointed so the corpus is
+    * tokenized and shuffled once, not once per consumer. */
+  def selfSurprisal(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val docBg = docBigrams(df, text, id).localCheckpoint()
+    surprisal(docBg, train(docBg))
+  }
+}

@@ -373,6 +373,66 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  // --- scalar quantization (SQ8): the vector-compression scale path -------
+
+  /** Per-dimension (min, max) over the corpus — the SQ8 codebook. One
+    * posexplode + aggregation with map-side partial min/max combines; the
+    * result is `dim` rows, collected to the driver like the k-means centroid
+    * matrix (bounded, not data-sized). */
+  def sq8Stats(df: DataFrame, vec: Column, dim: Int): (Array[Double], Array[Double]) = {
+    val rows = df.select(posexplode(asDouble(vec)).as(Seq("d", "v")))
+      .groupBy(col("d")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect()
+    require(rows.length == dim,
+      s"sq8Stats: expected $dim dimensions, saw ${rows.length} (ragged vectors?)")
+    val mn = new Array[Double](dim)
+    val mx = new Array[Double](dim)
+    rows.foreach { r =>
+      val d = r.getInt(0); mn(d) = r.getDouble(1); mx(d) = r.getDouble(2)
+    }
+    (mn, mx)
+  }
+
+  /** Int8 scalar quantization: q_d = floor((v_d - min_d) * 255 / (max_d -
+    * min_d)) in [0, 255] (constant dimensions quantize to 0). Map-side only —
+    * the codebook rides as two literal arrays — and integer-exact
+    * cross-engine: v is widened float->double (exact), and the affine
+    * expression is IEEE double arithmetic with one rounding per op, so both
+    * engines floor the identical value. The point at 100 TB: a 64-dim float
+    * vector column shrinks 4x (byte vs float), and every downstream distance
+    * is integer arithmetic — no FP units, no ulp drift, smaller shuffles. */
+  def sq8Quantize(df: DataFrame, id: Column, vec: Column,
+      mins: Array[Double], maxs: Array[Double]): DataFrame = {
+    require(mins.length == maxs.length, "sq8Quantize: codebook length mismatch")
+    val mn = array(mins.map(lit): _*)
+    val mx = array(maxs.map(lit): _*)
+    // literal-array element_at inside the lambda is cheap (no outer-capture
+    // re-evaluation: the captured subtrees are constants)
+    val q = transform(asDouble(vec), (v, i) =>
+      when(element_at(mx, i + 1) === element_at(mn, i + 1), lit(0L))
+        .otherwise(floor((v - element_at(mn, i + 1)) * lit(255.0) /
+          (element_at(mx, i + 1) - element_at(mn, i + 1))).cast("long")))
+    df.select(id.as("id"), q.as("q"))
+  }
+
+  /** Brute-force top-k over SQ8 codes by integer dot product (asymmetric
+    * search deliberately avoided: symmetric integer dot keeps the oracle
+    * exact). Same Q-broadcast shape as [[bruteForceTopK]], but every
+    * multiply-add is BIGINT (bounded by dim * 255^2 < 2^23 per pair). */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("id").as("neighbor_id"), col("q").as("c_q"))
+    val qr = queries.select(col("id").as("query_id"), col("q").as("q_q"))
+    val scored = c.crossJoin(broadcast(qr))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("q_q"), col("c_q"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
+
   /** Bucketed ANN: top-k by cosine within the query's coarse bucket only.
     * The join is on bucket id — co-partitioned, no cross join. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,

@@ -79,6 +79,25 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Sample"), p)
   }
 
+  test("kg_top_relations: rank<=k pushed into the window operator (WindowGroupLimit)") {
+    val p = planOf("kg_top_relations")
+    assert(p.contains("WindowGroupLimit"),
+      s"row_number+filter must become a group-limit, not a full per-key sort:\n$p")
+  }
+
+  test("text_lm_surprisal: corpus tokenized once — consumers read the checkpointed counts") {
+    val p = planOf("text_lm_surprisal")
+    assert(!p.contains("Generate"),
+      s"trainer/scorer/total must read the materialized (id,bigram) counts, not re-tokenize:\n$p")
+    assert(!p.contains("FileScan"),
+      s"no consumer may rescan the corpus:\n$p")
+  }
+
+  test("ann_sq8: small query side broadcast over quantized codes") {
+    val p = planOf("ann_sq8")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("curate_keep: documents scan pruned to (doc_id, text)") {
     val p = planOf("curate_keep")
     assert(!p.contains("n_chars") && !p.contains("source"), "unused columns must be pruned")
