@@ -40,6 +40,9 @@ object SparkEntry {
     // §2.7 windows: top-k strongest targets per source (rank<=k pushed into
     // the window operator via WindowGroupLimit — PlanSpec)
     "kg_top_relations" -> ((s, d) => DocKg.topRelations(s, d, k = 3)),
+    // PMI edge significance in integer log2 space (exact cross-engine) —
+    // discounts hot-entity co-occurrence by both marginals
+    "kg_pmi" -> ((s, d) => DocKg.pmi(s, d)),
     // exact fixed-point PageRank over the edge relation: BIGINT arithmetic
     // with truncating division -> bit-identical ranks cross-engine (a
     // double-valued PageRank could never hash-match; see GraphOps.pageRank)
@@ -224,6 +227,18 @@ object SparkEntry {
       Similarity.kmeansTopKMultiProbe(e, e.filter(col("vec_id") < 50), col("vec_id"),
         col("embedding"), k = 3, cents, nProbe = 2)
         .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
+    }),
+    // ANN evaluation: recall@3 of the IVF search vs the exact brute-force
+    // neighbor set over the same queries — distributed metric, one hash join
+    "ann_recall" -> ((s, d) => {
+      val e = embeds(s, d)
+      val q = e.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(e, q, col("vec_id"), col("embedding"), k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.bucketedTopK(e, q, col("vec_id"), col("embedding"),
+        k = 3, probeDims = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      Similarity.recallAtK(exact, approx, k = 3)
     }),
     // SQ8 vector compression: per-dim min/max codebook, int8 quantization,
     // integer-dot top-k — the 4x-memory scale path with zero FP drift
@@ -475,6 +490,16 @@ object SparkEntry {
          |             row_number() OVER (PARTITION BY source ORDER BY c DESC, sent, target) AS rank
          |      FROM edges)
          |SELECT source, rank, target, sent, c FROM r WHERE rank <= 3""".stripMargin,
+    "kg_pmi" ->
+      s"""WITH $triplesCte,
+         |tk AS (SELECT subj_type || '.' || subj AS source, obj_type || '.' || obj AS target FROM triples),
+         |pcnt AS MATERIALIZED (SELECT source, target, count(*)::BIGINT AS n_st FROM tk GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM pcnt GROUP BY 1),
+         |tt AS (SELECT target, CAST(sum(n_st) AS BIGINT) AS n_t FROM pcnt GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM pcnt)
+         |SELECT source, target, n_st, n_s, n_t,
+         |       CAST((length(bin(n_st * n)) - 1) - (length(bin(n_s * n_t)) - 1) AS BIGINT) AS ipmi
+         |FROM pcnt JOIN st USING (source) JOIN tt USING (target) CROSS JOIN tot""".stripMargin,
     "kg_pagerank" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},
@@ -826,6 +851,22 @@ object SparkEntry {
          |      FROM v c JOIN q ON c.bucket = q.bucket AND q.vec_id <> c.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
+    "ann_recall" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |                  list_position(embedding[1:8]::DOUBLE[], list_max(embedding[1:8]::DOUBLE[])) AS bucket
+         |           FROM embeddings),
+         |q AS (SELECT * FROM v WHERE vec_id < 50),
+         |se AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosineSql("q.e", "c.e")} AS score
+         |       FROM v c, q WHERE q.vec_id <> c.vec_id),
+         |re AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM se),
+         |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM re WHERE rank <= 3),
+         |sa AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosineSql("q.e", "c.e")} AS score
+         |       FROM v c JOIN q ON c.bucket = q.bucket AND q.vec_id <> c.vec_id),
+         |ra AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM sa),
+         |ap AS MATERIALIZED (SELECT query_id, neighbor_id FROM ra WHERE rank <= 3)
+         |SELECT query_id, count(ap.neighbor_id)::BIGINT AS hits,
+         |       count(ap.neighbor_id)::DOUBLE / 3.0 AS recall
+         |FROM ex LEFT JOIN ap USING (query_id, neighbor_id) GROUP BY query_id""".stripMargin,
     "ann_sq8" ->
       s"""WITH ev AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |px AS (SELECT unnest(range(0, len(e))) AS d, unnest(e) AS v FROM ev),

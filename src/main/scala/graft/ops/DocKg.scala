@@ -189,6 +189,41 @@ object DocKg {
         col("target"), col("sent"), col("c"))
   }
 
+  /** PMI edge significance over the (source, target) co-occurrence relation —
+    * the standard collocation measure for separating structurally meaningful
+    * KG edges from frequency artifacts (a hot entity co-occurs with
+    * everything; PMI discounts by both marginals). Engine extension: no
+    * reference counterpart in /root/reference/arelight (the reference keeps
+    * raw counts only, `arelight/backend/d3js/utils_graph.py`).
+    *
+    * Computed in integer log2 space for cross-engine exactness (see
+    * [[LangModel.ilog2]]): `ipmi = ilog2(n_st * N) - ilog2(n_s * n_t)` =
+    * floor-log2 PMI. All quantities BIGINT; products stay < 2^62 while the
+    * total pair count N and any marginal satisfy n_st * N < 2^62 — at larger
+    * corpora scale the counts down by a common power of two first.
+    *
+    * Scale shape: one shuffle to the pair counts; the two marginals are
+    * re-aggregations of the (localCheckpointed, pair-bounded) counts relation
+    * joined back on their own keys — hash joins that broadcast when the node
+    * vocabulary is small; the grand total rides a one-row broadcast. */
+  def pmiFromRelation(rel: DataFrame): DataFrame = {
+    val pairs = rel.groupBy(col("source"), col("target"))
+      .agg(count(lit(1)).as("n_st")).localCheckpoint()
+    val srcTot = pairs.groupBy(col("source")).agg(sum(col("n_st")).cast("long").as("n_s"))
+    val tgtTot = pairs.groupBy(col("target")).agg(sum(col("n_st")).cast("long").as("n_t"))
+    val tot = pairs.agg(sum(col("n_st")).cast("long").as("n"))
+    pairs.join(srcTot, "source").join(tgtTot, "target").crossJoin(broadcast(tot))
+      .select(col("source"), col("target"), col("n_st"), col("n_s"), col("n_t"),
+        (LangModel.ilog2(col("n_st") * col("n")) -
+          LangModel.ilog2(col("n_s") * col("n_t"))).as("ipmi"))
+  }
+
+  /** PMI over the document KG's triple co-occurrences (node keys as in
+    * [[edges]]). */
+  def pmi(spark: SparkSession, dir: String): DataFrame =
+    pmiFromRelation(
+      GraphBuilder.withNodeKeys(relations(triples(spark, dir)), typeMapDf(spark)))
+
   /** Exact fixed-point PageRank over the aggregated KG edge relation
     * (GraphOps.pageRank) — post-construction graph analytics with
     * bit-identical cross-engine ranks. */

@@ -433,6 +433,24 @@ object Similarity {
         col("neighbor_id"), col("score"))
   }
 
+  /** Recall@k of an approximate neighbor set against the exact one — the
+    * standard ANN quality metric, as a relation so it runs at corpus scale
+    * (evaluating recall over a large query sample is itself a distributed
+    * job). Both inputs are (query_id, neighbor_id) sets whose generators
+    * order deterministically (score desc, neighbor_id), so the metric is
+    * exact cross-engine: hits is a BIGINT and recall = hits / k is one IEEE
+    * division of small integers. One hash join on (query_id, neighbor_id)
+    * plus a per-query aggregation; every query in `exact` emits a row, so
+    * zero-overlap queries report recall 0 rather than vanishing. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hit = approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(hit, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("hits"))
+      .withColumn("recall", col("hits").cast("double") / lit(k.toDouble))
+  }
+
   /** Bucketed ANN: top-k by cosine within the query's coarse bucket only.
     * The join is on bucket id — co-partitioned, no cross join. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,

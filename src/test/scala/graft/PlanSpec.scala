@@ -93,6 +93,14 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"no consumer may rescan the corpus:\n$p")
   }
 
+  test("kg_pmi: marginal joins are key joins; the one-row total broadcasts") {
+    val p = planOf("kg_pmi")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join allowed is the broadcast of the one-row total
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("BroadcastExchange"), "one-row total must broadcast")
+  }
+
   test("ann_sq8: small query side broadcast over quantized codes") {
     val p = planOf("ann_sq8")
     assert(p.contains("BroadcastExchange"), p)
