@@ -43,6 +43,9 @@ object SparkEntry {
     // PMI edge significance in integer log2 space (exact cross-engine) —
     // discounts hot-entity co-occurrence by both marginals
     "kg_pmi" -> ((s, d) => DocKg.pmi(s, d)),
+    // incremental edge maintenance: two batches of unfiltered counts merged
+    // by key, HAVING applied at read — must equal the full-batch kg_edges
+    "kg_edges_incremental" -> ((s, d) => DocKg.edgesIncremental(s, d)),
     // exact fixed-point PageRank over the edge relation: BIGINT arithmetic
     // with truncating division -> bit-identical ranks cross-engine (a
     // double-valued PageRank could never hash-match; see GraphOps.pageRank)
@@ -288,6 +291,12 @@ object SparkEntry {
     // integer-log2 surprisal (exact cross-engine; see ops/LangModel.scala)
     "text_lm_surprisal" -> ((s, d) =>
       LangModel.selfSurprisal(docs(s, d), col("text"), col("doc_id"))),
+    // tf-idf top-5 keywords per document (integer-log2 idf, WindowGroupLimit)
+    "text_tfidf_topk" -> ((s, d) =>
+      TextStats.tfIdfTopK(docs(s, d), col("text"), col("doc_id"), k = 5)),
+    // exact corpus length percentiles via the value histogram
+    "text_len_quantiles" -> ((s, d) =>
+      TextStats.histogramQuantiles(docs(s, d), col("n_chars"), Seq(0.5, 0.9, 0.99))),
     // ---- multimodal plumbing: opaque binary column + typed metadata
     "mm_binary_meta" -> ((s, d) => docs(s, d)
       .select(col("doc_id"),
@@ -480,6 +489,12 @@ object SparkEntry {
       s"""WITH $triplesCte
          |SELECT doc_id, subj, subj_type, pred, obj, obj_type FROM triples""".stripMargin,
     "kg_edges" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)}
+         |SELECT source, target, sent, c FROM edges""".stripMargin,
+    // incremental merge must reproduce the full-batch edges exactly — the
+    // oracle IS the kg_edges SQL
+    "kg_edges_incremental" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)}
          |SELECT source, target, sent, c FROM edges""".stripMargin,
@@ -920,6 +935,26 @@ object SparkEntry {
          |SELECT id, n_bigrams, surprisal,
          |       surprisal::DOUBLE / n_bigrams::DOUBLE AS mean_surprisal
          |FROM sc""".stripMargin,
+    "text_tfidf_topk" ->
+      s"""WITH $toksCte,
+         |tm AS (SELECT doc_id AS id, unnest(terms) AS term FROM toks),
+         |tf AS MATERIALIZED (SELECT id, term, count(*)::BIGINT AS tf FROM tm WHERE term <> '' GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT id)::BIGINT AS n_docs FROM tf),
+         |sc AS (SELECT id, term, tf, df,
+         |              CAST(tf * ((length(bin(n_docs)) - 1) - (length(bin(df)) - 1)) AS BIGINT) AS score
+         |       FROM tf JOIN dft USING (term) CROSS JOIN nd),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, term) AS rank FROM sc)
+         |SELECT id, rank, term, tf, df, score FROM r WHERE rank <= 5""".stripMargin,
+    "text_len_quantiles" ->
+      s"""WITH h AS MATERIALIZED (SELECT n_chars AS v, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+         |c AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+         |qs AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q)
+         |SELECT q, min(v) AS value
+         |FROM c CROSS JOIN t CROSS JOIN qs
+         |WHERE cum >= CAST(floor(q * (n - 1)) AS BIGINT) + 1
+         |GROUP BY q""".stripMargin,
     "text_quality" ->
       s"""WITH $toksCte
          |SELECT doc_id AS id, len(terms) AS n_tokens, length(text) AS n_chars,

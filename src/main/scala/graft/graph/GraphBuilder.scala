@@ -52,18 +52,39 @@ object GraphBuilder {
       .agg(max_by(col("type"), col("ord")).as("type"))
   }
 
-  /** Edge relation at scale: groupBy (sourceKey, targetKey, sent) count, with
-    * min-links HAVING (F5) and the weights toggle (U4). Input must already carry
-    * node keys (see [[withNodeKeys]]). Output: (source, target, sent, c). */
-  def edges(relations: DataFrame, minLinks: Double = 1, weights: Boolean = true): DataFrame = {
-    val counted = relations
+  /** UNFILTERED edge counts — the mergeable state behind [[edges]]:
+    * (source, target, sent, cnt). The min-links HAVING must NOT be applied to
+    * state that will be merged again (an edge seen once per batch but many
+    * times overall would be lost), so incremental maintenance keeps this
+    * relation and applies the filter only at read ([[edgesFromState]]). At
+    * scale this is the Iceberg-MERGE shape: state bucketed on the group key,
+    * each batch one co-partitioned merge ([[mergeEdgeState]]). */
+  def edgeState(relations: DataFrame): DataFrame =
+    relations
       .na.drop(Seq("source", "target", "sent")) // F4: drop nan relations
       .groupBy(col("source"), col("target"), col("sent"))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= lit(minLinks))
+
+  /** Merge a delta batch's edge counts into previous state: union + re-sum on
+    * the group key (associative/commutative, so batches fold in any order). */
+  def mergeEdgeState(prev: DataFrame, delta: DataFrame): DataFrame =
+    prev.unionByName(delta)
+      .groupBy(col("source"), col("target"), col("sent"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
+  /** Read the edge relation out of (possibly merged) state: min-links HAVING
+    * (F5) + the weights toggle (U4). */
+  def edgesFromState(state: DataFrame, minLinks: Double = 1, weights: Boolean = true): DataFrame = {
+    val counted = state.filter(col("cnt") >= lit(minLinks))
     val c = if (weights) col("cnt").cast("double") else lit(1.0)
     counted.select(col("source"), col("target"), col("sent"), c.as("c"))
   }
+
+  /** Edge relation at scale: groupBy (sourceKey, targetKey, sent) count, with
+    * min-links HAVING (F5) and the weights toggle (U4). Input must already carry
+    * node keys (see [[withNodeKeys]]). Output: (source, target, sent, c). */
+  def edges(relations: DataFrame, minLinks: Double = 1, weights: Boolean = true): DataFrame =
+    edgesFromState(edgeState(relations), minLinks, weights)
 
   /** Attach composed node keys to raw (source,target,sent) relation rows using a
     * broadcast value->type map (UNKNOWN fallback). */

@@ -189,6 +189,25 @@ object DocKg {
         col("target"), col("sent"), col("c"))
   }
 
+  /** Incremental KG edge construction — the continuous-crawl maintenance
+    * shape: the corpus arrives in batches, each batch contributes UNFILTERED
+    * edge counts ([[GraphBuilder.edgeState]]), state merges by key
+    * ([[GraphBuilder.mergeEdgeState]]), and the min-links HAVING applies only
+    * when the edge relation is read out. Registered query splits the corpus
+    * at `splitAt` and must reproduce the full-batch [[edges]] exactly (the
+    * oracle IS the kg_edges SQL) — the subtlety being that filtering per
+    * batch would lose edges that cross the batch boundary. */
+  def edgesIncremental(spark: SparkSession, dir: String, splitAt: Long = 250,
+      minLinks: Double = 2): DataFrame = {
+    val t = triples(spark, dir).localCheckpoint()
+    def state(part: DataFrame): DataFrame =
+      GraphBuilder.edgeState(
+        GraphBuilder.withNodeKeys(relations(part), typeMapDf(spark)))
+    val prev = state(t.filter(col("doc_id") < splitAt))
+    val delta = state(t.filter(col("doc_id") >= splitAt))
+    GraphBuilder.edgesFromState(GraphBuilder.mergeEdgeState(prev, delta), minLinks)
+  }
+
   /** PMI edge significance over the (source, target) co-occurrence relation —
     * the standard collocation measure for separating structurally meaningful
     * KG edges from frequency artifacts (a hot entity co-occurs with

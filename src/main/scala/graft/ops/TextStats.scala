@@ -85,4 +85,53 @@ object TextStats {
     * token set (robust to token order / duplication). */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
+
+  /** Tf-idf top-k keyword extraction per document, in integer log2 space
+    * (cross-engine exact, see [[LangModel.ilog2]]): score = tf *
+    * (ilog2(n_docs) - ilog2(df)) — corpus-universal terms (df = n_docs)
+    * score 0, rare terms get the full integer idf. Scale shape: one shuffle
+    * to (id, term) counts (localCheckpointed — three consumers), the df
+    * relation is vocabulary-sized and joins on the term key, n_docs rides a
+    * one-row broadcast, and the per-doc top-k is a WindowGroupLimit window
+    * (k rows per doc retained per partition, no full materialization). */
+  def tfIdfTopK(df: DataFrame, text: Column, id: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(id.as("id"), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = tf.agg(countDistinct(col("id")).cast("long").as("n_docs"))
+    val scored = tf.join(dft, "term").crossJoin(broadcast(nd))
+      .withColumn("score",
+        col("tf") * (LangModel.ilog2(col("n_docs")) - LangModel.ilog2(col("df"))))
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("id"), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("df"), col("score"))
+  }
+
+  /** Exact quantiles by value histogram — the scale-correct exact-percentile
+    * pattern when value cardinality << row count (lengths, scores, counts):
+    * one aggregation to (value, cnt), a cumulative sum over the value-ordered
+    * HISTOGRAM (bounded cardinality, so the single-partition window is over a
+    * small relation — never over the raw rows), then each requested q picks
+    * the smallest value whose cumulative count reaches floor(q*(n-1)) + 1.
+    * Exact cross-engine: counts are BIGINT and q*(n-1) is one double multiply
+    * floored identically by both engines. Output: (q, value) per quantile. */
+  def histogramQuantiles(df: DataFrame, value: Column, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.groupBy(value.as("v")).agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = hist.agg(sum(col("cnt")).cast("long").as("n"))
+    val qdf = qs.toDF("q")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qdf))
+      .filter(col("cum") >=
+        floor(col("q") * (col("n") - 1).cast("double")).cast("long") + 1)
+      .groupBy(col("q")).agg(min(col("v")).as("value"))
+  }
 }

@@ -101,6 +101,20 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("BroadcastExchange"), "one-row total must broadcast")
   }
 
+  test("text_tfidf_topk: per-doc top-k is a WindowGroupLimit; df join is a key join") {
+    val p = planOf("text_tfidf_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("kg_edges_incremental: merge is a key aggregation — no cartesian, no extra scan") {
+    val p = planOf("kg_edges_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    // both batches read the one localCheckpointed triples relation
+    assert(!p.contains("FileScan"), s"batches must not rescan the corpus:\n$p")
+  }
+
   test("ann_sq8: small query side broadcast over quantized codes") {
     val p = planOf("ann_sq8")
     assert(p.contains("BroadcastExchange"), p)

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.graph.GraphBuilder
+import org.apache.spark.sql.functions._
+
+/** tfIdfTopK, histogramQuantiles, and the mergeable edge-state family. */
+class TextStatsMoreSpec extends AnyFunSuite with SparkTestSession {
+
+  test("tfIdfTopK: hand-computed integer idf and deterministic ranks") {
+    import spark.implicits._
+    val df = Seq((1L, "apple banana apple"), (2L, "banana cherry")).toDF("doc_id", "text")
+    val got = TextStats.tfIdfTopK(df, col("text"), col("doc_id"), k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // n_docs = 2, ilog2(2) = 1; idf: apple/cherry (df=1) -> 1, banana (df=2) -> 0
+    assert(got((1L, 1L)) == (("apple", 2L, 1L, 2L)))
+    assert(got((1L, 2L)) == (("banana", 1L, 2L, 0L)))
+    assert(got((2L, 1L)) == (("cherry", 1L, 1L, 1L)))
+    assert(got((2L, 2L)) == (("banana", 1L, 2L, 0L)))
+  }
+
+  test("histogramQuantiles: exact rank selection on 1..10") {
+    import spark.implicits._
+    val df = (1L to 10L).toDF("v")
+    val got = TextStats.histogramQuantiles(df, col("v"), Seq(0.0, 0.5, 0.9, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // target rank = floor(q*(n-1)) + 1 over n=10 values
+    assert(got(0.0) == 1L && got(0.5) == 5L && got(0.9) == 9L && got(1.0) == 10L)
+  }
+
+  test("histogramQuantiles: duplicates collapse into the histogram correctly") {
+    import spark.implicits._
+    val df = (Seq.fill(9)(1L) ++ Seq(100L)).toDF("v") // p50 in the duplicate mass
+    val got = TextStats.histogramQuantiles(df, col("v"), Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got(0.5) == 1L && got(1.0) == 100L)
+  }
+
+  test("edge state merge: batch-boundary edges survive where per-batch HAVING would drop them") {
+    import spark.implicits._
+    // the same edge appears once per batch; minLinks=2 requires the counts to
+    // merge BEFORE filtering
+    val a = Seq(("A", "B", "pos"), ("C", "D", "neg")).toDF("source", "target", "sent")
+    val b = Seq(("A", "B", "pos")).toDF("source", "target", "sent")
+    val merged = GraphBuilder.edgesFromState(
+      GraphBuilder.mergeEdgeState(GraphBuilder.edgeState(a), GraphBuilder.edgeState(b)),
+      minLinks = 2)
+    val full = GraphBuilder.edges(a.unionByName(b), minLinks = 2)
+    assert(merged.collect().map(_.toSeq).toSet == full.collect().map(_.toSeq).toSet)
+    assert(merged.count() == 1) // only (A,B,pos) reaches 2
+    // per-batch filtering would have emitted nothing
+    val wrong = GraphBuilder.mergeEdgeState(
+      GraphBuilder.edges(a, minLinks = 2).withColumnRenamed("c", "cnt"),
+      GraphBuilder.edges(b, minLinks = 2).withColumnRenamed("c", "cnt"))
+    assert(wrong.count() == 0)
+  }
+
+  test("edge state merge is order-insensitive (associative/commutative)") {
+    import spark.implicits._
+    val batches = Seq(
+      Seq(("A", "B", "pos"), ("A", "B", "pos")),
+      Seq(("A", "B", "pos"), ("X", "Y", "neg")),
+      Seq(("X", "Y", "neg")))
+      .map(_.toDF("source", "target", "sent")).map(GraphBuilder.edgeState)
+    val fwd = batches.reduce(GraphBuilder.mergeEdgeState)
+    val rev = batches.reverse.reduce(GraphBuilder.mergeEdgeState)
+    assert(fwd.collect().map(_.toSeq).toSet == rev.collect().map(_.toSeq).toSet)
+  }
+}
