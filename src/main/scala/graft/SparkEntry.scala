@@ -46,6 +46,8 @@ object SparkEntry {
     // incremental edge maintenance: two batches of unfiltered counts merged
     // by key, HAVING applied at read — must equal the full-batch kg_edges
     "kg_edges_incremental" -> ((s, d) => DocKg.edgesIncremental(s, d)),
+    // triangle enumeration (a<b<c) over the undirected simple KG graph
+    "kg_triangles" -> ((s, d) => DocKg.triangles(s, d)),
     // exact fixed-point PageRank over the edge relation: BIGINT arithmetic
     // with truncating division -> bit-identical ranks cross-engine (a
     // double-valued PageRank could never hash-match; see GraphOps.pageRank)
@@ -310,6 +312,8 @@ object SparkEntry {
       .select(col("l_suppkey"), col("rank").cast("long"), col("l_orderkey"),
         col("l_linenumber").cast("long"), col("ship_epoch"))),
     "events_hourly" -> ((s, d) => Relational.eventsHourly(s, d)),
+    // semi-structured: one JSON field extracted + typed, per-type aggregation
+    "events_json" -> ((s, d) => Relational.eventsJsonStats(s, d)),
     "events_sessions" -> ((s, d) => Relational.eventsSessions(s, d)
       .select(col("user_id"), col("n_sessions"), col("max_session_events"),
         col("max_session_sec")))
@@ -505,6 +509,13 @@ object SparkEntry {
          |             row_number() OVER (PARTITION BY source ORDER BY c DESC, sent, target) AS rank
          |      FROM edges)
          |SELECT source, rank, target, sent, c FROM r WHERE rank <= 3""".stripMargin,
+    "kg_triangles" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |und AS MATERIALIZED (SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+         |       FROM edges WHERE source <> target)
+         |SELECT x.a, x.b, y.b AS c
+         |FROM und x JOIN und y ON x.b = y.a JOIN und z ON z.a = x.a AND z.b = y.b""".stripMargin,
     "kg_pmi" ->
       s"""WITH $triplesCte,
          |tk AS (SELECT subj_type || '.' || subj AS source, obj_type || '.' || obj AS target FROM triples),
@@ -1015,6 +1026,12 @@ object SparkEntry {
         |           FROM lineitem)
         |SELECT l_suppkey, rank, l_orderkey, l_linenumber::BIGINT AS l_linenumber, ship_epoch
         |FROM r WHERE rank <= 3""".stripMargin,
+    "events_json" ->
+      s"""SELECT event_type, count(*)::BIGINT AS n,
+         |       CAST(sum(json_extract_string(props, '$$.k')::BIGINT) AS BIGINT) AS k_sum,
+         |       CAST(min(json_extract_string(props, '$$.k')::BIGINT) AS BIGINT) AS k_min,
+         |       CAST(max(json_extract_string(props, '$$.k')::BIGINT) AS BIGINT) AS k_max
+         |FROM events GROUP BY event_type""".stripMargin,
     "events_hourly" ->
       """WITH e AS (SELECT epoch_us(ts) // 1000000 AS es, event_type, value, user_id FROM events)
         |SELECT es - es % 3600 AS hour_epoch, event_type, count(*) AS n_events,

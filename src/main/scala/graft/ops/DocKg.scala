@@ -189,6 +189,30 @@ object DocKg {
         col("target"), col("sent"), col("c"))
   }
 
+  /** Triangle enumeration over the undirected simple graph underlying an edge
+    * relation — the classic two-join formulation: collapse the (possibly
+    * multi-)edge relation to distinct ordered pairs a < b, join (a,b)⨝(b,c)
+    * to form wedges (order gives a < b < c exactly once), then close each
+    * wedge against the edge set on (a,c). Both joins are key joins on node
+    * ids; the collapsed pair relation is localCheckpointed (three consumers).
+    * At scale this is the standard distributed triangle algorithm (node-order
+    * directing bounds wedge fan-out by out-degree). */
+  def trianglesFromEdges(e: DataFrame): DataFrame = {
+    val und = e.filter(col("source") =!= col("target"))
+      .select(least(col("source"), col("target")).as("a"),
+        greatest(col("source"), col("target")).as("b"))
+      .distinct().localCheckpoint()
+    val wedges = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+    wedges.as("w")
+      .join(und.as("z"), col("w.a") === col("z.a") && col("w.c") === col("z.b"))
+      .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
+  }
+
+  /** Triangles of the document KG ([[edges]] relation). */
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesFromEdges(edges(spark, dir))
+
   /** Incremental KG edge construction — the continuous-crawl maintenance
     * shape: the corpus arrives in batches, each batch contributes UNFILTERED
     * edge counts ([[GraphBuilder.edgeState]]), state merges by key

@@ -76,6 +76,18 @@ object Relational {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** Semi-structured column path: extract a typed field from the JSON `props`
+    * column with `get_json_object` (codegen'd JsonPath — no UDF, no full
+    * from_json schema materialization when one field is needed) and aggregate
+    * per event type. The scan should prune to (event_type, props) only. */
+  def eventsJsonStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+
   /** Sessionization: 30-minute-gap sessions per user via lag + running sum —
     * the portable gaps-and-islands formulation (a Structured Streaming
     * session_window covers the streaming case). */

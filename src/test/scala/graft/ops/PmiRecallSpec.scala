@@ -34,6 +34,19 @@ class PmiRecallSpec extends AnyFunSuite with SparkTestSession {
     assert(a == b)
   }
 
+  test("triangles: direction/multiplicity collapse, each triangle exactly once as a<b<c") {
+    import spark.implicits._
+    // A-B (both directions + repeat), B-C, A-C, C-D: one triangle (A,B,C)
+    val e = Seq(("A", "B"), ("B", "A"), ("A", "B"), ("B", "C"), ("C", "A"), ("C", "D"))
+      .toDF("source", "target")
+    val got = DocKg.trianglesFromEdges(e).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(("A", "B", "C")))
+    // no self-loop artifacts
+    val loops = Seq(("A", "A"), ("A", "B"), ("B", "C"), ("A", "C")).toDF("source", "target")
+    assert(DocKg.trianglesFromEdges(loops).collect().length == 1)
+  }
+
   test("recallAtK: hits counted per query; zero-overlap queries emit recall 0") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (2L, 22L))
