@@ -124,8 +124,10 @@ object Bench {
       "dedup_exact", "dedup_minhash_pairs",
       "dedup_simhash", "dedup_simhash_pairs", "dedup_incremental", "dedup_semantic",
       "link_groups", "ann_bruteforce", "ann_ivf", "ann_lsh_pairs", "ann_kmeans_cells",
-      "ann_kmeans_topk", "ann_kmeans_probe", "ann_sq8", "kg_top_relations",
+      "ann_kmeans_topk", "ann_kmeans_probe", "ann_sq8", "ann_recall",
+      "kg_top_relations", "kg_pmi", "kg_triangles", "kg_edges_incremental",
       "text_quality", "text_fingerprint", "text_repetition", "text_lm_surprisal",
+      "text_tfidf_topk", "text_len_quantiles", "events_json",
       "sample_stratified",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
