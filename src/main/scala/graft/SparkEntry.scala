@@ -304,6 +304,10 @@ object SparkEntry {
       .select(col("doc_id"),
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
         md5(encode(col("text"), "UTF-8")).as("content_hash"))),
+    // frame/patch extraction fan-out: one hashed 16-char window per 64-char
+    // stride — map-side sequence+explode, no shuffle (ops/Multimodal.scala)
+    "mm_frame_sample" -> ((s, d) => graft.ops.Multimodal.frameExtract(
+      docs(s, d), col("text"), col("doc_id"), stride = 64, flen = 16)),
     // ---- generic relational (scan/filter/join/agg/window/sessionize)
     "q1_agg" -> ((s, d) => Relational.q1(s, d)),
     "q3_join" -> ((s, d) => Relational.q3(s, d)),
@@ -996,6 +1000,12 @@ object SparkEntry {
            |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(terms)), ' ')) AS fp FROM toks""".stripMargin,
     "mm_binary_meta" ->
       "SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash FROM documents",
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id AS id, text AS t, length(text)::BIGINT AS len FROM documents WHERE length(text) >= 16),
+        |f AS (SELECT id, t, unnest(range(0, (len - 16) // 64 + 1)) AS frame_idx FROM d)
+        |SELECT id, frame_idx::BIGINT AS frame_idx,
+        |       md5(substring(t, (frame_idx * 64 + 1)::BIGINT, 16)) AS frame_hash
+        |FROM f""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,

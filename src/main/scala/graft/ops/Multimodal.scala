@@ -89,6 +89,26 @@ object Multimodal {
       .withColumn("frame_index",
         explode(sequence(lit(0), col(s"$metaCol.nFrames") - 1, lit(everyN))))
 
+  /** Materialized frame/patch extraction over an opaque payload: one fixed
+    * -size window every `stride` positions, each window's bytes hashed — the
+    * full fan-out shape of frame extraction (window arithmetic, per-frame
+    * rows, content digests) with the codec replaced by a hash, so it is
+    * oracle-checkable end to end. Map-side only: sequence+explode fans out to
+    * one row per frame with no shuffle; a real decoder slots into the
+    * per-window expression. Windows are character-addressed (the synthetic
+    * payloads are ASCII; a BLOB-addressed variant is blocked by the oracle
+    * engine, which cannot slice blobs). */
+  def frameExtract(df: DataFrame, payload: Column, id: Column,
+      stride: Int, flen: Int): DataFrame =
+    df.select(id.as("id"), payload.as("t"), length(payload).cast("long").as("len"))
+      .filter(col("len") >= flen)
+      .withColumn("n", ((col("len") - lit(flen)) / lit(stride)).cast("long") + 1)
+      .select(col("id"), col("t"),
+        explode(sequence(lit(0L), col("n") - 1)).as("frame_idx"))
+      .select(col("id"), col("frame_idx"),
+        md5(encode(expr(s"substring(t, cast(frame_idx * $stride + 1 as int), $flen)"),
+          "UTF-8")).as("frame_hash"))
+
   /** Resize plan: target dims preserving aspect ratio under a max edge —
     * pure column arithmetic; the actual pixel work happens at decode time. */
   def resizePlan(df: DataFrame, metaCol: String, maxEdge: Int): DataFrame = {

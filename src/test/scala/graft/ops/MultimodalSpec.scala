@@ -12,6 +12,31 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       .toDF("id", "blob").repartition(3)
   }
 
+  test("frameExtract: window fan-out arithmetic and short-payload drop") {
+    import spark.implicits._
+    // len 16 -> exactly 1 frame; len 15 -> dropped; len 80 -> frames at 0 and 64
+    val df = Seq((1L, "a" * 16), (2L, "b" * 15), (3L, ("c" * 64) + ("d" * 16)))
+      .toDF("doc_id", "text")
+    val got = Multimodal.frameExtract(df, col("text"), col("doc_id"), stride = 64, flen = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got.keySet == Set((1L, 0L), (3L, 0L), (3L, 1L)))
+    // frame content is the window bytes: doc 3 frame 1 covers the d-run
+    val d16 = java.security.MessageDigest.getInstance("MD5")
+      .digest(("d" * 16).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got((3L, 1L)) == d16)
+    val c16 = java.security.MessageDigest.getInstance("MD5")
+      .digest(("c" * 16).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got((3L, 0L)) == c16)
+  }
+
+  test("frameExtract plan: map-side fan-out, no shuffle") {
+    import spark.implicits._
+    val df = Seq((1L, "x" * 200)).toDF("doc_id", "text")
+    val p = Multimodal.frameExtract(df, col("text"), col("doc_id"), 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("withMeta appends typed metadata via batched decode; deterministic") {
     val out = Multimodal.withMeta(mediaDf, "blob", batchSize = 7)
     assert(out.schema.fieldNames.toSeq == Seq("id", "blob", "meta"))
