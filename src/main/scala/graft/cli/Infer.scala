@@ -39,6 +39,10 @@ import graft.ner.{BracketNer, CapitalizedNer}
   *          --fused on (zero-token-allocation kernel: triples + graph only,
   *            no contents/predict exports — the 10^12-page production shape;
   *            composes with --checkpoint for resumable fused runs)
+  *          --edge-store DIR --batch-id ID (continuous KG maintenance: fold
+  *            this batch's unfiltered edge counts into the persistent
+  *            EdgeStore — exactly-once per batch id — and emit the graph
+  *            from the ACCRETED state; --min-links applies at read)
   */
 object Infer {
   def main(args: Array[String]): Unit = {
@@ -208,7 +212,21 @@ object Infer {
     val rels = t.select(col("subj").as("source"), col("obj").as("target"), col("pred").as("sent"))
     // persist: the guard count + nodes collect + edges collect would otherwise
     // re-run the scan+join+aggregation lineage three times
-    val edges = GraphBuilder.edges(GraphBuilder.withNodeKeys(rels, typeMap), minLinks).persist()
+    val keyed = GraphBuilder.withNodeKeys(rels, typeMap)
+    // --edge-store: fold this batch's UNFILTERED edge counts into the
+    // persistent store (exactly-once per --batch-id) and build the graph from
+    // the ACCRETED state — the continuous-crawl KG maintenance surface. Node
+    // keys use this batch's value->type map; cross-batch key stability holds
+    // when types are deterministic per value (true for annotated-page NER).
+    val edges = opts.get("--edge-store") match {
+      case Some(storeDir) =>
+        val batchId = opts.getOrElse("--batch-id",
+          sys.error("--edge-store requires --batch-id (the idempotent-retry token)"))
+        if (!graft.ops.EdgeStore.merge(GraphBuilder.edgeState(keyed), storeDir, batchId))
+          System.err.println(s"batch '$batchId' already in $storeDir ledger; fold skipped (idempotent retry)")
+        graft.ops.EdgeStore.edges(spark, storeDir, minLinks).persist()
+      case None => GraphBuilder.edges(keyed, minLinks).persist()
+    }
     val nodes = GraphBuilder.nodes(edges)
     // Guard the driver collect: post-aggregation graphs are normally small, but
     // with --min-links 1 at web scale the edge set need not be driver-sized.
