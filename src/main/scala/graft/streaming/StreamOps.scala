@@ -153,6 +153,33 @@ object StreamOps {
       }
       .start()
 
+  /** Continuous KG maintenance with UNBOUNDED history: each micro-batch's
+    * keyed relation rows (source, target, sent — node keys already composed,
+    * e.g. [[edgesStream]]'s grouping keys or
+    * [[graft.graph.GraphBuilder.withNodeKeys]]) fold their UNFILTERED edge
+    * counts into the persistent [[graft.ops.EdgeStore]]; the min-links HAVING
+    * applies only when the graph is read out (EdgeStore.edges). The graph-side
+    * complement of [[dedupIngestStream]]: state is edge-cardinality-sized, and
+    * unlike [[edgesStream]] (whose windows close and emit increments) the
+    * store's counts span the full corpus history.
+    *
+    * Delivery is EXACTLY-once, not at-least-once: Structured Streaming
+    * re-runs a failed epoch under the SAME batch id, and EdgeStore's batch
+    * ledger (committed atomically with the folded state) turns the retry into
+    * a no-op — the canonical idempotent-foreachBatch pattern, here enforced
+    * by the store itself rather than by sink convention. */
+  def edgeIngestStream(relations: DataFrame, store: String, checkpoint: String,
+      batchPrefix: String = "stream")(
+      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+    relations.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.ops.EdgeStore.merge(
+          graft.graph.GraphBuilder.edgeState(batch), store, s"$batchPrefix-$epoch")
+        ()
+      }
+      .start()
+
   /** 30-minute-gap sessions per user via the native session_window operator
     * (the streaming counterpart of Relational.eventsSessions). */
   def eventsSessions(events: DataFrame): DataFrame =

@@ -207,4 +207,26 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
+
+  test("streaming edge ingest folds micro-batch counts into the EdgeStore exactly once") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-edge-ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-edge-ingest-ckpt").toString
+    val mem = MemoryStream[(String, String, Int)]
+    val q = StreamOps.edgeIngestStream(
+      mem.toDF().toDF("source", "target", "sent"), store, ckpt, batchPrefix = "t")
+    mem.addData(Seq(("A", "B", 0), ("C", "D", 1)))
+    q.processAllAvailable()
+    mem.addData(Seq(("A", "B", 0), ("A", "B", 1)))
+    q.processAllAvailable(); q.stop()
+    // counts span micro-batches; min-links applies at read
+    val e2 = graft.ops.EdgeStore.edges(spark, store, minLinks = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(e2 == Set(("A", "B", 0, 2.0)))
+    assert(graft.ops.EdgeStore.edges(spark, store).count() == 3)
+    // epoch-derived batch ids landed in the ledger (the exactly-once token)
+    val ledger = graft.ops.EdgeStore.mergedBatches(spark, store)
+    assert(ledger.forall(_.startsWith("t-")) && ledger.size == 2, s"ledger $ledger")
+  }
 }
