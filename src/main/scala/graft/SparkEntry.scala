@@ -56,6 +56,15 @@ object SparkEntry {
     // epsilon stop actually exercised: eps=10^8 stops within the 20-round cap
     // at whatever round BOTH engines' exact arithmetic first meets it
     "kg_pagerank_eps" -> ((s, d) => DocKg.pageRankDangling(s, d, iters = 20, eps = 100000000L)),
+    // personalized PageRank: restart mass pinned to one entity node — exact
+    // BIGINT walk probabilities (entity relatedness over the constructed KG)
+    "kg_ppr" -> ((s, d) => DocKg.ppr(s, d)),
+    // weakly-connected components of the KG via distributed min-label
+    // propagation (the dedup_clusters machinery on the edge relation)
+    "kg_components" -> ((s, d) => DocKg.components(s, d)),
+    // neighbor-set Jaccard node similarity (wedge join + degree joins) —
+    // surface-form/entity-resolution signal over the KG
+    "kg_node_jaccard" -> ((s, d) => DocKg.nodeJaccard(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
     "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
@@ -141,6 +150,20 @@ object SparkEntry {
       docs(s, d), col("doc_id"), col("lang"),
       Map("en" -> 0.5, "de" -> 0.25), default = 0.05)
       .select(col("doc_id"), col("lang"))),
+    // importance-weighted deterministic sampling: keep probability = a
+    // per-doc quality weight (here min(1, n_tokens/100)) — same rng-free
+    // hash-threshold decision, data-dependent threshold
+    "sample_weighted" -> ((s, d) => {
+      val dd = docs(s, d).withColumn("n_tokens",
+        size(split(trim(col("text")), raw"\s+")).cast("long"))
+      graft.ops.Sampling.weightedSample(dd, col("doc_id"),
+          least(lit(1.0), col("n_tokens") / lit(100.0)))
+        .select(col("doc_id"), col("n_tokens"))
+    }),
+    // concat-and-chunk packing manifest (128-token chunks; block size 64 so
+    // the distributed two-pass prefix sum actually crosses blocks at sf0.01)
+    "pack_chunks" -> ((s, d) => graft.ops.Packing.packChunks(
+      docs(s, d), col("text"), col("doc_id"), chunkTokens = 128, blockSize = 64)),
     // keep-one dedup: cluster representatives + never-duplicated docs —
     // components over VERIFIED pairs (see dedup_clusters note)
     "dedup_keep_one" -> ((s, d) => {
@@ -603,6 +626,51 @@ object SparkEntry {
          |  ) q
          |)
          |SELECT id, r FROM pr WHERE it = (SELECT max(it) FROM pr)""".stripMargin,
+    "kg_ppr" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |ew AS MATERIALIZED (SELECT source, target, CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS w
+         |      FROM edges GROUP BY 1, 2),
+         |ow AS (SELECT source, CAST(sum(w) AS BIGINT) AS ow FROM ew GROUP BY 1),
+         |ewj AS MATERIALIZED (SELECT e.source, e.target, e.w, o.ow FROM ew e JOIN ow o ON e.source = o.source),
+         |pn AS MATERIALIZED (SELECT DISTINCT id FROM
+         |      (SELECT source AS id FROM ew UNION ALL SELECT target FROM ew)),
+         |r0 AS MATERIALIZED (SELECT id,
+         |      CASE WHEN id = 'ORG.spark' THEN CAST(1000000000000 AS BIGINT) ELSE 0 END AS r FROM pn),
+         |${(1 to 3).map(i =>
+              s"""c$i AS (SELECT e.target, CAST(sum((85 * r.r * e.w) // (100 * e.ow)) AS BIGINT) AS cin
+                 |      FROM ewj e JOIN r${i - 1} r ON e.source = r.id GROUP BY 1),
+                 |r$i AS MATERIALIZED (SELECT pn.id,
+                 |      CAST(CASE WHEN pn.id = 'ORG.spark' THEN (15 * CAST(1000000000000 AS BIGINT)) // 100 ELSE 0 END
+                 |           + coalesce(c.cin, 0) AS BIGINT) AS r
+                 |      FROM pn LEFT JOIN c$i c ON pn.id = c.target)""".stripMargin)
+            .mkString(",\n")}
+         |SELECT id, r FROM r3""".stripMargin,
+    "kg_components" ->
+      s"""WITH RECURSIVE $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |und AS (SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+         |        FROM edges WHERE source <> target),
+         |e2 AS (SELECT a AS src, b AS dst FROM und UNION SELECT b, a FROM und),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e2
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src
+         |)
+         |SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src""".stripMargin,
+    "kg_node_jaccard" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |und AS (SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+         |        FROM edges WHERE source <> target),
+         |adj AS MATERIALIZED (SELECT a AS x, b AS n FROM und UNION ALL SELECT b, a FROM und),
+         |deg AS MATERIALIZED (SELECT x, count(*)::BIGINT AS deg FROM adj GROUP BY x),
+         |small AS MATERIALIZED (SELECT adj.x, adj.n FROM adj JOIN deg d ON adj.n = d.x WHERE d.deg <= 10000),
+         |inter AS (SELECT l.x AS pa, r.x AS pb, count(*)::BIGINT AS inter
+         |          FROM small l JOIN small r ON l.n = r.n AND l.x < r.x GROUP BY 1, 2)
+         |SELECT i.pa AS a, i.pb AS b, i.inter AS inter, da.deg AS da, db.deg AS db,
+         |       i.inter::DOUBLE / (da.deg + db.deg - i.inter)::DOUBLE AS jaccard
+         |FROM inter i JOIN deg da ON i.pa = da.x JOIN deg db ON i.pb = db.x""".stripMargin,
     "kg_nodes" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},
@@ -748,6 +816,22 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
         |      < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 50000 END""".stripMargin,
+    "sample_weighted" ->
+      s"""WITH $toksCte
+         |SELECT t.doc_id, len(t.terms)::BIGINT AS n_tokens FROM toks t
+         |WHERE ('0x' || substr(md5(cast(t.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+         |      < CAST(floor(least(1.0, len(t.terms) / 100.0) * 1000000.0) AS BIGINT)""".stripMargin,
+    "pack_chunks" ->
+      s"""WITH $toksCte,
+         |n AS (SELECT doc_id, len(terms)::BIGINT AS n_tokens FROM toks),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             - n_tokens AS BIGINT) AS tok_start
+         |      FROM n)
+         |SELECT doc_id AS id, n_tokens, tok_start,
+         |       tok_start // 128 AS chunk_first,
+         |       (tok_start + n_tokens - 1) // 128 AS chunk_last
+         |FROM c""".stripMargin,
     "dedup_keep_one" ->
       s"""WITH RECURSIVE $verifiedPairsCte,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM vpairs UNION SELECT b_id, a_id FROM vpairs),

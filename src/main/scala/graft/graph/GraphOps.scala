@@ -318,4 +318,92 @@ object GraphOps {
     }
     ranks.select(col("id"), col("r"))
   }
+
+  /** Personalized PageRank: all restart mass concentrated on `source` — the
+    * standard entity-relatedness measure over a KG (rank r(v) ≈ probability a
+    * random walk from `source` with 0.15 restart is at v). Same exact BIGINT
+    * fixed-point arithmetic as [[pageRank]] (bit-identical cross-engine):
+    * initial mass 10^12 at the source, zero elsewhere; per round
+    *
+    *   r_{t+1}(v) = [v = source] * (15 * 10^12) div 100
+    *                + Σ_{u->v} (85 * r_t(u) * w_uv) div (100 * W_u)
+    *
+    * Overflow bound unchanged: r <= 10^12 (mass non-increasing under floor)
+    * and w <= 10^5 keep 85*r*w < 2^63. Dangling/absorbed mass drops, as in
+    * [[pageRank]]; iters fixed (unrolled in the SQL oracle). One
+    * co-partitioned join + aggregation per round, lineage truncated.
+    * Engine extension, no reference counterpart (see [[pageRank]]). */
+  def personalizedPageRank(edges: DataFrame, source: String, iters: Int = 3): DataFrame = {
+    val g = prPrep(edges)
+    val (ew, nodes) = (g.ew, g.nodes)
+    val mass = 1000000000000L
+    val pBase = (15L * mass) / 100L
+    var ranks = nodes.select(col("id"),
+      when(col("id") === source, lit(mass)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = ew.join(ranks.filter(col("r") > 0), ew("source") === col("id"))
+        .select(col("target"), expr("(85 * r * w) div (100 * ow)").as("contrib"))
+        .groupBy(col("target")).agg(sum(col("contrib")).as("cin"))
+      ranks = nodes.join(contribs, nodes("id") === contribs("target"), "left")
+        .select(col("id"),
+          (when(col("id") === source, lit(pBase)).otherwise(lit(0L)) +
+            coalesce(col("cin"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Weakly-connected components of the edge relation: (id, cluster) with
+    * cluster = the lexicographically smallest node key reachable from id.
+    * Delegates to the distributed min-label propagation in
+    * [[graft.ops.Dedup.clusters]] (O(log diameter) rounds, convergence
+    * detected inside the propagate job); node keys are ASCII TYPE.value
+    * strings, so Spark's binary string min matches DuckDB's default binary
+    * collation in the recursive-closure oracle. Self-loops are dropped
+    * (they carry no connectivity); isolated nodes never enter the edge
+    * relation and are absent, as in the dedup clustering family. */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    graft.ops.Dedup.clusters(
+      edges.filter(col("source") =!= col("target"))
+        .select(least(col("source"), col("target")).as("a_id"),
+          greatest(col("source"), col("target")).as("b_id"))
+        .distinct())
+
+  /** Neighbor-set Jaccard similarity between node pairs sharing at least one
+    * neighbor — the classic structural-equivalence / entity-resolution signal
+    * over a KG (two surface forms of one entity co-occur with the same
+    * neighborhood). Undirected simple graph; for pairs (a < b):
+    *
+    *   inter = |N(a) ∩ N(b)|,  jaccard = inter / (deg(a) + deg(b) - inter)
+    *
+    * Shape: one wedge self-join of the adjacency relation on the shared
+    * neighbor (co-partitioned on the neighbor key — the same shape as
+    * triangle enumeration), then two broadcast-sized degree joins; pairs with
+    * inter = 0 are never materialized. The division is exact-int-over-
+    * exact-int in double, so it is bit-identical cross-engine. At scale, hub
+    * neighbors fan out quadratically — `maxDegree` drops neighbors above the
+    * cap from wedge generation (a skew guard pinned in the oracle too). */
+  def neighborJaccard(edges: DataFrame, maxDegree: Long = 10000L): DataFrame = {
+    val und = edges.filter(col("source") =!= col("target"))
+      .select(least(col("source"), col("target")).as("a"),
+        greatest(col("source"), col("target")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("x"), col("b").as("n"))
+      .union(und.select(col("b"), col("a")))
+      .localCheckpoint() // three consumers: degrees, both wedge sides
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val small = adj.join(deg.filter(col("deg") <= maxDegree)
+      .select(col("x").as("n"), col("deg")), "n")
+    val inter = small.select(col("x").as("pa"), col("n"))
+      .join(small.select(col("x").as("pb"), col("n")), "n")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(deg.select(col("x").as("pa"), col("deg").as("da")), "pa")
+      .join(deg.select(col("x").as("pb"), col("deg").as("db")), "pb")
+      .select(col("pa").as("a"), col("pb").as("b"), col("inter"),
+        col("da"), col("db"),
+        (col("inter").cast("double") /
+          (col("da") + col("db") - col("inter")).cast("double")).as("jaccard"))
+  }
 }

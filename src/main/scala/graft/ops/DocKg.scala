@@ -279,6 +279,20 @@ object DocKg {
       eps: Long = 0L): DataFrame =
     GraphOps.pageRankDangling(edges(spark, dir), iters, eps)
 
+  /** Personalized PageRank from one entity node (GraphOps.personalizedPageRank)
+    * — entity relatedness over the constructed KG. */
+  def ppr(spark: SparkSession, dir: String, source: String = "ORG.spark",
+      iters: Int = 3): DataFrame =
+    GraphOps.personalizedPageRank(edges(spark, dir), source, iters)
+
+  /** Weakly-connected components of the KG (GraphOps.connectedComponents). */
+  def components(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.connectedComponents(edges(spark, dir))
+
+  /** Neighbor-set Jaccard node similarity (GraphOps.neighborJaccard). */
+  def nodeJaccard(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.neighborJaccard(edges(spark, dir))
+
   /** Two sub-corpora for the graph algebra: english docs vs the rest.
     * Aggregated ONCE with the lang flag as an extra grouping key, then split —
     * the two join sides share an identical aggregate subtree, so Spark's

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Concat-and-chunk sequence packing — the standard pretraining-data layout:
+  * documents are concatenated in a fixed global order (by id) and the token
+  * stream is cut every `chunkTokens` tokens; each document maps to the chunk
+  * range its tokens land in. The output is the packing MANIFEST
+  * (doc -> token offset -> chunk span), which is what a loader needs to
+  * assemble training sequences without ever materializing the concatenation.
+  *
+  * The global running token offset is the one genuinely sequential quantity
+  * here, and a naive `sum over (order by id)` window is a single-partition
+  * scan — the classic 100 TB scale-killer (Spark warns "No Partition
+  * Defined"). The scalable shape is the two-pass distributed prefix sum:
+  *
+  *   1. ids bucket into deterministic BLOCKS (id div blockSize); within each
+  *      block the cumulative sum is a partitioned window — parallel across
+  *      blocks, no global sort;
+  *   2. per-block totals (one tiny row per block) get their own running
+  *      offset on a relation of #blocks rows — negligible at any corpus size
+  *      (10^12 docs / 2^20 block = 10^6 rows);
+  *   3. a broadcast join adds the block offset back.
+  *
+  * The result is partitioning-invariant: offsets depend only on (id, tokens),
+  * never on physical placement — so the manifest is reproducible and
+  * oracle-checkable against a plain global-window mirror.
+  *
+  * Engine extension: no reference counterpart in /root/reference/arelight
+  * (the reference emits per-sample prompts, the `arelight/sampler` package);
+  * packing
+  * is the downstream training-data shape SURVEY.md §6 plans for. */
+object Packing {
+
+  /** Packing manifest: (id, n_tokens, tok_start, chunk_first, chunk_last)
+    * where tok_start is the exclusive prefix token count, chunk_first/last
+    * the inclusive chunk-id span covered by this document's tokens.
+    * Tokenization is whitespace (graft.ops.TextStats convention); `idCol`
+    * must be unique non-null integral. */
+  def packChunks(docs: DataFrame, textCol: Column, idCol: Column,
+      chunkTokens: Int, blockSize: Long = 1 << 20): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(blockSize > 0, s"blockSize must be positive: $blockSize")
+    val base = docs.select(idCol.cast("long").as("id"),
+      size(split(trim(textCol), raw"\s+")).cast("long").as("n_tokens"))
+    val inBlock = base
+      .withColumn("block", expr(s"id div ${blockSize}L"))
+      .withColumn("cum_in_block",
+        sum(col("n_tokens")).over(
+          Window.partitionBy(col("block")).orderBy(col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // #blocks rows: the only ordered window runs over this tiny relation
+    val blockTotals = inBlock.groupBy(col("block"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("block_offset",
+        coalesce(sum(col("tot")).over(
+          Window.orderBy(col("block"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("block"), col("block_offset"))
+    inBlock.join(broadcast(blockTotals), "block")
+      .select(col("id"), col("n_tokens"),
+        (col("block_offset") + col("cum_in_block") - col("n_tokens")).as("tok_start"))
+      .withColumn("chunk_first", expr(s"tok_start div ${chunkTokens}L"))
+      .withColumn("chunk_last",
+        expr(s"(tok_start + n_tokens - 1) div ${chunkTokens}L"))
+  }
+}

@@ -48,4 +48,19 @@ object Sampling {
     }
     df.filter(hashBucket(id) < threshold)
   }
+
+  /** Importance-weighted deterministic sampling: keep each row with
+    * per-row probability `weight` (a column in [0,1], e.g. a quality score),
+    * decided as `hashBucket(id) < floor(weight * Buckets)` — the same
+    * map-side, rng-free, partition-invariant decision as [[sampleByHash]],
+    * but with a data-dependent threshold. Weights outside [0,1] clamp.
+    * Cross-engine exactness: floor(weight * 10^6) is one IEEE multiply +
+    * floor, bit-identical in any engine computing the weight expression the
+    * same way — the oracle mirrors the expression, not a rounded constant. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column): DataFrame = {
+    val threshold = floor(
+      least(lit(1.0), greatest(lit(0.0), weight.cast("double"))) * lit(Buckets.toDouble)
+    ).cast("long")
+    df.filter(hashBucket(id) < threshold)
+  }
 }

@@ -1,0 +1,61 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Components, personalized PageRank, and neighbor-Jaccard over small graphs
+  * with hand-computed expectations (the cross-engine oracle pins the KG-scale
+  * behavior; these pin the arithmetic and the edge cases). */
+class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
+
+  private def edges(rows: (String, String, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("source", "target", "c")
+  }
+
+  test("connectedComponents: two components, self-loops carry no connectivity") {
+    val e = edges(("A", "B", 1), ("B", "C", 1), ("X", "Y", 1), ("Z", "Z", 1))
+    val got = GraphOps.connectedComponents(e).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("A" -> "A", "B" -> "A", "C" -> "A", "X" -> "X", "Y" -> "X"))
+  }
+
+  test("personalizedPageRank: exact integer mass on a two-node chain") {
+    val e = edges(("A", "B", 1))
+    val r1 = GraphOps.personalizedPageRank(e, "A", iters = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(r1 == Map("A" -> 150000000000L, "B" -> 850000000000L))
+    // B is dangling: its mass drops, A keeps only its restart share
+    val r2 = GraphOps.personalizedPageRank(e, "A", iters = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(r2 == Map("A" -> 150000000000L, "B" -> 127500000000L))
+  }
+
+  test("personalizedPageRank: restart mass returns along a cycle") {
+    val e = edges(("A", "B", 1), ("B", "A", 1))
+    val r2 = GraphOps.personalizedPageRank(e, "A", iters = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // iter1: A=150e9, B=850e9; iter2: A=150e9 + 85*850e9/100, B=85*150e9/100
+    assert(r2 == Map("A" -> 872500000000L, "B" -> 127500000000L))
+  }
+
+  test("neighborJaccard: triangle gives 1/3 per pair; disjoint pair absent") {
+    val e = edges(("A", "B", 1), ("B", "C", 1), ("A", "C", 1), ("X", "Y", 1))
+    val got = GraphOps.neighborJaccard(e).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    got.values.foreach { case (inter, da, db, j) =>
+      assert(inter == 1L && da == 2L && db == 2L && j == 1.0 / 3.0)
+    }
+  }
+
+  test("neighborJaccard: maxDegree drops hub neighbors from wedge generation") {
+    // star: H connected to A,B,C — every leaf pair shares only hub H
+    val e = edges(("H", "A", 1), ("H", "B", 1), ("H", "C", 1))
+    assert(GraphOps.neighborJaccard(e).count() == 3)
+    assert(GraphOps.neighborJaccard(e, maxDegree = 2).count() == 0)
+  }
+}
