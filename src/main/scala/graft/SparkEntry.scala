@@ -65,6 +65,8 @@ object SparkEntry {
     // neighbor-set Jaccard node similarity (wedge join + degree joins) —
     // surface-form/entity-resolution signal over the KG
     "kg_node_jaccard" -> ((s, d) => DocKg.nodeJaccard(s, d)),
+    // k-core by fixed-round peeling (rounds pinned so the oracle unrolls)
+    "kg_kcore" -> ((s, d) => DocKg.kCore(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
     "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
@@ -671,6 +673,18 @@ object SparkEntry {
          |SELECT i.pa AS a, i.pb AS b, i.inter AS inter, da.deg AS da, db.deg AS db,
          |       i.inter::DOUBLE / (da.deg + db.deg - i.inter)::DOUBLE AS jaccard
          |FROM inter i JOIN deg da ON i.pa = da.x JOIN deg db ON i.pb = db.x""".stripMargin,
+    "kg_kcore" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |und AS (SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+         |        FROM edges WHERE source <> target),
+         |a0 AS MATERIALIZED (SELECT a AS x, b AS n FROM und UNION ALL SELECT b, a FROM und),
+         |${(1 to 4).map(i =>
+              s"""k${i - 1} AS (SELECT x FROM a${i - 1} GROUP BY x HAVING count(*) >= 2),
+                 |a$i AS MATERIALIZED (SELECT p.x, p.n FROM a${i - 1} p
+                 |      JOIN k${i - 1} kx ON p.x = kx.x JOIN k${i - 1} kn ON p.n = kn.x)""".stripMargin)
+            .mkString(",\n")}
+         |SELECT x AS id, count(*)::BIGINT AS deg FROM a4 GROUP BY x""".stripMargin,
     "kg_nodes" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

@@ -369,6 +369,42 @@ object GraphOps {
           greatest(col("source"), col("target")).as("b_id"))
         .distinct())
 
+  /** k-core decomposition by fixed-round peeling: repeatedly drop nodes whose
+    * degree in the SURVIVING undirected simple graph is below `k`; after
+    * enough rounds the fixpoint is the classic k-core (the maximal subgraph
+    * with minimum degree >= k). Output: (id, deg) — surviving nodes with
+    * their within-core degree.
+    *
+    * `rounds` is FIXED rather than converged-on: each extra round past the
+    * fixpoint is a no-op, and a pinned round count is what lets the DuckDB
+    * oracle unroll the identical peeling as chained materialized CTEs
+    * (convergence detection would be the observe()-metric pattern
+    * [[graft.ops.Dedup.clusters]] uses, at one job per round; peeling depth
+    * in practice is small — each round removes every node currently below k,
+    * not one node at a time). Per round: one degree aggregation + two
+    * semi-joins on the adjacency relation, all co-partitioned on the node
+    * key; lineage truncated per round. */
+  def kCore(edges: DataFrame, k: Long = 2, rounds: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k and rounds must be positive: k=$k rounds=$rounds")
+    val und = edges.filter(col("source") =!= col("target"))
+      .select(least(col("source"), col("target")).as("a"),
+        greatest(col("source"), col("target")).as("b"))
+      .distinct()
+    var adj = und.select(col("a").as("x"), col("b").as("n"))
+      .union(und.select(col("b"), col("a")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = adj.groupBy(col("x")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k).select(col("x"))
+      adj = adj.join(keep, "x")
+        .join(keep.withColumnRenamed("x", "n"), "n")
+        .select(col("x"), col("n"))
+        .localCheckpoint()
+    }
+    adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      .select(col("x").as("id"), col("deg"))
+  }
+
   /** Neighbor-set Jaccard similarity between node pairs sharing at least one
     * neighbor — the classic structural-equivalence / entity-resolution signal
     * over a KG (two surface forms of one entity co-occur with the same

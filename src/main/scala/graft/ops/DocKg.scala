@@ -293,6 +293,10 @@ object DocKg {
   def nodeJaccard(spark: SparkSession, dir: String): DataFrame =
     GraphOps.neighborJaccard(edges(spark, dir))
 
+  /** k-core of the KG by fixed-round peeling (GraphOps.kCore). */
+  def kCore(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.kCore(edges(spark, dir), k = 2, rounds = 4)
+
   /** Two sub-corpora for the graph algebra: english docs vs the rest.
     * Aggregated ONCE with the lang flag as an extra grouping key, then split —
     * the two join sides share an identical aggregate subtree, so Spark's

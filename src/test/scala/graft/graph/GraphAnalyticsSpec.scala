@@ -52,6 +52,24 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("kCore: a pendant chain peels away round by round, the clique survives") {
+    // triangle A-B-C plus chain C-D-E: E drops in round 1, D (now degree 1)
+    // drops in round 2, the triangle is the 2-core with degree 2 each
+    val e = edges(("A", "B", 1), ("B", "C", 1), ("A", "C", 1),
+      ("C", "D", 1), ("D", "E", 1))
+    val one = GraphOps.kCore(e, k = 2, rounds = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(one.keySet == Set("A", "B", "C", "D")) // E gone, D still held by C
+    val got = GraphOps.kCore(e, k = 2, rounds = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("A" -> 2L, "B" -> 2L, "C" -> 2L))
+    // rounds past the fixpoint are no-ops
+    assert(GraphOps.kCore(e, k = 2, rounds = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap == got)
+    // k above the max degree empties the graph
+    assert(GraphOps.kCore(e, k = 3, rounds = 4).count() == 0)
+  }
+
   test("neighborJaccard: maxDegree drops hub neighbors from wedge generation") {
     // star: H connected to A,B,C — every leaf pair shares only hub H
     val e = edges(("H", "A", 1), ("H", "B", 1), ("H", "C", 1))
