@@ -129,7 +129,7 @@ object Bench {
       "kg_ppr", "kg_components", "kg_node_jaccard", "kg_kcore",
       "text_quality", "text_fingerprint", "text_repetition", "text_lm_surprisal",
       "text_tfidf_topk", "text_len_quantiles", "events_json",
-      "sample_stratified", "sample_weighted", "pack_chunks",
+      "sample_stratified", "sample_weighted", "pack_chunks", "curate_source_stats",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
     val spark = SparkSession.builder()

@@ -195,6 +195,10 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("doc_id"), max(col("n_tokens")).as("n_tokens"))
         .select(col("doc_id"), col("n_tokens"))
     }),
+    // per-source corpus health rollup (docs/tokens/exact-dup-rate/mean length
+    // per domain — the webtext curation monitoring report)
+    "curate_source_stats" -> ((s, d) =>
+      TextStats.sourceStats(docs(s, d), col("text"), col("source"))),
     // ---- entity linking: distributed LSH over a surface-form vocabulary
     // (vocabulary = document tokens + deterministic variant forms, mirroring
     // near-duplicate entity surface forms; P9 at north_star scale)
@@ -872,6 +876,14 @@ object SparkEntry {
          |        AND v_en = greatest(v_en, v_de, v_fr, v_es))
          |SELECT min(doc_id) AS doc_id, max(n_tokens) AS n_tokens
          |FROM f GROUP BY md5(text)""".stripMargin,
+    "curate_source_stats" ->
+      s"""WITH $toksCte,
+         |s AS (SELECT d.source, len(t.terms)::BIGINT AS toks, md5(d.text) AS h
+         |      FROM documents d JOIN toks t ON d.doc_id = t.doc_id)
+         |SELECT source, count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS n_tokens,
+         |       (count(*) - count(DISTINCT h))::BIGINT AS n_exact_dups,
+         |       sum(toks)::DOUBLE / count(*)::DOUBLE AS mean_tokens
+         |FROM s GROUP BY source""".stripMargin,
     "link_groups" ->
       s"""WITH RECURSIVE $toksCte,
          |t0 AS (SELECT DISTINCT unnest(terms) AS t FROM toks),

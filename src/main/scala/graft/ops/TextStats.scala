@@ -134,4 +134,22 @@ object TextStats {
         floor(col("q") * (col("n") - 1).cast("double")).cast("long") + 1)
       .groupBy(col("q")).agg(min(col("v")).as("value"))
   }
+
+  /** Per-source corpus health report — the C4/RefinedWeb-style per-domain
+    * rollup a webtext curation pipeline watches: document and token volume,
+    * exact-duplicate count (docs minus distinct content hashes WITHIN the
+    * source — a high rate flags boilerplate-heavy domains), and mean length.
+    * One two-level aggregation: count-distinct rewrites to a partial-agg
+    * pair of exchanges on (source, hash) then (source), so no per-source
+    * row list ever materializes; mean is exact-BIGINT-over-BIGINT double
+    * division (bit-identical cross-engine). */
+  def sourceStats(df: DataFrame, text: Column, source: Column): DataFrame =
+    df.select(source.as("source"),
+        size(split(trim(text), raw"\s+")).cast("long").as("toks"),
+        md5(text.cast("binary")).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"),
+        (sum(col("toks")).cast("double") / count(lit(1)).cast("double")).as("mean_tokens"))
 }
