@@ -79,6 +79,30 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Sample"), p)
   }
 
+  test("sample_weighted: data-dependent threshold is still a pure map-side filter") {
+    val p = planOf("sample_weighted")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Sample"), p)
+  }
+
+  test("pack_chunks: doc-level prefix sum windows partition by block (no global sort of docs)") {
+    val p = planOf("pack_chunks")
+    // the per-doc window must carry a partition spec; the only unpartitioned
+    // window (and its single-partition exchange) runs over the tiny
+    // block-totals relation AFTER the per-block aggregation
+    val docWindow = p.linesIterator.find(l => l.contains("Window") && l.contains("cum_in_block"))
+    assert(docWindow.exists(_.contains("block")),
+      s"doc-level cumulative window must be partitioned by block:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"block offsets must join back as a broadcast:\n$p")
+  }
+
+  test("kg_node_jaccard: wedge and degree joins are key joins — no cartesian") {
+    val p = planOf("kg_node_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("kg_top_relations: rank<=k pushed into the window operator (WindowGroupLimit)") {
     val p = planOf("kg_top_relations")
     assert(p.contains("WindowGroupLimit"),
