@@ -126,7 +126,7 @@ object Bench {
       "link_groups", "ann_bruteforce", "ann_ivf", "ann_lsh_pairs", "ann_kmeans_cells",
       "ann_kmeans_topk", "ann_kmeans_probe", "ann_sq8", "ann_recall",
       "kg_top_relations", "kg_pmi", "kg_triangles", "kg_edges_incremental",
-      "kg_ppr", "kg_components", "kg_node_jaccard", "kg_kcore",
+      "kg_ppr", "kg_components", "kg_node_jaccard", "kg_kcore", "kg_adamic_adar",
       "text_quality", "text_fingerprint", "text_repetition", "text_lm_surprisal",
       "text_tfidf_topk", "text_len_quantiles", "events_json",
       "sample_stratified", "sample_weighted", "pack_chunks", "curate_source_stats",

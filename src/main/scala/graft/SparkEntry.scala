@@ -67,6 +67,8 @@ object SparkEntry {
     "kg_node_jaccard" -> ((s, d) => DocKg.nodeJaccard(s, d)),
     // k-core by fixed-round peeling (rounds pinned so the oracle unrolls)
     "kg_kcore" -> ((s, d) => DocKg.kCore(s, d)),
+    // Adamic-Adar link prediction, scaled integer log2 space (exact)
+    "kg_adamic_adar" -> ((s, d) => DocKg.adamicAdar(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
     "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
@@ -677,6 +679,18 @@ object SparkEntry {
          |SELECT i.pa AS a, i.pb AS b, i.inter AS inter, da.deg AS da, db.deg AS db,
          |       i.inter::DOUBLE / (da.deg + db.deg - i.inter)::DOUBLE AS jaccard
          |FROM inter i JOIN deg da ON i.pa = da.x JOIN deg db ON i.pb = db.x""".stripMargin,
+    "kg_adamic_adar" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |und AS (SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+         |        FROM edges WHERE source <> target),
+         |adj AS MATERIALIZED (SELECT a AS x, b AS n FROM und UNION ALL SELECT b, a FROM und),
+         |deg AS MATERIALIZED (SELECT x, count(*)::BIGINT AS deg FROM adj GROUP BY x),
+         |small AS MATERIALIZED (SELECT adj.x, adj.n, d.deg FROM adj JOIN deg d ON adj.n = d.x WHERE d.deg <= 10000)
+         |SELECT l.x AS a, r.x AS b, count(*)::BIGINT AS inter,
+         |       CAST(sum(1000000 // (length(bin(l.deg)) - 1)) AS BIGINT) AS aa_scaled
+         |FROM small l JOIN small r ON l.n = r.n AND l.x < r.x
+         |GROUP BY 1, 2""".stripMargin,
     "kg_kcore" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

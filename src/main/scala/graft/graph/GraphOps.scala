@@ -420,16 +420,7 @@ object GraphOps {
     * neighbors fan out quadratically — `maxDegree` drops neighbors above the
     * cap from wedge generation (a skew guard pinned in the oracle too). */
   def neighborJaccard(edges: DataFrame, maxDegree: Long = 10000L): DataFrame = {
-    val und = edges.filter(col("source") =!= col("target"))
-      .select(least(col("source"), col("target")).as("a"),
-        greatest(col("source"), col("target")).as("b"))
-      .distinct()
-    val adj = und.select(col("a").as("x"), col("b").as("n"))
-      .union(und.select(col("b"), col("a")))
-      .localCheckpoint() // three consumers: degrees, both wedge sides
-    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
-    val small = adj.join(deg.filter(col("deg") <= maxDegree)
-      .select(col("x").as("n"), col("deg")), "n")
+    val (deg, small) = wedgePrep(edges, maxDegree)
     val inter = small.select(col("x").as("pa"), col("n"))
       .join(small.select(col("x").as("pb"), col("n")), "n")
       .filter(col("pa") < col("pb"))
@@ -441,5 +432,44 @@ object GraphOps {
         col("da"), col("db"),
         (col("inter").cast("double") /
           (col("da") + col("db") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  /** Shared wedge prep for the neighbor-overlap family: the undirected simple
+    * adjacency (checkpointed once — degrees and both wedge sides consume it),
+    * node degrees, and the hub-capped adjacency `small` whose `deg` column is
+    * the degree OF THE NEIGHBOR `n` (what Adamic-Adar weighs by). */
+  private def wedgePrep(edges: DataFrame, maxDegree: Long): (DataFrame, DataFrame) = {
+    val und = edges.filter(col("source") =!= col("target"))
+      .select(least(col("source"), col("target")).as("a"),
+        greatest(col("source"), col("target")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("x"), col("b").as("n"))
+      .union(und.select(col("b"), col("a")))
+      .localCheckpoint()
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val small = adj.join(deg.filter(col("deg") <= maxDegree)
+      .select(col("x").as("n"), col("deg")), "n")
+    (deg, small)
+  }
+
+  /** Adamic-Adar link prediction over the KG: for node pairs sharing
+    * neighbors, AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/log(deg z) — common neighbors
+    * count more when they are selective. Computed EXACTLY cross-engine in
+    * scaled integer log2 space: each shared neighbor z contributes
+    * `1000000 div ilog2(deg z)` (a shared neighbor has degree >= 2 by
+    * construction, so ilog2 >= 1 — never a division by zero), summed as
+    * BIGINT. Same wedge-join shape and hub cap as [[neighborJaccard]].
+    * Output: (a, b, inter, aa_scaled). */
+  def adamicAdar(edges: DataFrame, maxDegree: Long = 10000L): DataFrame = {
+    val (_, small) = wedgePrep(edges, maxDegree)
+    // truncating integer division (Spark `div` == DuckDB `//` on positives)
+    small.select(col("x").as("pa"), col("n"),
+        expr("1000000L div (length(bin(deg)) - 1)").as("aa_z"))
+      .join(small.select(col("x").as("pb"), col("n")), "n")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("inter"),
+        sum(col("aa_z")).cast("long").as("aa_scaled"))
+      .select(col("pa").as("a"), col("pb").as("b"), col("inter"), col("aa_scaled"))
   }
 }

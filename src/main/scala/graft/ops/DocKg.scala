@@ -297,6 +297,11 @@ object DocKg {
   def kCore(spark: SparkSession, dir: String): DataFrame =
     GraphOps.kCore(edges(spark, dir), k = 2, rounds = 4)
 
+  /** Adamic-Adar link prediction in scaled integer log2 space
+    * (GraphOps.adamicAdar). */
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.adamicAdar(edges(spark, dir))
+
   /** Two sub-corpora for the graph algebra: english docs vs the rest.
     * Aggregated ONCE with the lang flag as an extra grouping key, then split —
     * the two join sides share an identical aggregate subtree, so Spark's

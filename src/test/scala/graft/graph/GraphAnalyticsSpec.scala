@@ -52,6 +52,26 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("adamicAdar: shared neighbors weighted by 1e6 div ilog2(degree), exactly") {
+    // square A-B-C-D-A + diagonal A-C + pendant A-E:
+    // deg A=4 (ilog2=2 -> 500000 per share), deg C=3 (ilog2=1 -> 1000000),
+    // deg B=D=2 (ilog2=1 -> 1000000)
+    val e = edges(("A", "B", 1), ("B", "C", 1), ("C", "D", 1), ("D", "A", 1),
+      ("A", "C", 1), ("A", "E", 1))
+    val got = GraphOps.adamicAdar(e).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("A", "B") -> (1L, 1000000L),  // share C
+      ("A", "C") -> (2L, 2000000L),  // share B, D
+      ("A", "D") -> (1L, 1000000L),  // share C
+      ("B", "C") -> (1L, 500000L),   // share A
+      ("B", "D") -> (2L, 1500000L),  // share A, C
+      ("B", "E") -> (1L, 500000L),   // share A
+      ("C", "D") -> (1L, 500000L),   // share A
+      ("C", "E") -> (1L, 500000L),   // share A
+      ("D", "E") -> (1L, 500000L)))  // share A
+  }
+
   test("kCore: a pendant chain peels away round by round, the clique survives") {
     // triangle A-B-C plus chain C-D-E: E drops in round 1, D (now degree 1)
     // drops in round 2, the triangle is the 2-core with degree 2 each
