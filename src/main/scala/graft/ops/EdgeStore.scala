@@ -21,6 +21,15 @@ import graft.graph.GraphBuilder
   * re-merges); a crash after it leaves the new state + new ledger (retry is
   * a no-op). Double-counting a re-driven batch is impossible either way.
   *
+  * SINGLE-WRITER: the exactly-once contract covers crash-RETRY of one
+  * serial merge sequence, not concurrent writers — two simultaneous merges
+  * share the fixed `.merge-tmp`/`.merge-bak` paths and race the
+  * read-modify-write ledger, so the last swap would win with the other
+  * writer's batch folded from pre-swap state or its id missing from the
+  * ledger. Serialize merges per store (the Infer CLI and the streaming
+  * foreachBatch sink each do exactly one at a time); at lakehouse scale
+  * this is the optimistic-commit protocol an Iceberg/Delta table provides.
+  *
   * Scale shape: one merge = one shuffle of (old state union delta) on the
   * group key; the state is edge-cardinality-sized (not corpus-sized) and is
   * rewritten partitioned on the key, so reads and subsequent merges stay
@@ -94,8 +103,7 @@ object EdgeStore {
     require(batchId.trim.nonEmpty && !batchId.contains("\n"),
       s"batchId must be a non-empty single-line token, got '$batchId'")
     val spark = delta.sparkSession
-    recover(spark, store)
-    val have = mergedBatches(spark, store)
+    val have = mergedBatches(spark, store) // runs crash recovery on entry
     if (have.contains(batchId)) return false
     val norm = delta.select(col("source"), col("target"), col("sent"),
       col("cnt").cast("long").as("cnt"))

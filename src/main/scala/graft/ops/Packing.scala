@@ -43,16 +43,22 @@ object Packing {
       chunkTokens: Int, blockSize: Long = 1 << 20): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     require(blockSize > 0, s"blockSize must be positive: $blockSize")
+    // localCheckpoint: the tokenized (id, n_tokens) relation (16 bytes/row)
+    // feeds BOTH the per-block window and the block-totals aggregate; without
+    // the barrier each consumer re-runs the corpus tokenization whenever
+    // exchange reuse doesn't fire (the prPrep/maxNormalize lesson)
     val base = docs.select(idCol.cast("long").as("id"),
       size(split(trim(textCol), raw"\s+")).cast("long").as("n_tokens"))
-    val inBlock = base
-      .withColumn("block", expr(s"id div ${blockSize}L"))
+      .localCheckpoint()
+    val blocked = base.withColumn("block", expr(s"id div ${blockSize}L"))
+    val inBlock = blocked
       .withColumn("cum_in_block",
         sum(col("n_tokens")).over(
           Window.partitionBy(col("block")).orderBy(col("id"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // #blocks rows: the only ordered window runs over this tiny relation
-    val blockTotals = inBlock.groupBy(col("block"))
+    // #blocks rows: the only ordered window runs over this tiny relation;
+    // totals aggregate the checkpointed base directly (no window re-run)
+    val blockTotals = blocked.groupBy(col("block"))
       .agg(sum(col("n_tokens")).as("tot"))
       .withColumn("block_offset",
         coalesce(sum(col("tot")).over(

@@ -53,13 +53,18 @@ object Sampling {
     * per-row probability `weight` (a column in [0,1], e.g. a quality score),
     * decided as `hashBucket(id) < floor(weight * Buckets)` — the same
     * map-side, rng-free, partition-invariant decision as [[sampleByHash]],
-    * but with a data-dependent threshold. Weights outside [0,1] clamp.
+    * but with a data-dependent threshold. Weights outside [0,1] clamp; a NaN
+    * weight (e.g. a 0/0 quality ratio) clamps to 0 — Spark orders NaN ABOVE
+    * all doubles, so without the nanvl a failed score would silently be kept
+    * with probability 1, over-representing exactly the rows whose scoring
+    * broke. Null weights drop (null threshold -> filter false).
     * Cross-engine exactness: floor(weight * 10^6) is one IEEE multiply +
     * floor, bit-identical in any engine computing the weight expression the
     * same way — the oracle mirrors the expression, not a rounded constant. */
   def weightedSample(df: DataFrame, id: Column, weight: Column): DataFrame = {
     val threshold = floor(
-      least(lit(1.0), greatest(lit(0.0), weight.cast("double"))) * lit(Buckets.toDouble)
+      least(lit(1.0), greatest(lit(0.0), nanvl(weight.cast("double"), lit(0.0)))) *
+        lit(Buckets.toDouble)
     ).cast("long")
     df.filter(hashBucket(id) < threshold)
   }

@@ -167,15 +167,27 @@ object StreamOps {
     * re-runs a failed epoch under the SAME batch id, and EdgeStore's batch
     * ledger (committed atomically with the folded state) turns the retry into
     * a no-op — the canonical idempotent-foreachBatch pattern, here enforced
-    * by the store itself rather than by sink convention. */
+    * by the store itself rather than by sink convention.
+    *
+    * `batchPrefix` MUST be unique per checkpoint lineage: epoch numbers are
+    * scoped to the checkpoint dir, so restarting against a FRESH checkpoint
+    * (or running a second query into the same store) under a reused prefix
+    * would collide with the ledger and the colliding micro-batches would be
+    * skipped as retries. A skipped fold logs to stderr — a retry after a
+    * crash is expected once, but a steady stream of skips means a prefix
+    * collision is silently discarding data. EdgeStore is single-writer; do
+    * not point two concurrent queries at one store (see EdgeStore.merge). */
   def edgeIngestStream(relations: DataFrame, store: String, checkpoint: String,
-      batchPrefix: String = "stream")(
+      batchPrefix: String)(
       implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
     relations.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        graft.ops.EdgeStore.merge(
-          graft.graph.GraphBuilder.edgeState(batch), store, s"$batchPrefix-$epoch")
+        if (!graft.ops.EdgeStore.merge(
+            graft.graph.GraphBuilder.edgeState(batch), store, s"$batchPrefix-$epoch"))
+          System.err.println(s"[edgeIngestStream] batch '$batchPrefix-$epoch' already in " +
+            s"$store ledger; fold skipped (crash retry, or a batchPrefix collision " +
+            "with a different checkpoint lineage — the latter loses data)")
         ()
       }
       .start()

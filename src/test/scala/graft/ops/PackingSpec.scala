@@ -41,6 +41,11 @@ class PackingSpec extends AnyFunSuite with SparkTestSession {
     // out-of-range weights clamp rather than throw or overshoot
     assert(Sampling.weightedSample(d, col("doc_id"), lit(7.5)).count() == 100)
     assert(Sampling.weightedSample(d, col("doc_id"), lit(-3.0)).count() == 0)
+    // NaN (a broken score, e.g. 0/0) clamps to 0, not to "always keep"
+    assert(Sampling.weightedSample(d, col("doc_id"), lit(Double.NaN)).count() == 0)
+    // null weights drop
+    assert(Sampling.weightedSample(d, col("doc_id"),
+      lit(null).cast("double")).count() == 0)
     // a data-dependent weight keeps a deterministic, repartition-invariant set
     val w = col("doc_id") / lit(100.0)
     val a = Sampling.weightedSample(d, col("doc_id"), w).select("doc_id")
