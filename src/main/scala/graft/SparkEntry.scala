@@ -69,6 +69,9 @@ object SparkEntry {
     "kg_kcore" -> ((s, d) => DocKg.kCore(s, d)),
     // Adamic-Adar link prediction, scaled integer log2 space (exact)
     "kg_adamic_adar" -> ((s, d) => DocKg.adamicAdar(s, d)),
+    // HITS hub/authority: truncating integer L1 renormalization per
+    // half-round — exact cross-engine like the PageRank family
+    "kg_hits" -> ((s, d) => DocKg.hits(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
     "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
@@ -679,6 +682,31 @@ object SparkEntry {
          |SELECT i.pa AS a, i.pb AS b, i.inter AS inter, da.deg AS da, db.deg AS db,
          |       i.inter::DOUBLE / (da.deg + db.deg - i.inter)::DOUBLE AS jaccard
          |FROM inter i JOIN deg da ON i.pa = da.x JOIN deg db ON i.pb = db.x""".stripMargin,
+    "kg_hits" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |ew AS MATERIALIZED (SELECT source, target, CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS w
+         |      FROM edges GROUP BY 1, 2),
+         |pn AS MATERIALIZED (SELECT DISTINCT id FROM
+         |      (SELECT source AS id FROM ew UNION ALL SELECT target FROM ew)),
+         |s0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS hub,
+         |      CAST(1000000 AS BIGINT) AS auth FROM pn),
+         |${(1 to 2).map(i =>
+              s"""ar$i AS (SELECT e.target, CAST(sum(s.hub * e.w) AS BIGINT) AS a_raw
+                 |      FROM ew e JOIN s${i - 1} s ON e.source = s.id GROUP BY 1),
+                 |an$i AS (SELECT CAST(sum(a_raw) AS BIGINT) AS asum FROM ar$i),
+                 |au$i AS MATERIALIZED (SELECT pn.id,
+                 |      CAST(coalesce(a.a_raw, 0) // greatest(1, (SELECT asum FROM an$i) // 1000000) AS BIGINT) AS auth
+                 |      FROM pn LEFT JOIN ar$i a ON pn.id = a.target),
+                 |hr$i AS (SELECT e.source, CAST(sum(a.auth * e.w) AS BIGINT) AS h_raw
+                 |      FROM ew e JOIN au$i a ON e.target = a.id GROUP BY 1),
+                 |hn$i AS (SELECT CAST(sum(h_raw) AS BIGINT) AS hsum FROM hr$i),
+                 |s$i AS MATERIALIZED (SELECT pn.id,
+                 |      CAST(coalesce(h.h_raw, 0) // greatest(1, (SELECT hsum FROM hn$i) // 1000000) AS BIGINT) AS hub,
+                 |      a.auth AS auth
+                 |      FROM pn LEFT JOIN hr$i h ON pn.id = h.source JOIN au$i a ON pn.id = a.id)""".stripMargin)
+            .mkString(",\n")}
+         |SELECT id, hub, auth FROM s2""".stripMargin,
     "kg_adamic_adar" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

@@ -434,6 +434,49 @@ object GraphOps {
           (col("da") + col("db") - col("inter")).cast("double")).as("jaccard"))
   }
 
+  /** HITS hub/authority scores over the weighted directed edge relation, in
+    * exact truncating integer arithmetic (bit-identical cross-engine, like
+    * [[pageRank]]). Per round, with scores starting at 10^6:
+    *
+    *   a_raw(v) = Σ_{u->v} h(u)·w(uv);   a(v) = a_raw div max(1, (Σ a_raw) div 10^6)
+    *   h_raw(u) = Σ_{u->v} a(v)·w(uv);   h(u) = h_raw div max(1, (Σ h_raw) div 10^6)
+    *
+    * i.e. L1 normalization back to ~10^6 total mass by truncating division —
+    * the max(1, ·) guard keeps tiny graphs (total < 10^6) from dividing by
+    * zero identically in both engines. Overflow bound: scores <= ~10^6·10^6
+    * after the guard's worst case is far below 2^62 for w <= 10^5 under the
+    * shared [[pageRank]] weight guard. Nodes with no in-edges (resp.
+    * out-edges) hold authority (resp. hub) 0 after the first round. One
+    * co-partitioned join + aggregation per half-round, lineage truncated.
+    * Output: (id, hub, auth). Engine extension, no reference counterpart. */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val g = prPrep(edges) // validated integer weights + node set
+    val ew = g.ew.select(col("source"), col("target"), col("w")).localCheckpoint()
+    val nodes = g.nodes
+    var scores = nodes.select(col("id"), lit(1000000L).as("hub"), lit(1000000L).as("auth"))
+    for (_ <- 1 to iters) {
+      val aRaw = ew.join(scores.select(col("id"), col("hub")), ew("source") === col("id"))
+        .groupBy(col("target")).agg(sum(col("hub") * col("w")).as("a_raw"))
+      val aNorm = aRaw.agg(sum(col("a_raw")).as("asum"))
+      val auth = nodes.join(aRaw, nodes("id") === aRaw("target"), "left")
+        .crossJoin(broadcast(aNorm))
+        .select(col("id"),
+          expr("coalesce(a_raw, 0L) div greatest(1L, asum div 1000000L)").as("auth"))
+        .localCheckpoint()
+      val hRaw = ew.join(auth.select(col("id"), col("auth")), ew("target") === col("id"))
+        .groupBy(col("source")).agg(sum(col("auth") * col("w")).as("h_raw"))
+      val hNorm = hRaw.agg(sum(col("h_raw")).as("hsum"))
+      scores = nodes.join(hRaw, nodes("id") === hRaw("source"), "left")
+        .crossJoin(broadcast(hNorm))
+        .select(col("id"),
+          expr("coalesce(h_raw, 0L) div greatest(1L, hsum div 1000000L)").as("hub"))
+        .join(auth.withColumnRenamed("id", "aid"), col("id") === col("aid"))
+        .select(col("id"), col("hub"), col("auth"))
+        .localCheckpoint()
+    }
+    scores
+  }
+
   /** Shared wedge prep for the neighbor-overlap family: the undirected simple
     * adjacency (checkpointed once — degrees and both wedge sides consume it),
     * node degrees, and the hub-capped adjacency `small` whose `deg` column is

@@ -302,6 +302,11 @@ object DocKg {
   def adamicAdar(spark: SparkSession, dir: String): DataFrame =
     GraphOps.adamicAdar(edges(spark, dir))
 
+  /** HITS hub/authority in exact truncating integer arithmetic
+    * (GraphOps.hits). */
+  def hits(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.hits(edges(spark, dir), iters = 2)
+
   /** Two sub-corpora for the graph algebra: english docs vs the rest.
     * Aggregated ONCE with the lang flag as an extra grouping key, then split —
     * the two join sides share an identical aggregate subtree, so Spark's

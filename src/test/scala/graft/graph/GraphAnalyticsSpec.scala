@@ -52,6 +52,24 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("hits: exact truncating hub/authority on a two-source funnel") {
+    // A->C, B->C, C->D (unit weights), one iteration:
+    // a_raw: C=2e6, D=1e6 -> asum=3e6 -> auth = raw div 3: C=666666, D=333333, A=B=0
+    // h_raw: A=666666, B=666666, C=333333 -> hsum=1666665 -> div 1 -> hubs raw
+    val e = edges(("A", "C", 1), ("B", "C", 1), ("C", "D", 1))
+    val r1 = GraphOps.hits(e, iters = 1).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(r1 == Map(
+      "A" -> (666666L, 0L), "B" -> (666666L, 0L),
+      "C" -> (333333L, 666666L), "D" -> (0L, 333333L)))
+    // hubs/authorities separate: sources hold hub mass, sinks authority mass
+    val r2 = GraphOps.hits(e, iters = 2).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(r2("D")._1 == 0L && r2("A")._2 == 0L)
+    // truncating div by max(1, sum div 1e6) bounds the L1 mass in [~1e6, 2e6)
+    assert(r2.values.map(_._2).sum < 2000000L)
+  }
+
   test("adamicAdar: shared neighbors weighted by 1e6 div ilog2(degree), exactly") {
     // square A-B-C-D-A + diagonal A-C + pendant A-E:
     // deg A=4 (ilog2=2 -> 500000 per share), deg C=3 (ilog2=1 -> 1000000),
