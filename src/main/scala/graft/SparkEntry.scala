@@ -72,6 +72,9 @@ object SparkEntry {
     // HITS hub/authority: truncating integer L1 renormalization per
     // half-round — exact cross-engine like the PageRank family
     "kg_hits" -> ((s, d) => DocKg.hits(s, d)),
+    // label-propagation communities: (weight DESC, label ASC) adoption rule,
+    // fixed synchronous rounds — rng-free, unrolled in the oracle
+    "kg_lpa" -> ((s, d) => DocKg.lpa(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
     "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
@@ -682,6 +685,21 @@ object SparkEntry {
          |SELECT i.pa AS a, i.pb AS b, i.inter AS inter, da.deg AS da, db.deg AS db,
          |       i.inter::DOUBLE / (da.deg + db.deg - i.inter)::DOUBLE AS jaccard
          |FROM inter i JOIN deg da ON i.pa = da.x JOIN deg db ON i.pb = db.x""".stripMargin,
+    "kg_lpa" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |und AS (SELECT least(source, target) AS a, greatest(source, target) AS b,
+         |               CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS w
+         |        FROM edges WHERE source <> target GROUP BY 1, 2),
+         |adj AS MATERIALIZED (SELECT a AS x, b AS n, w FROM und UNION ALL SELECT b, a, w FROM und),
+         |l0 AS MATERIALIZED (SELECT DISTINCT x AS id, x AS label FROM adj),
+         |${(1 to 3).map(i =>
+              s"""v$i AS (SELECT adj.x, l.label, CAST(sum(adj.w) AS BIGINT) AS wsum
+                 |      FROM adj JOIN l${i - 1} l ON adj.n = l.id GROUP BY 1, 2),
+                 |r$i AS (SELECT x, label, row_number() OVER (PARTITION BY x ORDER BY wsum DESC, label ASC) AS rn FROM v$i),
+                 |l$i AS MATERIALIZED (SELECT x AS id, label FROM r$i WHERE rn = 1)""".stripMargin)
+            .mkString(",\n")}
+         |SELECT id, label FROM l3""".stripMargin,
     "kg_hits" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

@@ -477,6 +477,41 @@ object GraphOps {
     scores
   }
 
+  /** Synchronous label-propagation communities over the undirected weighted
+    * graph, fully deterministic: labels start as the node's own key; each
+    * round every node adopts the neighbor label with the LARGEST total
+    * incident edge weight, ties broken by the lexicographically SMALLEST
+    * label (the rank order (weight DESC, label ASC) — rng-free, so both
+    * engines propagate identically). `rounds` is fixed and unrolled in the
+    * oracle like [[kCore]]; synchronous LPA need not converge (2-cycles can
+    * oscillate), which is WHY production LPA is run for a fixed round budget.
+    * Per round: one co-partitioned join + weighted count + one
+    * WindowGroupLimit-shaped argmax, lineage truncated. Output: (id, label).
+    * Engine extension, no reference counterpart. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.filter(col("source") =!= col("target"))
+      .groupBy(least(col("source"), col("target")).as("a"),
+        greatest(col("source"), col("target")).as("b"))
+      .agg(sum(col("c").cast("long")).as("w"))
+    val adj = und.select(col("a").as("x"), col("b").as("n"), col("w"))
+      .union(und.select(col("b"), col("a"), col("w")))
+      .localCheckpoint()
+    var labels = adj.select(col("x").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = adj.join(labels.withColumnRenamed("id", "n"), "n")
+        .groupBy(col("x"), col("label")).agg(sum(col("w")).as("wsum"))
+      labels = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("x")).orderBy(col("wsum").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("x").as("id"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Shared wedge prep for the neighbor-overlap family: the undirected simple
     * adjacency (checkpointed once — degrees and both wedge sides consume it),
     * node degrees, and the hub-capped adjacency `small` whose `deg` column is

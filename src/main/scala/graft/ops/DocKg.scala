@@ -307,6 +307,11 @@ object DocKg {
   def hits(spark: SparkSession, dir: String): DataFrame =
     GraphOps.hits(edges(spark, dir), iters = 2)
 
+  /** Deterministic label-propagation communities
+    * (GraphOps.labelPropagation). */
+  def lpa(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.labelPropagation(edges(spark, dir), rounds = 3)
+
   /** Two sub-corpora for the graph algebra: english docs vs the rest.
     * Aggregated ONCE with the lang flag as an extra grouping key, then split —
     * the two join sides share an identical aggregate subtree, so Spark's

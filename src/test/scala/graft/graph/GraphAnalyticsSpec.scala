@@ -70,6 +70,18 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(r2.values.map(_._2).sum < 2000000L)
   }
 
+  test("labelPropagation: a weakly-bridged barbell splits into two communities") {
+    // two triangles (internal weight 2) joined by a weight-1 bridge C-D:
+    // connectedComponents sees ONE component; LPA separates the communities
+    val e = edges(("A", "B", 2), ("B", "C", 2), ("A", "C", 2),
+      ("D", "E", 2), ("E", "F", 2), ("D", "F", 2), ("C", "D", 1))
+    val got = GraphOps.labelPropagation(e, rounds = 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("A" -> "A", "B" -> "A", "C" -> "A",
+      "D" -> "D", "E" -> "D", "F" -> "D"))
+    assert(GraphOps.connectedComponents(e).select("cluster").distinct().count() == 1)
+  }
+
   test("adamicAdar: shared neighbors weighted by 1e6 div ilog2(degree), exactly") {
     // square A-B-C-D-A + diagonal A-C + pendant A-E:
     // deg A=4 (ilog2=2 -> 500000 per share), deg C=3 (ilog2=1 -> 1000000),
