@@ -732,7 +732,8 @@ object SparkEntry {
          |        FROM edges WHERE source <> target),
          |adj AS MATERIALIZED (SELECT a AS x, b AS n FROM und UNION ALL SELECT b, a FROM und),
          |deg AS MATERIALIZED (SELECT x, count(*)::BIGINT AS deg FROM adj GROUP BY x),
-         |small AS MATERIALIZED (SELECT adj.x, adj.n, d.deg FROM adj JOIN deg d ON adj.n = d.x WHERE d.deg <= 10000)
+         |small AS MATERIALIZED (SELECT adj.x, adj.n, d.deg FROM adj JOIN deg d ON adj.n = d.x
+         |      WHERE d.deg <= 10000 AND d.deg >= 2)
          |SELECT l.x AS a, r.x AS b, count(*)::BIGINT AS inter,
          |       CAST(sum(1000000 // (length(bin(l.deg)) - 1)) AS BIGINT) AS aa_scaled
          |FROM small l JOIN small r ON l.n = r.n AND l.x < r.x

@@ -539,7 +539,12 @@ object GraphOps {
     * BIGINT. Same wedge-join shape and hub cap as [[neighborJaccard]].
     * Output: (a, b, inter, aa_scaled). */
   def adamicAdar(edges: DataFrame, maxDegree: Long = 10000L): DataFrame = {
-    val (_, small) = wedgePrep(edges, maxDegree)
+    val (_, small0) = wedgePrep(edges, maxDegree)
+    // a degree-1 node can never be a SHARED neighbor (it has one incident
+    // wedge side), so it forms no pair — and ilog2(1) = 0 would divide by
+    // zero if the projection runs before the join filter (plan-order
+    // dependent under ANSI). Filter first: correct AND total.
+    val small = small0.filter(col("deg") >= 2)
     // truncating integer division (Spark `div` == DuckDB `//` on positives)
     small.select(col("x").as("pa"), col("n"),
         expr("1000000L div (length(bin(deg)) - 1)").as("aa_z"))
