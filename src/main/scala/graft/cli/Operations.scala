@@ -4,12 +4,54 @@ import graft.core.{Graph, GraphLink, GraphNode}
 import graft.graph.{D3Json, GraphOps}
 
 /** CLI mirroring `python -m arelight.run.operations` (reference
-  * arelight/run/operations.py:85-149): set algebra over two force-graph JSONs.
+  * arelight/run/operations.py:85-149): set algebra over two force-graph JSONs,
+  * extended with single-graph analytics (engine extension — the reference has
+  * no analytics surface).
   *
   * Usage: runMain graft.cli.Operations --a A.json --b B.json \
   *          --operation UNION|INTERSECTION|DIFFERENCE --out DIR [--name N] [--weights y|n]
+  *
+  * Analytics (read --a only, write <out>/analytics.csv + summary JSON line):
+  *   --operation PAGERANK|PPR|HITS|COMPONENTS|LPA|KCORE
+  *   [--iters N] [--source NODE (PPR)] [--k N (KCORE)] [--master local[N]]
+  * Count-weighted graphs expected (Infer's default export): the PageRank
+  * family fails fast on fractional weights (GraphOps.pageRank's guard).
   */
 object Operations {
+
+  private val Analytics = Set("PAGERANK", "PPR", "HITS", "COMPONENTS", "LPA", "KCORE")
+
+  private def runAnalytics(a: Graph, op: String, opts: Map[String, String],
+      out: String): Unit = {
+    val master = opts.getOrElse("--master",
+      s"local[${math.min(8, Runtime.getRuntime.availableProcessors)}]")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(master).appName("graft-operations")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val edges = a.links.map(l => (l.source, l.target, l.sent, l.c)).toDF("source", "target", "sent", "c")
+    val iters = opts.getOrElse("--iters", "3").toInt
+    val result = op match {
+      case "PAGERANK"   => GraphOps.pageRank(edges, iters)
+      case "PPR"        => GraphOps.personalizedPageRank(edges,
+        opts.getOrElse("--source", sys.error("PPR requires --source NODE")), iters)
+      case "HITS"       => GraphOps.hits(edges, math.max(1, iters - 1))
+      case "COMPONENTS" => GraphOps.connectedComponents(edges)
+      case "LPA"        => GraphOps.labelPropagation(edges, iters)
+      case "KCORE"      => GraphOps.kCore(edges, opts.getOrElse("--k", "2").toLong, iters + 1)
+    }
+    val cols = result.columns
+    val rows = result.orderBy(cols.head, cols.tail: _*).collect() // graph-sized
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val csv = (cols.mkString(",") +: rows.map(_.toSeq.mkString(","))).mkString("", "\n", "\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/analytics.csv"),
+      csv.getBytes("UTF-8"))
+    println(s"""{"operation":"$op","rows":${rows.length},"out":"$out/analytics.csv"}""")
+    spark.stop()
+  }
 
   /** Minimal force-graph JSON reader for the reference layout (driver-sized). */
   private[cli] def parseGraph(json: String): Graph = {
@@ -94,8 +136,12 @@ object Operations {
     def read(p: String) = parseGraph(
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
     val a = read(opts("--a"))
-    val b = read(opts("--b"))
     val op = opts.getOrElse("--operation", GraphOps.Union)
+    if (Analytics.contains(op)) {
+      runAnalytics(a, op, opts, opts.getOrElse("--out", sys.error("--out required")))
+      return
+    }
+    val b = read(opts("--b"))
     val weights = opts.getOrElse("--weights", "y") == "y"
     val out = opts.getOrElse("--out", sys.error("--out required"))
     val name = opts.getOrElse("--name", op.toLowerCase)
