@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, DocKg, LangModel, Relational, Similarity, TextStats}
+import graft.ops.{Dedup, DocKg, LangModel, Relational, Similarity, Sketches, TextStats, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,6 +22,22 @@ object SparkEntry {
     s.read.parquet(s"$dir/documents.parquet")
   private def embeds(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Deterministic messy-URL fixture for the url canonicalization queries:
+    * every piece of variation (case, default port, trailing slash, tracking
+    * params, param order, fragment) keyed off doc_id so the DuckDB oracle
+    * constructs the identical input and canonicalizes it independently. */
+  private def messyUrl(did: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      when(did % 3 === 0, lit("HTTP://WWW.Example.COM:80"))
+        .when(did % 3 === 1, lit("https://Sub.Example.ORG:443"))
+        .otherwise(lit("https://cdn.example.net")),
+      lit("/Art/"), (did % 7).cast("string"),
+      when(did % 2 === 0, lit("/")).otherwise(lit("")),
+      when(did % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+        .when(did % 4 === 1, lit("?a=1&b=2&utm_campaign=x"))
+        .when(did % 4 === 2, lit("?b=2&a=1")).otherwise(lit("")),
+      when(did % 5 === 0, lit("#section-2")).otherwise(lit("")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- KG pipeline over documents (SURVEY §2.3/2.4/2.5: P2/P3/P5, J1/F1, A1-A5)
@@ -75,6 +91,12 @@ object SparkEntry {
     // label-propagation communities: (weight DESC, label ASC) adoption rule,
     // fixed synchronous rounds — rng-free, unrolled in the oracle
     "kg_lpa" -> ((s, d) => DocKg.lpa(s, d)),
+    // frontier BFS hop distances from the hub entity — each node expanded
+    // exactly once over the run (Pregel shape), fixed rounds for the oracle
+    "kg_bfs" -> ((s, d) => DocKg.bfs(s, d)),
+    // local clustering coefficient: exact (deg, tri) BIGINTs, one double
+    // division — deg<2 filtered BEFORE the division (ANSI totality)
+    "kg_clustering_coeff" -> ((s, d) => DocKg.clusteringCoeff(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
     "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
@@ -207,6 +229,29 @@ object SparkEntry {
     // per domain — the webtext curation monitoring report)
     "curate_source_stats" -> ((s, d) =>
       TextStats.sourceStats(docs(s, d), col("text"), col("source"))),
+    // deterministic messy-URL fixture (all variation derived from doc_id,
+    // mirrored in the oracle) canonicalized by the engine's pure-built-in
+    // normalizer — the oracle re-expresses the same spec independently
+    "curate_url_canonical" -> ((s, d) => {
+      val doc = docs(s, d)
+      val u = messyUrl(col("doc_id"))
+      doc.select(col("doc_id").cast("long").as("doc_id"), u.as("url"),
+        UrlOps.canonicalizeUrl(u).as("canonical"))
+    }),
+    // URL-level dedup over the canonical form: collapse count + min-id keep
+    "curate_url_dedup" -> ((s, d) => {
+      val doc = docs(s, d)
+      doc.select(col("doc_id").cast("long").as("doc_id"),
+          UrlOps.canonicalizeUrl(messyUrl(col("doc_id"))).as("canonical"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("dups"), min(col("doc_id")).as("keep_id"))
+    }),
+    // ---- mergeable sketches: constant-size state for corpus-scale stats
+    // (distinct sizing before dedup; skew detection before salting)
+    "stats_hll_registers" -> ((s, d) =>
+      Sketches.hllRegisters(docs(s, d), col("text"), p = 8)),
+    "stats_cms_sketch" -> ((s, d) =>
+      Sketches.cmsSketch(docs(s, d), col("source"), depth = 4, width = 64)),
     // ---- entity linking: distributed LSH over a surface-form vocabulary
     // (vocabulary = document tokens + deterministic variant forms, mirroring
     // near-duplicate entity surface forms; P9 at north_star scale)
@@ -364,6 +409,46 @@ object SparkEntry {
 
   private val lexCase =
     "CASE %s WHEN 'spark' THEN 'ORG' WHEN 'customer' THEN 'PERSON' WHEN 'table' THEN 'LOC' WHEN 'stream' THEN 'GPE' END"
+
+  /** Messy-URL fixture (mirrors [[messyUrl]]) canonicalized step by step —
+    * an INDEPENDENT SQL expression of the UrlOps spec, not a transliteration:
+    * scheme/host lowercased, default port dropped, fragment dropped, utm_*
+    * params dropped + rest sorted, trailing slash trimmed. Ends at CTE `p4`
+    * with (doc_id, url, prefix, pathc, params). */
+  private val messyUrlCte =
+    """u AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.Example.COM:80'
+      |        WHEN doc_id % 3 = 1 THEN 'https://Sub.Example.ORG:443'
+      |        ELSE 'https://cdn.example.net' END ||
+      |   '/Art/' || (doc_id % 7)::VARCHAR ||
+      |   CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+      |   CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+      |        WHEN doc_id % 4 = 1 THEN '?a=1&b=2&utm_campaign=x'
+      |        WHEN doc_id % 4 = 2 THEN '?b=2&a=1' ELSE '' END ||
+      |   CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+      | FROM documents),
+      |parts AS (SELECT doc_id, url,
+      |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) AS lowprefix,
+      |  substr(url, length(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1) AS rest
+      | FROM u),
+      |p2 AS (SELECT doc_id, url,
+      |  CASE WHEN starts_with(lowprefix, 'http://') AND ends_with(lowprefix, ':80')
+      |         THEN substr(lowprefix, 1, length(lowprefix) - 3)
+      |       WHEN starts_with(lowprefix, 'https://') AND ends_with(lowprefix, ':443')
+      |         THEN substr(lowprefix, 1, length(lowprefix) - 4)
+      |       ELSE lowprefix END AS prefix,
+      |  regexp_replace(rest, '#.*', '') AS nofrag FROM parts),
+      |p3 AS (SELECT doc_id, url, prefix,
+      |  regexp_extract(nofrag, '^[^?]*') AS path,
+      |  regexp_replace(nofrag, '^[^?]*\??', '') AS query FROM p2),
+      |p4 AS (SELECT doc_id, url, prefix,
+      |  CASE WHEN rtrim(path, '/') = '' THEN '/' ELSE rtrim(path, '/') END AS pathc,
+      |  coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |    x -> NOT starts_with(x, 'utm_') AND x <> '')), '&'), '') AS params
+      | FROM p3)""".stripMargin
+
+  private val canonicalUrlSql =
+    "prefix || pathc || CASE WHEN params = '' THEN '' ELSE '?' || params END"
 
   private val toksCte =
     raw"toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS terms FROM documents)"
@@ -700,6 +785,33 @@ object SparkEntry {
                  |l$i AS MATERIALIZED (SELECT x AS id, label FROM r$i WHERE rn = 1)""".stripMargin)
             .mkString(",\n")}
          |SELECT id, label FROM l3""".stripMargin,
+    "kg_bfs" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |adj AS MATERIALIZED (SELECT DISTINCT source AS src, target AS dst
+         |      FROM edges WHERE source <> target),
+         |d0 AS (SELECT 'ORG.spark' AS id, CAST(0 AS BIGINT) AS dist),
+         |${(1 to 3).map(i =>
+              s"""c$i AS (SELECT a.dst AS id, CAST(r.dist + 1 AS BIGINT) AS dist
+                 |      FROM d${i - 1} r JOIN adj a ON r.id = a.src),
+                 |d$i AS MATERIALIZED (SELECT id, CAST(min(dist) AS BIGINT) AS dist
+                 |      FROM (SELECT * FROM d${i - 1} UNION ALL SELECT * FROM c$i) GROUP BY id)""".stripMargin)
+            .mkString(",\n")}
+         |SELECT id, dist FROM d3""".stripMargin,
+    "kg_clustering_coeff" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |und AS MATERIALIZED (SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+         |      FROM edges WHERE source <> target),
+         |deg AS MATERIALIZED (SELECT id, count(*)::BIGINT AS deg FROM
+         |      (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+         |tri AS MATERIALIZED (SELECT x.a AS a, x.b AS b, y.b AS c
+         |      FROM und x JOIN und y ON x.b = y.a JOIN und z ON x.a = z.a AND y.b = z.b),
+         |tpn AS (SELECT id, count(*)::BIGINT AS tri FROM
+         |      (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY id)
+         |SELECT d.id, d.deg, coalesce(t.tri, 0)::BIGINT AS tri,
+         |       (coalesce(t.tri, 0) * 2)::DOUBLE / (d.deg * (d.deg - 1))::DOUBLE AS coeff
+         |FROM deg d LEFT JOIN tpn t ON d.id = t.id WHERE d.deg >= 2""".stripMargin,
     "kg_hits" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},
@@ -945,6 +1057,30 @@ object SparkEntry {
          |       (count(*) - count(DISTINCT h))::BIGINT AS n_exact_dups,
          |       sum(toks)::DOUBLE / count(*)::DOUBLE AS mean_tokens
          |FROM s GROUP BY source""".stripMargin,
+    "curate_url_canonical" ->
+      s"""WITH $messyUrlCte
+         |SELECT doc_id, url, $canonicalUrlSql AS canonical FROM p4""".stripMargin,
+    "curate_url_dedup" ->
+      s"""WITH $messyUrlCte,
+         |canon AS (SELECT doc_id, $canonicalUrlSql AS canonical FROM p4)
+         |SELECT canonical, count(*)::BIGINT AS dups, min(doc_id)::BIGINT AS keep_id
+         |FROM canon GROUP BY canonical""".stripMargin,
+    "stats_hll_registers" ->
+      """SELECT register, CAST(max(rho) AS BIGINT) AS max_rho FROM (
+        |  SELECT ('0x' || substr(md5(text), 1, 2))::BIGINT AS register,
+        |         CASE WHEN regexp_replace(substr(md5(text), 3, 15), '^0+', '') = '' THEN 61
+        |         ELSE 4 * length(regexp_extract(substr(md5(text), 3, 15), '^0*')) +
+        |           CASE substr(regexp_replace(substr(md5(text), 3, 15), '^0+', ''), 1, 1)
+        |             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |             ELSE 0 END + 1
+        |         END AS rho
+        |  FROM documents) GROUP BY register""".stripMargin,
+    "stats_cms_sketch" ->
+      """SELECT r, cell, count(*)::BIGINT AS cnt FROM (
+        |  SELECT g.r AS r,
+        |         ('0x' || substr(md5(g.r::VARCHAR || source), 1, 15))::BIGINT % 64 AS cell
+        |  FROM documents, (SELECT unnest(range(0, 4)) AS r) g) GROUP BY r, cell""".stripMargin,
     "link_groups" ->
       s"""WITH RECURSIVE $toksCte,
          |t0 AS (SELECT DISTINCT unnest(terms) AS t FROM toks),

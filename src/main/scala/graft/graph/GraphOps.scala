@@ -555,4 +555,81 @@ object GraphOps {
         sum(col("aa_z")).cast("long").as("aa_scaled"))
       .select(col("pa").as("a"), col("pb").as("b"), col("inter"), col("aa_scaled"))
   }
+
+  /** Multi-round BFS distances from one source node over the DIRECTED simple
+    * edge relation — reachability radius / hop distance over the constructed
+    * KG (engine extension; no reference counterpart — the reference stops at
+    * the force-layout graph).
+    *
+    * Pregel frontier shape, the one that holds at web-graph scale: each round
+    * expands ONLY the frontier (nodes first reached last round), so every
+    * node is joined against the adjacency relation exactly once over the whole
+    * run — not once per round like the naive dist⨝adj formulation. Per round:
+    * one co-partitioned join (frontier ⨝ adj on the node key) + one anti-join
+    * against the settled set; lineage truncated per round
+    * ([[graft.ops.Dedup.clusters]] discipline — persist alone leaves a
+    * nested plan that AQE re-stringifies quadratically).
+    *
+    * `rounds` is FIXED (a round past the fixpoint is a no-op) so the DuckDB
+    * oracle unrolls the identical expansion as chained MATERIALIZED CTEs.
+    * Distances are exact BIGINTs — bit-identical cross-engine. Output:
+    * (id, dist) for every node within `rounds` hops (source included, dist 0). */
+  def bfs(edges: DataFrame, source: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64]: $rounds")
+    val adj = edges.filter(col("source") =!= col("target"))
+      .select(col("source").as("src"), col("target").as("dst"))
+      .distinct().localCheckpoint(true)
+    val spark = edges.sparkSession
+    var dist = spark.range(1).select(lit(source).as("id"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist.select(col("id"))
+    for (r <- 1 to rounds) {
+      val reached = frontier.join(adj, frontier("id") === adj("src"))
+        .select(col("dst").as("id")).distinct()
+      val fresh = reached.join(dist.select(col("id").as("seen")),
+          reached("id") === col("seen"), "left_anti")
+        .localCheckpoint(true)
+      dist = dist.union(fresh.select(col("id"), lit(r.toLong).as("dist")))
+        .localCheckpoint(true)
+      frontier = fresh
+    }
+    dist
+  }
+
+  /** Local clustering coefficient per node over the undirected simple graph:
+    * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close v's neighborhood is
+    * to a clique (engine extension for KG quality monitoring: hub entities
+    * with near-zero cc are topic mixers; high-cc nodes sit in tight entity
+    * communities).
+    *
+    * Triangle counting is the node-ordered wedge join (each triangle
+    * enumerated exactly once as a < b < c, then exploded to its three
+    * corners), the same shape as [[graft.ops.DocKg.trianglesFromEdges]]; the
+    * integer pieces (deg, tri) are exact BIGINTs and the single double
+    * division of two exact integers is bit-identical cross-engine (the
+    * kg_node_jaccard recipe). Nodes with deg < 2 have no defined coefficient
+    * and are filtered BEFORE the division — total, not plan-order dependent
+    * (the Adamic-Adar ANSI lesson). Output: (id, deg, tri, coeff). */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("source") =!= col("target"))
+      .select(least(col("source"), col("target")).as("a"),
+        greatest(col("source"), col("target")).as("b"))
+      .distinct().localCheckpoint(true)
+    val deg = und.select(col("a").as("id")).union(und.select(col("b")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val wedges = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+    val triangles = wedges.as("w")
+      .join(und.as("z"), col("w.a") === col("z.a") && col("w.c") === col("z.b"))
+      .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
+    val triPerNode = triangles.select(col("a").as("id"))
+      .union(triangles.select(col("b")))
+      .union(triangles.select(col("c")))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(triPerNode, Seq("id"), "left")
+      .select(col("id"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("coeff",
+        (col("tri") * 2).cast("double") / (col("deg") * (col("deg") - 1)).cast("double"))
+  }
 }

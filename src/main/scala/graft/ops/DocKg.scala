@@ -312,6 +312,14 @@ object DocKg {
   def lpa(spark: SparkSession, dir: String): DataFrame =
     GraphOps.labelPropagation(edges(spark, dir), rounds = 3)
 
+  /** Hop distances from the hub entity by frontier BFS (GraphOps.bfs). */
+  def bfs(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.bfs(edges(spark, dir), "ORG.spark", rounds = 3)
+
+  /** Local clustering coefficient per KG node (GraphOps.clusteringCoeff). */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.clusteringCoeff(edges(spark, dir))
+
   /** Two sub-corpora for the graph algebra: english docs vs the rest.
     * Aggregated ONCE with the lang flag as an extra grouping key, then split —
     * the two join sides share an identical aggregate subtree, so Spark's

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches for corpus-scale statistics — the operations a 100 TB
+  * curation pipeline runs BEFORE committing to an exact plan: approximate
+  * distinct counting (how many unique pages/URLs — sizing the dedup job) and
+  * heavy-hitter detection (which hosts/keys are skewed — sizing the salt).
+  * Engine extension; no reference counterpart (the reference never faces
+  * cardinality it can't count exactly).
+  *
+  * Both sketches are DETERMINISTIC (md5-keyed, no RNG) and their register
+  * relations are exact integers, so the sketch STATE itself is oracle-able
+  * cross-engine — the estimate is then driver-side float math over a
+  * constant-size relation (2^p rows / depth×width cells), covered by spec
+  * against the exact answer's error bound rather than by hash parity.
+  *
+  * Scale shape: one map-side pass + one groupBy on a key space of constant
+  * size (256 registers / 256 cells) — partial aggregation collapses each
+  * partition to at most the register count before the shuffle, so the
+  * exchange moves O(partitions × registers) rows regardless of input size,
+  * and sketches of disjoint corpus shards merge by the same max/sum.
+  */
+object Sketches {
+
+  /** HyperLogLog-style register relation for distinct counting of `key`:
+    * register = first p bits of md5(key), rho = 1 + leading-zero count of the
+    * NEXT 60 bits (capped at 61 when all are zero). Output: (register,
+    * max_rho) — at most 2^p rows.
+    *
+    * The rho extraction is pure hex-string arithmetic (leading '0' nibbles +
+    * a 16-way CASE on the first nonzero nibble) rather than float log2 —
+    * exact on both engines (log2 of a >2^53 integer rounds unpredictably at
+    * nibble boundaries). */
+  def hllRegisters(df: DataFrame, key: Column, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 12, s"precision p must be in [4,12]: $p")
+    require(p % 4 == 0, s"p must be a whole number of hex nibbles: $p")
+    val hex = md5(key.cast("string"))
+    val reg = conv(substring(hex, 1, p / 4), 16, 10).cast("long")
+    val tail = substring(hex, p / 4 + 1, 15) // 60 bits, < 2^62 both engines
+    val zeroNibbles = length(regexp_extract(tail, "^0*", 0))
+    val stripped = regexp_replace(tail, "^0+", "")
+    val firstNz = substring(stripped, 1, 1)
+    val nibbleZeros = when(firstNz === "1", 3)
+      .when(firstNz.isin("2", "3"), 2)
+      .when(firstNz.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(stripped === "", lit(61L))
+      .otherwise((zeroNibbles * 4 + nibbleZeros + 1).cast("long"))
+    df.select(reg.as("register"), rho.as("rho"))
+      .groupBy(col("register")).agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Standard HLL estimate from [[hllRegisters]] output — driver-side float
+    * math over the ≤2^p-row register relation (collect here is bounded by
+    * construction). Includes the small-range linear-counting correction. */
+  def hllEstimate(registers: DataFrame, p: Int = 8): Double = {
+    val m = 1 << p
+    val maxRho = registers.select(col("register"), col("max_rho"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val zSum = (0 until m).map(j => math.pow(2.0, -maxRho.getOrElse(j.toLong, 0L).toDouble)).sum
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val raw = alpha * m * m / zSum
+    val zeros = m - maxRho.count(_._2 > 0L)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+
+  /** Count-min sketch cell relation for frequency estimation of `key`:
+    * `depth` independent hash rows, cell = md5(row ++ key) mod `width`,
+    * exact counts per (r, cell). Output: (r, cell, cnt) — at most
+    * depth×width rows. Point estimates from [[cmsEstimate]] upper-bound the
+    * true frequency (never under-count). */
+  def cmsSketch(df: DataFrame, key: Column, depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16]: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    df.select(key.cast("string").as("k"))
+      .select(col("k"), explode(array((0 until depth).map(i => lit(i.toLong)): _*)).as("r"))
+      .select(col("r"),
+        (conv(substring(md5(concat(col("r").cast("string"), col("k"))), 1, 15), 16, 10)
+          .cast("long") % width).as("cell"))
+      .groupBy(col("r"), col("cell")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for each distinct key in `keys`: estimate =
+    * min over the depth rows of that key's cell count. A broadcast join of
+    * the constant-size sketch against the (small) candidate key relation —
+    * at scale the candidates come from a cheap pre-filter, never from
+    * re-enumerating the corpus. Output: (k, est). */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, key: Column,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    val cand = keys.select(key.cast("string").as("k")).distinct()
+      .select(col("k"), explode(array((0 until depth).map(i => lit(i.toLong)): _*)).as("r"))
+      .select(col("k"), col("r"),
+        (conv(substring(md5(concat(col("r").cast("string"), col("k"))), 1, 15), 16, 10)
+          .cast("long") % width).as("cell"))
+    cand.join(broadcast(sketch), Seq("r", "cell"))
+      .groupBy(col("k")).agg(min(col("cnt")).as("est"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for web-page dedup — step zero of every
+  * Common-Crawl-style curation pipeline (the reference ingests pre-fetched
+  * text and never sees URLs; this is the engine extension the BASELINE
+  * input shape `(url, warc_ts, html, text, lang)` calls for).
+  *
+  * Canonical form, applied in order:
+  *   1. trim surrounding whitespace;
+  *   2. lowercase the scheme://host[:port] prefix ONLY (paths are
+  *      case-sensitive per RFC 3986 — `/Art` and `/art` stay distinct);
+  *   3. drop the default port (`:80` for http, `:443` for https);
+  *   4. drop the `#fragment` (never sent to the server);
+  *   5. drop `utm_*` tracking params, then sort the surviving query params
+  *      byte-lexicographically (param order is not semantic);
+  *   6. strip trailing slashes from a non-root path; empty path becomes `/`.
+  *
+  * Everything is composed from codegen'd built-ins (regexp_extract /
+  * regexp_replace / split / array_sort / array_join) — one narrow map-side
+  * projection, no UDF, whole-stage-codegen friendly, and every step is
+  * mirrorable in the DuckDB oracle as an independent SQL expression of the
+  * same spec. Inputs without a `scheme://` prefix pass through as
+  * lower(trim(url)) — a total function, never an error, so a malformed URL
+  * in a trillion-row scan cannot kill the job. */
+object UrlOps {
+
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    // scheme://authority — everything up to the first /, ? or # after ://
+    val prefixRaw = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val lowPrefix = lower(prefixRaw)
+    val prefix = when(lowPrefix.startsWith("http://") && lowPrefix.endsWith(":80"),
+        lowPrefix.substr(lit(1), length(lowPrefix) - 3))
+      .when(lowPrefix.startsWith("https://") && lowPrefix.endsWith(":443"),
+        lowPrefix.substr(lit(1), length(lowPrefix) - 4))
+      .otherwise(lowPrefix)
+    val rest = u.substr(length(prefixRaw) + 1, lit(1 << 20))
+    val noFrag = regexp_replace(rest, "#.*", "")
+    val path = regexp_extract(noFrag, "^[^?]*", 0)
+    val query = regexp_replace(noFrag, "^[^?]*\\??", "")
+    val params = array_join(
+      array_sort(filter(split(query, "&"),
+        x => !x.startsWith("utm_") && x =!= lit(""))), "&")
+    val pathTrimmed = rtrim(path, "/")
+    val pathCanon = when(pathTrimmed === "", lit("/")).otherwise(pathTrimmed)
+    val canon = concat(prefix, pathCanon,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+    when(prefixRaw === "", lower(u)).otherwise(canon)
+  }
+}

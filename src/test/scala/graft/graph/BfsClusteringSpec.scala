@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+
+/** Frontier BFS distances and local clustering coefficient on hand-computed
+  * graphs (the cross-engine oracle pins KG-scale behavior; these pin the
+  * semantics and edge cases). */
+class BfsClusteringSpec extends AnyFunSuite with SparkTestSession {
+
+  private def edges(rows: (String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (a, b) => (a, b, 1.0) }.toDF("source", "target", "c")
+  }
+
+  test("bfs: hop distances on a directed chain with a shortcut") {
+    // A->B->C->D plus A->C: C is 1 hop (shortcut wins over the 2-hop path)
+    val e = edges(("A", "B"), ("B", "C"), ("C", "D"), ("A", "C"))
+    val got = GraphOps.bfs(e, "A", rounds = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("A" -> 0L, "B" -> 1L, "C" -> 1L, "D" -> 2L))
+  }
+
+  test("bfs: direction respected; unreachable nodes absent; rounds cap the radius") {
+    val e = edges(("A", "B"), ("B", "C"), ("C", "D"), ("X", "A"))
+    // X reaches A but A never reaches X (directed)
+    val got = GraphOps.bfs(e, "A", rounds = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("A" -> 0L, "B" -> 1L, "C" -> 2L, "D" -> 3L))
+    // rounds=2 stops before D
+    val capped = GraphOps.bfs(e, "A", rounds = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(capped == Map("A" -> 0L, "B" -> 1L, "C" -> 2L))
+  }
+
+  test("bfs: a settled node is never re-expanded to a larger distance (cycle)") {
+    val e = edges(("A", "B"), ("B", "A"), ("B", "C"))
+    val got = GraphOps.bfs(e, "A", rounds = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("A" -> 0L, "B" -> 1L, "C" -> 2L))
+  }
+
+  test("bfs: source with no out-edges is just itself at distance 0") {
+    val e = edges(("A", "B"))
+    val got = GraphOps.bfs(e, "Z", rounds = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("Z" -> 0L))
+  }
+
+  test("clusteringCoeff: triangle plus pendant — exact corner counts") {
+    // triangle A-B-C, pendant D off A; direction/multiplicity must not matter
+    val e = edges(("A", "B"), ("B", "C"), ("C", "A"), ("A", "D"), ("B", "A"))
+    val got = GraphOps.clusteringCoeff(e).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // A: deg 3 (B,C,D), 1 triangle -> 2*1/(3*2) = 1/3
+    assert(got("A") == ((3L, 1L, 1.0 / 3.0)))
+    assert(got("B") == ((2L, 1L, 1.0)))
+    assert(got("C") == ((2L, 1L, 1.0)))
+    // D: deg 1 -> filtered before the division (total under ANSI)
+    assert(!got.contains("D"))
+  }
+
+  test("clusteringCoeff: star has zero triangles, coeff 0 at the hub") {
+    val e = edges(("H", "A"), ("H", "B"), ("H", "C"))
+    val got = GraphOps.clusteringCoeff(e).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map("H" -> ((3L, 0L, 0.0))))
+  }
+}

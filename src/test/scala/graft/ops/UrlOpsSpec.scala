@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization unit semantics — each rule of the UrlOps spec on a
+  * hand-built case table (the cross-engine oracle re-derives the same spec
+  * in SQL over the fixture corpus). */
+class UrlOpsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(UrlOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("scheme and host lowercased; path case preserved") {
+    assert(canon("HTTP://WWW.Example.COM/Art/One") == Seq("http://www.example.com/Art/One"))
+  }
+
+  test("default ports dropped, non-default ports kept") {
+    assert(canon(
+      "http://a.com:80/x", "https://a.com:443/x",
+      "http://a.com:8080/x", "https://a.com:80/x") ==
+      Seq("http://a.com/x", "https://a.com/x",
+        "http://a.com:8080/x", "https://a.com:80/x"))
+  }
+
+  test("fragment dropped; utm params dropped; survivors sorted") {
+    assert(canon("https://a.com/p?z=1&utm_source=x&a=2#frag") ==
+      Seq("https://a.com/p?a=2&z=1"))
+    // all params dropped -> no '?' at all
+    assert(canon("https://a.com/p?utm_source=x&utm_medium=y") ==
+      Seq("https://a.com/p"))
+  }
+
+  test("trailing slashes trimmed on non-root; empty path becomes root") {
+    assert(canon("https://a.com/p/", "https://a.com/p//", "https://a.com/",
+      "https://a.com") ==
+      Seq("https://a.com/p", "https://a.com/p", "https://a.com/", "https://a.com/"))
+  }
+
+  test("total on junk: no scheme falls back to lower(trim); whitespace trimmed") {
+    assert(canon("  not a url  ", "ALSO/NOT?A#URL") ==
+      Seq("not a url", "also/not?a#url"))
+  }
+
+  test("query on root path; '?' with empty query collapses") {
+    assert(canon("https://a.com?b=2&a=1", "https://a.com/p?") ==
+      Seq("https://a.com/?a=1&b=2", "https://a.com/p"))
+  }
+}
