@@ -12,14 +12,15 @@ import graft.graph.{D3Json, GraphOps}
   *          --operation UNION|INTERSECTION|DIFFERENCE --out DIR [--name N] [--weights y|n]
   *
   * Analytics (read --a only, write <out>/analytics.csv + summary JSON line):
-  *   --operation PAGERANK|PPR|HITS|COMPONENTS|LPA|KCORE
-  *   [--iters N] [--source NODE (PPR)] [--k N (KCORE)] [--master local[N]]
+  *   --operation PAGERANK|PPR|HITS|COMPONENTS|LPA|KCORE|BFS|CLUSTCOEFF
+  *   [--iters N] [--source NODE (PPR/BFS)] [--k N (KCORE)] [--master local[N]]
   * Count-weighted graphs expected (Infer's default export): the PageRank
   * family fails fast on fractional weights (GraphOps.pageRank's guard).
   */
 object Operations {
 
-  private val Analytics = Set("PAGERANK", "PPR", "HITS", "COMPONENTS", "LPA", "KCORE")
+  private val Analytics =
+    Set("PAGERANK", "PPR", "HITS", "COMPONENTS", "LPA", "KCORE", "BFS", "CLUSTCOEFF")
 
   private def runAnalytics(a: Graph, op: String, opts: Map[String, String],
       out: String): Unit = {
@@ -42,6 +43,9 @@ object Operations {
       case "COMPONENTS" => GraphOps.connectedComponents(edges)
       case "LPA"        => GraphOps.labelPropagation(edges, iters)
       case "KCORE"      => GraphOps.kCore(edges, opts.getOrElse("--k", "2").toLong, iters + 1)
+      case "BFS"        => GraphOps.bfs(edges,
+        opts.getOrElse("--source", sys.error("BFS requires --source NODE")), iters)
+      case "CLUSTCOEFF" => GraphOps.clusteringCoeff(edges)
     }
     val cols = result.columns
     val rows = result.orderBy(cols.head, cols.tail: _*).collect() // graph-sized

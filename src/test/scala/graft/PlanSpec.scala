@@ -150,6 +150,27 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("stats sketches: one exchange total — partial agg collapses before the shuffle") {
+    for (q <- Seq("stats_hll_registers", "stats_cms_sketch")) {
+      val p = planOf(q)
+      assert("Exchange".r.findAllIn(p).size == 1, s"$q must shuffle exactly once:\n$p")
+      assert(p.contains("partial_"), s"$q needs map-side partial aggregation:\n$p")
+    }
+    // scans pruned to the sketched key only
+    assert(!planOf("stats_hll_registers").contains("n_chars"))
+    assert(!planOf("stats_cms_sketch").contains("n_chars"))
+  }
+
+  test("curate_url_canonical: pure map-side projection, zero shuffles") {
+    val p = planOf("curate_url_canonical")
+    assert(!p.contains("Exchange"), s"canonicalization must not shuffle:\n$p")
+  }
+
+  test("kg_clustering_coeff: wedge joins are key joins — no cartesian product") {
+    val p = planOf("kg_clustering_coeff")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("entry: flagship pipeline has no shuffle before the final aggregation") {
     val df = SparkEntry.entry(spark)
     val p = df.queryExecution.executedPlan.toString
