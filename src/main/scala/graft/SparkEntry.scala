@@ -97,6 +97,8 @@ object SparkEntry {
     // local clustering coefficient: exact (deg, tri) BIGINTs, one double
     // division — deg<2 filtered BEFORE the division (ANSI totality)
     "kg_clustering_coeff" -> ((s, d) => DocKg.clusteringCoeff(s, d)),
+    // 3-truss: edge-level peeling by triangle support, fixed rounds unrolled
+    "kg_ktruss" -> ((s, d) => DocKg.kTruss(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
     "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
@@ -245,6 +247,26 @@ object SparkEntry {
           UrlOps.canonicalizeUrl(messyUrl(col("doc_id"))).as("canonical"))
         .groupBy(col("canonical"))
         .agg(count(lit(1)).as("dups"), min(col("doc_id")).as("keep_id"))
+    }),
+    // per-host corpus rollup over the canonical URL (domain-level monitoring)
+    "curate_host_stats" -> ((s, d) => {
+      val canon = UrlOps.canonicalizeUrl(messyUrl(col("doc_id")))
+      docs(s, d).select(UrlOps.hostOf(canon).as("host"), canon.as("canonical"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("canonical")).as("n_pages"))
+    }),
+    // quality-aware representative per near-dup cluster: keep the LONGEST
+    // copy (token count, ties by min id) instead of the arbitrary min id
+    "dedup_keep_best" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cand = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(dd, col("text"), col("doc_id"),
+          bands = 4, shingleW = 2, rowsPerBand = 2))
+      val verified = Dedup.jaccardVerify(dd, col("text"), col("doc_id"), cand, shingleW = 2)
+        .filter(col("jaccard") >= 0.5).select("a_id", "b_id")
+      Dedup.keepBest(dd, col("doc_id"),
+          size(split(trim(col("text")), raw"\s+")), verified)
+        .select(col("id").as("doc_id"))
     }),
     // ---- mergeable sketches: constant-size state for corpus-scale stats
     // (distinct sizing before dedup; skew detection before salting)
@@ -812,6 +834,27 @@ object SparkEntry {
          |SELECT d.id, d.deg, coalesce(t.tri, 0)::BIGINT AS tri,
          |       (coalesce(t.tri, 0) * 2)::DOUBLE / (d.deg * (d.deg - 1))::DOUBLE AS coeff
          |FROM deg d LEFT JOIN tpn t ON d.id = t.id WHERE d.deg >= 2""".stripMargin,
+    "kg_ktruss" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |u0 AS MATERIALIZED (SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+         |      FROM edges WHERE source <> target),
+         |${(1 to 3).map(i =>
+              s"""t$i AS (SELECT x.a AS a, x.b AS b, y.b AS c FROM u${i - 1} x
+                 |      JOIN u${i - 1} y ON x.b = y.a JOIN u${i - 1} z ON x.a = z.a AND y.b = z.b),
+                 |s$i AS (SELECT a, b, count(*)::BIGINT AS sup FROM
+                 |      (SELECT a, b FROM t$i UNION ALL SELECT b, c FROM t$i UNION ALL SELECT a, c FROM t$i)
+                 |      GROUP BY a, b),
+                 |u$i AS MATERIALIZED (SELECT u.a, u.b FROM u${i - 1} u LEFT JOIN s$i s
+                 |      ON u.a = s.a AND u.b = s.b WHERE coalesce(s.sup, 0) >= 1)""".stripMargin)
+            .mkString(",\n")},
+         |tf AS (SELECT x.a AS a, x.b AS b, y.b AS c FROM u3 x
+         |      JOIN u3 y ON x.b = y.a JOIN u3 z ON x.a = z.a AND y.b = z.b),
+         |sf AS (SELECT a, b, count(*)::BIGINT AS sup FROM
+         |      (SELECT a, b FROM tf UNION ALL SELECT b, c FROM tf UNION ALL SELECT a, c FROM tf)
+         |      GROUP BY a, b)
+         |SELECT u.a, u.b, coalesce(s.sup, 0)::BIGINT AS support
+         |FROM u3 u LEFT JOIN sf s ON u.a = s.a AND u.b = s.b""".stripMargin,
     "kg_hits" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},
@@ -1065,6 +1108,28 @@ object SparkEntry {
          |canon AS (SELECT doc_id, $canonicalUrlSql AS canonical FROM p4)
          |SELECT canonical, count(*)::BIGINT AS dups, min(doc_id)::BIGINT AS keep_id
          |FROM canon GROUP BY canonical""".stripMargin,
+    "curate_host_stats" ->
+      s"""WITH $messyUrlCte,
+         |canon AS (SELECT doc_id, $canonicalUrlSql AS canonical FROM p4)
+         |SELECT lower(regexp_extract(canonical, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+         |       count(*)::BIGINT AS n_docs, count(DISTINCT canonical)::BIGINT AS n_pages
+         |FROM canon GROUP BY host""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $verifiedPairsCte,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM vpairs UNION SELECT b_id, a_id FROM vpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+         |sc AS (SELECT d.doc_id, len(regexp_split_to_array(trim(d.text), '\\s+'))::BIGINT AS score,
+         |              l.cluster
+         |       FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
+         |r AS (SELECT doc_id, row_number() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id ASC) AS rn
+         |      FROM sc WHERE cluster IS NOT NULL)
+         |SELECT doc_id FROM sc WHERE cluster IS NULL
+         |UNION ALL SELECT doc_id FROM r WHERE rn = 1""".stripMargin,
     "stats_hll_registers" ->
       """SELECT register, CAST(max(rho) AS BIGINT) AS max_rho FROM (
         |  SELECT ('0x' || substr(md5(text), 1, 2))::BIGINT AS register,

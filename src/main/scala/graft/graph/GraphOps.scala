@@ -596,6 +596,48 @@ object GraphOps {
     dist
   }
 
+  /** k-truss decomposition by fixed-round edge peeling: repeatedly drop edges
+    * whose triangle support within the SURVIVING undirected simple graph is
+    * below k−2; the fixpoint is the classic k-truss (every edge in ≥ k−2
+    * triangles) — the edge-level sharpening of [[kCore]], and the standard
+    * cohesive-subgraph extractor for KG community cores (a k-truss is always
+    * inside the (k−1)-core, but prunes bridge edges cores keep).
+    *
+    * Per round: one triangle enumeration over the surviving edges (the
+    * node-ordered wedge join of [[clusteringCoeff]] — two key joins, each
+    * triangle once as a<b<c), corner edges exploded and counted, then a
+    * left join drops unsupported edges; lineage truncated per round. Fixed
+    * `rounds` (a round past the fixpoint is a no-op) lets the DuckDB oracle
+    * unroll the identical peeling as chained MATERIALIZED CTEs. Output:
+    * (a, b, support) — surviving edges with their within-truss support,
+    * exact BIGINTs. */
+  def kTruss(edges: DataFrame, k: Long = 3, rounds: Int = 3): DataFrame = {
+    require(k >= 2 && rounds >= 1, s"k must be >= 2 and rounds positive: k=$k rounds=$rounds")
+    def support(und: DataFrame): DataFrame = {
+      val wedges = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+      val tri = wedges.as("w")
+        .join(und.as("z"), col("w.a") === col("z.a") && col("w.c") === col("z.b"))
+        .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
+      tri.select(col("a"), col("b"))
+        .union(tri.select(col("b"), col("c")))
+        .union(tri.select(col("a"), col("c")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var und = edges.filter(col("source") =!= col("target"))
+      .select(least(col("source"), col("target")).as("a"),
+        greatest(col("source"), col("target")).as("b"))
+      .distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      und = und.join(support(und), Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    und.join(support(und), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Local clustering coefficient per node over the undirected simple graph:
     * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close v's neighborhood is
     * to a clique (engine extension for KG quality monitoring: hub entities

@@ -318,6 +318,33 @@ object Dedup {
       .select(col("id"))
   }
 
+  /** Quality-aware representative selection: like keep-one, but per
+    * near-duplicate cluster keep the row with the HIGHEST `score` (ties by
+    * smallest id) instead of the smallest id — the curation-grade variant
+    * (keep the longest/cleanest copy of a page, not an arbitrary one).
+    *
+    * `score` must be an exact integer expression (e.g. a token count) so the
+    * (score DESC, id ASC) argmax is bit-identical cross-engine. The argmax is
+    * a row_number window per cluster label; Spark's WindowGroupLimit pushes
+    * rank<=1 into the window operator, so each partition keeps ONE row per
+    * cluster before any sort materializes — the same 100 TB shape as
+    * [[graft.ops.DocKg.topRelations]]. Never-paired rows survive untouched
+    * (left join, null cluster). Output: one `id` column of survivors. */
+  def keepBest(df: DataFrame, id: Column, score: Column, verifiedPairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val labels = clusters(verifiedPairs.select(col("a_id"), col("b_id")), maxIter)
+    val scored = df.select(id.as("id"), score.cast("long").as("score"))
+      .join(labels, Seq("id"), "left")
+    val unpaired = scored.filter(col("cluster").isNull).select(col("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("id").asc)
+    val best = scored.filter(col("cluster").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("id"))
+    unpaired.union(best)
+  }
+
   /** SimHash over token multiset: bit j of the signature is the sign of the
     * sum over tokens of (2*bit_j(md5(token)) - 1). `bits` <= 128 (md5 width:
     * 32 hex nibbles x 4 bits; bit j = bit (j/32) of nibble (j%32), so j < 32

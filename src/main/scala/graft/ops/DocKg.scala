@@ -320,6 +320,10 @@ object DocKg {
   def clusteringCoeff(spark: SparkSession, dir: String): DataFrame =
     GraphOps.clusteringCoeff(edges(spark, dir))
 
+  /** 3-truss of the KG by fixed-round edge peeling (GraphOps.kTruss). */
+  def kTruss(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.kTruss(edges(spark, dir), k = 3, rounds = 3)
+
   /** Two sub-corpora for the graph algebra: english docs vs the rest.
     * Aggregated ONCE with the lang flag as an extra grouping key, then split —
     * the two join sides share an identical aggregate subtree, so Spark's

@@ -102,4 +102,53 @@ object Sketches {
     cand.join(broadcast(sketch), Seq("r", "cell"))
       .groupBy(col("k")).agg(min(col("cnt")).as("est"))
   }
+
+  // ---------------------------------------------------------- register store
+
+  /** Persistent HLL register state for continuous ingest — the sketch sibling
+    * of [[SigStore]]/[[EdgeStore]], radically simpler because register-max
+    * merge is IDEMPOTENT and commutative: replaying a micro-batch (or merging
+    * shards in any order) cannot change the result, so at-least-once delivery
+    * IS exactly-once here and no batch ledger is needed. State is ≤2^p rows
+    * regardless of corpus size.
+    *
+    * Crash safety: write-then-rename swap with a `.bak` hop (the
+    * [[SigStore.compact]] recovery pattern) — a crash at any point leaves
+    * either the old or the new state recoverable, never a half-written dir.
+    * Single-writer, like the other stores. */
+  def readRegisterStore(spark: org.apache.spark.sql.SparkSession, store: String): DataFrame = {
+    recoverStore(spark, store)
+    val cur = new org.apache.hadoop.fs.Path(s"$store/registers")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(cur)) spark.read.parquet(cur.toString)
+    else spark.range(0).select(col("id").as("register"), col("id").as("max_rho"))
+  }
+
+  private def recoverStore(spark: org.apache.spark.sql.SparkSession, store: String): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(s"$store/registers")
+    val bak = new org.apache.hadoop.fs.Path(s"$store/registers.bak")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(bak)) {
+      if (!fs.exists(cur)) { fs.rename(bak, cur); () } // crash mid-swap: restore
+      else { fs.delete(bak, true); () }                // stale hop: drop
+    }
+  }
+
+  /** Fold a batch's [[hllRegisters]] relation into the store by register max. */
+  def mergeRegistersIntoStore(registers: DataFrame, store: String): Unit = {
+    val spark = registers.sparkSession
+    val merged = readRegisterStore(spark, store).union(registers)
+      .groupBy(col("register")).agg(max(col("max_rho")).as("max_rho"))
+      .coalesce(1).persist() // force the read BEFORE the swap touches the dir
+    merged.count()
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    try {
+      merged.write.mode("overwrite").parquet(s"$store/registers.next")
+      if (fs.exists(p(s"$store/registers"))) fs.rename(p(s"$store/registers"), p(s"$store/registers.bak"))
+      fs.rename(p(s"$store/registers.next"), p(s"$store/registers"))
+      fs.delete(p(s"$store/registers.bak"), true)
+    } finally { merged.unpersist(); () }
+  }
 }

@@ -50,4 +50,11 @@ object UrlOps {
       when(params === "", lit("")).otherwise(concat(lit("?"), params)))
     when(prefixRaw === "", lower(u)).otherwise(canon)
   }
+
+  /** Host (registrable authority minus port) of a URL — the grouping key for
+    * per-domain corpus rollups. Empty string when no scheme://host prefix
+    * exists (total, like [[canonicalizeUrl]]). Case-insensitive: the host is
+    * lowercased even when the input URL is not canonical yet. */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
 }

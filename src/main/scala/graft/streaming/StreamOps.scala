@@ -192,6 +192,25 @@ object StreamOps {
       }
       .start()
 
+  /** Continuous distinct-count monitoring: each micro-batch's HLL registers
+    * ([[graft.ops.Sketches.hllRegisters]]) fold into the persistent register
+    * store by register max. Because max-merge is idempotent AND commutative,
+    * epoch retries and out-of-order folds are harmless — this is the one
+    * ingest stream where at-least-once delivery IS exactly-once with no
+    * batch ledger at all (contrast [[edgeIngestStream]], whose counts need
+    * EdgeStore's ledger). State is ≤2^p rows for the whole corpus history:
+    * the live "how many distinct pages have we ever ingested" gauge. */
+  def hllIngestStream(docs: DataFrame, textCol: String, store: String,
+      checkpoint: String, p: Int = 8)(
+      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Sketches.mergeRegistersIntoStore(
+          graft.ops.Sketches.hllRegisters(batch, col(textCol), p), store)
+      }
+      .start()
+
   /** 30-minute-gap sessions per user via the native session_window operator
     * (the streaming counterpart of Relational.eventsSessions). */
   def eventsSessions(events: DataFrame): DataFrame =

@@ -67,4 +67,34 @@ class BfsClusteringSpec extends AnyFunSuite with SparkTestSession {
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(got == Map("H" -> ((3L, 0L, 0.0))))
   }
+
+  private def truss(e: org.apache.spark.sql.DataFrame, k: Long, rounds: Int = 3) =
+    GraphOps.kTruss(e, k, rounds).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+
+  test("kTruss: 3-truss keeps triangles, prunes the bridge between them") {
+    val e = edges(("A", "B"), ("B", "C"), ("C", "A"), // triangle 1
+      ("X", "Y"), ("Y", "Z"), ("Z", "X"),             // triangle 2
+      ("C", "X"))                                     // bridge: in no triangle
+    val got = truss(e, k = 3)
+    assert(got.keySet == Set(("A", "B"), ("B", "C"), ("A", "C"),
+      ("X", "Y"), ("Y", "Z"), ("X", "Z")))
+    assert(got.values.forall(_ == 1L), s"each truss edge in exactly 1 triangle: $got")
+  }
+
+  test("kTruss: 4-truss keeps K4 (support 2 everywhere), kills the diamond by cascade") {
+    val k4 = edges(("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D"), ("C", "D"))
+    val gotK4 = truss(k4, k = 4)
+    assert(gotK4.size == 6 && gotK4.values.forall(_ == 2L), s"$gotK4")
+    // diamond = K4 minus {A,D}: only (B,C) sits in 2 triangles, but dropping
+    // the support-1 edges destroys those triangles -> everything peels away
+    val diamond = edges(("A", "B"), ("A", "C"), ("B", "C"), ("B", "D"), ("C", "D"))
+    assert(truss(diamond, k = 4).isEmpty)
+  }
+
+  test("kTruss: k=2 keeps every simple edge (threshold 0), support reported") {
+    val e = edges(("A", "B"), ("B", "C"), ("C", "A"), ("C", "D"))
+    val got = truss(e, k = 2, rounds = 1)
+    assert(got(("C", "D")) == 0L && got(("A", "B")) == 1L && got.size == 4)
+  }
 }

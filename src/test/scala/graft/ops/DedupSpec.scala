@@ -251,4 +251,16 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     val far = sh(3L).zip(sh(20L)).count { case (a, b) => a != b }
     assert(far >= hamming)
   }
+
+  test("keepBest: highest score survives per cluster, ties by min id, unpaired untouched") {
+    import spark.implicits._
+    // cluster {1,2,3} with scores 5,9,9 -> 2 (score 9, min id among ties);
+    // cluster {10,11} with equal scores -> 10; loner 99 survives
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L), (99L, 1L))
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val kept = Dedup.keepBest(docs, col("id"), col("score"), pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 10L, 99L), s"kept=$kept")
+  }
 }

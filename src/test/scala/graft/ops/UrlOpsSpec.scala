@@ -49,4 +49,11 @@ class UrlOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(canon("https://a.com?b=2&a=1", "https://a.com/p?") ==
       Seq("https://a.com/?a=1&b=2", "https://a.com/p"))
   }
+
+  test("hostOf: lowercased authority minus port; empty on junk") {
+    val got = Seq("HTTPS://WWW.Example.COM:8443/p?q=1", "http://a.b.c/x",
+      "no scheme here").toDF("url")
+      .select(UrlOps.hostOf(col("url")).as("h")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("www.example.com", "a.b.c", ""))
+  }
 }

@@ -192,6 +192,52 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(ids == Seq(1L, 2L, 6L), s"got $ids")
   }
 
+  test("streaming HLL ingest: store registers == batch sketch of the full history") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-ingest").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.hllIngestStream(
+      mem.toDF().toDF("doc_id", "text"), "text", s"$dir/store", s"$dir/ckpt")
+    val batch1 = (0 until 400).map(i => (i.toLong, s"page number ${i % 300}"))
+    val batch2 = (400 until 700).map(i => (i.toLong, s"page number ${i % 500}"))
+    mem.addData(batch1); q.processAllAvailable()
+    mem.addData(batch2); q.processAllAvailable(); q.stop()
+    val stored = graft.ops.Sketches.readRegisterStore(spark, s"$dir/store")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = graft.ops.Sketches.hllRegisters(
+      (batch1 ++ batch2).toDF("doc_id", "text"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stored == full, "idempotent max-merge must equal the one-shot batch sketch")
+    // and the estimate off the STORE tracks the true distinct count:
+    // batch1 texts are {0..299}, batch2 texts are {400..499} ∪ {0..199} -> 400
+    val est = graft.ops.Sketches.hllEstimate(
+      graft.ops.Sketches.readRegisterStore(spark, s"$dir/store"))
+    assert(math.abs(est - 400.0) / 400.0 < 0.20, s"estimate $est vs exact 400")
+  }
+
+  test("HLL register store: crash mid-swap recovers; replay is a no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-store").toString
+    val docs = (0 until 200).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    val regs = graft.ops.Sketches.hllRegisters(docs, col("text"))
+    graft.ops.Sketches.mergeRegistersIntoStore(regs, s"$dir/store")
+    val before = graft.ops.Sketches.readRegisterStore(spark, s"$dir/store")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // simulate a crash between the two swap renames: current gone, bak present
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/store/registers"),
+      new org.apache.hadoop.fs.Path(s"$dir/store/registers.bak"))
+    val recovered = graft.ops.Sketches.readRegisterStore(spark, s"$dir/store")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(recovered == before, "read after crash must restore from .bak")
+    // replaying the SAME batch leaves the store unchanged (max-merge idempotence)
+    graft.ops.Sketches.mergeRegistersIntoStore(regs, s"$dir/store")
+    val after = graft.ops.Sketches.readRegisterStore(spark, s"$dir/store")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after == before)
+  }
+
   test("session_window sessionizes with 30-minute gaps") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
