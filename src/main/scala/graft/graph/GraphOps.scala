@@ -614,20 +614,13 @@ object GraphOps {
   def kTruss(edges: DataFrame, k: Long = 3, rounds: Int = 3): DataFrame = {
     require(k >= 2 && rounds >= 1, s"k must be >= 2 and rounds positive: k=$k rounds=$rounds")
     def support(und: DataFrame): DataFrame = {
-      val wedges = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
-        .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
-      val tri = wedges.as("w")
-        .join(und.as("z"), col("w.a") === col("z.a") && col("w.c") === col("z.b"))
-        .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
+      val tri = trianglesOfSimple(und)
       tri.select(col("a"), col("b"))
         .union(tri.select(col("b"), col("c")))
         .union(tri.select(col("a"), col("c")))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
     }
-    var und = edges.filter(col("source") =!= col("target"))
-      .select(least(col("source"), col("target")).as("a"),
-        greatest(col("source"), col("target")).as("b"))
-      .distinct().localCheckpoint(true)
+    var und = undirectedSimple(edges).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       und = und.join(support(und), Seq("a", "b"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= k - 2)
@@ -652,18 +645,33 @@ object GraphOps {
     * kg_node_jaccard recipe). Nodes with deg < 2 have no defined coefficient
     * and are filtered BEFORE the division — total, not plan-order dependent
     * (the Adamic-Adar ANSI lesson). Output: (id, deg, tri, coeff). */
-  def clusteringCoeff(edges: DataFrame): DataFrame = {
-    val und = edges.filter(col("source") =!= col("target"))
+  /** Collapse to the undirected simple graph: distinct node-ordered pairs
+    * a < b, self-loops dropped — the shared prep of every undirected
+    * analytic (kCore, kTruss, clusteringCoeff, components, the wedge ops). */
+  private[graft] def undirectedSimple(edges: DataFrame): DataFrame =
+    edges.filter(col("source") =!= col("target"))
       .select(least(col("source"), col("target")).as("a"),
         greatest(col("source"), col("target")).as("b"))
-      .distinct().localCheckpoint(true)
-    val deg = und.select(col("a").as("id")).union(und.select(col("b")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .distinct()
+
+  /** Node-ordered triangle enumeration over an [[undirectedSimple]] relation:
+    * wedge join (a,b)⨝(b,c) closed by (a,c) — each triangle exactly once as
+    * a < b < c, two key joins. The ONE copy of the algorithm
+    * ([[clusteringCoeff]], [[kTruss]], and [[graft.ops.DocKg.trianglesFromEdges]]
+    * all call it). */
+  private[graft] def trianglesOfSimple(und: DataFrame): DataFrame = {
     val wedges = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
       .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
-    val triangles = wedges.as("w")
+    wedges.as("w")
       .join(und.as("z"), col("w.a") === col("z.a") && col("w.c") === col("z.b"))
       .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
+  }
+
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val und = undirectedSimple(edges).localCheckpoint(true)
+    val deg = und.select(col("a").as("id")).union(und.select(col("b")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val triangles = trianglesOfSimple(und)
     val triPerNode = triangles.select(col("a").as("id"))
       .union(triangles.select(col("b")))
       .union(triangles.select(col("c")))

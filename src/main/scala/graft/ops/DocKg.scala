@@ -197,17 +197,8 @@ object DocKg {
     * ids; the collapsed pair relation is localCheckpointed (three consumers).
     * At scale this is the standard distributed triangle algorithm (node-order
     * directing bounds wedge fan-out by out-degree). */
-  def trianglesFromEdges(e: DataFrame): DataFrame = {
-    val und = e.filter(col("source") =!= col("target"))
-      .select(least(col("source"), col("target")).as("a"),
-        greatest(col("source"), col("target")).as("b"))
-      .distinct().localCheckpoint()
-    val wedges = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
-      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
-    wedges.as("w")
-      .join(und.as("z"), col("w.a") === col("z.a") && col("w.c") === col("z.b"))
-      .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
-  }
+  def trianglesFromEdges(e: DataFrame): DataFrame =
+    GraphOps.trianglesOfSimple(GraphOps.undirectedSimple(e).localCheckpoint())
 
   /** Triangles of the document KG ([[edges]] relation). */
   def triangles(spark: SparkSession, dir: String): DataFrame =

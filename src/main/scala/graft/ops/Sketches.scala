@@ -76,31 +76,46 @@ object Sketches {
     * exact counts per (r, cell). Output: (r, cell, cnt) — at most
     * depth×width rows. Point estimates from [[cmsEstimate]] upper-bound the
     * true frequency (never under-count). */
-  def cmsSketch(df: DataFrame, key: Column, depth: Int = 4, width: Int = 64): DataFrame = {
+  /** The one (r, cell) hash both [[cmsSketch]] and [[cmsEstimate]] use —
+    * shared so the two sides cannot drift apart. */
+  private def cmsCells(keyed: DataFrame, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16]: $depth")
     require(width >= 2, s"width must be >= 2: $width")
-    df.select(key.cast("string").as("k"))
-      .select(col("k"), explode(array((0 until depth).map(i => lit(i.toLong)): _*)).as("r"))
-      .select(col("r"),
-        (conv(substring(md5(concat(col("r").cast("string"), col("k"))), 1, 15), 16, 10)
-          .cast("long") % width).as("cell"))
-      .groupBy(col("r"), col("cell")).agg(count(lit(1)).as("cnt"))
-  }
-
-  /** Point-query the sketch for each distinct key in `keys`: estimate =
-    * min over the depth rows of that key's cell count. A broadcast join of
-    * the constant-size sketch against the (small) candidate key relation —
-    * at scale the candidates come from a cheap pre-filter, never from
-    * re-enumerating the corpus. Output: (k, est). */
-  def cmsEstimate(sketch: DataFrame, keys: DataFrame, key: Column,
-      depth: Int = 4, width: Int = 64): DataFrame = {
-    val cand = keys.select(key.cast("string").as("k")).distinct()
+    keyed
       .select(col("k"), explode(array((0 until depth).map(i => lit(i.toLong)): _*)).as("r"))
       .select(col("k"), col("r"),
         (conv(substring(md5(concat(col("r").cast("string"), col("k"))), 1, 15), 16, 10)
           .cast("long") % width).as("cell"))
-    cand.join(broadcast(sketch), Seq("r", "cell"))
-      .groupBy(col("k")).agg(min(col("cnt")).as("est"))
+  }
+
+  def cmsSketch(df: DataFrame, key: Column, depth: Int = 4, width: Int = 64): DataFrame =
+    cmsCells(df.select(key.cast("string").as("k")), depth, width)
+      .groupBy(col("r"), col("cell")).agg(count(lit(1)).as("cnt"))
+
+  /** Point-query the sketch for each distinct key in `keys`: estimate =
+    * min over the depth rows of that key's cell count (0 for a key hashing
+    * into an empty cell — never-inserted keys stay in the output with est 0,
+    * the CMS contract). A broadcast left join of the constant-size sketch
+    * against the (small) candidate key relation — at scale the candidates
+    * come from a cheap pre-filter, never from re-enumerating the corpus.
+    *
+    * `depth`/`width` MUST be the values the sketch was built with — the
+    * sketch relation carries no metadata, so only the bounds are checkable:
+    * a sketch whose rows or cells exceed the passed parameters fails fast
+    * (the driver-side check reads the ≤depth×width-row sketch once). A
+    * LARGER width than the sketch's is NOT detectable here — keep the
+    * parameters with the sketch. Output: (k, est). */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, key: Column,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    val bounds = sketch.agg(max(col("r")), max(col("cell"))).collect()(0)
+    if (!bounds.isNullAt(0))
+      require(bounds.getLong(0) < depth && bounds.getLong(1) < width,
+        s"sketch exceeds the passed parameters (max r=${bounds.getLong(0)}, " +
+          s"max cell=${bounds.getLong(1)} vs depth=$depth width=$width) — " +
+          "cmsEstimate must use the sketch's own depth/width")
+    val cand = cmsCells(keys.select(key.cast("string").as("k")).distinct(), depth, width)
+    cand.join(broadcast(sketch), Seq("r", "cell"), "left")
+      .groupBy(col("k")).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
   // ---------------------------------------------------------- register store
@@ -129,12 +144,17 @@ object Sketches {
     val bak = new org.apache.hadoop.fs.Path(s"$store/registers.bak")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(bak)) {
-      if (!fs.exists(cur)) { fs.rename(bak, cur); () } // crash mid-swap: restore
-      else { fs.delete(bak, true); () }                // stale hop: drop
+      if (!fs.exists(cur)) {                           // crash mid-swap: restore
+        if (!fs.rename(bak, cur)) sys.error(s"register store recovery failed: $bak -> $cur")
+      } else { fs.delete(bak, true); () }              // stale hop: drop
     }
   }
 
-  /** Fold a batch's [[hllRegisters]] relation into the store by register max. */
+  /** Fold a batch's [[hllRegisters]] relation into the store by register max.
+    * Every rename is CHECKED (Hadoop reports failure as boolean false, not an
+    * exception) and the `.bak` hop is deleted only after the new state is in
+    * place — a failed swap fails fast with both copies still on disk, the
+    * SigStore.compact/EdgeStore discipline. */
   def mergeRegistersIntoStore(registers: DataFrame, store: String): Unit = {
     val spark = registers.sparkSession
     val merged = readRegisterStore(spark, store).union(registers)
@@ -144,10 +164,14 @@ object Sketches {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def mv(from: String, to: String): Unit =
+      if (!fs.rename(p(from), p(to)))
+        sys.error(s"register store swap failed: $from -> $to (both copies retained)")
     try {
       merged.write.mode("overwrite").parquet(s"$store/registers.next")
-      if (fs.exists(p(s"$store/registers"))) fs.rename(p(s"$store/registers"), p(s"$store/registers.bak"))
-      fs.rename(p(s"$store/registers.next"), p(s"$store/registers"))
+      if (fs.exists(p(s"$store/registers")))
+        mv(s"$store/registers", s"$store/registers.bak")
+      mv(s"$store/registers.next", s"$store/registers")
       fs.delete(p(s"$store/registers.bak"), true)
     } finally { merged.unpersist(); () }
   }

@@ -37,7 +37,7 @@ object UrlOps {
       .when(lowPrefix.startsWith("https://") && lowPrefix.endsWith(":443"),
         lowPrefix.substr(lit(1), length(lowPrefix) - 4))
       .otherwise(lowPrefix)
-    val rest = u.substr(length(prefixRaw) + 1, lit(1 << 20))
+    val rest = u.substr(length(prefixRaw) + 1, length(u))
     val noFrag = regexp_replace(rest, "#.*", "")
     val path = regexp_extract(noFrag, "^[^?]*", 0)
     val query = regexp_replace(noFrag, "^[^?]*\\??", "")
