@@ -17,6 +17,7 @@ import graft.ops.{Dedup, TextStats}
   *     [--max-bucket 10000]
   *     [--probes eval.parquet --ngram 5 --min-shared 3]
   *     [--store /path/to/sigstore [--store-min-bands 1] [--compact-store y]]
+  *     [--hll-store /path/to/hllstore]   (lifetime distinct-content gauge)
   *
   * `--store` turns a one-shot curation run into CONTINUOUS ingest: the batch
   * is additionally deduplicated against the persistent signature store
@@ -141,8 +142,21 @@ object Curate {
     if (opts.get("--compact-store").exists(_ == "y"))
       store.foreach(sp => graft.ops.SigStore.compact(spark, sp))
 
+    // --hll-store: fold this batch's HLL registers into the persistent
+    // register store and report the lifetime distinct-content estimate —
+    // the "how many unique pages has this pipeline ever seen" gauge, in
+    // <=256 rows of state. Max-merge is idempotent: re-running a batch
+    // cannot inflate the estimate.
+    val hllField = opts.get("--hll-store").map { hs =>
+      graft.ops.Sketches.mergeRegistersIntoStore(
+        graft.ops.Sketches.hllRegisters(docs, col(textCol)), hs)
+      val est = graft.ops.Sketches.hllEstimate(
+        graft.ops.Sketches.readRegisterStore(spark, hs))
+      s""""distinct_seen_est":${math.round(est)},"""
+    }.getOrElse("")
+
     val storeField = store.map(_ => s""""after_store":$nStore,""").getOrElse("")
-    println(s"""{"input":$nInput,"after_quality":$nQuality,$storeField""" +
+    println(s"""{"input":$nInput,"after_quality":$nQuality,$storeField$hllField""" +
       s""""after_exact_dedup":$nExact,"after_near_dedup":$nNear,"kept":$nKept,"out":"$out"}""")
     spark.stop()
   }
