@@ -99,6 +99,12 @@ object SparkEntry {
     "kg_clustering_coeff" -> ((s, d) => DocKg.clusteringCoeff(s, d)),
     // 3-truss: edge-level peeling by triangle support, fixed rounds unrolled
     "kg_ktruss" -> ((s, d) => DocKg.kTruss(s, d)),
+    // degree distribution: the hub diagnostic read before choosing salts/caps
+    "kg_degree_hist" -> ((s, d) => DocKg.degreeHist(s, d)),
+    // degree assortativity: exact sufficient statistics, one double division
+    "kg_assortativity" -> ((s, d) => DocKg.assortativity(s, d)),
+    // deterministic DeepWalk corpus: hash-decided walks, rng-free, unrolled
+    "kg_walks" -> ((s, d) => DocKg.walks(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
     "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
@@ -855,6 +861,48 @@ object SparkEntry {
          |      GROUP BY a, b)
          |SELECT u.a, u.b, coalesce(s.sup, 0)::BIGINT AS support
          |FROM u3 u LEFT JOIN sf s ON u.a = s.a AND u.b = s.b""".stripMargin,
+    "kg_walks" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |adj AS (SELECT DISTINCT source AS src, target AS dst FROM edges WHERE source <> target),
+         |adjd AS MATERIALIZED (SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+         |      count(*) OVER (PARTITION BY src) AS deg FROM adj),
+         |w0 AS MATERIALIZED (SELECT id AS start, id AS node FROM
+         |      (SELECT DISTINCT src AS id FROM adj UNION SELECT DISTINCT dst FROM adj)),
+         |${(1 to 4).map(i =>
+              s"""w$i AS MATERIALIZED (SELECT w.start, a.dst AS node FROM w${i - 1} w
+                 |      JOIN adjd a ON w.node = a.src
+                 |      AND a.rnk = ('0x' || substr(md5(w.node || '|$i|w'), 1, 15))::BIGINT % a.deg)""".stripMargin)
+            .mkString(",\n")}
+         |${(0 to 4).map(i =>
+              s"SELECT start, CAST($i AS BIGINT) AS step, node FROM w$i")
+            .mkString("\nUNION ALL ")}""".stripMargin,
+    "kg_degree_hist" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |und AS (SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+         |      FROM edges WHERE source <> target),
+         |deg AS (SELECT id, count(*)::BIGINT AS deg FROM
+         |      (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id)
+         |SELECT deg, count(*)::BIGINT AS n_nodes FROM deg GROUP BY deg""".stripMargin,
+    "kg_assortativity" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |und AS MATERIALIZED (SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+         |      FROM edges WHERE source <> target),
+         |deg AS MATERIALIZED (SELECT id, count(*)::BIGINT AS deg FROM
+         |      (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+         |ends AS (SELECT da.deg AS x, db.deg AS y
+         |      FROM und u JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id),
+         |sym AS (SELECT x, y FROM ends UNION ALL SELECT y, x FROM ends),
+         |st AS (SELECT count(*)::BIGINT AS m, CAST(sum(x) AS BIGINT) AS sx,
+         |              CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sx2
+         |       FROM sym)
+         |SELECT m AS m_directed, sx AS sum_x, sxy AS sum_xy, sx2 AS sum_x2,
+         |       CASE WHEN (m * sx2 - sx * sx) = 0 THEN 'NaN'::DOUBLE
+         |            ELSE (m * sxy - sx * sx)::DOUBLE / (m * sx2 - sx * sx)::DOUBLE END AS r
+         |FROM st""".stripMargin,
     "kg_hits" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

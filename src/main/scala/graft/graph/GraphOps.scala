@@ -631,6 +631,103 @@ object GraphOps {
       .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** Degree distribution of the undirected simple graph: (deg, n_nodes) —
+    * the hub/power-law diagnostic a web-scale KG job reads BEFORE choosing
+    * salt factors and wedge caps. Output is at most max-degree rows (the
+    * bounded-cardinality exact-histogram pattern of text_len_quantiles):
+    * two partial-agg shuffles on small key spaces, nothing node-sized leaves
+    * the executors. */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val und = undirectedSimple(edges)
+    und.select(col("a").as("id")).union(und.select(col("b")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Degree assortativity of the undirected simple graph — do hubs link to
+    * hubs (r > 0) or to leaves (r < 0, the typical web/KG shape)? Pearson
+    * correlation of endpoint degrees over the edge list, both directions
+    * counted (the standard symmetrized form). Under symmetrization x and y
+    * have identical marginals, so the usual sqrt(Var x)·sqrt(Var y)
+    * denominator collapses to the exact integer M·Σx²−(Σx)² and
+    *
+    *   r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)
+    *
+    * is ONE double division of two exact BIGINTs — bit-identical
+    * cross-engine (the kg_node_jaccard recipe), no sqrt at all. A guard
+    * raises if any product leaves the 2^53 exact-double range instead of
+    * silently rounding. Output: one row (m_directed, sum_x, sum_xy, sum_x2, r). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = undirectedSimple(edges).localCheckpoint(true)
+    val deg = und.select(col("a").as("id")).union(und.select(col("b")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // symmetrize: each undirected edge contributes (da,db) and (db,da)
+    val ends = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("da").as("x"), col("db").as("y"))
+    val sym = ends.union(ends.select(col("y"), col("x")))
+    val stats = sym.agg(
+      count(lit(1)).as("m"),
+      sum(col("x")).cast("long").as("sx"),
+      sum(col("x") * col("y")).cast("long").as("sxy"),
+      sum(col("x") * col("x")).cast("long").as("sx2"))
+    val lim = 1L << 53
+    val guard = when(
+      abs(col("m") * col("sx2")) >= lim || abs(col("sx") * col("sx")) >= lim ||
+        abs(col("m") * col("sxy")) >= lim,
+      raise_error(lit("assortativity statistics exceed exact-double range"))
+        .cast("long")).otherwise(col("m"))
+    // a regular graph has zero degree variance: r is undefined -> NaN
+    // explicitly (Spark ANSI raises on 0.0/0.0, so the branch must not
+    // evaluate the division — the Adamic-Adar totality lesson)
+    val den = (col("m") * col("sx2") - col("sx") * col("sx")).cast("double")
+    stats.select(
+      guard.as("m_directed"), col("sx").as("sum_x"),
+      col("sxy").as("sum_xy"), col("sx2").as("sum_x2"),
+      when(den === 0.0, lit(Double.NaN)).otherwise(
+        (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") / den).as("r"))
+  }
+
+  /** Deterministic "random" walks from every node — the DeepWalk/node2vec
+    * corpus generator (walk windows feed skip-gram embedding training), made
+    * reproducible and oracle-able by replacing the RNG with a hash decision:
+    * at step t the walk at node v moves to the neighbor with rank
+    * md5(v|t|seed) mod deg(v), neighbors ranked by their key (a deterministic
+    * total order — the [[graft.ops.Sampling]] rng-free discipline applied to
+    * graph traversal). Same walks on any partitioning, any engine.
+    *
+    * Per step ONE co-partitioned join of the walk frontier against the
+    * ranked adjacency (equi on the node key; the rank pick rides as a join
+    * residual), lineage truncated per step; walks leaving a sink node simply
+    * end (their rows stop being emitted). Output: (start, step, node) for
+    * steps 0..walkLen — at most |V|·(walkLen+1) rows. */
+  def randomWalks(edges: DataFrame, walkLen: Int = 4, seed: String = "w"): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 64, s"walkLen must be in [1,64]: $walkLen")
+    val adj = edges.filter(col("source") =!= col("target"))
+      .select(col("source").as("src"), col("target").as("dst")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val adjd = adj
+      .withColumn("rnk", row_number().over(w.orderBy(col("dst"))) - 1)
+      .withColumn("deg", count(lit(1)).over(w))
+      .localCheckpoint(true)
+    val nodes = adj.select(col("src").as("id"))
+      .union(adj.select(col("dst"))).distinct()
+    var cur = nodes.select(col("id").as("start"), col("id").as("node"))
+      .localCheckpoint(true)
+    var out = cur.select(col("start"), lit(0L).as("step"), col("node"))
+    for (t <- 1 to walkLen) {
+      val pick = conv(substring(md5(
+          concat(col("node"), lit(s"|$t|$seed"))), 1, 15), 16, 10)
+        .cast("long") % col("deg")
+      cur = cur.join(adjd, cur("node") === adjd("src") && col("rnk") === pick)
+        .select(col("start"), col("dst").as("node"))
+        .localCheckpoint(true)
+      out = out.union(cur.select(col("start"), lit(t.toLong).as("step"), col("node")))
+    }
+    out
+  }
+
   /** Local clustering coefficient per node over the undirected simple graph:
     * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close v's neighborhood is
     * to a clique (engine extension for KG quality monitoring: hub entities

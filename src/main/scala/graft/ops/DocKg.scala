@@ -315,6 +315,19 @@ object DocKg {
   def kTruss(spark: SparkSession, dir: String): DataFrame =
     GraphOps.kTruss(edges(spark, dir), k = 3, rounds = 3)
 
+  /** Degree distribution of the KG (GraphOps.degreeHistogram). */
+  def degreeHist(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.degreeHistogram(edges(spark, dir))
+
+  /** Degree assortativity of the KG (GraphOps.assortativity). */
+  def assortativity(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.assortativity(edges(spark, dir))
+
+  /** Deterministic embedding-training walks over the KG
+    * (GraphOps.randomWalks). */
+  def walks(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.randomWalks(edges(spark, dir), walkLen = 4, seed = "w")
+
   /** Two sub-corpora for the graph algebra: english docs vs the rest.
     * Aggregated ONCE with the lang flag as an extra grouping key, then split —
     * the two join sides share an identical aggregate subtree, so Spark's

@@ -97,4 +97,47 @@ class BfsClusteringSpec extends AnyFunSuite with SparkTestSession {
     val got = truss(e, k = 2, rounds = 1)
     assert(got(("C", "D")) == 0L && got(("A", "B")) == 1L && got.size == 4)
   }
+
+  test("degreeHistogram: star collapses to two buckets; duplicates/self-loops ignored") {
+    val e = edges(("H", "A"), ("A", "H"), ("H", "B"), ("H", "C"), ("H", "H"))
+    val got = GraphOps.degreeHistogram(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(3L -> 1L, 1L -> 3L))
+  }
+
+  test("assortativity: star is perfectly disassortative (r = -1)") {
+    val e = edges(("H", "A"), ("H", "B"), ("H", "C"))
+    val row = GraphOps.assortativity(e).collect()(0)
+    assert(row.getLong(0) == 6L && row.getLong(1) == 12L &&
+      row.getLong(2) == 18L && row.getLong(3) == 30L)
+    assert(row.getDouble(4) == -1.0)
+  }
+
+  test("assortativity: regular graph (K4) has undefined r -> NaN, no ANSI error") {
+    val k4 = edges(("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D"), ("C", "D"))
+    val r = GraphOps.assortativity(k4).collect()(0).getDouble(4)
+    assert(r.isNaN)
+  }
+
+  test("randomWalks: every hop is a real edge, sinks end walks, walks are deterministic") {
+    val e = edges(("A", "B"), ("B", "A"), ("B", "C"), ("D", "A"))
+    val adj = Set(("A", "B"), ("B", "A"), ("B", "C"), ("D", "A"))
+    val rows = GraphOps.randomWalks(e, walkLen = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // step 0 is every node
+    assert(rows.filter(_._2 == 0L).map(_._3).toSet == Set("A", "B", "C", "D"))
+    // consecutive steps of one walk follow real directed edges
+    val byWalk = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq)
+    byWalk.foreach { case (start, path) =>
+      path.sliding(2).foreach { case Seq(u, v) =>
+        assert(adj.contains((u, v)), s"walk from $start took non-edge $u->$v")
+      case _ => () }
+    }
+    // C is a sink: its walk is just the start row
+    assert(byWalk("C") == Seq("C"))
+    // determinism + partition invariance
+    val again = GraphOps.randomWalks(e.repartition(7), walkLen = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(again == rows.sorted.toSeq)
+  }
 }
