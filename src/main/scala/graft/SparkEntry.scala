@@ -105,6 +105,8 @@ object SparkEntry {
     "kg_assortativity" -> ((s, d) => DocKg.assortativity(s, d)),
     // deterministic DeepWalk corpus: hash-decided walks, rng-free, unrolled
     "kg_walks" -> ((s, d) => DocKg.walks(s, d)),
+    // skip-gram (center, context) pair counts within a 2-step walk window
+    "kg_walk_pairs" -> ((s, d) => DocKg.walkPairs(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
     "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
@@ -878,6 +880,27 @@ object SparkEntry {
          |${(0 to 4).map(i =>
               s"SELECT start, CAST($i AS BIGINT) AS step, node FROM w$i")
             .mkString("\nUNION ALL ")}""".stripMargin,
+    "kg_walk_pairs" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |adj AS (SELECT DISTINCT source AS src, target AS dst FROM edges WHERE source <> target),
+         |adjd AS MATERIALIZED (SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+         |      count(*) OVER (PARTITION BY src) AS deg FROM adj),
+         |w0 AS MATERIALIZED (SELECT id AS start, id AS node FROM
+         |      (SELECT DISTINCT src AS id FROM adj UNION SELECT DISTINCT dst FROM adj)),
+         |${(1 to 4).map(i =>
+              s"""w$i AS MATERIALIZED (SELECT w.start, a.dst AS node FROM w${i - 1} w
+                 |      JOIN adjd a ON w.node = a.src
+                 |      AND a.rnk = ('0x' || substr(md5(w.node || '|$i|w'), 1, 15))::BIGINT % a.deg)""".stripMargin)
+            .mkString(",\n")},
+         |wk AS (${(0 to 4).map(i =>
+              s"SELECT start, CAST($i AS BIGINT) AS step, node FROM w$i")
+            .mkString(" UNION ALL ")})
+         |SELECT a.node AS center, b.node AS context, count(*)::BIGINT AS cnt
+         |FROM wk a JOIN wk b ON a.start = b.start
+         |WHERE a.step <> b.step AND abs(a.step - b.step) <= 2
+         |GROUP BY 1, 2""".stripMargin,
     "kg_degree_hist" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

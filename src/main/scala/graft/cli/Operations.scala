@@ -12,15 +12,17 @@ import graft.graph.{D3Json, GraphOps}
   *          --operation UNION|INTERSECTION|DIFFERENCE --out DIR [--name N] [--weights y|n]
   *
   * Analytics (read --a only, write <out>/analytics.csv + summary JSON line):
-  *   --operation PAGERANK|PPR|HITS|COMPONENTS|LPA|KCORE|BFS|CLUSTCOEFF|KTRUSS
-  *   [--iters N] [--source NODE (PPR/BFS)] [--k N (KCORE/KTRUSS)] [--master local[N]]
+  *   --operation PAGERANK|PPR|HITS|COMPONENTS|LPA|KCORE|BFS|CLUSTCOEFF|KTRUSS|WALKS|DEGHIST|ASSORT
+  *   [--iters N] [--source NODE (PPR/BFS)] [--k N (KCORE/KTRUSS)] [--seed S (WALKS)]
+  *   [--master local[N]]
   * Count-weighted graphs expected (Infer's default export): the PageRank
   * family fails fast on fractional weights (GraphOps.pageRank's guard).
   */
 object Operations {
 
   private val Analytics =
-    Set("PAGERANK", "PPR", "HITS", "COMPONENTS", "LPA", "KCORE", "BFS", "CLUSTCOEFF", "KTRUSS")
+    Set("PAGERANK", "PPR", "HITS", "COMPONENTS", "LPA", "KCORE", "BFS", "CLUSTCOEFF",
+      "KTRUSS", "WALKS", "DEGHIST", "ASSORT")
 
   private def runAnalytics(a: Graph, op: String, opts: Map[String, String],
       out: String): Unit = {
@@ -47,6 +49,10 @@ object Operations {
         opts.getOrElse("--source", sys.error("BFS requires --source NODE")), iters)
       case "CLUSTCOEFF" => GraphOps.clusteringCoeff(edges)
       case "KTRUSS"     => GraphOps.kTruss(edges, opts.getOrElse("--k", "3").toLong, iters)
+      case "WALKS"      => GraphOps.randomWalks(edges, iters,
+        opts.getOrElse("--seed", "w"))
+      case "DEGHIST"    => GraphOps.degreeHistogram(edges)
+      case "ASSORT"     => GraphOps.assortativity(edges)
     }
     val cols = result.columns
     val rows = result.orderBy(cols.head, cols.tail: _*).collect() // graph-sized

@@ -728,6 +728,23 @@ object GraphOps {
     out
   }
 
+  /** Skip-gram training pairs from [[randomWalks]] output: co-occurring
+    * (center, context) node pairs within `window` steps of the same walk,
+    * with multiplicities — the exact relation a distributed word2vec-style
+    * embedding trainer consumes. One self-join of the walk relation on the
+    * walk key with a bounded step-distance residual (each walk contributes
+    * ≤ 2·window·len pairs; walks are |V|-bounded rows, so the join is
+    * key-partitioned and output-bounded — no cartesian). Output:
+    * (center, context, cnt). */
+  def walkPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1 && window <= 16, s"window must be in [1,16]: $window")
+    val a = walks.select(col("start").as("w"), col("step").as("i"), col("node").as("center"))
+    val b = walks.select(col("start").as("w"), col("step").as("j"), col("node").as("context"))
+    a.join(b, Seq("w"))
+      .filter(col("i") =!= col("j") && abs(col("i") - col("j")) <= window)
+      .groupBy(col("center"), col("context")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** Local clustering coefficient per node over the undirected simple graph:
     * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close v's neighborhood is
     * to a clique (engine extension for KG quality monitoring: hub entities

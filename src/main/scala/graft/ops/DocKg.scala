@@ -328,6 +328,11 @@ object DocKg {
   def walks(spark: SparkSession, dir: String): DataFrame =
     GraphOps.randomWalks(edges(spark, dir), walkLen = 4, seed = "w")
 
+  /** Skip-gram (center, context) pair counts from the KG walks
+    * (GraphOps.walkPairs). */
+  def walkPairs(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.walkPairs(walks(spark, dir), window = 2)
+
   /** Two sub-corpora for the graph algebra: english docs vs the rest.
     * Aggregated ONCE with the lang flag as an extra grouping key, then split —
     * the two join sides share an identical aggregate subtree, so Spark's

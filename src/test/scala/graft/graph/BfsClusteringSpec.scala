@@ -140,4 +140,18 @@ class BfsClusteringSpec extends AnyFunSuite with SparkTestSession {
       .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
     assert(again == rows.sorted.toSeq)
   }
+
+  test("walkPairs: window-2 skip-gram counts on a hand-built walk relation") {
+    import spark.implicits._
+    // one walk A,B,C,D and one walk X,Y — window 2, both directions
+    val walks = (Seq(("A", 0L, "A"), ("A", 1L, "B"), ("A", 2L, "C"), ("A", 3L, "D")) ++
+      Seq(("X", 0L, "X"), ("X", 1L, "Y"))).toDF("start", "step", "node")
+    val got = GraphOps.walkPairs(walks, window = 2).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val expected = Map(
+      ("A", "B") -> 1L, ("A", "C") -> 1L, ("B", "A") -> 1L, ("B", "C") -> 1L,
+      ("B", "D") -> 1L, ("C", "A") -> 1L, ("C", "B") -> 1L, ("C", "D") -> 1L,
+      ("D", "B") -> 1L, ("D", "C") -> 1L, ("X", "Y") -> 1L, ("Y", "X") -> 1L)
+    assert(got == expected, s"got $got")
+  }
 }
