@@ -107,6 +107,10 @@ object SparkEntry {
     "kg_walks" -> ((s, d) => DocKg.walks(s, d)),
     // skip-gram (center, context) pair counts within a 2-step walk window
     "kg_walk_pairs" -> ((s, d) => DocKg.walkPairs(s, d)),
+    // directed-edge reciprocity: exact counts, one double division
+    "kg_reciprocity" -> ((s, d) => DocKg.reciprocity(s, d)),
+    // component-size histogram: the giant-component health check
+    "kg_component_sizes" -> ((s, d) => DocKg.componentSizes(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
     "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
@@ -863,6 +867,32 @@ object SparkEntry {
          |      GROUP BY a, b)
          |SELECT u.a, u.b, coalesce(s.sup, 0)::BIGINT AS support
          |FROM u3 u LEFT JOIN sf s ON u.a = s.a AND u.b = s.b""".stripMargin,
+    "kg_reciprocity" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |adj AS MATERIALIZED (SELECT DISTINCT source AS src, target AS dst
+         |      FROM edges WHERE source <> target),
+         |mut AS (SELECT count(*)::BIGINT AS reciprocated FROM adj a
+         |      WHERE EXISTS (SELECT 1 FROM adj b WHERE b.src = a.dst AND b.dst = a.src)),
+         |tot AS (SELECT count(*)::BIGINT AS m FROM adj)
+         |SELECT t.m, u.reciprocated,
+         |       CASE WHEN t.m = 0 THEN 'NaN'::DOUBLE
+         |            ELSE u.reciprocated::DOUBLE / t.m::DOUBLE END AS reciprocity
+         |FROM tot t, mut u""".stripMargin,
+    "kg_component_sizes" ->
+      s"""WITH RECURSIVE $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |und AS (SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+         |        FROM edges WHERE source <> target),
+         |e2 AS (SELECT a AS src, b AS dst FROM und UNION SELECT b, a FROM und),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e2
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src
+         |),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+         |sizes AS (SELECT cluster, count(*)::BIGINT AS size FROM labels GROUP BY cluster)
+         |SELECT size, count(*)::BIGINT AS n_components FROM sizes GROUP BY size""".stripMargin,
     "kg_walks" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

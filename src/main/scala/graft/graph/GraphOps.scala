@@ -631,6 +631,37 @@ object GraphOps {
       .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** Edge reciprocity of the directed simple graph: what fraction of directed
+    * edges u→v are matched by v→u (mutual-citation / echo structure — a KG
+    * with high reciprocity has symmetric relations dominating). One
+    * self-semi-join of the distinct edge relation against its transpose plus
+    * exact counts; r = reciprocated / m is ONE double division of exact
+    * BIGINTs. Output: one row (m, reciprocated, reciprocity). */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val adj = edges.filter(col("source") =!= col("target"))
+      .select(col("source").as("src"), col("target").as("dst"))
+      .distinct().localCheckpoint(true)
+    val mutual = adj.join(
+      adj.select(col("dst").as("src"), col("src").as("dst")), Seq("src", "dst"),
+      "left_semi")
+    adj.agg(count(lit(1)).as("m"))
+      .crossJoin(mutual.agg(count(lit(1)).as("reciprocated")))
+      .select(col("m"), col("reciprocated"),
+        when(col("m") === 0, lit(Double.NaN))
+          .otherwise(col("reciprocated").cast("double") / col("m").cast("double"))
+          .as("reciprocity"))
+  }
+
+  /** Component-size histogram: (size, n_components) over the weakly-connected
+    * components of the linked graph — the giant-component health check run
+    * after every dedup/linking pass (a sudden giant component is the classic
+    * transitive-closure failure the 10x gate once caught). Sizes count the
+    * nodes that participate in edges; isolated nodes have no component row. */
+  def componentSizes(edges: DataFrame): DataFrame =
+    connectedComponents(edges)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+
   /** Degree distribution of the undirected simple graph: (deg, n_nodes) —
     * the hub/power-law diagnostic a web-scale KG job reads BEFORE choosing
     * salt factors and wedge caps. Output is at most max-degree rows (the

@@ -333,6 +333,14 @@ object DocKg {
   def walkPairs(spark: SparkSession, dir: String): DataFrame =
     GraphOps.walkPairs(walks(spark, dir), window = 2)
 
+  /** Directed-edge reciprocity of the KG (GraphOps.reciprocity). */
+  def reciprocity(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.reciprocity(edges(spark, dir))
+
+  /** Component-size histogram of the KG (GraphOps.componentSizes). */
+  def componentSizes(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.componentSizes(edges(spark, dir))
+
   /** Two sub-corpora for the graph algebra: english docs vs the rest.
     * Aggregated ONCE with the lang flag as an extra grouping key, then split —
     * the two join sides share an identical aggregate subtree, so Spark's

@@ -141,6 +141,23 @@ class BfsClusteringSpec extends AnyFunSuite with SparkTestSession {
     assert(again == rows.sorted.toSeq)
   }
 
+  test("reciprocity: half the chain reciprocated; self-loops and duplicates ignored") {
+    val e = edges(("A", "B"), ("B", "A"), ("B", "C"), ("C", "D"), ("D", "C"),
+      ("A", "B"), ("E", "E"))
+    val row = GraphOps.reciprocity(e).collect()(0)
+    // distinct directed edges: AB BA BC CD DC -> 4 of 5 reciprocated
+    assert((row.getLong(0), row.getLong(1)) == ((5L, 4L)))
+    assert(row.getDouble(2) == 0.8)
+  }
+
+  test("componentSizes: histogram over linked components only") {
+    // one 3-node component, two 2-node components
+    val e = edges(("A", "B"), ("B", "C"), ("X", "Y"), ("P", "Q"))
+    val got = GraphOps.componentSizes(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(3L -> 1L, 2L -> 2L))
+  }
+
   test("walkPairs: window-2 skip-gram counts on a hand-built walk relation") {
     import spark.implicits._
     // one walk A,B,C,D and one walk X,Y — window 2, both directions
