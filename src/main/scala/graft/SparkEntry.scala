@@ -484,6 +484,26 @@ object SparkEntry {
   private val canonicalUrlSql =
     "prefix || pathc || CASE WHEN params = '' THEN '' ELSE '?' || params END"
 
+  /** The deterministic-walk CTE chain (adjacency with neighbor ranks, then
+    * one unrolled hop per step) shared by the kg_walks and kg_walk_pairs
+    * oracles — ONE copy of the hash-pick recipe. Ends at w0..w4. */
+  private def walksCtes(edgesRel: String, steps: Int): String =
+    s"""adj AS (SELECT DISTINCT source AS src, target AS dst FROM $edgesRel WHERE source <> target),
+       |adjd AS MATERIALIZED (SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+       |      count(*) OVER (PARTITION BY src) AS deg FROM adj),
+       |w0 AS MATERIALIZED (SELECT id AS start, id AS node FROM
+       |      (SELECT DISTINCT src AS id FROM adj UNION SELECT DISTINCT dst FROM adj)),
+       |${(1 to steps).map(i =>
+            s"""w$i AS MATERIALIZED (SELECT w.start, a.dst AS node FROM w${i - 1} w
+               |      JOIN adjd a ON w.node = a.src
+               |      AND a.rnk = ('0x' || substr(md5(w.node || '|$i|w'), 1, 15))::BIGINT % a.deg)""".stripMargin)
+          .mkString(",\n")}""".stripMargin
+
+  private def walksUnionSql(steps: Int): String =
+    (0 to steps).map(i => s"SELECT start, CAST($i AS BIGINT) AS step, node FROM w$i")
+      .mkString(" UNION ALL ")
+
   private val toksCte =
     raw"toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS terms FROM documents)"
 
@@ -896,37 +916,13 @@ object SparkEntry {
     "kg_walks" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},
-         |adj AS (SELECT DISTINCT source AS src, target AS dst FROM edges WHERE source <> target),
-         |adjd AS MATERIALIZED (SELECT src, dst,
-         |      row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
-         |      count(*) OVER (PARTITION BY src) AS deg FROM adj),
-         |w0 AS MATERIALIZED (SELECT id AS start, id AS node FROM
-         |      (SELECT DISTINCT src AS id FROM adj UNION SELECT DISTINCT dst FROM adj)),
-         |${(1 to 4).map(i =>
-              s"""w$i AS MATERIALIZED (SELECT w.start, a.dst AS node FROM w${i - 1} w
-                 |      JOIN adjd a ON w.node = a.src
-                 |      AND a.rnk = ('0x' || substr(md5(w.node || '|$i|w'), 1, 15))::BIGINT % a.deg)""".stripMargin)
-            .mkString(",\n")}
-         |${(0 to 4).map(i =>
-              s"SELECT start, CAST($i AS BIGINT) AS step, node FROM w$i")
-            .mkString("\nUNION ALL ")}""".stripMargin,
+         |${walksCtes("edges", 4)}
+         |${walksUnionSql(4)}""".stripMargin,
     "kg_walk_pairs" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},
-         |adj AS (SELECT DISTINCT source AS src, target AS dst FROM edges WHERE source <> target),
-         |adjd AS MATERIALIZED (SELECT src, dst,
-         |      row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
-         |      count(*) OVER (PARTITION BY src) AS deg FROM adj),
-         |w0 AS MATERIALIZED (SELECT id AS start, id AS node FROM
-         |      (SELECT DISTINCT src AS id FROM adj UNION SELECT DISTINCT dst FROM adj)),
-         |${(1 to 4).map(i =>
-              s"""w$i AS MATERIALIZED (SELECT w.start, a.dst AS node FROM w${i - 1} w
-                 |      JOIN adjd a ON w.node = a.src
-                 |      AND a.rnk = ('0x' || substr(md5(w.node || '|$i|w'), 1, 15))::BIGINT % a.deg)""".stripMargin)
-            .mkString(",\n")},
-         |wk AS (${(0 to 4).map(i =>
-              s"SELECT start, CAST($i AS BIGINT) AS step, node FROM w$i")
-            .mkString(" UNION ALL ")})
+         |${walksCtes("edges", 4)},
+         |wk AS (${walksUnionSql(4)})
          |SELECT a.node AS center, b.node AS context, count(*)::BIGINT AS cnt
          |FROM wk a JOIN wk b ON a.start = b.start
          |WHERE a.step <> b.step AND abs(a.step - b.step) <= 2
@@ -1212,7 +1208,8 @@ object SparkEntry {
     "curate_host_stats" ->
       s"""WITH $messyUrlCte,
          |canon AS (SELECT doc_id, $canonicalUrlSql AS canonical FROM p4)
-         |SELECT lower(regexp_extract(canonical, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+         |SELECT lower(regexp_extract(canonical,
+         |         '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/:?#]+)', 1)) AS host,
          |       count(*)::BIGINT AS n_docs, count(DISTINCT canonical)::BIGINT AS n_pages
          |FROM canon GROUP BY host""".stripMargin,
     "dedup_keep_best" ->

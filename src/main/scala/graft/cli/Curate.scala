@@ -17,7 +17,8 @@ import graft.ops.{Dedup, TextStats}
   *     [--max-bucket 10000]
   *     [--probes eval.parquet --ngram 5 --min-shared 3]
   *     [--store /path/to/sigstore [--store-min-bands 1] [--compact-store y]]
-  *     [--hll-store /path/to/hllstore]   (lifetime distinct-content gauge)
+  *     [--hll-store /path/to/hllstore [--hll-p 8]]  (lifetime distinct gauge;
+  *       p is pinned in the store on first use, later runs adopt it)
   *
   * `--store` turns a one-shot curation run into CONTINUOUS ingest: the batch
   * is additionally deduplicated against the persistent signature store
@@ -148,10 +149,14 @@ object Curate {
     // <=256 rows of state. Max-merge is idempotent: re-running a batch
     // cannot inflate the estimate.
     val hllField = opts.get("--hll-store").map { hs =>
+      // p comes from the store when it exists (p is pinned there; a
+      // mismatched merge fails fast), from --hll-p on first creation
+      val p = graft.ops.Sketches.storeP(spark, hs)
+        .getOrElse(opts.getOrElse("--hll-p", "8").toInt)
       graft.ops.Sketches.mergeRegistersIntoStore(
-        graft.ops.Sketches.hllRegisters(docs, col(textCol)), hs)
+        graft.ops.Sketches.hllRegisters(docs, col(textCol), p), hs, p)
       val est = graft.ops.Sketches.hllEstimate(
-        graft.ops.Sketches.readRegisterStore(spark, hs))
+        graft.ops.Sketches.readRegisterStore(spark, hs), p)
       s""""distinct_seen_est":${math.round(est)},"""
     }.getOrElse("")
 

@@ -13,7 +13,8 @@ import graft.graph.{D3Json, GraphOps}
   *
   * Analytics (read --a only, write <out>/analytics.csv + summary JSON line):
   *   --operation PAGERANK|PPR|HITS|COMPONENTS|LPA|KCORE|BFS|CLUSTCOEFF|KTRUSS|WALKS|DEGHIST|ASSORT
-  *   [--iters N] [--source NODE (PPR/BFS)] [--k N (KCORE/KTRUSS)] [--seed S (WALKS)]
+  *   [--iters N] [--source NODE (PPR/BFS)] [--k N (KCORE/KTRUSS)]
+  *   [--rounds N (KTRUSS peeling depth, default 8)] [--seed S (WALKS)]
   *   [--master local[N]]
   * Count-weighted graphs expected (Infer's default export): the PageRank
   * family fails fast on fractional weights (GraphOps.pageRank's guard).
@@ -48,7 +49,10 @@ object Operations {
       case "BFS"        => GraphOps.bfs(edges,
         opts.getOrElse("--source", sys.error("BFS requires --source NODE")), iters)
       case "CLUSTCOEFF" => GraphOps.clusteringCoeff(edges)
-      case "KTRUSS"     => GraphOps.kTruss(edges, opts.getOrElse("--k", "3").toLong, iters)
+      // peeling cascades can need many rounds (each round only removes the
+      // currently-unsupported edges) — --rounds defaults DEEP, unlike --iters
+      case "KTRUSS"     => GraphOps.kTruss(edges, opts.getOrElse("--k", "3").toLong,
+        opts.getOrElse("--rounds", "8").toInt)
       case "WALKS"      => GraphOps.randomWalks(edges, iters,
         opts.getOrElse("--seed", "w"))
       case "DEGHIST"    => GraphOps.degreeHistogram(edges)

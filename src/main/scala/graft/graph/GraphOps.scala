@@ -668,12 +668,15 @@ object GraphOps {
     * bounded-cardinality exact-histogram pattern of text_len_quantiles):
     * two partial-agg shuffles on small key spaces, nothing node-sized leaves
     * the executors. */
-  def degreeHistogram(edges: DataFrame): DataFrame = {
-    val und = undirectedSimple(edges)
+  /** (id, deg) over an [[undirectedSimple]] relation — the shared degree
+    * rollup of degreeHistogram/assortativity/clusteringCoeff. */
+  private def degreesOfSimple(und: DataFrame): DataFrame =
     und.select(col("a").as("id")).union(und.select(col("b")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    degreesOfSimple(undirectedSimple(edges))
       .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
-  }
 
   /** Degree assortativity of the undirected simple graph — do hubs link to
     * hubs (r > 0) or to leaves (r < 0, the typical web/KG shape)? Pearson
@@ -690,8 +693,7 @@ object GraphOps {
     * silently rounding. Output: one row (m_directed, sum_x, sum_xy, sum_x2, r). */
   def assortativity(edges: DataFrame): DataFrame = {
     val und = undirectedSimple(edges).localCheckpoint(true)
-    val deg = und.select(col("a").as("id")).union(und.select(col("b")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val deg = degreesOfSimple(und)
     // symmetrize: each undirected edge contributes (da,db) and (db,da)
     val ends = und
       .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
@@ -814,8 +816,7 @@ object GraphOps {
 
   def clusteringCoeff(edges: DataFrame): DataFrame = {
     val und = undirectedSimple(edges).localCheckpoint(true)
-    val deg = und.select(col("a").as("id")).union(und.select(col("b")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val deg = degreesOfSimple(und)
     val triangles = trianglesOfSimple(und)
     val triPerNode = triangles.select(col("a").as("id"))
       .union(triangles.select(col("b")))

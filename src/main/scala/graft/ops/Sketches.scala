@@ -108,9 +108,13 @@ object Sketches {
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, key: Column,
       depth: Int = 4, width: Int = 64): DataFrame = {
     val bounds = sketch.agg(max(col("r")), max(col("cell"))).collect()(0)
+    // a non-empty sketch has EVERY row 0..depth-1 populated (the explode
+    // emits all rows per key), so max r pins the sketch's depth exactly —
+    // both a smaller AND a larger depth here would silently break the
+    // never-under-count contract (extra rows join nothing -> min = 0)
     if (!bounds.isNullAt(0))
-      require(bounds.getLong(0) < depth && bounds.getLong(1) < width,
-        s"sketch exceeds the passed parameters (max r=${bounds.getLong(0)}, " +
+      require(bounds.getLong(0) == depth - 1 && bounds.getLong(1) < width,
+        s"sketch parameters disagree (max r=${bounds.getLong(0)}, " +
           s"max cell=${bounds.getLong(1)} vs depth=$depth width=$width) — " +
           "cmsEstimate must use the sketch's own depth/width")
     val cand = cmsCells(keys.select(key.cast("string").as("k")).distinct(), depth, width)
@@ -139,6 +143,33 @@ object Sketches {
     else spark.range(0).select(col("id").as("register"), col("id").as("max_rho"))
   }
 
+  /** The precision the store was created with, if it exists. Registers from
+    * different p values index DIFFERENT hash prefixes — max-merging them
+    * produces silent garbage that can never be lowered again, so p is pinned
+    * on first merge and every later merge validates it (the SigStore params
+    * discipline). */
+  def storeP(spark: org.apache.spark.sql.SparkSession, store: String): Option[Int] = {
+    val pp = new org.apache.hadoop.fs.Path(s"$store/_params.json")
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pp)) None
+    else {
+      val in = fs.open(pp)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"p"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    }
+  }
+
+  private def pinStoreP(spark: org.apache.spark.sql.SparkSession, store: String, p: Int): Unit =
+    storeP(spark, store) match {
+      case Some(q) =>
+        require(q == p, s"register store $store was created with p=$q; merge with p=$p refused")
+      case None =>
+        val pp = new org.apache.hadoop.fs.Path(s"$store/_params.json")
+        val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(pp, true)
+        try out.write(s"""{"p":$p}""".getBytes("UTF-8")) finally out.close()
+    }
+
   private def recoverStore(spark: org.apache.spark.sql.SparkSession, store: String): Unit = {
     val cur = new org.apache.hadoop.fs.Path(s"$store/registers")
     val bak = new org.apache.hadoop.fs.Path(s"$store/registers.bak")
@@ -155,24 +186,25 @@ object Sketches {
     * exception) and the `.bak` hop is deleted only after the new state is in
     * place — a failed swap fails fast with both copies still on disk, the
     * SigStore.compact/EdgeStore discipline. */
-  def mergeRegistersIntoStore(registers: DataFrame, store: String): Unit = {
+  def mergeRegistersIntoStore(registers: DataFrame, store: String, p: Int = 8): Unit = {
     val spark = registers.sparkSession
+    pinStoreP(spark, store, p)
     val merged = readRegisterStore(spark, store).union(registers)
       .groupBy(col("register")).agg(max(col("max_rho")).as("max_rho"))
       .coalesce(1).persist() // force the read BEFORE the swap touches the dir
     merged.count()
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
     def mv(from: String, to: String): Unit =
-      if (!fs.rename(p(from), p(to)))
+      if (!fs.rename(hp(from), hp(to)))
         sys.error(s"register store swap failed: $from -> $to (both copies retained)")
     try {
       merged.write.mode("overwrite").parquet(s"$store/registers.next")
-      if (fs.exists(p(s"$store/registers")))
+      if (fs.exists(hp(s"$store/registers")))
         mv(s"$store/registers", s"$store/registers.bak")
       mv(s"$store/registers.next", s"$store/registers")
-      fs.delete(p(s"$store/registers.bak"), true)
+      fs.delete(hp(s"$store/registers.bak"), true)
     } finally { merged.unpersist(); () }
   }
 }

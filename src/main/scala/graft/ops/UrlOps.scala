@@ -51,10 +51,13 @@ object UrlOps {
     when(prefixRaw === "", lower(u)).otherwise(canon)
   }
 
-  /** Host (registrable authority minus port) of a URL — the grouping key for
-    * per-domain corpus rollups. Empty string when no scheme://host prefix
-    * exists (total, like [[canonicalizeUrl]]). Case-insensitive: the host is
+  /** Host (registrable authority minus userinfo and port) of a URL — the
+    * grouping key for per-domain corpus rollups. `user:pw@` credentials are
+    * skipped (real crawls contain them), IPv6 literals come back in their
+    * bracket form (`[::1]`), and inputs without a scheme://host prefix yield
+    * the empty string (total, like [[canonicalizeUrl]]). The host is
     * lowercased even when the input URL is not canonical yet. */
   def hostOf(url: Column): Column =
-    lower(regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    lower(regexp_extract(trim(url),
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/:?#]+)", 1))
 }

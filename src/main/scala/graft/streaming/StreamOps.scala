@@ -207,7 +207,7 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Sketches.mergeRegistersIntoStore(
-          graft.ops.Sketches.hllRegisters(batch, col(textCol), p), store)
+          graft.ops.Sketches.hllRegisters(batch, col(textCol), p), store, p)
       }
       .start()
 

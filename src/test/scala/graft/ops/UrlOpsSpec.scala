@@ -50,10 +50,11 @@ class UrlOpsSpec extends AnyFunSuite with SparkTestSession {
       Seq("https://a.com/?a=1&b=2", "https://a.com/p"))
   }
 
-  test("hostOf: lowercased authority minus port; empty on junk") {
+  test("hostOf: lowercased authority minus userinfo and port; empty on junk") {
     val got = Seq("HTTPS://WWW.Example.COM:8443/p?q=1", "http://a.b.c/x",
+      "http://alice:pw@Example.com:8080/x", "http://[::1]:8080/x",
       "no scheme here").toDF("url")
       .select(UrlOps.hostOf(col("url")).as("h")).collect().map(_.getString(0)).toSeq
-    assert(got == Seq("www.example.com", "a.b.c", ""))
+    assert(got == Seq("www.example.com", "a.b.c", "example.com", "[::1]", ""))
   }
 }

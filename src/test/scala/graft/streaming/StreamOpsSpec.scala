@@ -236,6 +236,14 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     val after = graft.ops.Sketches.readRegisterStore(spark, s"$dir/store")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(after == before)
+    // precision is pinned: a merge under a different p fails fast instead of
+    // silently max-merging incompatible register spaces
+    assert(graft.ops.Sketches.storeP(spark, s"$dir/store").contains(8))
+    val regs12 = graft.ops.Sketches.hllRegisters(docs, col("text"), p = 12)
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Sketches.mergeRegistersIntoStore(regs12, s"$dir/store", p = 12)
+    }
+    assert(err.getMessage.contains("created with p=8"))
   }
 
   test("session_window sessionizes with 30-minute gaps") {
