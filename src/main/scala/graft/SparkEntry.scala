@@ -111,6 +111,10 @@ object SparkEntry {
     "kg_reciprocity" -> ((s, d) => DocKg.reciprocity(s, d)),
     // component-size histogram: the giant-component health check
     "kg_component_sizes" -> ((s, d) => DocKg.componentSizes(s, d)),
+    // HyperBall: per-node HLL out-ball registers (Boldi–Vigna) — the
+    // web-scale neighborhood-function algorithm; all-integer register state
+    // is hash-pinned, ball-size estimates are spec-bounded
+    "kg_hyperball" -> ((s, d) => DocKg.hyperBall(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
     "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
@@ -499,6 +503,24 @@ object SparkEntry {
                |      JOIN adjd a ON w.node = a.src
                |      AND a.rnk = ('0x' || substr(md5(w.node || '|$i|w'), 1, 15))::BIGINT % a.deg)""".stripMargin)
           .mkString(",\n")}""".stripMargin
+
+  /** HLL (register, rho) SQL for precision p over `key` — mirrors
+    * graft.ops.Sketches.hllCols (register = first p/4 md5 nibbles, rho =
+    * 1 + leading-zero count of the next 60 bits, hex-nibble arithmetic). */
+  private def hllRegSql(key: String, p: Int): (String, String) = {
+    val n = p / 4
+    val tail = s"substr(md5($key), ${n + 1}, 15)"
+    val reg = s"('0x' || substr(md5($key), 1, $n))::BIGINT"
+    val rho =
+      s"""CASE WHEN regexp_replace($tail, '^0+', '') = '' THEN 61
+         |  ELSE 4 * length(regexp_extract($tail, '^0*')) +
+         |    CASE substr(regexp_replace($tail, '^0+', ''), 1, 1)
+         |      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+         |      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+         |      ELSE 0 END + 1
+         |  END""".stripMargin
+    (reg, rho)
+  }
 
   private def walksUnionSql(steps: Int): String =
     (0 to steps).map(i => s"SELECT start, CAST($i AS BIGINT) AS step, node FROM w$i")
@@ -913,6 +935,22 @@ object SparkEntry {
          |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
          |sizes AS (SELECT cluster, count(*)::BIGINT AS size FROM labels GROUP BY cluster)
          |SELECT size, count(*)::BIGINT AS n_components FROM sizes GROUP BY size""".stripMargin,
+    "kg_hyperball" -> {
+      val (reg, rho) = hllRegSql("id", 4)
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |adj AS MATERIALIZED (SELECT DISTINCT source AS src, target AS dst
+         |      FROM edges WHERE source <> target),
+         |nodes AS (SELECT src AS id FROM adj UNION SELECT dst FROM adj),
+         |h0 AS MATERIALIZED (SELECT id, $reg AS register, CAST($rho AS BIGINT) AS max_rho FROM nodes),
+         |${(1 to 2).map(i =>
+              s"""h$i AS MATERIALIZED (SELECT id, register, CAST(max(max_rho) AS BIGINT) AS max_rho FROM (
+                 |      SELECT id, register, max_rho FROM h${i - 1}
+                 |      UNION ALL
+                 |      SELECT a.src AS id, r.register, r.max_rho FROM adj a JOIN h${i - 1} r ON r.id = a.dst)
+                 |      GROUP BY 1, 2)""".stripMargin).mkString(",\n")}
+         |SELECT id, register, max_rho FROM h2""".stripMargin
+    },
     "kg_walks" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

@@ -596,6 +596,64 @@ object GraphOps {
     dist
   }
 
+  /** HyperBall (Boldi–Vigna): per-node HyperLogLog sketches of the out-ball
+    * B(v, r) = {u : dist(v→u) ≤ r}, the algorithm that computes neighborhood
+    * functions / centralities on web-scale graphs where per-node exact reach
+    * sets are impossible (engine extension; no reference counterpart).
+    *
+    * State is ONE register relation (id, register, max_rho) — at most
+    * 2^p rows per node. Each round pulls every dst-neighbor's registers into
+    * the src node and max-merges: one join of the adjacency relation with the
+    * register relation on the node key + one (id, register) groupBy whose
+    * partial aggregation collapses each partition to ≤ nodes×2^p rows before
+    * the exchange. Lineage truncated per round (the iterative-consumer
+    * discipline). Register max-merge is idempotent, so re-running a round
+    * past the fixpoint is a no-op and shard merges commute.
+    *
+    * The register layout is [[graft.ops.Sketches.hllCols]] — EXACTLY the
+    * corpus-gauge HLL, so the invariant holds: after r rounds, node v's rows
+    * equal `Sketches.hllRegisters` of the exact BFS ball membership of v
+    * (HyperBallSpec pins this against [[bfs]]). All-integer state —
+    * bit-identical cross-engine; ball-size/centrality ESTIMATES are float
+    * math over the collected per-node rows ([[graft.ops.Sketches
+    * .hllEstimatePairs]]), spec-bounded rather than hash-pinned.
+    *
+    * Output: (id, register, max_rho) after `rounds` max-merge rounds (every
+    * node's ball includes itself at round 0). */
+  def hyperBall(edges: DataFrame, p: Int = 4, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16]: $rounds")
+    val adj = edges.filter(col("source") =!= col("target"))
+      .select(col("source").as("src"), col("target").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = adj.select(col("src").as("id"))
+      .union(adj.select(col("dst").as("id"))).distinct()
+    val (reg, rho) = graft.ops.Sketches.hllCols(col("id"), p)
+    var regs = nodes
+      .select(col("id"), reg.as("register"), rho.as("max_rho"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val pulled = adj.join(regs, adj("dst") === regs("id"))
+        .select(adj("src").as("id"), col("register"), col("max_rho"))
+      regs = regs.union(pulled)
+        .groupBy(col("id"), col("register")).agg(max(col("max_rho")).as("max_rho"))
+        .localCheckpoint(true)
+    }
+    regs
+  }
+
+  /** Ball-size estimates from a [[hyperBall]] register relation: one
+    * (id → estimated |B(id, r)|) map, computed driver-side over the collected
+    * nodes×2^p rows (bounded: the KG node relation is post-aggregation;
+    * at web scale this is the relation you'd keep distributed and feed to
+    * [[graft.ops.Sketches.hllEstimatePairs]] per partition). */
+  def hyperBallSizes(regs: DataFrame, p: Int = 4): Map[String, Double] =
+    regs.select(col("id"), col("register"), col("max_rho")).collect()
+      .groupBy(_.getString(0))
+      .map { case (id, rows) =>
+        id -> graft.ops.Sketches.hllEstimatePairs(
+          rows.toSeq.map(r => r.getLong(1) -> r.getLong(2)), p)
+      }
+
   /** k-truss decomposition by fixed-round edge peeling: repeatedly drop edges
     * whose triangle support within the SURVIVING undirected simple graph is
     * below k−2; the fixpoint is the classic k-truss (every edge in ≥ k−2

@@ -333,6 +333,10 @@ object DocKg {
   def walkPairs(spark: SparkSession, dir: String): DataFrame =
     GraphOps.walkPairs(walks(spark, dir), window = 2)
 
+  /** HyperBall out-ball HLL registers per KG node (GraphOps.hyperBall). */
+  def hyperBall(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.hyperBall(edges(spark, dir), p = 4, rounds = 2)
+
   /** Directed-edge reciprocity of the KG (GraphOps.reciprocity). */
   def reciprocity(spark: SparkSession, dir: String): DataFrame =
     GraphOps.reciprocity(edges(spark, dir))

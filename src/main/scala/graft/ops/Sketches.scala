@@ -34,6 +34,15 @@ object Sketches {
     * exact on both engines (log2 of a >2^53 integer rounds unpredictably at
     * nibble boundaries). */
   def hllRegisters(df: DataFrame, key: Column, p: Int = 8): DataFrame = {
+    val (reg, rho) = hllCols(key, p)
+    df.select(reg.as("register"), rho.as("rho"))
+      .groupBy(col("register")).agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** The (register, rho) column pair for ONE key under precision p — shared
+    * by [[hllRegisters]] and graph.GraphOps.hyperBall so the hash layout
+    * cannot drift between the corpus gauge and the per-node ball sketches. */
+  def hllCols(key: Column, p: Int): (Column, Column) = {
     require(p >= 4 && p <= 12, s"precision p must be in [4,12]: $p")
     require(p % 4 == 0, s"p must be a whole number of hex nibbles: $p")
     val hex = md5(key.cast("string"))
@@ -48,17 +57,22 @@ object Sketches {
       .otherwise(0)
     val rho = when(stripped === "", lit(61L))
       .otherwise((zeroNibbles * 4 + nibbleZeros + 1).cast("long"))
-    df.select(reg.as("register"), rho.as("rho"))
-      .groupBy(col("register")).agg(max(col("rho")).as("max_rho"))
+    (reg, rho)
   }
 
   /** Standard HLL estimate from [[hllRegisters]] output — driver-side float
     * math over the ≤2^p-row register relation (collect here is bounded by
     * construction). Includes the small-range linear-counting correction. */
-  def hllEstimate(registers: DataFrame, p: Int = 8): Double = {
+  def hllEstimate(registers: DataFrame, p: Int = 8): Double =
+    hllEstimatePairs(registers.select(col("register"), col("max_rho"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq, p)
+
+  /** The same estimate over an already-collected (register, max_rho) pair
+    * set — lets per-node consumers (hyperBall centralities) estimate many
+    * small sketches without one Spark action each. */
+  def hllEstimatePairs(pairs: Seq[(Long, Long)], p: Int = 8): Double = {
     val m = 1 << p
-    val maxRho = registers.select(col("register"), col("max_rho"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxRho = pairs.toMap
     val zSum = (0 until m).map(j => math.pow(2.0, -maxRho.getOrElse(j.toLong, 0L).toDouble)).sum
     val alpha = m match {
       case 16 => 0.673
