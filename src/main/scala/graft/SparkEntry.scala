@@ -290,6 +290,19 @@ object SparkEntry {
       Sketches.hllRegisters(docs(s, d), col("text"), p = 8)),
     "stats_cms_sketch" -> ((s, d) =>
       Sketches.cmsSketch(docs(s, d), col("source"), depth = 4, width = 64)),
+    // bloom bit relation over the even-id half-corpus (the "training set")
+    "stats_bloom_bits" -> ((s, d) =>
+      Sketches.bloomBits(docs(s, d).filter(col("doc_id") % 2 === 0),
+        col("text"), m = 4096, k = 3)),
+    // bloom pre-filter for decontamination: probe EVERY doc against the
+    // half-corpus filter — member=0 is provably clean (skips the exact gram
+    // join), member=1 goes to Dedup.decontaminate; FP rate is the m/k dial
+    "decontaminate_bloom" -> ((s, d) => {
+      val dd = docs(s, d)
+      val bits = Sketches.bloomBits(dd.filter(col("doc_id") % 2 === 0),
+        col("text"), m = 4096, k = 3)
+      Sketches.bloomProbe(bits, dd, col("text"), col("doc_id"), m = 4096, k = 3)
+    }),
     // ---- entity linking: distributed LSH over a surface-form vocabulary
     // (vocabulary = document tokens + deterministic variant forms, mirroring
     // near-duplicate entity surface forms; P9 at north_star scale)
@@ -1282,6 +1295,19 @@ object SparkEntry {
         |  SELECT g.r AS r,
         |         ('0x' || substr(md5(g.r::VARCHAR || source), 1, 15))::BIGINT % 64 AS cell
         |  FROM documents, (SELECT unnest(range(0, 4)) AS r) g) GROUP BY r, cell""".stripMargin,
+    "stats_bloom_bits" ->
+      """SELECT DISTINCT ('0x' || substr(md5(g.i::VARCHAR || text), 1, 15))::BIGINT % 4096 AS pos
+        |FROM documents, (SELECT unnest(range(0, 3)) AS i) g WHERE doc_id % 2 = 0""".stripMargin,
+    "decontaminate_bloom" ->
+      """WITH bits AS MATERIALIZED (
+        |  SELECT DISTINCT ('0x' || substr(md5(g.i::VARCHAR || text), 1, 15))::BIGINT % 4096 AS pos
+        |  FROM documents, (SELECT unnest(range(0, 3)) AS i) g WHERE doc_id % 2 = 0),
+        |cand AS (
+        |  SELECT doc_id AS probe_id,
+        |         ('0x' || substr(md5(g.i::VARCHAR || text), 1, 15))::BIGINT % 4096 AS pos
+        |  FROM documents, (SELECT unnest(range(0, 3)) AS i) g)
+        |SELECT c.probe_id, CAST(min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS member
+        |FROM cand c LEFT JOIN bits b ON c.pos = b.pos GROUP BY c.probe_id""".stripMargin,
     "link_groups" ->
       s"""WITH RECURSIVE $toksCte,
          |t0 AS (SELECT DISTINCT unnest(terms) AS t FROM toks),

@@ -136,6 +136,57 @@ object Sketches {
       .groupBy(col("k")).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  // -------------------------------------------------------------- bloom filter
+
+  /** The (k, pos) hash both [[bloomBits]] and [[bloomProbe]] share — same
+    * discipline as [[cmsCells]] so build and probe cannot drift apart. */
+  private def bloomCells(keyed: DataFrame, m: Int, k: Int): DataFrame = {
+    require(m >= 2, s"bit space m must be >= 2: $m")
+    require(k >= 1 && k <= 16, s"hash count k must be in [1,16]: $k")
+    keyed
+      .select(col("bk"), col("probe_id"),
+        explode(array((0 until k).map(i => lit(i.toLong)): _*)).as("i"))
+      .select(col("probe_id"),
+        (conv(substring(md5(concat(col("i").cast("string"), col("bk"))), 1, 15), 16, 10)
+          .cast("long") % m).as("pos"))
+  }
+
+  /** Bloom-filter bit relation for membership pre-filtering: `k` hash
+    * positions per key, pos = md5(i ++ key) mod m. Output: distinct (pos) —
+    * at most m rows regardless of input size. Deterministic (md5, no RNG);
+    * shard filters merge by plain UNION + distinct (bitwise OR), so the
+    * filter builds map-side with a constant-key-space exchange, exactly the
+    * [[hllRegisters]] scale shape.
+    *
+    * The 100 TB use: build the filter over the EVAL/holdout set's grams once
+    * (small), broadcast it, and pre-filter the corpus before the exact
+    * decontamination join ([[Dedup.decontaminate]]) — corpus rows whose
+    * positions miss any bit are provably clean and never reach the shuffle. */
+  def bloomBits(df: DataFrame, key: Column, m: Int = 1 << 16, k: Int = 4): DataFrame =
+    bloomCells(df.select(key.cast("string").as("bk"), lit(0L).as("probe_id")), m, k)
+      .select(col("pos")).distinct()
+
+  /** Probe the filter for each key row: member = every one of the key's k
+    * positions is set (1) or at least one misses (0 — definitely NOT in the
+    * build set; 1 may be a false positive, the Bloom contract). One broadcast
+    * left join of the ≤m-row bit relation against the probe keys.
+    *
+    * `m`/`k` MUST be the build values — the bit relation carries no metadata;
+    * out-of-range positions fail fast, a smaller m is not detectable (keep
+    * the parameters with the filter, the [[SigStore]] discipline). Output:
+    * (probe_id, member). */
+  def bloomProbe(bits: DataFrame, keys: DataFrame, key: Column, id: Column,
+      m: Int = 1 << 16, k: Int = 4): DataFrame = {
+    val bound = bits.agg(max(col("pos"))).collect()(0)
+    if (!bound.isNullAt(0))
+      require(bound.getLong(0) < m,
+        s"bit relation has pos=${bound.getLong(0)} >= m=$m — bloomProbe must use the filter's own m")
+    bloomCells(keys.select(key.cast("string").as("bk"), id.cast("long").as("probe_id")), m, k)
+      .join(broadcast(bits.select(col("pos"), lit(1L).as("hit"))), Seq("pos"), "left")
+      .groupBy(col("probe_id"))
+      .agg(min(coalesce(col("hit"), lit(0L))).as("member"))
+  }
+
   // ---------------------------------------------------------- register store
 
   /** Persistent HLL register state for continuous ingest — the sketch sibling

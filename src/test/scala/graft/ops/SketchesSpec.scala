@@ -70,4 +70,38 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
     // the heavy hitter dominates every cell it lands in: estimate is exact-ish
     assert(est("k0") >= 600L && est("k0") <= 640L)
   }
+
+  test("bloomBits: bounded, deterministic, shards merge by union") {
+    val bits = Sketches.bloomBits(docs, col("text"), m = 1024, k = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(bits.forall(p => p >= 0 && p < 1024))
+    val merged = Sketches.bloomBits(docs.filter(col("doc_id") < 2500), col("text"), m = 1024, k = 4)
+      .union(Sketches.bloomBits(docs.filter(col("doc_id") >= 2500), col("text"), m = 1024, k = 4))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(merged == bits)
+  }
+
+  test("bloomProbe: zero false negatives; misses are definite; FP rate sane") {
+    // build over the 3000 distinct member texts, probe members + non-members
+    val bits = Sketches.bloomBits(docs, col("text"), m = 1 << 16, k = 4)
+    val probes = ((0 until 3000).map(i => (i.toLong, s"doc number $i")) ++ // members
+      (0 until 1000).map(i => (10000L + i, s"absent text $i"))) // non-members
+      .toDF("pid", "text")
+    val got = Sketches.bloomProbe(bits, probes, col("text"), col("pid"), m = 1 << 16, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 4000)
+    // the Bloom contract: every member hits (no false negatives)
+    assert((0 until 3000).forall(i => got(i.toLong) == 1L))
+    // non-members: overwhelmingly 0; the deterministic FP count is small
+    val fps = (0 until 1000).count(i => got(10000L + i) == 1L)
+    assert(fps < 20, s"false positives: $fps / 1000")
+  }
+
+  test("bloomProbe: fails fast on out-of-range positions (wrong m)") {
+    val bits = Sketches.bloomBits(docs, col("text"), m = 4096, k = 3)
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.bloomProbe(bits, docs, col("text"), col("doc_id"), m = 64, k = 3).collect()
+    }
+    assert(ex.getMessage.contains("filter's own m"))
+  }
 }
