@@ -122,6 +122,11 @@ object SparkEntry {
     "kg_graph_difference" -> ((s, d) => DocKg.graphDifference(s, d)),
     // ---- dedup family
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), col("text"), col("doc_id"))),
+    // exact substring dedup (Lee et al. family): repeated w-token passages
+    // removed from every doc but the min-id keeper, text rebuilt in place
+    "dedup_spans" -> ((s, d) =>
+      Dedup.spanDedup(docs(s, d), col("text"), col("doc_id"), w = 5)
+        .select(col("id").as("doc_id"), col("clean_text"), col("removed_terms"))),
     "dedup_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"),
         bands = 4, shingleW = 2, rowsPerBand = 2)
@@ -1116,6 +1121,23 @@ object SparkEntry {
          |SELECT source, target, sent, c / max(c) OVER () AS c FROM j WHERE c IS NOT NULL""".stripMargin,
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, count(*) AS cnt, min(doc_id) AS min_id FROM documents GROUP BY 1",
+    "dedup_spans" ->
+      s"""WITH $toksCte,
+         |g0 AS (SELECT doc_id, terms, unnest(range(0, greatest(len(terms) - 4, 0))) AS pos FROM toks),
+         |g AS MATERIALIZED (SELECT doc_id, pos, array_to_string(terms[pos + 1 : pos + 5], ' ') AS gram FROM g0),
+         |dup AS MATERIALIZED (SELECT gram, min(doc_id) AS keeper
+         |       FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY gram HAVING count(*) >= 2),
+         |cov0 AS (SELECT g.doc_id, unnest(range(g.pos, g.pos + 5)) AS tpos
+         |       FROM g JOIN dup d ON g.gram = d.gram WHERE g.doc_id <> d.keeper),
+         |cov AS MATERIALIZED (SELECT DISTINCT doc_id, tpos FROM cov0),
+         |tok AS (SELECT doc_id, unnest(range(0, len(terms))) AS tpos, unnest(terms) AS term FROM toks),
+         |kept AS (SELECT t.doc_id, t.tpos, t.term FROM tok t LEFT JOIN cov c
+         |       ON t.doc_id = c.doc_id AND t.tpos = c.tpos WHERE c.doc_id IS NULL),
+         |reb AS (SELECT doc_id, string_agg(term, ' ' ORDER BY tpos) AS clean_text,
+         |       count(*)::BIGINT AS kept_n FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+         |       (len(b.terms) - coalesce(r.kept_n, 0))::BIGINT AS removed_terms
+         |FROM toks b LEFT JOIN reb r ON b.doc_id = r.doc_id""".stripMargin,
     "dedup_minhash_sig" ->
       s"""WITH $minhashSigCte
          |SELECT id, band, sig FROM sig""".stripMargin,

@@ -426,4 +426,57 @@ object Dedup {
       .select(col("a_id"), col("b_id"), ham.as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Cross-document duplicated-SPAN removal (exact substring dedup, the
+    * Lee et al. "Deduplicating Training Data Makes Language Models Better"
+    * family): where doc-level dedup drops whole near-duplicate documents,
+    * this removes REPEATED PASSAGES — boilerplate, quoted blocks, licence
+    * headers — that recur across otherwise-distinct pages.
+    *
+    * Contract (deterministic, partition-invariant):
+    *  - a w-token window is a GLOBAL DUPLICATE if it occurs in ≥ 2 distinct
+    *    documents; the window's KEEPER is the minimum doc id containing it;
+    *  - in every other document, all token positions covered by any
+    *    occurrence of a duplicate window are dropped (overlaps union);
+    *  - text is rebuilt from the surviving tokens in original order.
+    *
+    * Scale shape: gram relation is one flat-map of the token scan; duplicate
+    * detection is ONE groupBy on the gram string (partial agg collapses
+    * per-partition repeats); coverage is a gram-keyed join touching only
+    * duplicate grams; rebuild is one groupBy on the doc id. No driver
+    * iteration, no cross join — survives the corpus growing 100× with the
+    * same three exchanges. Docs shorter than w tokens pass through whole.
+    *
+    * Output: (id, clean_text, removed_terms). */
+  def spanDedup(df: DataFrame, text: Column, id: Column, w: Int = 5): DataFrame = {
+    require(w >= 2 && w <= 64, s"window w must be in [2,64]: $w")
+    val toks = df.select(id.cast("long").as("id"), tokens(text).as("terms"))
+    val grams = toks
+      .select(col("id"), posexplode(
+        when(size(col("terms")) >= w,
+          transform(sequence(lit(0), size(col("terms")) - w),
+            i => array_join(slice(col("terms"), i + 1, lit(w)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .toDF("id", "pos", "gram")
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("ndocs"), min(col("id")).as("keeper"))
+      .filter(col("ndocs") >= 2)
+      .select(col("gram"), col("keeper"))
+    val covered = grams.join(dup, "gram")
+      .filter(col("id") =!= col("keeper"))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("tpos"))
+      .distinct()
+    val tokPos = toks.select(col("id"), posexplode(col("terms"))).toDF("id", "tpos", "term")
+    val rebuilt = tokPos.join(covered, Seq("id", "tpos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("tpos"), col("term")))),
+          x => x("term")), " ").as("clean_text"),
+        count(lit(1)).as("kept_n"))
+    toks.select(col("id"), size(col("terms")).cast("long").as("n_terms"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_terms") - coalesce(col("kept_n"), lit(0L))).as("removed_terms"))
+  }
 }

@@ -263,4 +263,38 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 10L, 99L), s"kept=$kept")
   }
+
+  private def spanCorpus = {
+    import spark.implicits._
+    Seq(
+      (0L, "a b c d e x y z"),             // keeper of "a b c d e"
+      (1L, "p q a b c d e r"),             // loses the shared passage -> "p q r"
+      (2L, "unique tokens only here none"),// untouched
+      (3L, "m n o p q m n o p q"),         // within-doc repeat only: NOT a dup
+      (4L, "tiny doc"),                    // shorter than w: passes whole
+      (5L, "a b c d e"),                   // fully covered -> empty
+      (6L, "a b c d e x tail7 tail8")      // overlapping dup grams union to 6 positions
+    ).toDF("doc_id", "text").repartition(5)
+  }
+
+  test("spanDedup: duplicated passages removed everywhere but the min-id keeper") {
+    val got = Dedup.spanDedup(spanCorpus, col("text"), col("doc_id"), w = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(0L) == (("a b c d e x y z", 0L)))          // keeper keeps its text
+    assert(got(1L) == (("p q r", 5L)))                    // one occurrence, 5 tokens gone
+    assert(got(2L) == (("unique tokens only here none", 0L)))
+    assert(got(3L) == (("m n o p q m n o p q", 0L)))      // single-doc repeats survive
+    assert(got(4L) == (("tiny doc", 0L)))                 // < w tokens: whole
+    assert(got(5L) == (("", 5L)))                         // fully duplicated doc empties
+    // d6 shares "a b c d e" AND "b c d e x" with d0: coverage unions to 6 positions
+    assert(got(6L) == (("tail7 tail8", 6L)))
+  }
+
+  test("spanDedup: partition-invariant and keeper-stable") {
+    val a = Dedup.spanDedup(spanCorpus, col("text"), col("doc_id"), w = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = Dedup.spanDedup(spanCorpus.repartition(1), col("text"), col("doc_id"), w = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
 }
