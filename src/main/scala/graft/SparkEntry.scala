@@ -49,6 +49,9 @@ object SparkEntry {
     "kg_pairs_gen" -> ((s, d) => DocKg.pairsViaGenerator(s, d)),
     "kg_triples" -> ((s, d) => DocKg.triples(s, d)),
     "kg_edges" -> ((s, d) => DocKg.edges(s, d)),
+    // RDF N-Triples export of the KG edges — per-row codegen'd string work
+    // (IRI percent-encode chain mirrored verbatim in the oracle)
+    "kg_ntriples" -> ((s, d) => graft.graph.Rdf.ntriples(DocKg.edges(s, d))),
     "kg_nodes" -> ((s, d) => DocKg.nodes(s, d)),
     "kg_radial" -> ((s, d) => DocKg.radial(s, d)),
     "kg_radial_salted" -> ((s, d) => DocKg.radialSalted(s, d)),
@@ -522,6 +525,16 @@ object SparkEntry {
                |      AND a.rnk = ('0x' || substr(md5(w.node || '|$i|w'), 1, 15))::BIGINT % a.deg)""".stripMargin)
           .mkString(",\n")}""".stripMargin
 
+  /** The graft.graph.Rdf.iriEncode replace chain, mirrored verbatim ('%'
+    * first; newline/tab embed literally inside the SQL string literals). */
+  private def iriEncSql(x: String): String =
+    Seq(" " -> "%20", "<" -> "%3C", ">" -> "%3E", "\"" -> "%22", "\\" -> "%5C",
+      "{" -> "%7B", "}" -> "%7D", "|" -> "%7C", "^" -> "%5E", "`" -> "%60",
+      "\n" -> "%0A", "\t" -> "%09")
+      .foldLeft(s"replace($x, '%', '%25')") { case (acc, (f, t)) =>
+        s"replace($acc, '$f', '$t')"
+      }
+
   /** HLL (register, rho) SQL for precision p over `key` — mirrors
     * graft.ops.Sketches.hllCols (register = first p/4 md5 nibbles, rho =
     * 1 + leading-zero count of the next 60 bits, hex-nibble arithmetic). */
@@ -716,6 +729,14 @@ object SparkEntry {
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)}
          |SELECT source, target, sent, c FROM edges""".stripMargin,
+    "kg_ntriples" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |enc AS (SELECT '<urn:graft/node/' || ${iriEncSql("source")} || '>' AS s,
+         |               '<urn:graft/rel/' || ${iriEncSql("sent")} || '>' AS p,
+         |               '<urn:graft/node/' || ${iriEncSql("target")} || '>' AS o
+         |        FROM edges)
+         |SELECT s, p, o, s || ' ' || p || ' ' || o || ' .' AS line FROM enc""".stripMargin,
     // incremental merge must reproduce the full-batch edges exactly — the
     // oracle IS the kg_edges SQL
     "kg_edges_incremental" ->

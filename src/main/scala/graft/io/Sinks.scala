@@ -37,4 +37,11 @@ object Sinks {
     if (n > 0) missing.write.mode("append").parquet(path)
     n
   }
+
+  /** RDF N-Triples dump: the `line` column of [[graft.graph.Rdf.ntriples]]
+    * as plain text, one statement per line — the format triple-store bulk
+    * loaders stream. Writes one part file per partition (at scale, the
+    * natural sharded .nt layout). */
+  def ntriples(statements: DataFrame, path: String): Unit =
+    statements.select("line").write.mode("overwrite").text(path)
 }

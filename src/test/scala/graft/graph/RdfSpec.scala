@@ -1,0 +1,47 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+
+/** N-Triples export: IRI encoding of every forbidden character, statement
+  * grammar, and the text sink round-trip. */
+class RdfSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("iriEncode: forbidden set percent-encoded, '%' first, UTF-8 passthrough") {
+    val got = Seq("a b", "x<y>z", "p|q^r`s", "50%", "a\\b", "l1\nl2\tend", "naïve", "clean.ORG")
+      .toDF("v").select(Rdf.iriEncode(col("v"))).as[String].collect()
+    assert(got.toSeq == Seq(
+      "a%20b", "x%3Cy%3Ez", "p%7Cq%5Er%60s", "50%25", "a%5Cb",
+      "l1%0Al2%09end", "naïve", "clean.ORG"))
+  }
+
+  test("ntriples: one grammatical dot-terminated statement per edge") {
+    val edges = Seq(
+      ("ORG.spark", "PERSON.customer", "pos", 3.0),
+      ("LOC.big table", "GPE.stream", "neg", 1.0)) // space in a node value
+      .toDF("source", "target", "sent", "c")
+    val rows = Rdf.ntriples(edges).collect()
+    assert(rows.length == 2)
+    val grammar = """^<[^<>"\s{}|^`\\]+> <[^<>"\s{}|^`\\]+> <[^<>"\s{}|^`\\]+> \.$""".r
+    rows.foreach { r =>
+      val line = r.getString(3)
+      assert(grammar.findFirstIn(line).isDefined, s"bad statement: $line")
+      assert(line == s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} .")
+    }
+    val spaced = rows.map(_.getString(3)).find(_.contains("LOC.big%20table")).get
+    assert(spaced == "<urn:graft/node/LOC.big%20table> <urn:graft/rel/neg> <urn:graft/node/GPE.stream> .")
+  }
+
+  test("Sinks.ntriples: text sink round-trips the statement lines") {
+    val edges = Seq(("A.x", "B.y", "pos", 2.0), ("A.x", "C.z", "neu", 1.0))
+      .toDF("source", "target", "sent", "c")
+    val stmts = Rdf.ntriples(edges)
+    val dir = java.nio.file.Files.createTempDirectory("nt").toString + "/out"
+    graft.io.Sinks.ntriples(stmts, dir)
+    val back = spark.read.text(dir).as[String].collect().toSet
+    assert(back == stmts.select("line").as[String].collect().toSet)
+    assert(back.forall(_.endsWith(" .")))
+  }
+}
