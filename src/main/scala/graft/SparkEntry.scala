@@ -52,6 +52,9 @@ object SparkEntry {
     // RDF N-Triples export of the KG edges — per-row codegen'd string work
     // (IRI percent-encode chain mirrored verbatim in the oracle)
     "kg_ntriples" -> ((s, d) => graft.graph.Rdf.ntriples(DocKg.edges(s, d))),
+    // crawl-window snapshot diff: added/removed/changed/stable attitudes
+    // between the even-id and odd-id doc windows
+    "kg_edge_delta" -> ((s, d) => DocKg.edgeDelta(s, d)),
     "kg_nodes" -> ((s, d) => DocKg.nodes(s, d)),
     "kg_radial" -> ((s, d) => DocKg.radial(s, d)),
     "kg_radial_salted" -> ((s, d) => DocKg.radialSalted(s, d)),
@@ -737,6 +740,23 @@ object SparkEntry {
          |               '<urn:graft/node/' || ${iriEncSql("target")} || '>' AS o
          |        FROM edges)
          |SELECT s, p, o, s || ' ' || p || ' ' || o || ' .' AS line FROM enc""".stripMargin,
+    "kg_edge_delta" ->
+      s"""WITH $triplesCte,
+         |ta AS (SELECT * FROM triples WHERE doc_id % 2 = 0),
+         |tb AS (SELECT * FROM triples WHERE doc_id % 2 = 1),
+         |${edgesCte("ea", "ta", 2)},
+         |${edgesCte("eb", "tb", 2)}
+         |SELECT coalesce(a.source, b.source) AS source,
+         |       coalesce(a.target, b.target) AS target,
+         |       coalesce(a.sent, b.sent) AS sent,
+         |       coalesce(a.c, 0)::DOUBLE AS c_a,
+         |       coalesce(b.c, 0)::DOUBLE AS c_b,
+         |       CASE WHEN a.c IS NULL THEN 'added'
+         |            WHEN b.c IS NULL THEN 'removed'
+         |            WHEN a.c = b.c THEN 'stable'
+         |            ELSE 'changed' END AS status
+         |FROM ea a FULL OUTER JOIN eb b
+         |  ON a.source = b.source AND a.target = b.target AND a.sent = b.sent""".stripMargin,
     // incremental merge must reproduce the full-batch edges exactly — the
     // oracle IS the kg_edges SQL
     "kg_edges_incremental" ->

@@ -654,6 +654,28 @@ object GraphOps {
           rows.toSeq.map(r => r.getLong(1) -> r.getLong(2)), p)
       }
 
+  /** Snapshot diff between two aggregated edge relations (source, target,
+    * sent, c) — the continuous-crawl maintenance read: which attitudes
+    * appeared, vanished, or shifted weight between crawl windows. One full
+    * outer join on the edge key (both sides already aggregated and tiny
+    * relative to the corpus); counts are exact integers-in-doubles, so
+    * `stable` vs `changed` is an exact comparison cross-engine.
+    *
+    * Output: (source, target, sent, c_a, c_b, status) with status ∈
+    * {added, removed, changed, stable} (relative to a → b). */
+  def edgeDelta(a: DataFrame, b: DataFrame): DataFrame = {
+    val aa = a.select(col("source"), col("target"), col("sent"), col("c").as("c_a"))
+    val bb = b.select(col("source"), col("target"), col("sent"), col("c").as("c_b"))
+    aa.join(bb, Seq("source", "target", "sent"), "full_outer")
+      .select(col("source"), col("target"), col("sent"),
+        coalesce(col("c_a"), lit(0.0)).as("c_a"),
+        coalesce(col("c_b"), lit(0.0)).as("c_b"),
+        when(col("c_a").isNull, "added")
+          .when(col("c_b").isNull, "removed")
+          .when(col("c_a") === col("c_b"), "stable")
+          .otherwise("changed").as("status"))
+  }
+
   /** k-truss decomposition by fixed-round edge peeling: repeatedly drop edges
     * whose triangle support within the SURVIVING undirected simple graph is
     * below k−2; the fixpoint is the classic k-truss (every edge in ≥ k−2

@@ -333,6 +333,17 @@ object DocKg {
   def walkPairs(spark: SparkSession, dir: String): DataFrame =
     GraphOps.walkPairs(walks(spark, dir), window = 2)
 
+  /** Crawl-window KG diff: triples from even-id docs vs odd-id docs, each
+    * aggregated to edges, then GraphOps.edgeDelta. The triple relation is
+    * materialized ONCE (multi-consumer discipline) and split by id — the
+    * continuous-crawl "what changed between snapshots" read. */
+  def edgeDelta(spark: SparkSession, dir: String): DataFrame = {
+    val t = triples(spark, dir).localCheckpoint(true)
+    val a = edgesFromTriples(spark, t.filter(col("doc_id") % 2 === 0))
+    val b = edgesFromTriples(spark, t.filter(col("doc_id") % 2 === 1))
+    GraphOps.edgeDelta(a, b)
+  }
+
   /** HyperBall out-ball HLL registers per KG node (GraphOps.hyperBall). */
   def hyperBall(spark: SparkSession, dir: String): DataFrame =
     GraphOps.hyperBall(edges(spark, dir), p = 4, rounds = 2)

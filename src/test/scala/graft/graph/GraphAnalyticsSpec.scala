@@ -52,6 +52,22 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("edgeDelta: added/removed/changed/stable classification is exhaustive") {
+    import spark.implicits._
+    val a = Seq(("A", "B", "pos", 2.0), ("A", "C", "pos", 3.0), ("X", "Y", "neg", 1.0))
+      .toDF("source", "target", "sent", "c")
+    val b = Seq(("A", "B", "pos", 2.0), ("A", "C", "pos", 5.0), ("N", "M", "neu", 1.0))
+      .toDF("source", "target", "sent", "c")
+    val got = GraphOps.edgeDelta(a, b).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getString(5)))).toMap
+    assert(got == Map(
+      ("A", "B", "pos") -> ((2.0, 2.0, "stable")),
+      ("A", "C", "pos") -> ((3.0, 5.0, "changed")),
+      ("X", "Y", "neg") -> ((1.0, 0.0, "removed")),
+      ("N", "M", "neu") -> ((0.0, 1.0, "added"))))
+  }
+
   test("hits: exact truncating hub/authority on a two-source funnel") {
     // A->C, B->C, C->D (unit weights), one iteration:
     // a_raw: C=2e6, D=1e6 -> asum=3e6 -> auth = raw div 3: C=666666, D=333333, A=B=0
