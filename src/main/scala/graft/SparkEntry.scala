@@ -121,6 +121,9 @@ object SparkEntry {
     // web-scale neighborhood-function algorithm; all-integer register state
     // is hash-pinned, ball-size estimates are spec-bounded
     "kg_hyperball" -> ((s, d) => DocKg.hyperBall(s, d)),
+    // exact harmonic centrality in scaled-integer reciprocal distances —
+    // HyperBall's small-graph exact counterpart
+    "kg_harmonic" -> ((s, d) => DocKg.harmonic(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
     "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
@@ -282,6 +285,10 @@ object SparkEntry {
         .groupBy(col("host"))
         .agg(count(lit(1)).as("n_docs"), countDistinct(col("canonical")).as("n_pages"))
     }),
+    // domain balancing: at most `cap` docs per host, deterministic md5-rank
+    // keep decision (an unbiased hash-sample, not a scan-order artifact)
+    "curate_host_cap" -> ((s, d) =>
+      UrlOps.hostCap(docs(s, d), messyUrl(col("doc_id")), col("doc_id"), cap = 30)),
     // quality-aware representative per near-dup cluster: keep the LONGEST
     // copy (token count, ties by min id) instead of the arbitrary min id
     "dedup_keep_best" -> ((s, d) => {
@@ -994,6 +1001,23 @@ object SparkEntry {
          |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
          |sizes AS (SELECT cluster, count(*)::BIGINT AS size FROM labels GROUP BY cluster)
          |SELECT size, count(*)::BIGINT AS n_components FROM sizes GROUP BY size""".stripMargin,
+    "kg_harmonic" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |adj AS MATERIALIZED (SELECT DISTINCT source AS src, target AS dst
+         |      FROM edges WHERE source <> target),
+         |nodes AS MATERIALIZED (SELECT src AS id FROM adj UNION SELECT dst FROM adj),
+         |d0 AS MATERIALIZED (SELECT id AS src, id AS dst, CAST(0 AS BIGINT) AS dist FROM nodes),
+         |${(1 to 3).map(i =>
+              s"""d$i AS MATERIALIZED (SELECT src, dst, CAST(min(dist) AS BIGINT) AS dist FROM (
+                 |      SELECT src, dst, dist FROM d${i - 1}
+                 |      UNION ALL
+                 |      SELECT r.src, a.dst, r.dist + 1 FROM d${i - 1} r JOIN adj a ON r.dst = a.src)
+                 |      GROUP BY 1, 2)""".stripMargin).mkString(",\n")},
+         |hs AS (SELECT src AS id, CAST(sum(1000000 // dist) AS BIGINT) AS h
+         |      FROM d3 WHERE src <> dst GROUP BY src)
+         |SELECT n.id, coalesce(hs.h, 0)::BIGINT AS h
+         |FROM nodes n LEFT JOIN hs ON n.id = hs.id""".stripMargin,
     "kg_hyperball" -> {
       val (reg, rho) = hllRegSql("id", 4)
       s"""WITH $triplesCte,
@@ -1326,6 +1350,14 @@ object SparkEntry {
          |         '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/:?#]+)', 1)) AS host,
          |       count(*)::BIGINT AS n_docs, count(DISTINCT canonical)::BIGINT AS n_pages
          |FROM canon GROUP BY host""".stripMargin,
+    "curate_host_cap" ->
+      s"""WITH $messyUrlCte,
+         |hosts AS (SELECT doc_id, lower(regexp_extract(url,
+         |       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/:?#]+)', 1)) AS host FROM u),
+         |rk AS (SELECT doc_id, host,
+         |       row_number() OVER (PARTITION BY host ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+         |       FROM hosts)
+         |SELECT doc_id AS id, host FROM rk WHERE rk <= 30""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $verifiedPairsCte,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM vpairs UNION SELECT b_id, a_id FROM vpairs),

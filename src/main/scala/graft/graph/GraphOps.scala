@@ -654,6 +654,39 @@ object GraphOps {
           rows.toSeq.map(r => r.getLong(1) -> r.getLong(2)), p)
       }
 
+  /** Exact outward harmonic centrality within `rounds` hops:
+    * h(v) = Σ_{u ∈ B(v,rounds), u≠v} (10^6 div dist(v,u)) — scaled-integer
+    * reciprocal distances, so the sum is order-insensitive and bit-identical
+    * cross-engine (a float 1/d sum is not). The all-source min-distance
+    * relation is the [[bfs]] recurrence seeded with EVERY node — O(V·E) per
+    * round, which is fine on the post-aggregation KG; at web-graph scale the
+    * same quantity is ESTIMATED from [[hyperBall]] ball sizes (harmonic =
+    * Σ_t (|B(v,t)|−|B(v,t−1)|)/t), which is why the two live side by side.
+    *
+    * Output: (id, h) for every node (h=0 for sinks with no out-reach). */
+  def harmonic(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16]: $rounds")
+    val adj = edges.filter(col("source") =!= col("target"))
+      .select(col("source").as("asrc"), col("target").as("adst"))
+      .distinct().localCheckpoint(true)
+    val nodes = adj.select(col("asrc").as("id"))
+      .union(adj.select(col("adst").as("id"))).distinct().localCheckpoint(true)
+    var dist = nodes.select(col("id").as("src"), col("id").as("dst"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val ext = dist.join(adj, dist("dst") === adj("asrc"))
+        .select(col("src"), col("adst").as("dst"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(ext)
+        .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    val h = dist.filter(col("src") =!= col("dst"))
+      .groupBy(col("src"))
+      .agg(sum(expr("1000000 div dist")).as("h"))
+    nodes.join(h, nodes("id") === h("src"), "left")
+      .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
+  }
+
   /** Snapshot diff between two aggregated edge relations (source, target,
     * sent, c) — the continuous-crawl maintenance read: which attitudes
     * appeared, vanished, or shifted weight between crawl windows. One full

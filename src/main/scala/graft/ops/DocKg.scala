@@ -348,6 +348,10 @@ object DocKg {
   def hyperBall(spark: SparkSession, dir: String): DataFrame =
     GraphOps.hyperBall(edges(spark, dir), p = 4, rounds = 2)
 
+  /** Exact scaled-integer harmonic centrality (GraphOps.harmonic). */
+  def harmonic(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.harmonic(edges(spark, dir), rounds = 3)
+
   /** Directed-edge reciprocity of the KG (GraphOps.reciprocity). */
   def reciprocity(spark: SparkSession, dir: String): DataFrame =
     GraphOps.reciprocity(edges(spark, dir))

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization for web-page dedup — step zero of every
@@ -60,4 +61,26 @@ object UrlOps {
   def hostOf(url: Column): Column =
     lower(regexp_extract(trim(url),
       "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/:?#]+)", 1))
+
+  /** Per-host document cap — domain balancing for training corpora: no host
+    * contributes more than `cap` documents. The keep decision is a
+    * deterministic md5 rank within the host (ties broken by id), so reruns
+    * and different partitionings agree and the selection is an unbiased
+    * hash-sample of the host's pages, not a scan-order artifact.
+    *
+    * One exchange on the host key; the per-host window is a sort of that
+    * host's rows, so a pathological mega-host concentrates in one task — at
+    * web scale, pre-screen hosts with the CMS heavy-hitter sketch
+    * ([[graft.ops.Sketches.cmsSketch]]) and window only the offenders (hosts
+    * under the cap keep everything unconditionally). Output: (id, host) of
+    * the kept documents. */
+  def hostCap(df: DataFrame, url: Column, id: Column, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val w = Window.partitionBy(col("host"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    df.select(id.cast("long").as("id"), hostOf(url).as("host"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("id"), col("host"))
+  }
 }

@@ -52,6 +52,15 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("harmonic: exact scaled-integer reciprocal distances on a chain") {
+    val e = edges(("A", "B", 1), ("B", "C", 1), ("X", "Y", 1))
+    val got = GraphOps.harmonic(e, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // A reaches B at 1, C at 2; B reaches C at 1; sinks score 0
+    assert(got == Map(
+      "A" -> 1500000L, "B" -> 1000000L, "C" -> 0L, "X" -> 1000000L, "Y" -> 0L))
+  }
+
   test("edgeDelta: added/removed/changed/stable classification is exhaustive") {
     import spark.implicits._
     val a = Seq(("A", "B", "pos", 2.0), ("A", "C", "pos", 3.0), ("X", "Y", "neg", 1.0))

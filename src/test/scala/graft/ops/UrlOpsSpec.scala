@@ -57,4 +57,19 @@ class UrlOpsSpec extends AnyFunSuite with SparkTestSession {
       .select(UrlOps.hostOf(col("url")).as("h")).collect().map(_.getString(0)).toSeq
     assert(got == Seq("www.example.com", "a.b.c", "example.com", "[::1]", ""))
   }
+
+  test("hostCap: cap enforced per host, under-cap hosts whole, partition-invariant") {
+    // host h0: 50 docs, host h1: 7 docs, cap 10
+    val docs = ((0 until 50).map(i => (i.toLong, s"https://h0.com/p$i")) ++
+      (0 until 7).map(i => (100L + i, s"https://h1.org/p$i")))
+      .toDF("doc_id", "url")
+    val kept = UrlOps.hostCap(docs, col("url"), col("doc_id"), cap = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byHost = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byHost("h0.com").size == 10)
+    assert(byHost("h1.org") == (0 until 7).map(100L + _).toSet) // under cap: all kept
+    val again = UrlOps.hostCap(docs.repartition(13), col("url"), col("doc_id"), cap = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == kept.toSet)
+  }
 }
