@@ -113,6 +113,9 @@ object SparkEntry {
     "kg_walks" -> ((s, d) => DocKg.walks(s, d)),
     // skip-gram (center, context) pair counts within a 2-step walk window
     "kg_walk_pairs" -> ((s, d) => DocKg.walkPairs(s, d)),
+    // node2vec second-order biased walks: return/shared/away multiplicities
+    // (1,2,4) = p=2, q=0.5 — hash-picked over cumulative ranges, rng-free
+    "kg_node2vec" -> ((s, d) => DocKg.node2vec(s, d)),
     // directed-edge reciprocity: exact counts, one double division
     "kg_reciprocity" -> ((s, d) => DocKg.reciprocity(s, d)),
     // component-size histogram: the giant-component health check
@@ -565,6 +568,44 @@ object SparkEntry {
 
   private def walksUnionSql(steps: Int): String =
     (0 to steps).map(i => s"SELECT start, CAST($i AS BIGINT) AS step, node FROM w$i")
+      .mkString(" UNION ALL ")
+
+  /** The node2vec second-order walk unrolled: ranked adjacency, uniform
+    * first hop, then per step a candidate multiplicity CASE (return/shared/
+    * away), a rank-ordered prefix sum, and the hash pick into the cumulative
+    * range — mirrors GraphOps.node2vecWalks exactly. */
+  private def node2vecCtes(edgesRel: String, steps: Int,
+      mp: Int, ms: Int, mq: Int, seed: String): String = {
+    def pick(t: Int) =
+      s"('0x' || substr(md5(prev || '|' || cur || '|$t|$seed'), 1, 15))::BIGINT % total"
+    s"""adj AS (SELECT DISTINCT source AS src, target AS dst FROM $edgesRel WHERE source <> target),
+       |adjd AS MATERIALIZED (SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+       |      count(*) OVER (PARTITION BY src) AS deg FROM adj),
+       |n2v0 AS MATERIALIZED (SELECT id AS start, id AS node FROM
+       |      (SELECT DISTINCT src AS id FROM adj UNION SELECT DISTINCT dst FROM adj)),
+       |st1 AS MATERIALIZED (SELECT w.start, w.node AS prev, a.dst AS cur FROM n2v0 w
+       |      JOIN adjd a ON w.node = a.src
+       |      AND a.rnk = ('0x' || substr(md5(w.node || '|1|$seed'), 1, 15))::BIGINT % a.deg),
+       |${(2 to steps).map(t =>
+            s"""cand$t AS (SELECT s.start, s.prev, s.cur, a.dst, a.rnk,
+               |      CASE WHEN a.dst = s.prev THEN $mp
+               |           WHEN sh.dst IS NOT NULL THEN $ms
+               |           ELSE $mq END AS mult
+               |      FROM st${t - 1} s JOIN adjd a ON s.cur = a.src
+               |      LEFT JOIN adj sh ON sh.src = s.prev AND sh.dst = a.dst),
+               |cum$t AS (SELECT start, prev, cur, dst, mult,
+               |      sum(mult) OVER (PARTITION BY start ORDER BY rnk
+               |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - mult AS cume,
+               |      sum(mult) OVER (PARTITION BY start) AS total FROM cand$t),
+               |st$t AS MATERIALIZED (SELECT start, cur AS prev, dst AS cur FROM cum$t
+               |      WHERE ${pick(t)} >= cume AND ${pick(t)} < cume + mult)""".stripMargin)
+          .mkString(",\n")}""".stripMargin
+  }
+
+  private def node2vecUnionSql(steps: Int): String =
+    (Seq("SELECT start, CAST(0 AS BIGINT) AS step, node FROM n2v0") ++
+      (1 to steps).map(t => s"SELECT start, CAST($t AS BIGINT) AS step, cur AS node FROM st$t"))
       .mkString(" UNION ALL ")
 
   private val toksCte =
@@ -1039,6 +1080,11 @@ object SparkEntry {
          |${edgesCte("edges", "triples", 2)},
          |${walksCtes("edges", 4)}
          |${walksUnionSql(4)}""".stripMargin,
+    "kg_node2vec" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |${node2vecCtes("edges", 4, 1, 2, 4, "n2v")}
+         |${node2vecUnionSql(4)}""".stripMargin,
     "kg_walk_pairs" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

@@ -874,6 +874,70 @@ object GraphOps {
     out
   }
 
+  /** node2vec-style SECOND-ORDER walks (Grover–Leskovec) — the walk corpus
+    * for structure-aware embeddings, where the next hop is biased by the
+    * PREVIOUS node: candidates get multiplicity `returnMult` (back to prev),
+    * `sharedMult` (prev→candidate edge exists — BFS-ish), or `awayMult`
+    * (DFS-ish). Classic (p, q) map to multiplicities ∝ (1/p, 1, 1/q):
+    * (1, 2, 4) ≡ p=2, q=0.5. Integer multiplicities keep the pick exact:
+    * the hash md5(prev|cur|t|seed) mod Σmult lands in one candidate's
+    * cumulative range — rng-free, partition-invariant, and unrollable in the
+    * DuckDB oracle (window prefix-sums over rank-ordered neighbors).
+    *
+    * First hop has no prev: uniform over neighbors ([[randomWalks]] rule).
+    * Dead-end nodes truncate their walk. Per step: one join of the |V|-row
+    * state against the ranked adjacency + one left join for the shared-edge
+    * flag + one per-walk window — lineage truncated per step. Output:
+    * (start, step, node), the [[walkPairs]] input schema. */
+  def node2vecWalks(edges: DataFrame, walkLen: Int = 4, returnMult: Int = 1,
+      sharedMult: Int = 2, awayMult: Int = 4, seed: String = "n2v"): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 64, s"walkLen must be in [1,64]: $walkLen")
+    require(returnMult >= 1 && sharedMult >= 1 && awayMult >= 1,
+      s"multiplicities must be >= 1: ($returnMult, $sharedMult, $awayMult)")
+    val adj = edges.filter(col("source") =!= col("target"))
+      .select(col("source").as("src"), col("target").as("dst")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val adjd = adj
+      .withColumn("rnk", row_number().over(w.orderBy(col("dst"))) - 1)
+      .withColumn("deg", count(lit(1)).over(w))
+      .localCheckpoint(true)
+    val shared = adjd.select(col("src").as("p_src"), col("dst").as("p_dst"))
+    val nodes = adj.select(col("src").as("id"))
+      .union(adj.select(col("dst"))).distinct()
+    var out = nodes.select(col("id").as("start"), lit(0L).as("step"), col("id").as("node"))
+    var st = {
+      val pick = conv(substring(md5(concat(col("node"), lit(s"|1|$seed"))), 1, 15), 16, 10)
+        .cast("long") % col("deg")
+      nodes.select(col("id").as("start"), col("id").as("node"))
+        .join(adjd, col("node") === adjd("src") && col("rnk") === pick)
+        .select(col("start"), col("node").as("prev"), col("dst").as("cur"))
+        .localCheckpoint(true)
+    }
+    out = out.union(st.select(col("start"), lit(1L).as("step"), col("cur").as("node")))
+    for (t <- 2 to walkLen) {
+      val cand = st.join(adjd, st("cur") === adjd("src"))
+        .join(shared, col("prev") === col("p_src") && col("dst") === col("p_dst"), "left")
+        .select(col("start"), col("prev"), col("cur"), col("dst"), col("rnk"),
+          when(col("dst") === col("prev"), lit(returnMult.toLong))
+            .when(col("p_dst").isNotNull, lit(sharedMult.toLong))
+            .otherwise(lit(awayMult.toLong)).as("mult"))
+      val ww = org.apache.spark.sql.expressions.Window.partitionBy(col("start"))
+      val cum = cand
+        .withColumn("cume",
+          sum(col("mult")).over(ww.orderBy(col("rnk"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)) - col("mult"))
+        .withColumn("total", sum(col("mult")).over(ww))
+      val pick = conv(substring(md5(concat(col("prev"), lit("|"), col("cur"),
+        lit(s"|$t|$seed"))), 1, 15), 16, 10).cast("long") % col("total")
+      st = cum.filter(pick >= col("cume") && pick < col("cume") + col("mult"))
+        .select(col("start"), col("cur").as("prev"), col("dst").as("cur"))
+        .localCheckpoint(true)
+      out = out.union(st.select(col("start"), lit(t.toLong).as("step"), col("cur").as("node")))
+    }
+    out
+  }
+
   /** Skip-gram training pairs from [[randomWalks]] output: co-occurring
     * (center, context) node pairs within `window` steps of the same walk,
     * with multiplicities — the exact relation a distributed word2vec-style

@@ -333,6 +333,12 @@ object DocKg {
   def walkPairs(spark: SparkSession, dir: String): DataFrame =
     GraphOps.walkPairs(walks(spark, dir), window = 2)
 
+  /** Second-order node2vec walks over the KG, p=2 / q=0.5 as multiplicities
+    * (1, 2, 4) (GraphOps.node2vecWalks). */
+  def node2vec(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.node2vecWalks(edges(spark, dir), walkLen = 4,
+      returnMult = 1, sharedMult = 2, awayMult = 4, seed = "n2v")
+
   /** Crawl-window KG diff: triples from even-id docs vs odd-id docs, each
     * aggregated to edges, then GraphOps.edgeDelta. The triple relation is
     * materialized ONCE (multi-consumer discipline) and split by id — the
