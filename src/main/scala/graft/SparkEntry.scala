@@ -407,6 +407,25 @@ object SparkEntry {
       val qz = Similarity.sq8Quantize(e, col("vec_id"), col("embedding"), mn, mx)
       Similarity.sq8TopK(qz, qz.filter(col("id") < 50), k = 3)
     }),
+    // product quantization: per-subspace exact Lloyd's codebooks (m=2 x
+    // ksub=4), map-side encoding — the codes ARE the 100 TB ANN index
+    "ann_pq_codes" -> ((s, d) => {
+      val e = embeds(s, d)
+      val books = Similarity.pqCodebooks(e, col("vec_id"), col("embedding"),
+        dim = 64, m = 2, ksub = 4, iters = 2)
+      Similarity.pqEncode(e, col("vec_id"), col("embedding"), 64, books)
+        .select(col("id"), posexplode(col("codes")))
+        .select(col("id"), col("pos").cast("long").as("s"), col("col").as("code"))
+    }),
+    // asymmetric-distance top-k over the PQ codes — all-integer, exact ranks
+    "ann_pq_topk" -> ((s, d) => {
+      val e = embeds(s, d)
+      val books = Similarity.pqCodebooks(e, col("vec_id"), col("embedding"),
+        dim = 64, m = 2, ksub = 4, iters = 2)
+      val codes = Similarity.pqEncode(e, col("vec_id"), col("embedding"), 64, books)
+      Similarity.pqTopK(codes, e.filter(col("vec_id") < 20),
+        col("vec_id"), col("embedding"), 64, books, k = 5)
+    }),
     // scale path for near-dup pairs: LSH bucket join (NO cross join in the
     // plan — asserted by PlanSpec); near-dups planted deterministically
     // (perturbed copy of every vector at id+10000) since the synthetic
@@ -739,6 +758,54 @@ object SparkEntry {
          |i$j AS MATERIALIZED (SELECT * FROM i${j - 1} UNION ALL SELECT * FROM pick$j)""".stripMargin)
     }
     b.toString
+  }
+
+  // ---- PQ: the k-means machinery parameterized by prefix/relation/width so
+  // each subspace trains its own quantizer (mirrors Similarity.pqCodebooks)
+  private def kmInitCtesFor(pfx: String, rel: String, k: Int): String = {
+    val b = new StringBuilder(
+      s"${pfx}i0 AS MATERIALIZED (SELECT 0 AS cid, q AS cq FROM (SELECT * FROM $rel ORDER BY id LIMIT 1))")
+    for (j <- 1 until k) {
+      b.append(s""",
+         |${pfx}p$j AS (SELECT v.id, min(list_sum(list_transform(list_zip(v.q, c.cq), p -> (p[1]-p[2])*(p[1]-p[2])))) AS d
+         |  FROM $rel v CROSS JOIN ${pfx}i${j - 1} c GROUP BY v.id),
+         |${pfx}pick$j AS (SELECT $j AS cid, $rel.q AS cq FROM ${pfx}p$j JOIN $rel ON ${pfx}p$j.id = $rel.id
+         |           ORDER BY ${pfx}p$j.d DESC, ${pfx}p$j.id LIMIT 1),
+         |${pfx}i$j AS MATERIALIZED (SELECT * FROM ${pfx}i${j - 1} UNION ALL SELECT * FROM ${pfx}pick$j)""".stripMargin)
+    }
+    b.toString
+  }
+
+  private def kmAssignCteFor(rel: String, inCents: String, out: String): String =
+    s"""d_$out AS (SELECT v.id, v.q, c.cid,
+       |    list_sum(list_transform(list_zip(v.q, c.cq), p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+       |  FROM $rel v CROSS JOIN $inCents c),
+       |$out AS MATERIALIZED (SELECT id, q, cid AS cluster FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM d_$out)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def kmUpdateCteFor(width: Int, assigned: String, prev: String, out: String): String =
+    s"""s_$out AS (SELECT cluster, i.i AS pos, sum(q[i.i]) AS s, count(*) AS cnt
+       |  FROM $assigned CROSS JOIN (SELECT unnest(range(1, ${width + 1})) AS i) i GROUP BY 1, 2),
+       |n_$out AS (SELECT cluster AS cid, list(CAST(floor(s::DOUBLE / cnt) AS BIGINT) ORDER BY pos) AS cq
+       |  FROM s_$out GROUP BY 1),
+       |$out AS MATERIALIZED (SELECT p.cid, coalesce(n.cq, p.cq) AS cq FROM $prev p LEFT JOIN n_$out n ON p.cid = n.cid)""".stripMargin
+
+  /** One PQ subspace: quantized slice [lo+1, lo+w], maximin seeding, two
+    * Lloyd rounds, final assignment — ends at ${pfx}a3 (codes) / ${pfx}c2
+    * (the codebook the encode used). */
+  private def pqSubCtes(s: Int, lo: Int, w: Int, ksub: Int): String = {
+    val pfx = s"s$s"
+    s"""${pfx}qv AS MATERIALIZED (SELECT vec_id AS id,
+       |    list_transform((embedding::DOUBLE[])[${lo + 1}:${lo + w}], x -> CAST(floor(x*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |${kmInitCtesFor(pfx, s"${pfx}qv", ksub)},
+       |${pfx}c0 AS (SELECT cid, cq FROM ${pfx}i${ksub - 1}),
+       |${kmAssignCteFor(s"${pfx}qv", s"${pfx}c0", s"${pfx}a1")},
+       |${kmUpdateCteFor(w, s"${pfx}a1", s"${pfx}c0", s"${pfx}c1")},
+       |${kmAssignCteFor(s"${pfx}qv", s"${pfx}c1", s"${pfx}a2")},
+       |${kmUpdateCteFor(w, s"${pfx}a2", s"${pfx}c1", s"${pfx}c2")},
+       |${kmAssignCteFor(s"${pfx}qv", s"${pfx}c2", s"${pfx}a3")}""".stripMargin
   }
 
   private lazy val kmCtes =
@@ -1613,6 +1680,28 @@ object SparkEntry {
          |      FROM cells c JOIN probes p ON c.cluster = p.cluster AND p.id <> c.id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
+    "ann_pq_codes" ->
+      s"""WITH ${pqSubCtes(0, 0, 32, 4)},
+         |${pqSubCtes(1, 32, 32, 4)}
+         |SELECT id, CAST(0 AS BIGINT) AS s, CAST(cluster AS BIGINT) AS code FROM s0a3
+         |UNION ALL
+         |SELECT id, CAST(1 AS BIGINT) AS s, CAST(cluster AS BIGINT) AS code FROM s1a3""".stripMargin,
+    "ann_pq_topk" ->
+      s"""WITH ${pqSubCtes(0, 0, 32, 4)},
+         |${pqSubCtes(1, 32, 32, 4)},
+         |pqcodes AS (SELECT a0.id, a0.cluster AS c0, a1.cluster AS c1
+         |  FROM s0a3 a0 JOIN s1a3 a1 ON a0.id = a1.id),
+         |pqdist AS (SELECT qa.id AS query_id, c.id AS neighbor_id,
+         |    CAST(list_sum(list_transform(list_zip(qa.q, b0.cq), p -> (p[1]-p[2])*(p[1]-p[2]))) +
+         |         list_sum(list_transform(list_zip(qb.q, b1.cq), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+         |  FROM pqcodes c
+         |  JOIN s0c2 b0 ON b0.cid = c.c0
+         |  JOIN s1c2 b1 ON b1.cid = c.c1,
+         |  (SELECT id, q FROM s0qv WHERE id < 20) qa
+         |  JOIN (SELECT id, q FROM s1qv WHERE id < 20) qb ON qa.id = qb.id
+         |  WHERE qa.id <> c.id),
+         |pqr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM pqdist)
+         |SELECT query_id, rank, neighbor_id, dist FROM pqr WHERE rank <= 5""".stripMargin,
     "text_lm_surprisal" ->
       s"""WITH $toksCte,
          |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(terms) - 1), i -> terms[i+1] || ' ' || terms[i+2])) AS bigram FROM toks),

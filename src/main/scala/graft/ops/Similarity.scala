@@ -467,4 +467,79 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
   }
+
+  // -------------------------------------------------- product quantization
+
+  /** PQ codebooks (Jégou et al.): the vector space is split into `m`
+    * subspaces of dim/m coordinates, and each subspace trains its OWN small
+    * exact quantized Lloyd's ([[kmeansCentroids]] on the slice — same
+    * maximin seeding, same floor(sum/cnt) updates, so the whole training is
+    * bit-reproducible and SQL-unrollable). Returns m codebooks of
+    * ksub×(dim/m) quantized centroids.
+    *
+    * The 100 TB shape: codebooks compress a vector to m small codes (m·log2
+    * ksub bits vs dim·32) — the index the ANN tier actually stores — and
+    * training reads the corpus (or a [[graft.ops.Sampling]] hash-sample of
+    * it, the production setting) m times map-side; nothing here shuffles
+    * more than K×dim rows per iteration. */
+  def pqCodebooks(df: DataFrame, id: Column, vec: Column, dim: Int, m: Int,
+      ksub: Int, iters: Int, scale: Int = 1000,
+      seedSampleFraction: Option[Double] = None): Array[Array[Array[Long]]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val w = dim / m
+    (0 until m).map { s =>
+      kmeansCentroids(df, id, slice(asDouble(vec), s * w + 1, w), ksub, iters,
+        scale, seedSampleFraction)
+    }.toArray
+  }
+
+  /** PQ encoding: per subspace the nearest-codebook-centroid index — m
+    * native argmin kernels per row, map-side only (the codebooks ride as
+    * reference objects, no join). Output: (id, codes array<long> length m). */
+  def pqEncode(df: DataFrame, id: Column, vec: Column, dim: Int,
+      books: Array[Array[Array[Long]]], scale: Int = 1000): DataFrame = {
+    val m = books.length
+    val w = dim / m
+    val codes = array((0 until m).map(s =>
+      nearestCentroid(quantCol(slice(asDouble(vec), s * w + 1, w), scale), books(s))): _*)
+    df.select(id.as("id"), codes.as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: dist(query, code) =
+    * Σ_s d2(q_s, books(s)(code_s)) — all-integer, so ranks are exact
+    * cross-engine. Declarative shape for the oracle: codes posexplode to
+    * (id, s, code), one broadcast join against the (m·ksub)-row codebook
+    * relation, one broadcast of the quantized queries, then a (query,
+    * neighbor) sum + per-query top-k window. At production scale the same
+    * quantity is one scan with a per-query lookup-table kernel (the
+    * [[sq8TopK]] native-expression pattern); this relation IS that kernel's
+    * spec. Self-matches are excluded (the ANN-family convention). */
+  def pqTopK(codes: DataFrame, queries: DataFrame, id: Column, vec: Column, dim: Int,
+      books: Array[Array[Array[Long]]], k: Int, scale: Int = 1000): DataFrame = {
+    val m = books.length
+    val w = dim / m
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val bookDf = (for (s <- 0 until m; c <- books(s).indices)
+      yield (s.toLong, c.toLong, books(s)(c).toSeq)).toDF("s", "code", "cq")
+    val q = queries.select(id.as("query_id"),
+      array((0 until m).map(s => quantCol(slice(asDouble(vec), s * w + 1, w), scale)): _*)
+        .as("qsubs"))
+    val corpus = codes
+      .select(col("id").as("neighbor_id"), posexplode(col("codes")).as(Seq("p", "c")))
+      .select(col("neighbor_id"), col("p").cast("long").as("s"), col("c").as("code"))
+      .join(broadcast(bookDf), Seq("s", "code"))
+    val d2 = aggregate(
+      zip_with(element_at(col("qsubs"), (col("s") + 1).cast("int")), col("cq"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val dist = corpus.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), d2.as("d"))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(sum(col("d")).as("dist"))
+    val wdw = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    dist.withColumn("rank", row_number().over(wdw)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dist").cast("long").as("dist"))
+  }
 }
