@@ -12,10 +12,14 @@ import graft.graph.{D3Json, GraphOps}
   *          --operation UNION|INTERSECTION|DIFFERENCE --out DIR [--name N] [--weights y|n]
   *
   * Analytics (read --a only, write <out>/analytics.csv + summary JSON line):
-  *   --operation PAGERANK|PPR|HITS|COMPONENTS|LPA|KCORE|BFS|CLUSTCOEFF|KTRUSS|WALKS|DEGHIST|ASSORT
+  *   --operation PAGERANK|PPR|HITS|COMPONENTS|LPA|KCORE|BFS|CLUSTCOEFF|KTRUSS|
+  *               WALKS|NODE2VEC|DEGHIST|ASSORT|HARMONIC|HYPERBALL|NTRIPLES
   *   [--iters N] [--source NODE (PPR/BFS)] [--k N (KCORE/KTRUSS)]
-  *   [--rounds N (KTRUSS peeling depth, default 8)] [--seed S (WALKS)]
+  *   [--rounds N (KTRUSS peeling depth, default 8)] [--seed S (WALKS/NODE2VEC)]
   *   [--master local[N]]
+  * NTRIPLES writes <out>/graph.nt (RDF dump) instead of the csv.
+  * DELTA reads BOTH --a and --b and writes the edge-level
+  * added/removed/changed/stable diff as analytics.csv.
   * Count-weighted graphs expected (Infer's default export): the PageRank
   * family fails fast on fractional weights (GraphOps.pageRank's guard).
   */
@@ -23,10 +27,11 @@ object Operations {
 
   private val Analytics =
     Set("PAGERANK", "PPR", "HITS", "COMPONENTS", "LPA", "KCORE", "BFS", "CLUSTCOEFF",
-      "KTRUSS", "WALKS", "DEGHIST", "ASSORT")
+      "KTRUSS", "WALKS", "NODE2VEC", "DEGHIST", "ASSORT", "HARMONIC", "HYPERBALL",
+      "NTRIPLES")
 
-  private def runAnalytics(a: Graph, op: String, opts: Map[String, String],
-      out: String): Unit = {
+  private def runAnalytics(a: Graph, b: Option[Graph], op: String,
+      opts: Map[String, String], out: String): Unit = {
     val master = opts.getOrElse("--master",
       s"local[${math.min(8, Runtime.getRuntime.availableProcessors)}]")
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -55,16 +60,36 @@ object Operations {
         opts.getOrElse("--rounds", "8").toInt)
       case "WALKS"      => GraphOps.randomWalks(edges, iters,
         opts.getOrElse("--seed", "w"))
+      case "NODE2VEC"   => GraphOps.node2vecWalks(edges, iters,
+        seed = opts.getOrElse("--seed", "n2v"))
       case "DEGHIST"    => GraphOps.degreeHistogram(edges)
       case "ASSORT"     => GraphOps.assortativity(edges)
+      case "HARMONIC"   => GraphOps.harmonic(edges, iters)
+      case "HYPERBALL"  =>
+        val sizes = GraphOps.hyperBallSizes(
+          GraphOps.hyperBall(edges, p = 8, rounds = iters), p = 8)
+        sizes.toSeq.toDF("id", "est_ball_size")
+      case "NTRIPLES"   => graft.graph.Rdf.ntriples(edges)
+      case "DELTA"      =>
+        val be = b.get.links.map(l => (l.source, l.target, l.sent, l.c))
+          .toDF("source", "target", "sent", "c")
+        GraphOps.edgeDelta(edges, be)
     }
     val cols = result.columns
     val rows = result.orderBy(cols.head, cols.tail: _*).collect() // graph-sized
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-    val csv = (cols.mkString(",") +: rows.map(_.toSeq.mkString(","))).mkString("", "\n", "\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/analytics.csv"),
-      csv.getBytes("UTF-8"))
-    println(s"""{"operation":"$op","rows":${rows.length},"out":"$out/analytics.csv"}""")
+    if (op == "NTRIPLES") {
+      val li = cols.indexOf("line")
+      val nt = rows.map(_.getString(li)).mkString("", "\n", "\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/graph.nt"),
+        nt.getBytes("UTF-8"))
+      println(s"""{"operation":"$op","rows":${rows.length},"out":"$out/graph.nt"}""")
+    } else {
+      val csv = (cols.mkString(",") +: rows.map(_.toSeq.mkString(","))).mkString("", "\n", "\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/analytics.csv"),
+        csv.getBytes("UTF-8"))
+      println(s"""{"operation":"$op","rows":${rows.length},"out":"$out/analytics.csv"}""")
+    }
     spark.stop()
   }
 
@@ -152,8 +177,9 @@ object Operations {
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
     val a = read(opts("--a"))
     val op = opts.getOrElse("--operation", GraphOps.Union)
-    if (Analytics.contains(op)) {
-      runAnalytics(a, op, opts, opts.getOrElse("--out", sys.error("--out required")))
+    if (Analytics.contains(op) || op == "DELTA") {
+      val bOpt = if (op == "DELTA") Some(read(opts("--b"))) else None
+      runAnalytics(a, bOpt, op, opts, opts.getOrElse("--out", sys.error("--out required")))
       return
     }
     val b = read(opts("--b"))
