@@ -127,7 +127,9 @@ object Bench {
       "ann_kmeans_topk", "ann_kmeans_probe", "ann_sq8", "ann_recall",
       "kg_top_relations", "kg_pmi", "kg_triangles", "kg_edges_incremental",
       "kg_ppr", "kg_components", "kg_node_jaccard", "kg_kcore", "kg_adamic_adar",
-      "kg_hits", "kg_lpa",
+      "kg_hits", "kg_lpa", "kg_hyperball", "kg_harmonic", "kg_node2vec",
+      "kg_ntriples", "kg_edge_delta",
+      "dedup_spans", "ann_pq_topk", "decontaminate_bloom", "curate_host_cap",
       "text_quality", "text_fingerprint", "text_repetition", "text_lm_surprisal",
       "text_tfidf_topk", "text_len_quantiles", "events_json",
       "sample_stratified", "sample_weighted", "pack_chunks", "curate_source_stats",

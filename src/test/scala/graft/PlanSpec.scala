@@ -171,6 +171,42 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dedup_spans: gram/coverage/rebuild are key joins and aggs — no cartesian") {
+    val p = planOf("dedup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("decontaminate_bloom: the bit relation broadcasts; probe join is hash, not cartesian") {
+    val p = planOf("decontaminate_bloom")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ann_pq_topk: only the intended query broadcast is a nested-loop join") {
+    val p = planOf("ann_pq_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    // codes⨝codebook is a key join; the Q-row query relation rides ONE
+    // broadcast nested loop (the declared all-pairs step, Q bounded)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("kg_node2vec / kg_hyperball / kg_harmonic: iterative rounds stay key-joined") {
+    Seq("kg_node2vec", "kg_hyperball", "kg_harmonic").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n$p")
+    }
+  }
+
+  test("kg_ntriples: formatting adds no shuffle beyond the edge aggregation") {
+    val pEdges = planOf("kg_edges")
+    val pNt = planOf("kg_ntriples")
+    def exchanges(s: String) = "Exchange".r.findAllIn(s).size
+    assert(exchanges(pNt) == exchanges(pEdges),
+      s"ntriples must be map-side over edges:\n$pNt")
+  }
+
   test("entry: flagship pipeline has no shuffle before the final aggregation") {
     val df = SparkEntry.entry(spark)
     val p = df.queryExecution.executedPlan.toString
