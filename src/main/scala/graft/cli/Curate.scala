@@ -16,6 +16,8 @@ import graft.ops.{Dedup, TextStats}
   *     [--near-dup y] [--bands 4] [--rows-per-band 2] [--shingle-w 2] [--jaccard 0.7]
   *     [--max-bucket 10000]
   *     [--probes eval.parquet --ngram 5 --min-shared 3]
+  *     [--source-cap N [--cap-col source]]  (domain balancing: at most N
+  *       docs per source by deterministic md5 rank)
   *     [--store /path/to/sigstore [--store-min-bands 1] [--compact-store y]]
   *     [--hll-store /path/to/hllstore [--hll-p 8]]  (lifetime distinct gauge;
   *       p is pinned in the store on first use, later runs adopt it)
@@ -119,16 +121,28 @@ object Curate {
     val afterNearP = afterNear.persist()
     val nNear = afterNearP.count()
 
+    // 4b. domain balancing (--source-cap N): at most N docs per source by
+    // deterministic md5 rank — an unbiased per-domain hash-sample, so one
+    // boilerplate-heavy domain cannot dominate the kept corpus
+    val capCol = opts.getOrElse("--cap-col", "source")
+    val afterCap = opts.get("--source-cap") match {
+      case Some(n) =>
+        graft.ops.Sampling.groupCap(afterNearP, col(capCol), col(idCol), n.toInt).persist()
+      case None => afterNearP
+    }
+    val capField = opts.get("--source-cap")
+      .map(_ => s""""after_source_cap":${afterCap.count()},""").getOrElse("")
+
     // 5. decontamination against a probe/eval set (exact n-gram overlap)
     val kept = opts.get("--probes") match {
       case Some(pp) =>
         val probes = spark.read.parquet(pp)
-        val contaminated = Dedup.ngramOverlap(afterNearP, probes, col(textCol), col(idCol),
+        val contaminated = Dedup.ngramOverlap(afterCap, probes, col(textCol), col(idCol),
             n = opts.getOrElse("--ngram", "5").toInt,
             minShared = opts.getOrElse("--min-shared", "3").toInt)
           .select(col("doc_id").as(idCol)).distinct()
-        afterNearP.join(contaminated, Seq(idCol), "left_anti")
-      case None => afterNearP
+        afterCap.join(contaminated, Seq(idCol), "left_anti")
+      case None => afterCap
     }
     val keptP = kept.persist()
     val nKept = keptP.count()
@@ -162,7 +176,7 @@ object Curate {
 
     val storeField = store.map(_ => s""""after_store":$nStore,""").getOrElse("")
     println(s"""{"input":$nInput,"after_quality":$nQuality,$storeField$hllField""" +
-      s""""after_exact_dedup":$nExact,"after_near_dedup":$nNear,"kept":$nKept,"out":"$out"}""")
+      s""""after_exact_dedup":$nExact,"after_near_dedup":$nNear,$capField"kept":$nKept,"out":"$out"}""")
     spark.stop()
   }
 }

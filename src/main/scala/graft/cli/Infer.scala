@@ -228,6 +228,11 @@ object Infer {
       case None => GraphBuilder.edges(keyed, minLinks).persist()
     }
     val nodes = GraphBuilder.nodes(edges)
+    // --ntriples y: RDF dump of the aggregated edges next to the graph JSON —
+    // a distributed sharded-.nt write (never collects), the triple-store
+    // bulk-load artifact
+    if (opts.get("--ntriples").exists(_ == "y"))
+      graft.io.Sinks.ntriples(graft.graph.Rdf.ntriples(edges), s"$out/ntriples")
     // Guard the driver collect: post-aggregation graphs are normally small, but
     // with --min-links 1 at web scale the edge set need not be driver-sized.
     // Above the cap, write the graph distributed as JSON-lines parquet-side files

@@ -68,4 +68,20 @@ object Sampling {
     ).cast("long")
     df.filter(hashBucket(id) < threshold)
   }
+
+  /** Keep at most `cap` rows per group, decided by a deterministic md5 rank
+    * within the group (ties by id) — a partition-invariant, unbiased
+    * hash-sample of each group rather than a scan-order artifact. Groups at
+    * or under the cap pass through whole; all input columns are preserved.
+    * One exchange on the group key ([[graft.ops.UrlOps.hostCap]] is the
+    * per-host instance; Curate's `--source-cap` is the per-source one). */
+  def groupCap(df: DataFrame, group: Column, id: Column, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__grp"))
+      .orderBy(md5(col("__gid").cast("string")), col("__gid"))
+    df.withColumn("__grp", group).withColumn("__gid", id)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__grp", "__gid", "__rk")
+  }
 }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization for web-page dedup — step zero of every
@@ -74,13 +73,8 @@ object UrlOps {
     * ([[graft.ops.Sketches.cmsSketch]]) and window only the offenders (hosts
     * under the cap keep everything unconditionally). Output: (id, host) of
     * the kept documents. */
-  def hostCap(df: DataFrame, url: Column, id: Column, cap: Int): DataFrame = {
-    require(cap >= 1, s"cap must be >= 1: $cap")
-    val w = Window.partitionBy(col("host"))
-      .orderBy(md5(col("id").cast("string")), col("id"))
-    df.select(id.cast("long").as("id"), hostOf(url).as("host"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= cap)
-      .select(col("id"), col("host"))
-  }
+  def hostCap(df: DataFrame, url: Column, id: Column, cap: Int): DataFrame =
+    Sampling.groupCap(
+      df.select(id.cast("long").as("id"), hostOf(url).as("host")),
+      col("host"), col("id"), cap)
 }

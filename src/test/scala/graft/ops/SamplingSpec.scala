@@ -55,4 +55,21 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Sample"), plan) // not Spark's rng sampler
   }
+
+  test("groupCap: per-group cap, all columns preserved, partition-invariant") {
+    import spark.implicits._
+    val rows = ((0 until 40).map(i => (i.toLong, "big", s"t$i")) ++
+      (100 until 103).map(i => (i.toLong, "small", s"t$i")))
+      .toDF("id", "grp", "payload")
+    val kept = Sampling.groupCap(rows, col("grp"), col("id"), cap = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(kept.count(_._2 == "big") == 5)
+    assert(kept.filter(_._2 == "small").map(_._1).toSet == Set(100L, 101L, 102L))
+    kept.foreach { case (i, _, p) => assert(p == s"t$i") } // columns intact
+    assert(Sampling.groupCap(rows, col("grp"), col("id"), 5).columns.toSeq ==
+      Seq("id", "grp", "payload"))
+    val again = Sampling.groupCap(rows.repartition(9), col("grp"), col("id"), cap = 5)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again == kept.map(_._1).toSet)
+  }
 }
