@@ -292,6 +292,18 @@ object SparkEntry {
     // keep decision (an unbiased hash-sample, not a scan-order artifact)
     "curate_host_cap" -> ((s, d) =>
       UrlOps.hostCap(docs(s, d), messyUrl(col("doc_id")), col("doc_id"), cap = 30)),
+    // collocation mining: integer-log2 PMI over consecutive token bigrams —
+    // DocKg.pmiFromRelation reused verbatim on a text-derived relation
+    "text_collocations" -> ((s, d) => {
+      val toks = docs(s, d).select(split(trim(col("text")), raw"\s+").as("terms"))
+      val rel = toks.select(posexplode(when(size(col("terms")) >= 2,
+          transform(sequence(lit(0), size(col("terms")) - 2),
+            i => array_join(slice(col("terms"), i + 1, lit(2)), " ")))
+          .otherwise(array().cast("array<string>"))))
+        .select(split(col("col"), " ").as("bg"))
+        .select(element_at(col("bg"), 1).as("source"), element_at(col("bg"), 2).as("target"))
+      DocKg.pmiFromRelation(rel).filter(col("n_st") >= 5)
+    }),
     // quality-aware representative per near-dup cluster: keep the LONGEST
     // copy (token count, ties by min id) instead of the arbitrary min id
     "dedup_keep_best" -> ((s, d) => {
@@ -902,6 +914,18 @@ object SparkEntry {
          |SELECT source, target, n_st, n_s, n_t,
          |       CAST((length(bin(n_st * n)) - 1) - (length(bin(n_s * n_t)) - 1) AS BIGINT) AS ipmi
          |FROM pcnt JOIN st USING (source) JOIN tt USING (target) CROSS JOIN tot""".stripMargin,
+    "text_collocations" ->
+      s"""WITH $toksCte,
+         |bg0 AS (SELECT unnest(list_transform(range(0, greatest(len(terms) - 1, 0)), i -> terms[i+1] || ' ' || terms[i+2])) AS bigram FROM toks),
+         |tk AS (SELECT string_split(bigram, ' ')[1] AS source, string_split(bigram, ' ')[2] AS target FROM bg0),
+         |pcnt AS MATERIALIZED (SELECT source, target, count(*)::BIGINT AS n_st FROM tk GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM pcnt GROUP BY 1),
+         |tt AS (SELECT target, CAST(sum(n_st) AS BIGINT) AS n_t FROM pcnt GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM pcnt)
+         |SELECT source, target, n_st, n_s, n_t,
+         |       CAST((length(bin(n_st * n)) - 1) - (length(bin(n_s * n_t)) - 1) AS BIGINT) AS ipmi
+         |FROM pcnt JOIN st USING (source) JOIN tt USING (target) CROSS JOIN tot
+         |WHERE n_st >= 5""".stripMargin,
     "kg_pagerank" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

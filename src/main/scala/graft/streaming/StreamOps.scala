@@ -32,6 +32,22 @@ object StreamOps {
       implicit spark: SparkSession): Dataset[Triple] =
     KgPipeline.triplesFused(pages, cfg, scorer)
 
+  /** Streaming RDF export: each triple of the (stateless, append-mode)
+    * stream formatted as one N-Triples statement — subject/object node IRIs
+    * under the TYPE.value key rule, predicate from the sentiment label.
+    * Map-side only (the [[graft.graph.Rdf]] literal-replace encode chain), so
+    * it composes with any trigger and an append file sink gives sharded .nt
+    * exactly-once under a checkpoint. Output: one `line` column. */
+  def ntriplesStream(triples: Dataset[Triple], base: String = "urn:graft"): DataFrame =
+    graft.graph.Rdf.ntriples(
+      triples.toDF().select(
+        concat_ws(".", col("subjType"),
+          graft.graph.GraphBuilder.cleanValueCol(col("subj"))).as("source"),
+        concat_ws(".", col("objType"),
+          graft.graph.GraphBuilder.cleanValueCol(col("obj"))).as("target"),
+        col("pred").as("sent")))
+      .select(col("line"))
+
   /** Tumbling 1h windowed counts per event type with a 2h watermark
     * (late data beyond the watermark is dropped, state is bounded). */
   def eventsHourly(events: DataFrame): DataFrame =

@@ -50,6 +50,27 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming N-Triples == batch RDF formatting of the same triples") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val pages = (0L until 15L).map(i => PageGen.page(7L, i))
+    val mem = MemoryStream[Page]
+    mem.addData(pages)
+    val cfg = graft.kg.KgPipeline.Config(
+      sampler = graft.kg.Sampler.Config(renderText = false))
+    val q = StreamOps.ntriplesStream(
+        StreamOps.triplesStreamFused(mem.toDS(), cfg, graft.kg.LexiconScorer())(spark))
+      .writeStream.format("memory").queryName("nt_stream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("nt_stream").collect().map(_.getString(0)).sorted.toSeq
+    val batch = StreamOps.ntriplesStream(
+        graft.kg.KgPipeline.triplesFused(pages.toDS(), cfg, graft.kg.LexiconScorer())(spark))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    val grammar = """^<[^<>"\s{}|^`\\]+> <[^<>"\s{}|^`\\]+> <[^<>"\s{}|^`\\]+> \.$""".r
+    streamed.foreach(l => assert(grammar.findFirstIn(l).isDefined, s"bad statement: $l"))
+  }
+
   test("checkpointed restart resumes exactly-once (file sink + checkpointLocation)") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
