@@ -292,6 +292,14 @@ object SparkEntry {
     // keep decision (an unbiased hash-sample, not a scan-order artifact)
     "curate_host_cap" -> ((s, d) =>
       UrlOps.hostCap(docs(s, d), messyUrl(col("doc_id")), col("doc_id"), cap = 30)),
+    // tokenizer-training loop: k rounds of distributed pair counting, one
+    // merge per round (count DESC, pair ASC) — the trained merge table
+    "text_phrase_merges" -> ((s, d) =>
+      LangModel.phraseMerges(docs(s, d), col("text"), col("doc_id"), k = 5)),
+    // the corpus after those merges (merged tokens joined by '_')
+    "text_phrase_rewrite" -> ((s, d) =>
+      LangModel.phraseRewrite(docs(s, d), col("text"), col("doc_id"), k = 5)
+        .select(col("id").as("doc_id"), col("text"))),
     // collocation mining: integer-log2 PMI over consecutive token bigrams —
     // DocKg.pmiFromRelation reused verbatim on a text-derived relation
     "text_collocations" -> ((s, d) => {
@@ -567,6 +575,18 @@ object SparkEntry {
             s"""w$i AS MATERIALIZED (SELECT w.start, a.dst AS node FROM w${i - 1} w
                |      JOIN adjd a ON w.node = a.src
                |      AND a.rnk = ('0x' || substr(md5(w.node || '|$i|w'), 1, 15))::BIGINT % a.deg)""".stripMargin)
+          .mkString(",\n")}""".stripMargin
+
+  /** The phrase-merge training loop unrolled: per round, pair counts over
+    * the '  '-joined corpus string, a 1-row argmax (cnt DESC, pair ASC), and
+    * the literal greedy replace — mirrors LangModel.phraseLoop exactly. */
+  private def phraseCtes(k: Int): String =
+    s"""ph0 AS MATERIALIZED (SELECT doc_id, ' ' || regexp_replace(trim(text), '\\s+', '  ', 'g') || ' ' AS s FROM documents),
+       |${(1 to k).map(i =>
+            s"""pt$i AS (SELECT doc_id, string_split(trim(ph${i - 1}.s), '  ') AS terms FROM ph${i - 1}),
+               |pp$i AS (SELECT unnest(list_transform(range(0, greatest(len(terms) - 1, 0)), j -> terms[j+1] || '  ' || terms[j+2])) AS pair FROM pt$i),
+               |pm$i AS MATERIALIZED (SELECT pair, count(*)::BIGINT AS cnt FROM pp$i GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+               |ph$i AS MATERIALIZED (SELECT doc_id, replace(s, ' ' || m.pair || ' ', ' ' || replace(m.pair, '  ', '_') || ' ') AS s FROM ph${i - 1}, pm$i m)""".stripMargin)
           .mkString(",\n")}""".stripMargin
 
   /** The graft.graph.Rdf.iriEncode replace chain, mirrored verbatim ('%'
@@ -914,6 +934,14 @@ object SparkEntry {
          |SELECT source, target, n_st, n_s, n_t,
          |       CAST((length(bin(n_st * n)) - 1) - (length(bin(n_s * n_t)) - 1) AS BIGINT) AS ipmi
          |FROM pcnt JOIN st USING (source) JOIN tt USING (target) CROSS JOIN tot""".stripMargin,
+    "text_phrase_merges" ->
+      s"""WITH ${phraseCtes(5)}
+         |${(1 to 5).map(i =>
+              s"SELECT CAST($i AS BIGINT) AS merge_round, string_split(pair, '  ')[1] AS lhs, " +
+                s"string_split(pair, '  ')[2] AS rhs, cnt FROM pm$i").mkString(" UNION ALL ")}""".stripMargin,
+    "text_phrase_rewrite" ->
+      s"""WITH ${phraseCtes(5)}
+         |SELECT doc_id, regexp_replace(trim(s), '  ', ' ', 'g') AS text FROM ph5""".stripMargin,
     "text_collocations" ->
       s"""WITH $toksCte,
          |bg0 AS (SELECT unnest(list_transform(range(0, greatest(len(terms) - 1, 0)), i -> terms[i+1] || ' ' || terms[i+2])) AS bigram FROM toks),

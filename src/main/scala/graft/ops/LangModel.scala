@@ -80,4 +80,67 @@ object LangModel {
     val docBg = docBigrams(df, text, id).localCheckpoint()
     surprisal(docBg, train(docBg))
   }
+
+  // ---------------------------------------------- phrase-vocabulary induction
+
+  /** BPE/word2phrase-style vocabulary induction: k rounds of "count all
+    * adjacent token pairs, merge the globally most frequent one" — the
+    * tokenizer-training loop every LLM data pipeline runs, here at the word
+    * level over the corpus. Each round's counting is fully distributed (one
+    * flat-map + one groupBy with partial aggregation); only the SINGLE
+    * winning pair crosses to the driver, and the merge itself is one
+    * map-side literal `replace` — so the loop is k scans regardless of
+    * corpus size, the classic tokenizer-training shape. Deterministic tie
+    * rule: (count DESC, pair ASC bytewise).
+    *
+    * Corpus state rides as a '  '-joined token string (tokens cannot contain
+    * whitespace), so one literal replace of ` l  r ` with ` l_r ` applies
+    * the merge greedily left-to-right — exactly BPE's within-round
+    * semantics, and exactly mirrorable in SQL. Lineage truncated per round.
+    *
+    * Returns the merge table (round, lhs, rhs, cnt) — the trained artifact;
+    * [[phraseRewrite]] returns the corpus with all k merges applied. */
+  def phraseMerges(df: DataFrame, text: Column, id: Column, k: Int): DataFrame =
+    phraseLoop(df, text, id, k)._1
+
+  /** The corpus after the k trained merges: (id, text) with merged tokens
+    * joined by '_'. */
+  def phraseRewrite(df: DataFrame, text: Column, id: Column, k: Int): DataFrame =
+    phraseLoop(df, text, id, k)._2
+      .select(col("id"),
+        regexp_replace(trim(col("s")), "  ", " ").as("text"))
+
+  private def phraseLoop(df: DataFrame, text: Column, id: Column,
+      k: Int): (DataFrame, DataFrame) = {
+    require(k >= 1 && k <= 64, s"merge rounds k must be in [1,64]: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = df.select(id.as("id"),
+        concat(lit(" "), regexp_replace(trim(text), raw"\s+", "  "), lit(" ")).as("s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val terms = split(trim(col("s")), "  ")
+      val top = cur.select(posexplode(when(size(terms) >= 2,
+          transform(sequence(lit(0), size(terms) - 2),
+            i => array_join(slice(terms, i + 1, lit(2)), "  ")))
+          .otherwise(array().cast("array<string>"))))
+        .groupBy(col("col")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("col")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val key = top(0).getString(0)
+        val Array(l, rr) = key.split("  ", 2)
+        merges += ((r.toLong, l, rr, top(0).getLong(1)))
+        cur = cur.select(col("id"),
+            replace(col("s"), lit(s" $key "),
+              lit(s" ${key.replace("  ", "_")} ")).as("s"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    (merges.toSeq.toDF("merge_round", "lhs", "rhs", "cnt"), cur)
+  }
 }

@@ -60,4 +60,31 @@ class LangModelSpec extends AnyFunSuite with SparkTestSession {
     assert(m(2L)._3 > m(1L)._3,
       s"gibberish ${m(2L)._3} must out-score fluent-repeat ${m(1L)._3}")
   }
+
+  test("phraseMerges: most-frequent pair per round, ties break pair-ascending") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "new york city is big"),
+      (1L, "new york city is small"),
+      (2L, "new york is old"),
+      (3L, "tokyo city is big")).toDF("doc_id", "text")
+    val m = LangModel.phraseMerges(docs, col("text"), col("doc_id"), k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    // round 1: "city is" and "new york" both count 3 — pair-ascending tie
+    assert(m(1L) == (("city", "is", 3L)))
+    assert(m(2L) == (("new", "york", 3L)))
+    // round 3: "city_is big" vs "new_york city_is" both 2 — 'c' < 'n'
+    assert(m(3L) == (("city_is", "big", 2L)))
+  }
+
+  test("phraseRewrite: greedy left-to-right within a round; partition-invariant") {
+    import spark.implicits._
+    val docs = Seq((0L, "a a a"), (1L, "a a a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = LangModel.phraseRewrite(docs, col("text"), col("doc_id"), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "a_a a", 1L -> "a_a a_a", 2L -> "b"))
+    val again = LangModel.phraseRewrite(docs.repartition(5), col("text"), col("doc_id"), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
 }
