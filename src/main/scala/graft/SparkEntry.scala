@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, DocKg, LangModel, Relational, Similarity, Sketches, TextStats, UrlOps}
+import graft.ops.{Dedup, DocKg, LangModel, Packing, Relational, Similarity, Sketches, TextStats, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -511,6 +511,15 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => Relational.eventsHourly(s, d)),
     // semi-structured: one JSON field extracted + typed, per-type aggregation
     "events_json" -> ((s, d) => Relational.eventsJsonStats(s, d)),
+    // AS-OF join (an operator Spark lacks natively): purchase -> latest
+    // prior view per user via ONE carry-forward window — the oracle uses
+    // DuckDB's NATIVE ASOF LEFT JOIN (independent algorithm, same answer)
+    "events_asof" -> ((s, d) => Relational.eventsAsof(s, d)),
+    // sliding-window chunking with overlap (RAG/context extraction) —
+    // map-side flat-map, exact integer chunk arithmetic
+    "text_chunks" -> ((s, d) =>
+      Packing.slidingChunks(docs(s, d), col("text"), col("doc_id"), w = 40, stride = 20)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("chunk"), col("n_tokens"))),
     "events_sessions" -> ((s, d) => Relational.eventsSessions(s, d)
       .select(col("user_id"), col("n_sessions"), col("max_session_events"),
         col("max_session_sec")))
@@ -1864,6 +1873,23 @@ object SparkEntry {
         |       sum(value::DECIMAL(18,6))::DOUBLE AS sum_value,
         |       count(DISTINCT user_id) AS n_users
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "events_asof" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) // 1000000 AS ts_sec,
+        |       v.event_id AS view_event_id, epoch_us(v.ts) // 1000000 AS view_ts_sec,
+        |       (epoch_us(p.ts) // 1000000) - (epoch_us(v.ts) // 1000000) AS lag_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "text_chunks" ->
+      s"""WITH $toksCte,
+         |p AS (SELECT doc_id, terms, len(terms) AS n FROM toks),
+         |c AS (SELECT doc_id, terms,
+         |      unnest(range(0, CASE WHEN n <= 40 THEN 1 ELSE (n - 40 + 19) // 20 + 1 END)) AS chunk_id
+         |      FROM p)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |       array_to_string(terms[chunk_id*20+1 : chunk_id*20+40], ' ') AS chunk,
+         |       len(terms[chunk_id*20+1 : chunk_id*20+40])::BIGINT AS n_tokens
+         |FROM c""".stripMargin,
     "events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS es,
         |                  lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es

@@ -72,4 +72,31 @@ object Packing {
       .withColumn("chunk_last",
         expr(s"(tok_start + n_tokens - 1) div ${chunkTokens}L"))
   }
+
+  /** Sliding-window chunking with overlap — the RAG/context-window
+    * counterpart of [[packChunks]] (which concatenates; this one SPLITS):
+    * w-token chunks starting every `stride` tokens, stopping at the first
+    * start that reaches the document end (so no fully-redundant tail
+    * windows; docs at or under w tokens yield exactly one whole chunk).
+    * Pure map-side flat-map — no shuffle, no state; chunk counts are exact
+    * integer arithmetic mirrored in the oracle. Output:
+    * (id, chunk_id, chunk, n_tokens). */
+  def slidingChunks(df: DataFrame, text: Column, id: Column,
+      w: Int, stride: Int): DataFrame = {
+    require(w >= 1, s"window w must be >= 1: $w")
+    require(stride >= 1 && stride <= w, s"stride must be in [1,w]: $stride")
+    // terms materialized in its own projection: the transform lambda must
+    // capture an ATTRIBUTE, not the split expression (outer-capture re-runs
+    // the split per element — the Catalyst HOF trap)
+    val toks = df.select(id.as("id"), split(trim(text), raw"\s+").as("terms"))
+    val nchunks = when(size(col("terms")) <= w, lit(1L))
+      .otherwise(expr(s"(size(terms) - $w + ${stride - 1}) div $stride") + 1L)
+    toks
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0L), nchunks - 1L),
+        k => array_join(slice(col("terms"), (k * stride + 1).cast("int"), lit(w)), " "))))
+      .toDF("id", "chunk_id", "chunk")
+      .select(col("id"), col("chunk_id").cast("long").as("chunk_id"), col("chunk"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tokens"))
+  }
 }

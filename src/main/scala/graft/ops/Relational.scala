@@ -91,6 +91,52 @@ object Relational {
   /** Sessionization: 30-minute-gap sessions per user via lag + running sum —
     * the portable gaps-and-islands formulation (a Structured Streaming
     * session_window covers the streaming case). */
+  /** Distributed AS-OF join — an operator Spark lacks natively: each left
+    * row joins the LATEST right row with right.time <= left.time on the same
+    * key. Composed from existing operators (preference (a) of the custom-op
+    * ladder): tag + unionByName + ONE per-key carry-forward window
+    * (last ignoreNulls), so the whole join is one exchange on the key and
+    * one per-key sort — no range explosion, no per-row probe join. Right
+    * rows sort BEFORE left rows at equal times, giving <= semantics; left
+    * rows before any right row keep nulls (left-join behavior). At 100 TB:
+    * bucket the partitioning by (key, time range) so each task sorts one
+    * bounded slice.
+    *
+    * The DuckDB oracle is genuinely independent — it uses the engine's
+    * NATIVE `ASOF LEFT JOIN`: two different algorithms, one answer.
+    * Output: key, `__t` (left time), leftCols, and `r_<col>` for rightCols. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    val rTypes = rightCols.map(c => c -> right.schema(c).dataType)
+    val lTypes = leftCols.map(c => c -> left.schema(c).dataType)
+    val l = left.select(col(key) +: col(time).as("__t") +: lit(1).as("__tag") +:
+      (leftCols.map(col) ++ rTypes.map { case (c, tp) => lit(null).cast(tp).as(s"r_$c") }): _*)
+    val r = right.select(col(key) +: col(time).as("__t") +: lit(0).as("__tag") +:
+      (lTypes.map { case (c, tp) => lit(null).cast(tp).as(c) } ++
+        rightCols.map(c => col(c).as(s"r_$c"))): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select(col(key) +: col("__t") +: col("__tag") +:
+        (leftCols.map(col) ++ rightCols.map(c =>
+          last(col(s"r_$c"), ignoreNulls = true).over(w).as(s"r_$c"))): _*)
+      .filter(col("__tag") === 1)
+      .drop("__tag")
+  }
+
+  /** Each purchase joined to the user's most recent prior (<=) view. */
+  def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+    val p = ev.filter(col("event_type") === "purchase")
+    val v = ev.filter(col("event_type") === "view")
+    asofJoin(p, v, "user_id", "ts", Seq("event_id"), Seq("event_id", "ts"))
+      .select(col("event_id"), col("user_id"),
+        epochSec(col("__t")).as("ts_sec"),
+        col("r_event_id").as("view_event_id"),
+        epochSec(col("r_ts")).as("view_ts_sec"),
+        (epochSec(col("__t")) - epochSec(col("r_ts"))).as("lag_sec"))
+  }
+
   def eventsSessions(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val ev = t(spark, dir, "events")
