@@ -515,6 +515,15 @@ object SparkEntry {
     // prior view per user via ONE carry-forward window — the oracle uses
     // DuckDB's NATIVE ASOF LEFT JOIN (independent algorithm, same answer)
     "events_asof" -> ((s, d) => Relational.eventsAsof(s, d)),
+    // ordered view -> click -> purchase funnel: keyed min-aggregations only
+    "events_funnel" -> ((s, d) => Relational.eventsFunnel(s, d)),
+    // asymmetric containment: the subset-duplicate detector Jaccard misses
+    "dedup_containment" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.containmentVerify(dd, col("text"), col("doc_id"),
+        Dedup.minhashCandidates(Dedup.minhashSignatures(dd, col("text"), col("doc_id"),
+          bands = 4, shingleW = 2, rowsPerBand = 2)), shingleW = 2)
+    }),
     // sliding-window chunking with overlap (RAG/context extraction) —
     // map-side flat-map, exact integer chunk arithmetic
     "text_chunks" -> ((s, d) =>
@@ -1873,6 +1882,24 @@ object SparkEntry {
         |       sum(value::DECIMAL(18,6))::DOUBLE AS sum_value,
         |       count(DISTINCT user_id) AS n_users
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) // 1000000 AS es FROM events),
+        |v AS (SELECT user_id, min(es) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.es) AS t2 FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.es > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.es) AS t3 FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.es > c.t2 GROUP BY 1)
+        |SELECT v.user_id, v.t1, c.t2, p.t3
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $minhashPairsCte,
+         |sets AS (SELECT doc_id, list_distinct(list_transform(range(0, len(terms) - 1), i -> terms[i+1] || ' ' || terms[i+2])) AS sh FROM toks)
+         |SELECT c.a_id, c.b_id,
+         |       len(list_intersect(sa.sh, sb.sh))::BIGINT AS inter,
+         |       len(sa.sh)::BIGINT AS size_a, len(sb.sh)::BIGINT AS size_b,
+         |       len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sa.sh)::DOUBLE AS containment_a,
+         |       len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sb.sh)::DOUBLE AS containment_b
+         |FROM cand c JOIN sets sa ON c.a_id = sa.doc_id JOIN sets sb ON c.b_id = sb.doc_id""".stripMargin,
     "events_asof" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) // 1000000 AS ts_sec,
         |       v.event_id AS view_event_id, epoch_us(v.ts) // 1000000 AS view_ts_sec,

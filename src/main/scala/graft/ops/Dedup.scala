@@ -138,6 +138,29 @@ object Dedup {
           size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT verification over candidate pairs:
+    * |A∩B| / |A| and |A∩B| / |B| — the subset-duplicate detector Jaccard
+    * misses (a short doc fully embedded in a long one scores low Jaccard but
+    * containment 1.0; the common webtext case of an article + the article
+    * inside a longer aggregation page). Same candidate-only join shape as
+    * [[jaccardVerify]]; the integer pieces are exact and each ratio is one
+    * double division of exact ints (bit-identical cross-engine). Output:
+    * (a_id, b_id, inter, size_a, size_b, containment_a, containment_b). */
+  def containmentVerify(df: DataFrame, text: Column, id: Column,
+      candidates: DataFrame, shingleW: Int): DataFrame = {
+    val sets = df.select(id.as("id"), array_distinct(shingles(tokens(text), shingleW)).as("sh"))
+    candidates
+      .join(sets.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
+      .join(sets.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("inter"),
+        size(col("a_sh")).cast("long").as("size_a"),
+        size(col("b_sh")).cast("long").as("size_b"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("size_a"), col("size_b"),
+        (col("inter").cast("double") / col("size_a").cast("double")).as("containment_a"),
+        (col("inter").cast("double") / col("size_b").cast("double")).as("containment_b"))
+  }
+
   /** Duplicate-cluster assignment: connected components over verified
     * candidate pairs via iterative min-label propagation (the distributed
     * union-find). Output: (id, cluster) with cluster = smallest member id —

@@ -137,6 +137,26 @@ object Relational {
         (epochSec(col("__t")) - epochSec(col("r_ts"))).as("lag_sec"))
   }
 
+  /** Ordered funnel per user: first view, then the first click strictly
+    * after it, then the first purchase strictly after that. Three keyed
+    * aggregations + two broadcast-sized key joins — no windows, no
+    * per-event state; users who never viewed are out of the funnel, later
+    * stages stay null where the sequence breaks. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), epochSec(col("ts")).as("es"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("es")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("es") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("es")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("es") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("es")).as("t3"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+  }
+
   def eventsSessions(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val ev = t(spark, dir, "events")

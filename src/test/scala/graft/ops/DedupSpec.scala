@@ -290,6 +290,24 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got(6L) == (("tail7 tail8", 6L)))
   }
 
+  test("containmentVerify: embedded short doc scores containment 1.0, low jaccard") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 30).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val row = Dedup.containmentVerify(docs, col("text"), col("doc_id"), cand, shingleW = 2)
+      .collect()(0)
+    val (inter, sa, sb) = (row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(inter == sa)                       // every short-doc shingle is in the long doc
+    assert(row.getDouble(5) == 1.0)           // containment_a
+    assert(row.getDouble(6) == inter.toDouble / sb)
+    // the same pair under jaccard scores well below the usual 0.5 bar
+    val j = Dedup.jaccardVerify(docs, col("text"), col("doc_id"), cand, shingleW = 2)
+      .collect()(0).getDouble(2)
+    assert(j < 0.2, s"jaccard $j should miss the subset duplicate")
+  }
+
   test("spanDedup: partition-invariant and keeper-stable") {
     val a = Dedup.spanDedup(spanCorpus, col("text"), col("doc_id"), w = 5)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
