@@ -127,6 +127,10 @@ object SparkEntry {
     // exact harmonic centrality in scaled-integer reciprocal distances —
     // HyperBall's small-graph exact counterpart
     "kg_harmonic" -> ((s, d) => DocKg.harmonic(s, d)),
+    // Luby MIS with md5 priorities — the parallel symmetry-breaker, rng-free
+    "kg_mis" -> ((s, d) => DocKg.mis(s, d)),
+    // Katz centrality in exact truncating-integer fixed point (alpha = 1/8)
+    "kg_katz" -> ((s, d) => DocKg.katz(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
     "kg_graph_union_unweighted" -> ((s, d) => DocKg.graphUnionUnweighted(s, d)),
     "kg_graph_intersection_empty" -> ((s, d) => DocKg.graphIntersectionEmpty(s, d)),
@@ -1196,6 +1200,46 @@ object SparkEntry {
          |      FROM d3 WHERE src <> dst GROUP BY src)
          |SELECT n.id, coalesce(hs.h, 0)::BIGINT AS h
          |FROM nodes n LEFT JOIN hs ON n.id = hs.id""".stripMargin,
+    "kg_mis" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |und AS (SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+         |      FROM edges WHERE source <> target),
+         |adj AS MATERIALIZED (SELECT a AS x, b AS n FROM und UNION ALL SELECT b, a FROM und),
+         |ud0 AS MATERIALIZED (SELECT DISTINCT x AS id FROM adj),
+         |ms0 AS (SELECT id FROM ud0 WHERE false),
+         |cv0 AS (SELECT id FROM ud0 WHERE false),
+         |${(1 to 3).map(i =>
+              s"""lv$i AS (SELECT a.x, a.n FROM adj a
+                 |      JOIN ud${i - 1} ux ON a.x = ux.id JOIN ud${i - 1} un ON a.n = un.id),
+                 |mnb$i AS (SELECT x, min(md5(n || '|mis') || n) AS mp FROM lv$i GROUP BY x),
+                 |wn$i AS MATERIALIZED (SELECT u.id FROM ud${i - 1} u LEFT JOIN mnb$i ON u.id = mnb$i.x
+                 |      WHERE mnb$i.mp IS NULL OR md5(u.id || '|mis') || u.id < mnb$i.mp),
+                 |ncv$i AS MATERIALIZED (SELECT DISTINCT a.n AS id FROM adj a JOIN wn$i w ON a.x = w.id
+                 |      WHERE a.n NOT IN (SELECT id FROM wn$i) AND a.n NOT IN (SELECT id FROM cv${i - 1})),
+                 |ms$i AS MATERIALIZED (SELECT id FROM ms${i - 1} UNION ALL SELECT id FROM wn$i),
+                 |cv$i AS MATERIALIZED (SELECT id FROM cv${i - 1} UNION ALL SELECT id FROM ncv$i),
+                 |ud$i AS MATERIALIZED (SELECT id FROM ud${i - 1} WHERE id NOT IN (SELECT id FROM wn$i)
+                 |      AND id NOT IN (SELECT id FROM ncv$i))""".stripMargin).mkString(",\n")}
+         |SELECT id, 'mis' AS state FROM ms3
+         |UNION ALL SELECT id, 'covered' FROM cv3
+         |UNION ALL SELECT id, 'undecided' FROM ud3""".stripMargin,
+    "kg_katz" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |adj AS MATERIALIZED (SELECT DISTINCT source AS src, target AS dst
+         |      FROM edges WHERE source <> target),
+         |kn AS MATERIALIZED (SELECT src AS id FROM adj UNION SELECT dst FROM adj),
+         |kc0 AS (SELECT id, CAST(1000000 AS BIGINT) AS c FROM kn),
+         |ka0 AS (SELECT id, CAST(0 AS BIGINT) AS k FROM kn),
+         |${(1 to 3).map(i =>
+              s"""kx$i AS (SELECT a.dst AS id, CAST(sum((1 * c.c) // 8) AS BIGINT) AS c
+                 |      FROM adj a JOIN kc${i - 1} c ON a.src = c.id GROUP BY a.dst),
+                 |kc$i AS MATERIALIZED (SELECT kn.id, coalesce(kx$i.c, 0)::BIGINT AS c
+                 |      FROM kn LEFT JOIN kx$i ON kn.id = kx$i.id),
+                 |ka$i AS MATERIALIZED (SELECT ka${i - 1}.id, CAST(ka${i - 1}.k + kc$i.c AS BIGINT) AS k
+                 |      FROM ka${i - 1} JOIN kc$i ON ka${i - 1}.id = kc$i.id)""".stripMargin).mkString(",\n")}
+         |SELECT id, k FROM ka3""".stripMargin,
     "kg_hyperball" -> {
       val (reg, rho) = hllRegSql("id", 4)
       s"""WITH $triplesCte,

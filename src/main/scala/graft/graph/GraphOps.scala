@@ -654,6 +654,94 @@ object GraphOps {
           rows.toSeq.map(r => r.getLong(1) -> r.getLong(2)), p)
       }
 
+  /** Luby-style maximal independent set over the undirected simple graph —
+    * the deterministic parallel symmetry-breaker (conflict-free scheduling /
+    * seed selection over the KG). RNG replaced by the fixed priority
+    * md5(id|seed): per round, an undecided node enters the MIS iff its
+    * priority is strictly smaller than every undecided neighbor's (ties
+    * cannot happen: priorities embed the id), then it and its neighbors
+    * leave the undecided set. Per round: one join of the undecided relation
+    * with the adjacency + one min-aggregation + two anti-joins, lineage
+    * truncated — O(log n) rounds whp, `rounds` fixed so the oracle unrolls.
+    *
+    * Output: (id, state) with state ∈ {mis, covered, undecided};
+    * undecided = the round budget ran out before the fixpoint (callers
+    * raise `rounds`). Independence and maximality (given no undecided rows)
+    * are spec-asserted. */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int = 3,
+      seed: String = "mis"): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"rounds must be in [1,32]: $rounds")
+    val und = undirectedSimple(edges)
+    val adj = und.select(col("a").as("x"), col("b").as("n"))
+      .union(und.select(col("b").as("x"), col("a").as("n")))
+      .localCheckpoint(true)
+    def prio(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(md5(concat(c, lit(s"|$seed"))), c)
+    val nodes = adj.select(col("x").as("id")).distinct()
+    var undecided = nodes.localCheckpoint(true)
+    var mis = undecided.filter(lit(false)) // empty (id)
+    var covered = mis
+    for (_ <- 1 to rounds) {
+      val live = adj.join(undecided.select(col("id").as("x")), "x")
+        .join(undecided.select(col("id").as("n")), "n")
+      val minNbr = live.groupBy(col("x")).agg(min(prio(col("n"))).as("mp"))
+      // isolated undecided nodes (no undecided neighbor) enter unconditionally
+      val winners = undecided
+        .join(minNbr, undecided("id") === minNbr("x"), "left")
+        .filter(col("mp").isNull || prio(col("id")) < col("mp"))
+        .select(col("id")).localCheckpoint(true)
+      val newlyCovered = adj.join(winners.select(col("id").as("x")), "x")
+        .select(col("n").as("id")).distinct()
+        .join(winners, Seq("id"), "left_anti")
+        .join(covered, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      mis = mis.union(winners).localCheckpoint(true)
+      covered = covered.union(newlyCovered).localCheckpoint(true)
+      undecided = undecided
+        .join(winners, Seq("id"), "left_anti")
+        .join(newlyCovered, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+    }
+    mis.select(col("id"), lit("mis").as("state"))
+      .union(covered.select(col("id"), lit("covered").as("state")))
+      .union(undecided.select(col("id"), lit("undecided").as("state")))
+  }
+
+  /** Exact Katz centrality within `rounds` path lengths, in scaled-integer
+    * fixed point: k(v) = Σ_t α^t · |paths of length t ending at v|, with
+    * α = num/den rational so every term is exact BIGINT arithmetic
+    * (truncating division on positives — bit-identical cross-engine):
+    *
+    *   c_0(v) = 10^6;   c_t(v) = Σ_{u→v} (num · c_{t-1}(u)) div den;
+    *   katz(v) = Σ_{t=1..rounds} c_t(v)
+    *
+    * Unweighted (each edge one path); per round one co-partitioned join +
+    * aggregation on target, lineage truncated. The PageRank/PPR sibling for
+    * path-count influence without the stochastic normalization. */
+  def katz(edges: DataFrame, rounds: Int = 3, num: Long = 1L, den: Long = 8L): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16]: $rounds")
+    require(num >= 1 && den > num, s"alpha = $num/$den must be in (0,1)")
+    val adj = edges.filter(col("source") =!= col("target"))
+      .select(col("source").as("src"), col("target").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = adj.select(col("src").as("id"))
+      .union(adj.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    var c = nodes.select(col("id"), lit(1000000L).as("c"))
+    var katzAcc = nodes.select(col("id"), lit(0L).as("k"))
+    for (_ <- 1 to rounds) {
+      val next = adj.join(c, adj("src") === c("id"))
+        .select(col("dst").as("id"), expr(s"($num * c) div $den").as("contrib"))
+        .groupBy(col("id")).agg(sum(col("contrib")).as("c"))
+      c = nodes.join(next, Seq("id"), "left")
+        .select(col("id"), coalesce(col("c"), lit(0L)).as("c"))
+        .localCheckpoint(true)
+      katzAcc = katzAcc.join(c.select(col("id"), col("c")), Seq("id"))
+        .select(col("id"), (col("k") + col("c")).as("k"))
+        .localCheckpoint(true)
+    }
+    katzAcc
+  }
+
   /** Exact outward harmonic centrality within `rounds` hops:
     * h(v) = Σ_{u ∈ B(v,rounds), u≠v} (10^6 div dist(v,u)) — scaled-integer
     * reciprocal distances, so the sum is order-insensitive and bit-identical

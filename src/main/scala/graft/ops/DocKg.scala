@@ -358,6 +358,14 @@ object DocKg {
   def harmonic(spark: SparkSession, dir: String): DataFrame =
     GraphOps.harmonic(edges(spark, dir), rounds = 3)
 
+  /** Deterministic Luby MIS over the KG (GraphOps.maximalIndependentSet). */
+  def mis(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.maximalIndependentSet(edges(spark, dir), rounds = 3)
+
+  /** Exact fixed-point Katz centrality, alpha = 1/8 (GraphOps.katz). */
+  def katz(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.katz(edges(spark, dir), rounds = 3)
+
   /** Directed-edge reciprocity of the KG (GraphOps.reciprocity). */
   def reciprocity(spark: SparkSession, dir: String): DataFrame =
     GraphOps.reciprocity(edges(spark, dir))

@@ -52,6 +52,36 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("maximalIndependentSet: independence + maximality on a 60-node graph") {
+    val n = 60
+    val e = edges((0 until n).flatMap(i =>
+      Seq((s"v$i", s"v${(i * 5 + 2) % n}", 1.0), (s"v$i", s"v${(i * 11 + 7) % n}", 1.0))): _*)
+    val got = GraphOps.maximalIndependentSet(e, rounds = 8).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == n)
+    assert(!got.values.exists(_ == "undecided"), "8 rounds must reach the fixpoint")
+    val mis = got.filter(_._2 == "mis").keySet
+    val adjPairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+      .filter { case (a, b) => a != b }
+    // independence: no edge inside the MIS
+    adjPairs.foreach { case (a, b) =>
+      assert(!(mis(a) && mis(b)), s"adjacent MIS members $a,$b")
+    }
+    // maximality: every covered node has a MIS neighbor
+    val nbrs = (adjPairs ++ adjPairs.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    got.filter(_._2 == "covered").keys.foreach { v =>
+      assert(nbrs(v).exists(mis), s"covered $v has no MIS neighbor")
+    }
+  }
+
+  test("katz: exact truncating fixed point on a chain (alpha = 1/4)") {
+    val e = edges(("A", "B", 1), ("B", "C", 1))
+    val got = GraphOps.katz(e, rounds = 3, num = 1, den = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // c1: B=250000 (from A), C=250000 (from B); c2: C=62500; c3: all zero
+    assert(got == Map("A" -> 0L, "B" -> 250000L, "C" -> 312500L))
+  }
+
   test("harmonic: exact scaled-integer reciprocal distances on a chain") {
     val e = edges(("A", "B", 1), ("B", "C", 1), ("X", "Y", 1))
     val got = GraphOps.harmonic(e, rounds = 3).collect()
