@@ -74,6 +74,9 @@ object SparkEntry {
     // with truncating division -> bit-identical ranks cross-engine (a
     // double-valued PageRank could never hash-match; see GraphOps.pageRank)
     "kg_pagerank" -> ((s, d) => DocKg.pageRank(s, d, iters = 3)),
+    // warm-start continuation: 2 stored iters + 1 resumed must equal the
+    // full 3-iter run bit-for-bit — the oracle IS the kg_pagerank SQL
+    "kg_pagerank_resume" -> ((s, d) => DocKg.pageRankResume(s, d)),
     "kg_pagerank_dangling" -> ((s, d) => DocKg.pageRankDangling(s, d, iters = 3)),
     // epsilon stop actually exercised: eps=10^8 stops within the 20-round cap
     // at whatever round BOTH engines' exact arithmetic first meets it
@@ -599,6 +602,29 @@ object SparkEntry {
                |      AND a.rnk = ('0x' || substr(md5(w.node || '|$i|w'), 1, 15))::BIGINT % a.deg)""".stripMargin)
           .mkString(",\n")}""".stripMargin
 
+  /** Exact fixed-point PageRank, 3 unrolled iterations — shared by
+    * kg_pagerank and kg_pagerank_resume (warm-start continuation must equal
+    * the full run bit-for-bit, so the oracle is literally the same SQL). */
+  private lazy val pageRankSql: String =
+    s"""WITH $triplesCte,
+       |${edgesCte("edges", "triples", 2)},
+       |ew AS MATERIALIZED (SELECT source, target, CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS w
+       |      FROM edges GROUP BY 1, 2),
+       |ow AS (SELECT source, CAST(sum(w) AS BIGINT) AS ow FROM ew GROUP BY 1),
+       |ewj AS MATERIALIZED (SELECT e.source, e.target, e.w, o.ow FROM ew e JOIN ow o ON e.source = o.source),
+       |pn AS MATERIALIZED (SELECT DISTINCT id FROM
+       |      (SELECT source AS id FROM ew UNION ALL SELECT target FROM ew)),
+       |meta AS MATERIALIZED (SELECT 1000000000000 // count(*) AS t FROM pn),
+       |r0 AS MATERIALIZED (SELECT id, (SELECT t FROM meta) AS r FROM pn),
+       |${(1 to 3).map(i =>
+            s"""c$i AS (SELECT e.target, CAST(sum((85 * r.r * e.w) // (100 * e.ow)) AS BIGINT) AS cin
+               |      FROM ewj e JOIN r${i - 1} r ON e.source = r.id GROUP BY 1),
+               |r$i AS MATERIALIZED (SELECT pn.id,
+               |      CAST((SELECT (15 * t) // 100 FROM meta) + coalesce(c.cin, 0) AS BIGINT) AS r
+               |      FROM pn LEFT JOIN c$i c ON pn.id = c.target)""".stripMargin)
+          .mkString(",\n")}
+       |SELECT id, r FROM r3""".stripMargin
+
   /** The phrase-merge training loop unrolled: per round, pair counts over
     * the '  '-joined corpus string, a 1-row argmax (cnt DESC, pair ASC), and
     * the literal greedy replace — mirrors LangModel.phraseLoop exactly. */
@@ -976,25 +1002,10 @@ object SparkEntry {
          |       CAST((length(bin(n_st * n)) - 1) - (length(bin(n_s * n_t)) - 1) AS BIGINT) AS ipmi
          |FROM pcnt JOIN st USING (source) JOIN tt USING (target) CROSS JOIN tot
          |WHERE n_st >= 5""".stripMargin,
-    "kg_pagerank" ->
-      s"""WITH $triplesCte,
-         |${edgesCte("edges", "triples", 2)},
-         |ew AS MATERIALIZED (SELECT source, target, CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS w
-         |      FROM edges GROUP BY 1, 2),
-         |ow AS (SELECT source, CAST(sum(w) AS BIGINT) AS ow FROM ew GROUP BY 1),
-         |ewj AS MATERIALIZED (SELECT e.source, e.target, e.w, o.ow FROM ew e JOIN ow o ON e.source = o.source),
-         |pn AS MATERIALIZED (SELECT DISTINCT id FROM
-         |      (SELECT source AS id FROM ew UNION ALL SELECT target FROM ew)),
-         |meta AS MATERIALIZED (SELECT 1000000000000 // count(*) AS t FROM pn),
-         |r0 AS MATERIALIZED (SELECT id, (SELECT t FROM meta) AS r FROM pn),
-         |${(1 to 3).map(i =>
-              s"""c$i AS (SELECT e.target, CAST(sum((85 * r.r * e.w) // (100 * e.ow)) AS BIGINT) AS cin
-                 |      FROM ewj e JOIN r${i - 1} r ON e.source = r.id GROUP BY 1),
-                 |r$i AS MATERIALIZED (SELECT pn.id,
-                 |      CAST((SELECT (15 * t) // 100 FROM meta) + coalesce(c.cin, 0) AS BIGINT) AS r
-                 |      FROM pn LEFT JOIN c$i c ON pn.id = c.target)""".stripMargin)
-            .mkString(",\n")}
-         |SELECT id, r FROM r3""".stripMargin,
+    "kg_pagerank" -> pageRankSql,
+    // warm-start continuation (2 stored + 1 resumed iteration) must
+    // reproduce the full 3-iteration run — the oracle IS that run's SQL
+    "kg_pagerank_resume" -> pageRankSql,
     "kg_pagerank_dangling" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

@@ -251,6 +251,34 @@ object GraphOps {
     ranks
   }
 
+  /** Warm-start [[pageRank]]: resume the identical iteration from a PERSISTED
+    * rank relation (id, r) instead of the uniform start — the continuous-KG
+    * maintenance read (the EdgeStore accretes edges; analytics resume from
+    * the last computed ranks rather than recomputing from scratch). The
+    * contract is exact continuation: `pageRankResume(e, pageRank(e, a), b)
+    * == pageRank(e, a + b)` bit-for-bit (spec + the oracle, which — like
+    * kg_edges_incremental — IS the full-batch SQL). Nodes absent from the
+    * stored ranks (new entities since the snapshot) start at the uniform
+    * share 10^12 div N of the CURRENT node set; stale rank rows for nodes no
+    * longer in the graph are dropped. */
+  def pageRankResume(edges: DataFrame, prevRanks: DataFrame, iters: Int = 1): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters must be in [1,16]: $iters")
+    val g = prPrep(edges)
+    val (ew, nodes, base) = (g.ew, g.nodes, g.base)
+    var ranks = nodes.join(prevRanks.select(col("id"), col("r").as("prev_r")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("prev_r"), lit(g.t)).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = ew.join(ranks, ew("source") === ranks("id"))
+        .select(col("target"), expr("(85 * r * w) div (100 * ow)").as("contrib"))
+        .groupBy(col("target")).agg(sum(col("contrib")).as("cin"))
+      ranks = nodes.join(contribs, nodes("id") === contribs("target"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("cin"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** PageRank with CLASSIC dangling-mass redistribution plus an epsilon stop
     * rule — the two completions [[pageRank]] documents as deviations. Same
     * exact BIGINT arithmetic (bit-identical cross-engine), extended with:

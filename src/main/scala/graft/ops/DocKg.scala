@@ -358,6 +358,14 @@ object DocKg {
   def harmonic(spark: SparkSession, dir: String): DataFrame =
     GraphOps.harmonic(edges(spark, dir), rounds = 3)
 
+  /** Warm-start PageRank: 2 stored iterations + 1 resumed == the full
+    * 3-iteration run; the oracle is kg_pagerank's own SQL (the
+    * kg_edges_incremental pattern). */
+  def pageRankResume(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint(true)
+    GraphOps.pageRankResume(e, GraphOps.pageRank(e, iters = 2), iters = 1)
+  }
+
   /** Deterministic Luby MIS over the KG (GraphOps.maximalIndependentSet). */
   def mis(spark: SparkSession, dir: String): DataFrame =
     GraphOps.maximalIndependentSet(edges(spark, dir), rounds = 3)

@@ -153,6 +153,30 @@ class PageRankSpec extends AnyFunSuite with SparkTestSession {
     assert(a == b)
   }
 
+  test("pageRankResume: warm start continues the iteration bit-for-bit") {
+    import spark.implicits._
+    val e = Seq(("a", "b", "pos", 2.0), ("b", "c", "pos", 1.0), ("c", "a", "neg", 3.0),
+      ("a", "c", "pos", 1.0)).toDF("source", "target", "sent", "c")
+    val full = GraphOps.pageRank(e, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val resumed = GraphOps.pageRankResume(e, GraphOps.pageRank(e, iters = 2), iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(resumed == full)
+  }
+
+  test("pageRankResume: nodes missing from the snapshot start at the uniform share") {
+    import spark.implicits._
+    val e = Seq(("a", "b", "pos", 1.0), ("b", "a", "pos", 1.0)).toDF("source", "target", "sent", "c")
+    // a snapshot that never saw node b: b resumes from 10^12 div 2
+    val partial = Seq(("a", 600000000000L)).toDF("id", "r")
+    val got = GraphOps.pageRankResume(e, partial, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // base = 15*(1e12 div 2) div 100 = 75e9; contribs: a<-85*T_b/100, b<-85*600e9/100
+    assert(got == Map(
+      "a" -> (75000000000L + 85L * 500000000000L / 100L),
+      "b" -> (75000000000L + 85L * 600000000000L / 100L)))
+  }
+
   test("multigraph edges (parallel sents) collapse into one weight") {
     import spark.implicits._
     val multi = Seq(("a", "b", "pos", 2.0), ("a", "b", "neg", 1.0), ("b", "a", "pos", 1.0))
