@@ -132,6 +132,8 @@ object SparkEntry {
     "kg_harmonic" -> ((s, d) => DocKg.harmonic(s, d)),
     // Luby MIS with md5 priorities — the parallel symmetry-breaker, rng-free
     "kg_mis" -> ((s, d) => DocKg.mis(s, d)),
+    // exact-integer modularity of the LPA communities (Q·(2m)² per community)
+    "kg_modularity" -> ((s, d) => DocKg.modularity(s, d)),
     // Katz centrality in exact truncating-integer fixed point (alpha = 1/8)
     "kg_katz" -> ((s, d) => DocKg.katz(s, d)),
     "kg_graph_union" -> ((s, d) => DocKg.graphUnion(s, d)),
@@ -1120,6 +1122,31 @@ object SparkEntry {
                  |l$i AS MATERIALIZED (SELECT x AS id, label FROM r$i WHERE rn = 1)""".stripMargin)
             .mkString(",\n")}
          |SELECT id, label FROM l3""".stripMargin,
+    "kg_modularity" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |und AS MATERIALIZED (SELECT least(source, target) AS a, greatest(source, target) AS b,
+         |               CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS w
+         |        FROM edges WHERE source <> target GROUP BY 1, 2),
+         |adj AS MATERIALIZED (SELECT a AS x, b AS n, w FROM und UNION ALL SELECT b, a, w FROM und),
+         |l0 AS MATERIALIZED (SELECT DISTINCT x AS id, x AS label FROM adj),
+         |${(1 to 3).map(i =>
+              s"""v$i AS (SELECT adj.x, l.label, CAST(sum(adj.w) AS BIGINT) AS wsum
+                 |      FROM adj JOIN l${i - 1} l ON adj.n = l.id GROUP BY 1, 2),
+                 |r$i AS (SELECT x, label, row_number() OVER (PARTITION BY x ORDER BY wsum DESC, label ASC) AS rn FROM v$i),
+                 |l$i AS MATERIALIZED (SELECT x AS id, label FROM r$i WHERE rn = 1)""".stripMargin)
+            .mkString(",\n")},
+         |wth AS (SELECT la.label, CAST(2 * sum(u.w) AS BIGINT) AS in2_w
+         |      FROM und u JOIN l3 la ON u.a = la.id JOIN l3 lb ON u.b = lb.id
+         |      WHERE la.label = lb.label GROUP BY 1),
+         |dg AS MATERIALIZED (SELECT id, CAST(sum(w) AS BIGINT) AS dw FROM
+         |      (SELECT a AS id, w FROM und UNION ALL SELECT b, w FROM und) GROUP BY id),
+         |dc AS (SELECT l.label, CAST(sum(d.dw) AS BIGINT) AS deg_w
+         |      FROM dg d JOIN l3 l ON d.id = l.id GROUP BY 1),
+         |mm AS (SELECT CAST(sum(dw) AS BIGINT) AS m2 FROM dg)
+         |SELECT dc.label, coalesce(w.in2_w, 0)::BIGINT AS in2_w, dc.deg_w,
+         |       CAST(coalesce(w.in2_w, 0) * (SELECT m2 FROM mm) - dc.deg_w * dc.deg_w AS BIGINT) AS q_num
+         |FROM dc LEFT JOIN wth w ON dc.label = w.label""".stripMargin,
     "kg_bfs" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

@@ -28,7 +28,7 @@ object Operations {
   private val Analytics =
     Set("PAGERANK", "PPR", "HITS", "COMPONENTS", "LPA", "KCORE", "BFS", "CLUSTCOEFF",
       "KTRUSS", "WALKS", "NODE2VEC", "DEGHIST", "ASSORT", "HARMONIC", "HYPERBALL",
-      "NTRIPLES")
+      "NTRIPLES", "MIS", "KATZ", "MODULARITY")
 
   private def runAnalytics(a: Graph, b: Option[Graph], op: String,
       opts: Map[String, String], out: String): Unit = {
@@ -70,6 +70,10 @@ object Operations {
           GraphOps.hyperBall(edges, p = 8, rounds = iters), p = 8)
         sizes.toSeq.toDF("id", "est_ball_size")
       case "NTRIPLES"   => graft.graph.Rdf.ntriples(edges)
+      case "MIS"        => GraphOps.maximalIndependentSet(edges,
+        opts.getOrElse("--rounds", "8").toInt)
+      case "KATZ"       => GraphOps.katz(edges, iters)
+      case "MODULARITY" => GraphOps.modularity(edges, iters)
       case "DELTA"      =>
         val be = b.get.links.map(l => (l.source, l.target, l.sent, l.c))
           .toDF("source", "target", "sent", "c")

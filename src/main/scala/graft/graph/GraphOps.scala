@@ -682,6 +682,48 @@ object GraphOps {
           rows.toSeq.map(r => r.getLong(1) -> r.getLong(2)), p)
       }
 
+  /** Modularity of the [[labelPropagation]] communities in EXACT scaled
+    * integers — the community-QUALITY read after every LPA pass. With
+    * 2m = Σ_v deg_w(v), the per-community contribution is
+    *
+    *   q_num(c) = in2_c · 2m − deg_c²     (Q = Σ_c q_num(c) / (2m)²)
+    *
+    * where in2_c = 2·(edge weight inside c) and deg_c = Σ_{v∈c} deg_w(v) —
+    * every term BIGINT, so the relation hash-matches cross-engine where a
+    * float Q never could; callers divide once for the scalar. Shapes: the
+    * same undirected weighted collapse LPA uses, two label joins, bounded
+    * aggregations; the 2m total rides a one-row broadcast. Keep
+    * deg_c · 2m < 2^63 (weights are edge counts here — far under). */
+  def modularity(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val labels = labelPropagation(edges, rounds).localCheckpoint()
+    val und = edges.filter(col("source") =!= col("target"))
+      .groupBy(least(col("source"), col("target")).as("a"),
+        greatest(col("source"), col("target")).as("b"))
+      .agg(sum(col("c").cast("long")).as("w"))
+      .localCheckpoint(true)
+    val within = und
+      .join(labels.select(col("id").as("a"), col("label").as("la")), "a")
+      .join(labels.select(col("id").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg((sum(col("w")) * 2).as("in2_w"))
+    val degs = und.select(explode(array(
+        struct(col("a").as("id"), col("w")),
+        struct(col("b").as("id"), col("w")))).as("e"))
+      .select(col("e.id").as("id"), col("e.w").as("w"))
+      .groupBy("id").agg(sum("w").as("dw"))
+      .localCheckpoint(true)
+    val degc = degs.join(labels, "id")
+      .groupBy(col("label")).agg(sum(col("dw")).as("deg_w"))
+    val m2 = degs.agg(sum(col("dw")).as("m2"))
+    degc.join(within, Seq("label"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("label"),
+        coalesce(col("in2_w"), lit(0L)).as("in2_w"),
+        col("deg_w"),
+        (coalesce(col("in2_w"), lit(0L)) * col("m2") -
+          col("deg_w") * col("deg_w")).as("q_num"))
+  }
+
   /** Luby-style maximal independent set over the undirected simple graph —
     * the deterministic parallel symmetry-breaker (conflict-free scheduling /
     * seed selection over the KG). RNG replaced by the fixed priority

@@ -366,6 +366,10 @@ object DocKg {
     GraphOps.pageRankResume(e, GraphOps.pageRank(e, iters = 2), iters = 1)
   }
 
+  /** Exact-integer modularity of the LPA communities (GraphOps.modularity). */
+  def modularity(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.modularity(edges(spark, dir), rounds = 3)
+
   /** Deterministic Luby MIS over the KG (GraphOps.maximalIndependentSet). */
   def mis(spark: SparkSession, dir: String): DataFrame =
     GraphOps.maximalIndependentSet(edges(spark, dir), rounds = 3)

@@ -82,6 +82,19 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Map("A" -> 0L, "B" -> 250000L, "C" -> 312500L))
   }
 
+  test("modularity: one community scores 0; two disjoint triangles score Q=1/2") {
+    val k3 = edges(("A", "B", 1), ("B", "C", 1), ("A", "C", 1))
+    val one = GraphOps.modularity(k3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(one.length == 1 && one(0)._2 == 6L && one(0)._3 == 6L && one(0)._4 == 0L)
+    val two = edges(("A", "B", 1), ("B", "C", 1), ("A", "C", 1),
+      ("D", "E", 1), ("E", "F", 1), ("D", "F", 1))
+    val got = GraphOps.modularity(two).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // per community: in2=6, deg=6, 2m=12 -> q_num = 6*12 - 36 = 36; Q = 72/144 = 1/2
+    assert(got == Seq((6L, 6L, 36L), (6L, 6L, 36L)))
+  }
+
   test("harmonic: exact scaled-integer reciprocal distances on a chain") {
     val e = edges(("A", "B", 1), ("B", "C", 1), ("X", "Y", 1))
     val got = GraphOps.harmonic(e, rounds = 3).collect()
