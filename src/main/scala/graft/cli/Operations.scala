@@ -44,7 +44,13 @@ object Operations {
     val edges = a.links.map(l => (l.source, l.target, l.sent, l.c)).toDF("source", "target", "sent", "c")
     val iters = opts.getOrElse("--iters", "3").toInt
     val result = op match {
-      case "PAGERANK"   => GraphOps.pageRank(edges, iters)
+      // --rank-store DIR: resume the exact iteration from the stored
+      // snapshot and swap the advanced ranks back (continuous analytics
+      // over the accreting KG — pairs with Infer's --edge-store)
+      case "PAGERANK"   => opts.get("--rank-store") match {
+        case Some(dir) => graft.graph.RankStore.advance(edges, dir, iters)
+        case None      => GraphOps.pageRank(edges, iters)
+      }
       case "PPR"        => GraphOps.personalizedPageRank(edges,
         opts.getOrElse("--source", sys.error("PPR requires --source NODE")), iters)
       case "HITS"       => GraphOps.hits(edges, math.max(1, iters - 1))
