@@ -301,6 +301,9 @@ object SparkEntry {
     // keep decision (an unbiased hash-sample, not a scan-order artifact)
     "curate_host_cap" -> ((s, d) =>
       UrlOps.hostCap(docs(s, d), messyUrl(col("doc_id")), col("doc_id"), cap = 30)),
+    // Zipf rank-frequency head: the corpus-health power-law diagnostic
+    "text_zipf" -> ((s, d) =>
+      TextStats.zipf(docs(s, d), col("text"), k = 100)),
     // tokenizer-training loop: k rounds of distributed pair counting, one
     // merge per round (count DESC, pair ASC) — the trained merge table
     "text_phrase_merges" -> ((s, d) =>
@@ -984,6 +987,12 @@ object SparkEntry {
          |SELECT source, target, n_st, n_s, n_t,
          |       CAST((length(bin(n_st * n)) - 1) - (length(bin(n_s * n_t)) - 1) AS BIGINT) AS ipmi
          |FROM pcnt JOIN st USING (source) JOIN tt USING (target) CROSS JOIN tot""".stripMargin,
+    "text_zipf" ->
+      s"""WITH $toksCte,
+         |tf AS (SELECT unnest(terms) AS term FROM toks),
+         |fr AS (SELECT term, count(*)::BIGINT AS freq FROM tf GROUP BY term),
+         |rk AS (SELECT row_number() OVER (ORDER BY freq DESC, term) AS rank, term, freq FROM fr)
+         |SELECT CAST(rank AS BIGINT) AS rank, term, freq FROM rk WHERE rank <= 100""".stripMargin,
     "text_phrase_merges" ->
       s"""WITH ${phraseCtes(5)}
          |${(1 to 5).map(i =>

@@ -143,6 +143,24 @@ object TextStats {
     * pair of exchanges on (source, hash) then (source), so no per-source
     * row list ever materializes; mean is exact-BIGINT-over-BIGINT double
     * division (bit-identical cross-engine). */
+  /** Zipf rank-frequency relation: top-k corpus terms with their global
+    * rank (freq DESC, term ASC — deterministic). The frequency aggregation
+    * is distributed (partial combines on the term key); the ranking window
+    * runs over the AGGREGATED vocabulary relation — bounded cardinality,
+    * the [[histogramQuantiles]] argument for a single-partition window.
+    * The corpus-health diagnostic: a healthy natural corpus is ~power-law;
+    * boilerplate floods flatten the head. Output: (rank, term, freq). */
+  def zipf(df: DataFrame, text: Column, k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val freqs = df.select(explode(split(trim(text), raw"\s+")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    freqs
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("freq").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("long").as("rank"), col("term"), col("freq"))
+  }
+
   def sourceStats(df: DataFrame, text: Column, source: Column): DataFrame =
     df.select(source.as("source"),
         size(split(trim(text), raw"\s+")).cast("long").as("toks"),
