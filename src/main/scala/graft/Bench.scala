@@ -128,7 +128,9 @@ object Bench {
       "kg_top_relations", "kg_pmi", "kg_triangles", "kg_edges_incremental",
       "kg_ppr", "kg_components", "kg_node_jaccard", "kg_kcore", "kg_adamic_adar",
       "kg_hits", "kg_lpa", "kg_hyperball", "kg_harmonic", "kg_node2vec",
-      "kg_ntriples", "kg_edge_delta",
+      "kg_ntriples", "kg_edge_delta", "kg_mis", "kg_katz", "kg_pagerank_resume",
+      "kg_modularity", "text_zipf", "text_collocations", "text_phrase_merges",
+      "events_asof", "events_funnel", "text_chunks", "dedup_containment",
       "dedup_spans", "ann_pq_topk", "decontaminate_bloom", "curate_host_cap",
       "text_quality", "text_fingerprint", "text_repetition", "text_lm_surprisal",
       "text_tfidf_topk", "text_len_quantiles", "events_json",
