@@ -34,6 +34,9 @@ import graft.ner.{BracketNer, CapitalizedNer}
   *            stemmer stand-in, reference --stemmer)
   *          --sqlite FILE --sqlite-table T --sqlite-column C (S4 source via the
   *            built-in read-only sqlite parser)
+  *          --warc GLOB (Common-Crawl-style .warc/.warc.gz page source via the
+  *            built-in ISO 28500 parser, graft.sources.Warc; html→text by the
+  *            engine's deterministic extractor)
   *          --max-collected-edges N (driver guard; above it the graph is
   *            written as distributed JSON instead of one d3js file)
   *          --fused on (zero-token-allocation kernel: triples + graph only,
@@ -78,9 +81,10 @@ object Infer {
 
     val pages =
       rawDocs.map(graft.sources.DocSources.asPages(_)).getOrElse {
-        opts.get("--pages") match {
-          case Some(path) => spark.read.parquet(path).as[Page]
-          case None       => PageGen.pages(opts.getOrElse("--synthetic", "100").toLong)
+        (opts.get("--warc"), opts.get("--pages")) match {
+          case (Some(path), _) => graft.sources.DocSources.warc(spark, path)
+          case (_, Some(path)) => spark.read.parquet(path).as[Page]
+          case _               => PageGen.pages(opts.getOrElse("--synthetic", "100").toLong)
         }
       }
 

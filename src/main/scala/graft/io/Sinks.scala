@@ -44,4 +44,25 @@ object Sinks {
     * natural sharded .nt layout). */
   def ntriples(statements: DataFrame, path: String): Unit =
     statements.select("line").write.mode("overwrite").text(path)
+
+  /** WARC export: pages out as Common-Crawl-layout `.warc.gz` shards (one
+    * gzip member per record — seekable/splittable by a CDX-style member
+    * index; [[graft.sources.Warc.writeGz]]). One shard per partition,
+    * written executor-side through the Hadoop filesystem — no driver
+    * collect, scales with the page relation's partitioning. */
+  def warcGz(pages: org.apache.spark.sql.Dataset[graft.core.Page], path: String): Unit = {
+    pages.rdd.mapPartitionsWithIndex { case (i, it) =>
+      val recs = it.map(p => graft.sources.Warc.responseRecord(p.url, p.warc_ts, p.html)).toVector
+      if (recs.isEmpty) Iterator.empty
+      else {
+        // executor-side Configuration: filesystem scheme resolution comes from
+        // the classpath (core-site etc.) — no driver-only state needed
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(new org.apache.hadoop.fs.Path(path, f"part-$i%05d.warc.gz"), true)
+        try out.write(graft.sources.Warc.writeGz(recs)) finally out.close()
+        Iterator.single(recs.size)
+      }
+    }.count(): Unit
+  }
 }

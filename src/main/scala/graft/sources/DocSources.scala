@@ -112,4 +112,17 @@ object DocSources {
     docs.select(col("doc_id"), col("text"))
       .map(r => graft.core.Page(r.getString(0), null, null, r.getString(1), lang))
   }
+
+  /** WARC / .warc.gz archive scan → Pages (engine extension; see
+    * [[graft.sources.Warc]]). One narrow flatMap over `binaryFiles` —
+    * parallelism is file granularity, the Common-Crawl segment layout
+    * (thousands of ~1 GB files per crawl → thousands of tasks, no shuffle). */
+  def warc(spark: SparkSession, path: String, lang: String = "en"): Dataset[graft.core.Page] = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path).flatMap { case (name, pds) =>
+      val raw = pds.toArray()
+      val plain = if (name.endsWith(".gz")) Warc.gunzipAll(raw) else raw
+      Warc.pages(plain, lang)
+    }.toDS()
+  }
 }
