@@ -130,6 +130,9 @@ object SparkEntry {
     // exact harmonic centrality in scaled-integer reciprocal distances —
     // HyperBall's small-graph exact counterpart
     "kg_harmonic" -> ((s, d) => DocKg.harmonic(s, d)),
+    // exact neighborhood function N(r) + 90%-mass effective diameter —
+    // HyperBall's estimation target as integer-exact ground truth
+    "kg_neighborhood" -> ((s, d) => DocKg.neighborhood(s, d)),
     // Luby MIS with md5 priorities — the parallel symmetry-breaker, rng-free
     "kg_mis" -> ((s, d) => DocKg.mis(s, d)),
     // exact-integer modularity of the LPA communities (Q·(2m)² per community)
@@ -1247,6 +1250,28 @@ object SparkEntry {
          |      FROM d3 WHERE src <> dst GROUP BY src)
          |SELECT n.id, coalesce(hs.h, 0)::BIGINT AS h
          |FROM nodes n LEFT JOIN hs ON n.id = hs.id""".stripMargin,
+    "kg_neighborhood" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |adj AS MATERIALIZED (SELECT DISTINCT source AS src, target AS dst
+         |      FROM edges WHERE source <> target),
+         |nodes AS MATERIALIZED (SELECT src AS id FROM adj UNION SELECT dst FROM adj),
+         |nd0 AS MATERIALIZED (SELECT id AS src, id AS dst, CAST(0 AS BIGINT) AS dist FROM nodes),
+         |${(1 to 3).map(i =>
+              s"""nd$i AS MATERIALIZED (SELECT src, dst, CAST(min(dist) AS BIGINT) AS dist FROM (
+                 |      SELECT src, dst, dist FROM nd${i - 1}
+                 |      UNION ALL
+                 |      SELECT r.src, a.dst, r.dist + 1 FROM nd${i - 1} r JOIN adj a ON r.dst = a.src)
+                 |      GROUP BY 1, 2)""".stripMargin).mkString(",\n")},
+         |pr AS (SELECT dist AS radius, count(*)::BIGINT AS pairs_at FROM nd3 GROUP BY 1),
+         |cm AS (SELECT radius, pairs_at,
+         |      CAST(sum(pairs_at) OVER (ORDER BY radius) AS BIGINT) AS pairs_within FROM pr),
+         |tt AS (SELECT CAST(sum(pairs_at) AS BIGINT) AS total FROM pr)
+         |SELECT radius, pairs_at, pairs_within,
+         |       (pairs_within * 10 >= total * 9 AND
+         |        coalesce(lag(pairs_within) OVER (ORDER BY radius), 0) * 10 < total * 9)
+         |         AS is_effective_diameter
+         |FROM cm CROSS JOIN tt""".stripMargin,
     "kg_mis" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

@@ -845,6 +845,57 @@ object GraphOps {
       .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
   }
 
+  /** Exact neighborhood function + effective diameter (engine extension; no
+    * reference counterpart — the connectivity read behind web-graph studies).
+    *
+    * N(r) = #{(u,v) : dist(u→v) ≤ r} (self-pairs count at r=0, so N(0) = n),
+    * computed from the same bounded all-pairs BFS relation [[harmonic]]
+    * uses. The effective diameter is the smallest r with N(r) ≥ 0.9·N(rmax)
+    * within the computed horizon — compared as 10·N(r) ≥ 9·N(rmax), all
+    * BIGINT, so the relation is hash-exact cross-engine.
+    *
+    * Scale shapes: the distance relation is per-round one co-partitioned
+    * join + min-agg with truncated lineage (the iterative discipline); the
+    * rollup collapses it to `rounds+1` rows, so the unpartitioned cumulative
+    * window at the end is over a constant-size relation. At 10^12 nodes the
+    * exact all-pairs relation is infeasible — [[hyperBall]] estimates the
+    * SAME N(r) from per-node HLL registers; this operator is its exact
+    * ground truth (HyperBallSpec pins the registers to the BFS balls).
+    *
+    * Output: (radius, pairs_at, pairs_within, is_effective_diameter). */
+  def neighborhoodFunction(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16]: $rounds")
+    val adj = edges.filter(col("source") =!= col("target"))
+      .select(col("source").as("asrc"), col("target").as("adst"))
+      .distinct().localCheckpoint(true)
+    val nodes = adj.select(col("asrc").as("id"))
+      .union(adj.select(col("adst").as("id"))).distinct().localCheckpoint(true)
+    var dist = nodes.select(col("id").as("src"), col("id").as("dst"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val ext = dist.join(adj, dist("dst") === adj("asrc"))
+        .select(col("src"), col("adst").as("dst"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(ext)
+        .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    val perRadius = dist.groupBy(col("dist").as("radius"))
+      .agg(count(lit(1)).as("pairs_at"))
+    // rounds+1 rows from here on — the global windows are driver-trivial
+    val wCum = Window.orderBy(col("radius"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perRadius
+      .withColumn("pairs_within", sum(col("pairs_at")).over(wCum))
+      .withColumn("total", max(col("pairs_within")).over(wAll))
+      .withColumn("reached", col("pairs_within") * 10 >= col("total") * 9)
+      .withColumn("is_effective_diameter",
+        col("reached") && !coalesce(lag(col("reached"), 1).over(wCum), lit(false)))
+      .select(col("radius"), col("pairs_at"),
+        col("pairs_within").cast("long").as("pairs_within"),
+        col("is_effective_diameter"))
+  }
+
   /** Snapshot diff between two aggregated edge relations (source, target,
     * sent, c) — the continuous-crawl maintenance read: which attitudes
     * appeared, vanished, or shifted weight between crawl windows. One full

@@ -358,6 +358,11 @@ object DocKg {
   def harmonic(spark: SparkSession, dir: String): DataFrame =
     GraphOps.harmonic(edges(spark, dir), rounds = 3)
 
+  /** Exact neighborhood function + effective diameter of the KG
+    * (GraphOps.neighborhoodFunction). */
+  def neighborhood(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.neighborhoodFunction(edges(spark, dir), rounds = 3)
+
   /** Warm-start PageRank: 2 stored iterations + 1 resumed == the full
     * 3-iteration run; the oracle is kg_pagerank's own SQL (the
     * kg_edges_incremental pattern). */

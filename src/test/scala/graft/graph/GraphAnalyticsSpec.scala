@@ -104,6 +104,18 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
       "A" -> 1500000L, "B" -> 1000000L, "C" -> 0L, "X" -> 1000000L, "Y" -> 0L))
   }
 
+  test("neighborhoodFunction: exact N(r) + 90%-mass effective diameter on a path") {
+    // directed path A->B->C->D: pairs at radius 0/1/2/3 = 4/3/2/1
+    val e = edges(("A", "B", 1), ("B", "C", 1), ("C", "D", 1))
+    val got = GraphOps.neighborhoodFunction(e, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    // N = 4, 7, 9, 10; 0.9*10 = 9 -> first radius reaching it is 2
+    assert(got == Seq(
+      (0L, 4L, 4L, false), (1L, 3L, 7L, false),
+      (2L, 2L, 9L, true), (3L, 1L, 10L, false)))
+  }
+
   test("edgeDelta: added/removed/changed/stable classification is exhaustive") {
     import spark.implicits._
     val a = Seq(("A", "B", "pos", 2.0), ("A", "C", "pos", 3.0), ("X", "Y", "neg", 1.0))
