@@ -461,6 +461,16 @@ object SparkEntry {
       Similarity.pqTopK(codes, e.filter(col("vec_id") < 20),
         col("vec_id"), col("embedding"), 64, books, k = 5)
     }),
+    // IVF-PQ composite (FAISS's production index): coarse learned cells +
+    // one PQ codebook set trained on pooled residuals, ADC within the
+    // query's cell only — cell equijoin, map-side encode, exact-int ranks
+    "ann_ivf_pq" -> ((s, d) => {
+      val e = embeds(s, d)
+      val coarse = Similarity.kmeansCentroids(e, col("vec_id"), col("embedding"),
+        k = 8, iters = 2)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 20), col("vec_id"),
+        col("embedding"), dim = 64, coarse, m = 2, ksub = 4, iters = 2, k = 5)
+    }),
     // scale path for near-dup pairs: LSH bucket join (NO cross join in the
     // plan — asserted by PlanSpec); near-dups planted deterministically
     // (perturbed copy of every vector at id+10000) since the synthetic
@@ -887,6 +897,21 @@ object SparkEntry {
     s"""${pfx}qv AS MATERIALIZED (SELECT vec_id AS id,
        |    list_transform((embedding::DOUBLE[])[${lo + 1}:${lo + w}], x -> CAST(floor(x*1000) AS BIGINT)) AS q
        |  FROM embeddings),
+       |${kmInitCtesFor(pfx, s"${pfx}qv", ksub)},
+       |${pfx}c0 AS (SELECT cid, cq FROM ${pfx}i${ksub - 1}),
+       |${kmAssignCteFor(s"${pfx}qv", s"${pfx}c0", s"${pfx}a1")},
+       |${kmUpdateCteFor(w, s"${pfx}a1", s"${pfx}c0", s"${pfx}c1")},
+       |${kmAssignCteFor(s"${pfx}qv", s"${pfx}c1", s"${pfx}a2")},
+       |${kmUpdateCteFor(w, s"${pfx}a2", s"${pfx}c1", s"${pfx}c2")},
+       |${kmAssignCteFor(s"${pfx}qv", s"${pfx}c2", s"${pfx}a3")}""".stripMargin
+  }
+
+  /** One RESIDUAL-space PQ subspace (for ann_ivf_pq): slice of the `rq`
+    * residual relation (already integer, scale=1), same maximin + 2 Lloyd
+    * rounds, final assignment at ${pfx}a3 / codebook at ${pfx}c2. */
+  private def pqResCtes(s: Int, lo: Int, w: Int, ksub: Int): String = {
+    val pfx = s"r$s"
+    s"""${pfx}qv AS MATERIALIZED (SELECT id, r[${lo + 1}:${lo + w}] AS q FROM rq),
        |${kmInitCtesFor(pfx, s"${pfx}qv", ksub)},
        |${pfx}c0 AS (SELECT cid, cq FROM ${pfx}i${ksub - 1}),
        |${kmAssignCteFor(s"${pfx}qv", s"${pfx}c0", s"${pfx}a1")},
@@ -1888,6 +1913,25 @@ object SparkEntry {
          |  WHERE qa.id <> c.id),
          |pqr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM pqdist)
          |SELECT query_id, rank, neighbor_id, dist FROM pqr WHERE rank <= 5""".stripMargin,
+    "ann_ivf_pq" ->
+      s"""WITH $kmCtes,
+         |rq AS MATERIALIZED (SELECT a.id, a.cluster AS cell,
+         |      list_transform(range(1, ${annDim + 1}), i -> a.q[i] - c.cq[i]) AS r
+         |  FROM a3 a JOIN c2 c ON a.cluster = c.cid),
+         |${pqResCtes(0, 0, 32, 4)},
+         |${pqResCtes(1, 32, 32, 4)},
+         |ipqc AS (SELECT a0.id, a0.cluster AS c0, a1.cluster AS c1
+         |  FROM r0a3 a0 JOIN r1a3 a1 ON a0.id = a1.id),
+         |ipqd AS (SELECT q.id AS query_id, n.id AS neighbor_id,
+         |    CAST(list_sum(list_transform(list_zip(q0.q, b0.cq), p -> (p[1]-p[2])*(p[1]-p[2]))) +
+         |         list_sum(list_transform(list_zip(q1.q, b1.cq), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+         |  FROM rq q JOIN rq n ON q.cell = n.cell AND q.id <> n.id
+         |  JOIN ipqc pc ON pc.id = n.id
+         |  JOIN r0c2 b0 ON b0.cid = pc.c0 JOIN r1c2 b1 ON b1.cid = pc.c1
+         |  JOIN r0qv q0 ON q0.id = q.id JOIN r1qv q1 ON q1.id = q.id
+         |  WHERE q.id < 20),
+         |ipqr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM ipqd)
+         |SELECT query_id, rank, neighbor_id, dist FROM ipqr WHERE rank <= 5""".stripMargin,
     "text_lm_surprisal" ->
       s"""WITH $toksCte,
          |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(terms) - 1), i -> terms[i+1] || ' ' || terms[i+2])) AS bigram FROM toks),

@@ -542,4 +542,63 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("dist").cast("long").as("dist"))
   }
+
+  /** IVF-PQ (Jégou et al. §IV) — the production ANN composite: a coarse
+    * learned quantizer routes every vector to a cell, ONE PQ codebook set is
+    * trained on the pooled RESIDUALS (quantized vector − its cell centroid,
+    * exact BIGINT differences), and search is asymmetric distance between
+    * the query's residual and member codes WITHIN the query's cell only.
+    *
+    * Scale shapes: coarse assignment and residuals are map-side (native
+    * argmin kernel + the centroid matrix as a literal — no join); the
+    * residual relation is materialized ONCE (localCheckpoint) because PQ
+    * training, encoding and the cell join all consume it; the search is a
+    * co-partitioned equijoin on cell with the small query side broadcast —
+    * never a cross join. Residuals sharpen the codebooks exactly as in
+    * FAISS's IVFPQ: within a cell the residual spread is what the ksub
+    * codewords must cover, not the whole space.
+    *
+    * All-integer ADC (scale=1 reuse of the PQ machinery on already-quantized
+    * residuals), so ranks are exact cross-engine. Output:
+    * (query_id, rank, neighbor_id, dist). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+      dim: Int, coarse: Array[Array[Long]], m: Int, ksub: Int, iters: Int,
+      k: Int, scale: Int = 1000): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val w = dim / m
+    val centsLit = typedLit(coarse.map(_.toSeq).toSeq)
+    def residuals(df: DataFrame): DataFrame =
+      df.select(id.as("id"), quantCol(vec, scale).as("q"))
+        .withColumn("cell", nearestCentroid(col("q"), coarse))
+        .select(col("id"), col("cell"),
+          zip_with(col("q"), element_at(centsLit, col("cell").cast("int") + 1),
+            (a, b) => a - b).as("res"))
+    val cres = residuals(corpus).localCheckpoint() // feeds training + encode + join
+    val books = pqCodebooks(cres, col("id"), col("res"), dim, m, ksub, iters, scale = 1)
+    val codes = pqEncode(cres, col("id"), col("res"), dim, books, scale = 1)
+      .join(cres.select(col("id"), col("cell")), Seq("id"))
+
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bookDf = (for (s <- 0 until m; c <- books(s).indices)
+      yield (s.toLong, c.toLong, books(s)(c).toSeq)).toDF("s", "code", "cq")
+    val q = residuals(queries).select(col("id").as("query_id"), col("cell"),
+      array((0 until m).map(s => slice(col("res"), s * w + 1, w)): _*).as("qsubs"))
+    val corpusCodes = codes
+      .select(col("id").as("neighbor_id"), col("cell"), posexplode(col("codes")).as(Seq("p", "c")))
+      .select(col("neighbor_id"), col("cell"), col("p").cast("long").as("s"), col("c").as("code"))
+      .join(broadcast(bookDf), Seq("s", "code"))
+    val d2 = aggregate(
+      zip_with(element_at(col("qsubs"), (col("s") + 1).cast("int")), col("cq"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val dist = corpusCodes.join(broadcast(q), Seq("cell")) // IVF: cell equijoin, no cross join
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), d2.as("d"))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(sum(col("d")).as("dist"))
+    val wdw = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    dist.withColumn("rank", row_number().over(wdw)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dist").cast("long").as("dist"))
+  }
 }

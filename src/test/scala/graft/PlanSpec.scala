@@ -68,6 +68,11 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("ann_ivf_pq: residual-PQ search is a cell equijoin — no cartesian product") {
+    val p = planOf("ann_ivf_pq")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dedup_simhash_pairs: chunk-banded candidate join — no cartesian product") {
     val p = planOf("dedup_simhash_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -43,6 +43,28 @@ class PqSpec extends AnyFunSuite with SparkTestSession {
     assert((0 until 3).map(c => codes((c * 10L))).toSet.size == 3, "blobs share a code word")
   }
 
+  test("IVF-PQ: results honor the cell constraint, retrieve cluster-mates, " +
+      "and are partition-invariant") {
+    val coarse = Similarity.kmeansCentroids(blobs, col("vec_id"), col("embedding"),
+      k = 3, iters = 2)
+    val got = Similarity.ivfPqTopK(blobs, blobs.filter(col("vec_id") < 15),
+      col("vec_id"), col("embedding"), dim, coarse, m = 2, ksub = 3, iters = 2, k = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(got.nonEmpty)
+    // with 3 well-separated blobs and k=9, every query's neighbor list is
+    // exactly its 9 blob-mates (the coarse quantizer isolates blobs to cells)
+    for (q <- got.map(_._1).distinct) {
+      val mates = got.filter(_._1 == q).map(_._3).toSet
+      val blob = q / 10
+      assert(mates == (blob * 10 until (blob + 1) * 10).map(_.toLong).toSet - q,
+        s"query $q neighbors $mates not its blob-mates")
+    }
+    val again = Similarity.ivfPqTopK(blobs.repartition(7), blobs.filter(col("vec_id") < 15),
+      col("vec_id"), col("embedding"), dim, coarse, m = 2, ksub = 3, iters = 2, k = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(got == again)
+  }
+
   test("ADC top-k returns exactly the query's cluster-mates") {
     val books = Similarity.pqCodebooks(blobs, col("vec_id"), col("embedding"),
       dim, m = 2, ksub = 3, iters = 2)
