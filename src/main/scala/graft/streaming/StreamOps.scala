@@ -32,6 +32,33 @@ object StreamOps {
       implicit spark: SparkSession): Dataset[Triple] =
     KgPipeline.triplesFused(pages, cfg, scorer)
 
+  /** Continuous-crawl ingest: a directory where `.warc` / `.warc.gz` segment
+    * files land (the Common-Crawl delivery shape) read as a binary-file
+    * stream, each new file parsed by the built-in ISO 28500 reader
+    * ([[graft.sources.Warc]]) into Pages — the stream that feeds
+    * [[triplesStreamFused]] + [[edgeIngestStream]] for a continuously
+    * accreting KG. Stateless flatMap (no watermark needed); file-source
+    * exactly-once comes from the checkpointed file index. `maxFilesPerTrigger`
+    * bounds per-batch work at production segment sizes. */
+  def warcPagesStream(dir: String, lang: String = "en",
+      maxFilesPerTrigger: Int = 16)(implicit spark: SparkSession): Dataset[Page] = {
+    import spark.implicits._
+    spark.readStream
+      .format("binaryFile")
+      // the binaryFile source's fixed schema, stated explicitly (streaming
+      // file sources refuse to infer)
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .flatMap { r =>
+        val raw = r.getAs[Array[Byte]]("content")
+        val plain = if (r.getString(0).endsWith(".gz")) graft.sources.Warc.gunzipAll(raw) else raw
+        graft.sources.Warc.pages(plain, lang)
+      }
+  }
+
   /** Streaming RDF export: each triple of the (stateless, append-mode)
     * stream formatted as one N-Triples statement — subject/object node IRIs
     * under the TYPE.value key rule, predicate from the sentiment label.
