@@ -534,6 +534,14 @@ object SparkEntry {
       .select(col("l_suppkey"), col("rank").cast("long"), col("l_orderkey"),
         col("l_linenumber").cast("long"), col("ship_epoch"))),
     "events_hourly" -> ((s, d) => Relational.eventsHourly(s, d)),
+    // Morton z-value + coarse z-bucket over (user_id, event_id) — the
+    // OPTIMIZE ZORDER BY clustering key, exact BIGINT bit interleave
+    "layout_zorder" -> ((s, d) => {
+      val e = s.read.parquet(s"$d/events.parquet")
+      val z = graft.ops.Layout.zValue(Seq(col("user_id"), col("event_id")), 16)
+      e.select(col("event_id"), z.as("zval"),
+        graft.ops.Layout.zBucket(z, nCols = 2, bits = 16, buckets = 16).as("bucket"))
+    }),
     // semi-structured: one JSON field extracted + typed, per-type aggregation
     "events_json" -> ((s, d) => Relational.eventsJsonStats(s, d)),
     // AS-OF join (an operator Spark lacks natively): purchase -> latest
@@ -2036,6 +2044,13 @@ object SparkEntry {
          |       CAST(min(json_extract_string(props, '$$.k')::BIGINT) AS BIGINT) AS k_min,
          |       CAST(max(json_extract_string(props, '$$.k')::BIGINT) AS BIGINT) AS k_max
          |FROM events GROUP BY event_type""".stripMargin,
+    "layout_zorder" ->
+      """WITH z AS (SELECT event_id,
+        |  CAST(list_sum(list_transform(range(0, 16), b ->
+        |      ((((user_id & 65535) >> b) & 1) << (2*b)) +
+        |      ((((event_id & 65535) >> b) & 1) << (2*b + 1)))) AS BIGINT) AS zval
+        |  FROM events)
+        |SELECT event_id, zval, zval >> 28 AS bucket FROM z""".stripMargin,
     "events_hourly" ->
       """WITH e AS (SELECT epoch_us(ts) // 1000000 AS es, event_type, value, user_id FROM events)
         |SELECT es - es % 3600 AS hour_epoch, event_type, count(*) AS n_events,
