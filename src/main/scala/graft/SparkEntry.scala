@@ -499,6 +499,10 @@ object SparkEntry {
         col("punct_token_ratio"))),
     "text_langid" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))),
+    // C4 cleaning rules: terminal-punctuation line filter + lorem/brace doc
+    // flags + the rebuilt clean text — row-local, no shuffle
+    "text_c4_filter" -> ((s, d) =>
+      TextStats.c4Rules(docs(s, d), col("text"), col("doc_id"))),
     "text_bpe_tokens" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe"))),
     "text_fingerprint" -> ((s, d) => docs(s, d)
@@ -1980,6 +1984,20 @@ object SparkEntry {
          |       len(list_filter(terms, x -> x IN ('the','a','an','of','and','is','to','in','it','that')))::DOUBLE / len(terms)::DOUBLE AS stopword_ratio,
          |       len(list_filter(terms, x -> regexp_matches(x, '[^\\p{L}\\p{N}]')))::DOUBLE / len(terms)::DOUBLE AS punct_token_ratio
          |FROM toks JOIN documents USING (doc_id)""".stripMargin,
+    "text_c4_filter" ->
+      """WITH l AS (SELECT doc_id AS id, text AS t, string_split(text, chr(10)) AS lines FROM documents),
+        |k AS (SELECT id, t, len(lines) AS n_lines,
+        |  list_filter(lines, x -> regexp_matches(rtrim(x), '[.!?"]$')
+        |    AND len(list_filter(string_split_regex(trim(x), '\s+'), w -> w <> '')) >= 5
+        |    AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM l)
+        |SELECT id, CAST(n_lines AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+        |  contains(lower(t), 'lorem ipsum') AS has_lorem,
+        |  contains(t, '{') AS has_brace,
+        |  (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+        |    AND NOT contains(t, '{')) AS keep,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+        |FROM k""".stripMargin,
     "text_langid" ->
       s"""WITH $toksCte,
          |votes AS (SELECT doc_id,

@@ -76,6 +76,36 @@ object TextStats {
           size(col("bg")).cast("double")).as("top_bigram_frac"))
   }
 
+  /** C4-style cleaning rules (Raffel et al. 2020 §2.2, public): line-level —
+    * keep only lines that end in terminal punctuation, carry at least
+    * `minWordsPerLine` words, and don't mention "javascript"; document-level
+    * — flag "lorem ipsum" placeholder text and curly braces (code), and keep
+    * a document only if at least `minLinesKept` lines survive and neither
+    * flag fires. Emits the flags AND the line-filtered text, so callers can
+    * audit or rebuild. Row-local built-ins (nested HOF lambdas reference
+    * only their own arguments — the outer-capture trap), no shuffle.
+    *
+    * Output: (id, n_lines, n_kept, has_lorem, has_brace, keep, clean_text). */
+  def c4Rules(df: DataFrame, text: Column, id: Column,
+      minWordsPerLine: Int = 5, minLinesKept: Int = 3): DataFrame = {
+    val base = df.select(id.as("id"), text.as("t"), split(text, "\n").as("lines"))
+    val keptLines = filter(col("lines"), l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(filter(split(trim(l), "\\s+"), w => w =!= "")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    base.select(col("id"), col("t"), size(col("lines")).as("n_lines"), keptLines.as("kept"))
+      .select(
+        col("id"),
+        col("n_lines").cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        lower(col("t")).contains("lorem ipsum").as("has_lorem"),
+        col("t").contains("{").as("has_brace"),
+        (size(col("kept")) >= minLinesKept &&
+          !lower(col("t")).contains("lorem ipsum") &&
+          !col("t").contains("{")).as("keep"),
+        concat_ws("\n", col("kept")).as("clean_text"))
+  }
+
   /** BPE-ish subword token count: word pieces + standalone punctuation via
     * regex extraction (the usual pre-tokenizer shape). */
   def bpeTokenCount(text: Column): Column =

@@ -21,6 +21,29 @@ class TextStatsMoreSpec extends AnyFunSuite with SparkTestSession {
     assert(got((2L, 2L)) == (("banana", 1L, 2L, 0L)))
   }
 
+  test("c4Rules: line keep/drop cases, doc flags, and the rebuilt clean text") {
+    import spark.implicits._
+    val good = "This line has enough words right here.\nAnother proper sentence ends well too!"
+    val docs = Seq(
+      (1L, good),
+      (2L, "Too short.\nno terminal punctuation here at all\nEnable javascript to view this page.\nOne fine line that does qualify nicely."),
+      (3L, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\nA second proper sentence sits right here.\nA third proper sentence closes the document."),
+      (4L, "function f() { return 1; } is code in prose and it still ends properly.\nA second proper sentence sits right here.\nA third proper sentence closes the document.")
+    ).toDF("doc_id", "text")
+    val got = TextStats.c4Rules(docs, col("text"), col("doc_id"), minWordsPerLine = 5, minLinesKept = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getString(6))).toMap
+    // doc 1: both lines survive, keep
+    assert(got(1L) == (2L, 2L, false, false, true, good))
+    // doc 2: short line, unterminated line, javascript line all drop; 1 < minLinesKept
+    assert(got(2L)._2 == 1L && !got(2L)._5)
+    assert(got(2L)._6 == "One fine line that does qualify nicely.")
+    // doc 3: lines fine but lorem ipsum flags the whole doc
+    assert(got(3L)._3 && !got(3L)._5 && got(3L)._2 == 3L)
+    // doc 4: brace flag kills it even though lines qualify
+    assert(got(4L)._4 && !got(4L)._5)
+  }
+
   test("histogramQuantiles: exact rank selection on 1..10") {
     import spark.implicits._
     val df = (1L to 10L).toDF("v")
