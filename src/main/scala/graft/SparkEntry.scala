@@ -548,6 +548,8 @@ object SparkEntry {
     }),
     // semi-structured: one JSON field extracted + typed, per-type aggregation
     "events_json" -> ((s, d) => Relational.eventsJsonStats(s, d)),
+    // cohort retention triangle: first-hour cohorts x hour offsets
+    "events_retention" -> ((s, d) => Relational.eventsRetention(s, d)),
     // AS-OF join (an operator Spark lacks natively): purchase -> latest
     // prior view per user via ONE carry-forward window — the oracle uses
     // DuckDB's NATIVE ASOF LEFT JOIN (independent algorithm, same answer)
@@ -2075,6 +2077,13 @@ object SparkEntry {
         |       sum(value::DECIMAL(18,6))::DOUBLE AS sum_value,
         |       count(DISTINCT user_id) AS n_users
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS es FROM events),
+        |h AS MATERIALIZED (SELECT user_id, es - es % 3600 AS hour FROM e),
+        |c AS (SELECT user_id, min(hour) AS cohort_hour FROM h GROUP BY 1),
+        |j AS (SELECT DISTINCT c.cohort_hour, (h.hour - c.cohort_hour) // 3600 AS hrs_after, h.user_id
+        |      FROM h JOIN c USING (user_id) WHERE (h.hour - c.cohort_hour) // 3600 <= 3)
+        |SELECT cohort_hour, hrs_after, count(*)::BIGINT AS n_users FROM j GROUP BY 1, 2""".stripMargin,
     "events_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) // 1000000 AS es FROM events),
         |v AS (SELECT user_id, min(es) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),

@@ -157,6 +157,26 @@ object Relational {
       .select(col("user_id"), col("t1"), col("t2"), col("t3"))
   }
 
+  /** Cohort retention: users cohort by their FIRST event's hour; for each
+    * cohort hour and hour offset k ≤ `maxOffset`, the count of cohort users
+    * active in hour cohort+k — the product-analytics retention triangle.
+    * Shapes: the per-user cohort is one user_id agg; joining it back to the
+    * hourly activity is co-partitioned on user_id (the agg output reuses the
+    * exchange), then one distinct + count on the small (cohort, k) key.
+    * Integer hour arithmetic throughout — hash-exact cross-engine. */
+  def eventsRetention(spark: SparkSession, dir: String, maxOffset: Int = 3): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"),
+        (epochSec(col("ts")) - pmod(epochSec(col("ts")), lit(3600))).as("hour"))
+    val cohort = ev.groupBy("user_id").agg(min(col("hour")).as("cohort_hour"))
+    ev.join(cohort, "user_id")
+      .withColumn("hrs_after", ((col("hour") - col("cohort_hour")) / 3600).cast("long"))
+      .filter(col("hrs_after") <= maxOffset)
+      .select("cohort_hour", "hrs_after", "user_id").distinct()
+      .groupBy("cohort_hour", "hrs_after")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def eventsSessions(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val ev = t(spark, dir, "events")

@@ -29,6 +29,23 @@ class AsofChunkSpec extends AnyFunSuite with SparkTestSession {
       300L -> -1L))  // user 3 has no right rows at all
   }
 
+  test("eventsRetention: first-hour cohorts, distinct users per hour offset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-retention").toString
+    val h0 = 1700000000L - 1700000000L % 3600
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    Seq(
+      (1L, ts(h0 + 10)), (1L, ts(h0 + 3600)), (1L, ts(h0 + 3 * 3600)),
+      (2L, ts(h0 + 20)), (2L, ts(h0 + 25)), (2L, ts(h0 + 2 * 3600)), // same-hour dup counts once
+      (3L, ts(h0 + 3600 + 5)), (3L, ts(h0 + 2 * 3600))) // later cohort
+      .toDF("user_id", "ts").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.eventsRetention(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val h1 = h0 + 3600
+    assert(got == Set(
+      (h0, 0L, 2L), (h0, 1L, 1L), (h0, 2L, 1L), (h0, 3L, 1L),
+      (h1, 0L, 1L), (h1, 1L, 1L)))
+  }
+
   test("asofJoin: partition-invariant") {
     val left = (0 until 200).map(i => (i.toLong % 7, i.toLong * 3, i.toLong))
       .toDF("user_id", "t", "event_id")
