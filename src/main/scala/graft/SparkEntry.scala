@@ -135,6 +135,9 @@ object SparkEntry {
     "kg_neighborhood" -> ((s, d) => DocKg.neighborhood(s, d)),
     // Luby MIS with md5 priorities — the parallel symmetry-breaker, rng-free
     "kg_mis" -> ((s, d) => DocKg.mis(s, d)),
+    // strongly connected components: FW-BW pivot peeling, min-id pivots,
+    // bounded rounds as the contract (peeled sets are proven SCC subsets)
+    "kg_scc" -> ((s, d) => DocKg.scc(s, d)),
     // exact-integer modularity of the LPA communities (Q·(2m)² per community)
     "kg_modularity" -> ((s, d) => DocKg.modularity(s, d)),
     // Katz centrality in exact truncating-integer fixed point (alpha = 1/8)
@@ -1289,6 +1292,35 @@ object SparkEntry {
          |      FROM d3 WHERE src <> dst GROUP BY src)
          |SELECT n.id, coalesce(hs.h, 0)::BIGINT AS h
          |FROM nodes n LEFT JOIN hs ON n.id = hs.id""".stripMargin,
+    "kg_scc" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |zadj AS MATERIALIZED (SELECT DISTINCT source AS src, target AS dst
+         |      FROM edges WHERE source <> target),
+         |zud0 AS MATERIALIZED (SELECT src AS id FROM zadj UNION SELECT dst FROM zadj),
+         |${(1 to 3).map(o =>
+              s"""zpv$o AS MATERIALIZED (SELECT min(id) AS p FROM zud${o - 1}),
+                 |zra$o AS MATERIALIZED (SELECT a.src, a.dst FROM zadj a
+                 |      JOIN zud${o - 1} x ON a.src = x.id JOIN zud${o - 1} y ON a.dst = y.id),
+                 |zf${o}0 AS (SELECT p AS id FROM zpv$o),
+                 |zb${o}0 AS (SELECT p AS id FROM zpv$o),
+                 |${(1 to 3).map(i =>
+                      s"""zf$o$i AS MATERIALIZED (SELECT DISTINCT id FROM (
+                         |      SELECT id FROM zf$o${i - 1}
+                         |      UNION ALL
+                         |      SELECT r.dst AS id FROM zf$o${i - 1} f JOIN zra$o r ON r.src = f.id)),
+                         |zb$o$i AS MATERIALIZED (SELECT DISTINCT id FROM (
+                         |      SELECT id FROM zb$o${i - 1}
+                         |      UNION ALL
+                         |      SELECT r.src AS id FROM zb$o${i - 1} f JOIN zra$o r ON r.dst = f.id))""".stripMargin).mkString(",\n")},
+                 |zscc$o AS MATERIALIZED (SELECT f.id FROM zf${o}3 f JOIN zb${o}3 b ON f.id = b.id),
+                 |zlab$o AS (SELECT s.id, pv.p AS scc FROM zscc$o s CROSS JOIN zpv$o pv),
+                 |zud$o AS MATERIALIZED (SELECT id FROM zud${o - 1}
+                 |      WHERE id NOT IN (SELECT id FROM zscc$o))""".stripMargin).mkString(",\n")}
+         |SELECT id, scc FROM zlab1
+         |UNION ALL SELECT id, scc FROM zlab2
+         |UNION ALL SELECT id, scc FROM zlab3
+         |UNION ALL SELECT id, 'UNDECIDED' AS scc FROM zud3""".stripMargin,
     "kg_neighborhood" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

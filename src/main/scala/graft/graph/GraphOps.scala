@@ -845,6 +845,69 @@ object GraphOps {
       .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
   }
 
+  /** Strongly connected components by FW-BW pivot peeling (Fleischer et al.;
+    * engine extension — the DIRECTED-graph community read the undirected
+    * [[connectedComponents]] can't give). Deterministic and rng-free: each
+    * outer round picks the smallest undecided node id as pivot, grows its
+    * forward and backward reach sets WITHIN the undecided subgraph for
+    * `innerRounds` hops, and peels F ∩ B as the pivot's SCC. Bounded rounds
+    * are the contract (the kg_lpa/kg_kcore convention): every peeled set is
+    * a true SCC subset — both directions are PROVEN by ≤ innerRounds-hop
+    * paths — and nodes whose membership needs more hops or more pivots
+    * remain labeled UNDECIDED, identically cross-engine.
+    *
+    * Peeling within the undecided subgraph is sound: if u,v share an SCC
+    * disjoint from the peeled one, their witness cycles cannot route through
+    * peeled nodes (routing through the peeled SCC in both directions would
+    * pull u into it), so later rounds still see them connected.
+    *
+    * Scale shapes: per inner hop one co-partitioned join + distinct with
+    * truncated lineage; the pivot pick is a one-row driver agg (the bounded
+    * collect convention); undecided shrinks monotonically. Output:
+    * (id, scc) — scc = pivot id, or 'UNDECIDED'. */
+  def scc(edges: DataFrame, outerRounds: Int = 3, innerRounds: Int = 3): DataFrame = {
+    require(outerRounds >= 1 && outerRounds <= 9 && innerRounds >= 1 && innerRounds <= 9,
+      s"rounds must be in [1,9]: outer=$outerRounds inner=$innerRounds")
+    val adj = edges.filter(col("source") =!= col("target"))
+      .select(col("source").as("src"), col("target").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = adj.select(col("src").as("id"))
+      .union(adj.select(col("dst").as("id"))).distinct()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var undecided = nodes.localCheckpoint(true)
+    var decided: Option[DataFrame] = None
+    var done = false
+    for (_ <- 1 to outerRounds if !done) {
+      val pvRow = undecided.agg(min(col("id"))).head()
+      if (pvRow.isNullAt(0)) done = true
+      else {
+        val pivot = pvRow.getString(0)
+        val ra = adj
+          .join(undecided.select(col("id").as("src")), Seq("src"))
+          .join(undecided.select(col("id").as("dst")), Seq("dst"))
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        def reach(forward: Boolean): DataFrame = {
+          var set = Seq(pivot).toDF("id").localCheckpoint(true)
+          for (_ <- 1 to innerRounds) {
+            val step =
+              if (forward) set.join(ra, set("id") === ra("src")).select(ra("dst").as("id"))
+              else set.join(ra, set("id") === ra("dst")).select(ra("src").as("id"))
+            set = set.union(step).distinct().localCheckpoint(true)
+          }
+          set
+        }
+        val sccSet = reach(forward = true).join(reach(forward = false), "id")
+          .localCheckpoint(true)
+        val labeled = sccSet.withColumn("scc", lit(pivot))
+        decided = Some(decided.map(_.union(labeled)).getOrElse(labeled))
+        undecided = undecided.join(sccSet, Seq("id"), "left_anti").localCheckpoint(true)
+      }
+    }
+    val rest = undecided.withColumn("scc", lit("UNDECIDED"))
+    decided.map(_.union(rest)).getOrElse(rest)
+  }
+
   /** Exact neighborhood function + effective diameter (engine extension; no
     * reference counterpart — the connectivity read behind web-graph studies).
     *

@@ -363,6 +363,11 @@ object DocKg {
   def neighborhood(spark: SparkSession, dir: String): DataFrame =
     GraphOps.neighborhoodFunction(edges(spark, dir), rounds = 3)
 
+  /** Strongly connected components of the directed KG by FW-BW pivot
+    * peeling (GraphOps.scc): 3 pivots × 3-hop reach sets. */
+  def scc(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.scc(edges(spark, dir), outerRounds = 3, innerRounds = 3)
+
   /** Warm-start PageRank: 2 stored iterations + 1 resumed == the full
     * 3-iteration run; the oracle is kg_pagerank's own SQL (the
     * kg_edges_incremental pattern). */

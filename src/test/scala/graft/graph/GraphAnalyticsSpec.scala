@@ -104,6 +104,23 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
       "A" -> 1500000L, "B" -> 1000000L, "C" -> 0L, "X" -> 1000000L, "Y" -> 0L))
   }
 
+  test("scc: FW-BW pivot peeling finds directed components; leftovers stay UNDECIDED") {
+    // SCCs: {A,B,C} (3-cycle), {D} (feeds A), {E,F} (2-cycle), G->H never pivoted
+    val e = edges(("A", "B", 1), ("B", "C", 1), ("C", "A", 1),
+      ("D", "A", 1), ("B", "E", 1), ("E", "F", 1), ("F", "E", 1), ("G", "H", 1))
+    val got = GraphOps.scc(e, outerRounds = 3, innerRounds = 3).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "A" -> "A", "B" -> "A", "C" -> "A",
+      "D" -> "D",
+      "E" -> "E", "F" -> "E",
+      "G" -> "UNDECIDED", "H" -> "UNDECIDED"))
+    // partition invariance
+    val again = GraphOps.scc(e.repartition(5), outerRounds = 3, innerRounds = 3).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
   test("neighborhoodFunction: exact N(r) + 90%-mass effective diameter on a path") {
     // directed path A->B->C->D: pairs at radius 0/1/2/3 = 4/3/2/1
     val e = edges(("A", "B", 1), ("B", "C", 1), ("C", "D", 1))
