@@ -506,6 +506,9 @@ object SparkEntry {
     // flags + the rebuilt clean text — row-local, no shuffle
     "text_c4_filter" -> ((s, d) =>
       TextStats.c4Rules(docs(s, d), col("text"), col("doc_id"))),
+    // PII scrub: emails/IPs/phones -> typed placeholders + audit counts
+    "text_pii_scrub" -> ((s, d) =>
+      TextStats.piiScrub(docs(s, d), col("text"), col("doc_id"))),
     "text_bpe_tokens" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe"))),
     "text_fingerprint" -> ((s, d) => docs(s, d)
@@ -553,6 +556,8 @@ object SparkEntry {
     "events_json" -> ((s, d) => Relational.eventsJsonStats(s, d)),
     // cohort retention triangle: first-hour cohorts x hour offsets
     "events_retention" -> ((s, d) => Relational.eventsRetention(s, d)),
+    // hourly-count anomaly flags as an exact-integer z-test (no sqrt/floats)
+    "events_anomaly" -> ((s, d) => Relational.eventsAnomaly(s, d)),
     // AS-OF join (an operator Spark lacks natively): purchase -> latest
     // prior view per user via ONE carry-forward window — the oracle uses
     // DuckDB's NATIVE ASOF LEFT JOIN (independent algorithm, same answer)
@@ -2109,6 +2114,26 @@ object SparkEntry {
         |       sum(value::DECIMAL(18,6))::DOUBLE AS sum_value,
         |       count(DISTINCT user_id) AS n_users
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "events_anomaly" ->
+      """WITH e AS (SELECT epoch_us(ts) // 1000000 AS es, event_type FROM events),
+        |h AS MATERIALIZED (SELECT es - es % 3600 AS hour_epoch, event_type,
+        |      count(*)::BIGINT AS x FROM e GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS s1,
+        |      CAST(sum(x*x) AS BIGINT) AS s2, count(*)::BIGINT AS n FROM h GROUP BY 1)
+        |SELECT h.event_type, h.hour_epoch, h.x AS n_events,
+        |  ((st.n*h.x - st.s1)*(st.n*h.x - st.s1) > 4*(st.n*st.s2 - st.s1*st.s1)) AS is_anomaly
+        |FROM h JOIN st USING (event_type)""".stripMargin,
+    "text_pii_scrub" -> {
+      val ps = TextStats.piiPatterns
+      val cnt = ps.map { case (n, re, _) =>
+        s"len(regexp_extract_all(text, '$re'))::BIGINT AS n_$n" }.mkString(",\n        |  ")
+      val scrub = ps.foldLeft("text") { case (acc, (_, re, tok)) =>
+        s"regexp_replace($acc, '$re', '$tok', 'g')" }
+      s"""SELECT doc_id AS id,
+        |  $cnt,
+        |  $scrub AS scrubbed
+        |FROM documents""".stripMargin
+    },
     "events_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS es FROM events),
         |h AS MATERIALIZED (SELECT user_id, es - es % 3600 AS hour FROM e),

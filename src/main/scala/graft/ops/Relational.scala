@@ -157,6 +157,33 @@ object Relational {
       .select(col("user_id"), col("t1"), col("t2"), col("t3"))
   }
 
+  /** Hourly-count anomaly flags per event type, as an EXACT-INTEGER z-test:
+    * with per-type hourly counts x, S1 = Σx, S2 = Σx², n = #hours, the
+    * float test |x − μ| > z·σ cross-multiplies to
+    *
+    *   (n·x − S1)² > z²·(n·S2 − S1²)
+    *
+    * — every term BIGINT (no sqrt, no float variance), so the flag relation
+    * hash-matches cross-engine. Shapes: one (hour, type) count, one tiny
+    * per-type rollup joined back broadcast. Keep n·x < 2^31-ish so the
+    * square stays under 2^62 (hourly counts × hours — far under). */
+  def eventsAnomaly(spark: SparkSession, dir: String, z: Int = 2): DataFrame = {
+    val hourly = t(spark, dir, "events")
+      .groupBy(
+        (epochSec(col("ts")) - pmod(epochSec(col("ts")), lit(3600))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // two consumers: the rollup and the flag join
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"),
+        count(lit(1)).as("n"))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour_epoch"), col("x").as("n_events"),
+        ((col("n") * col("x") - col("s1")) * (col("n") * col("x") - col("s1")) >
+          lit(z.toLong * z) * (col("n") * col("s2") - col("s1") * col("s1")))
+          .as("is_anomaly"))
+  }
+
   /** Cohort retention: users cohort by their FIRST event's hour; for each
     * cohort hour and hour offset k ≤ `maxOffset`, the count of cohort users
     * active in hour cohort+k — the product-analytics retention triangle.

@@ -106,6 +106,29 @@ object TextStats {
         concat_ws("\n", col("kept")).as("clean_text"))
   }
 
+  /** PII patterns shared by [[piiScrub]] and its oracle — written in the
+    * common Java-regex/RE2 dialect subset so both engines match identically. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", raw"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", raw"\+\d[\d\- ]{7,}\d", "<PHONE>"))
+
+  /** PII scrubbing (the CCNet/Dolma pre-training hygiene pass): emails, IPv4
+    * addresses and international-format phone numbers replaced by typed
+    * placeholder tokens, with per-document match counts for auditing.
+    * Applied in [[piiPatterns]] order (emails first — an address must not be
+    * half-eaten by the phone rule). Row-local regexp built-ins, no UDF, no
+    * shuffle. Output: (id, n_email, n_ip, n_phone, scrubbed). */
+  def piiScrub(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val counts = piiPatterns.map { case (name, re, _) =>
+      regexp_count(text, lit(re)).cast("long").as(s"n_$name")
+    }
+    val scrubbed = piiPatterns.foldLeft(text) { case (c, (_, re, repl)) =>
+      regexp_replace(c, lit(re), lit(repl))
+    }
+    df.select((id.as("id") +: counts :+ scrubbed.as("scrubbed")): _*)
+  }
+
   /** BPE-ish subword token count: word pieces + standalone punctuation via
     * regex extraction (the usual pre-tokenizer shape). */
   def bpeTokenCount(text: Column): Column =

@@ -46,6 +46,23 @@ class AsofChunkSpec extends AnyFunSuite with SparkTestSession {
       (h1, 0L, 1L), (h1, 1L, 1L)))
   }
 
+  test("eventsAnomaly: integer z-test flags the spike hour only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-anomaly").toString
+    val h0 = 1700000000L - 1700000000L % 3600
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // type 'a': 8 hours of 2 then a 20-spike (a single outlier among N equal
+    // baselines sits at sqrt(N)-sigma -> 3-sigma here, beyond the z=2 gate)
+    val rows = (0 until 8).flatMap(h => Seq.fill(2)((ts(h0 + h * 3600L), "a"))) ++
+      Seq.fill(20)((ts(h0 + 8 * 3600L), "a"))
+    val df = rows.zipWithIndex.map { case ((t, ty), i) => (i.toLong, t, ty) }
+      .toDF("user_id", "ts", "event_type")
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.eventsAnomaly(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(got.map(_._2) == Seq.fill(8)(2L) ++ Seq(20L))
+    assert(got.map(_._3) == Seq.fill(8)(false) ++ Seq(true))
+  }
+
   test("asofJoin: partition-invariant") {
     val left = (0 until 200).map(i => (i.toLong % 7, i.toLong * 3, i.toLong))
       .toDF("user_id", "t", "event_id")

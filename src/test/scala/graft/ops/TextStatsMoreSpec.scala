@@ -44,6 +44,22 @@ class TextStatsMoreSpec extends AnyFunSuite with SparkTestSession {
     assert(got(4L)._4 && !got(4L)._5)
   }
 
+  test("piiScrub: emails, IPs and phones become typed tokens with audit counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to a.user+tag@example.co.uk or ops@host.io today"),
+      (2L, "server 10.0.12.9 and backup 192.168.1.1 are up"),
+      (3L, "call +1 415-555-0100 now"),
+      (4L, "clean text with no identifiers at all")).toDF("doc_id", "text")
+    val got = TextStats.piiScrub(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1L) == (2L, 0L, 0L, "write to <EMAIL> or <EMAIL> today"))
+    assert(got(2L) == (0L, 2L, 0L, "server <IP> and backup <IP> are up"))
+    assert(got(3L) == (0L, 0L, 1L, "call <PHONE> now"))
+    assert(got(4L) == (0L, 0L, 0L, "clean text with no identifiers at all"))
+  }
+
   test("histogramQuantiles: exact rank selection on 1..10") {
     import spark.implicits._
     val df = (1L to 10L).toDF("v")
