@@ -154,6 +154,10 @@ object SparkEntry {
     "dedup_spans" -> ((s, d) =>
       Dedup.spanDedup(docs(s, d), col("text"), col("doc_id"), w = 5)
         .select(col("id").as("doc_id"), col("clean_text"), col("removed_terms"))),
+    // paragraph dedup (the Dolma pass): first corpus-wide occurrence per
+    // paragraph survives, ordered by (doc, pos); blank lines exempt
+    "dedup_paragraphs" -> ((s, d) =>
+      Dedup.paragraphDedup(docs(s, d), col("text"), col("doc_id"))),
     "dedup_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"),
         bands = 4, shingleW = 2, rowsPerBand = 2)
@@ -509,6 +513,9 @@ object SparkEntry {
     // PII scrub: emails/IPs/phones -> typed placeholders + audit counts
     "text_pii_scrub" -> ((s, d) =>
       TextStats.piiScrub(docs(s, d), col("text"), col("doc_id"))),
+    // Gopher quality rules with every ratio threshold as exact integers
+    "text_gopher_rules" -> ((s, d) =>
+      TextStats.gopherRules(docs(s, d), col("text"), col("doc_id"))),
     "text_bpe_tokens" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe"))),
     "text_fingerprint" -> ((s, d) => docs(s, d)
@@ -1578,6 +1585,20 @@ object SparkEntry {
          |SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
          |       (len(b.terms) - coalesce(r.kept_n, 0))::BIGINT AS removed_terms
          |FROM toks b LEFT JOIN reb r ON b.doc_id = r.doc_id""".stripMargin,
+    "dedup_paragraphs" ->
+      """WITH p0 AS (SELECT doc_id AS id, string_split(text, chr(10)) AS lines FROM documents),
+        |p AS MATERIALIZED (SELECT id, unnest(range(0, len(lines))) AS pos, unnest(lines) AS para FROM p0),
+        |kmin AS (SELECT para, min(id) AS k_id FROM p WHERE length(para) >= 1 GROUP BY para),
+        |k2 AS MATERIALIZED (SELECT q.para, q.id AS k_id, min(q.pos) AS k_pos
+        |      FROM p q JOIN kmin m ON q.para = m.para AND q.id = m.k_id GROUP BY 1, 2),
+        |kept AS (SELECT q.id, q.pos, q.para FROM p q LEFT JOIN k2 ON q.para = k2.para
+        |      WHERE k2.para IS NULL OR (q.id = k2.k_id AND q.pos = k2.k_pos)),
+        |reb AS (SELECT id, string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+        |      count(*)::BIGINT AS kept_n FROM kept GROUP BY id)
+        |SELECT t.id, len(t.lines)::BIGINT AS n_paras,
+        |  (len(t.lines) - coalesce(r.kept_n, 0))::BIGINT AS n_dropped,
+        |  coalesce(r.clean_text, '') AS clean_text
+        |FROM p0 t LEFT JOIN reb r ON t.id = r.id""".stripMargin,
     "dedup_minhash_sig" ->
       s"""WITH $minhashSigCte
          |SELECT id, band, sig FROM sig""".stripMargin,
@@ -2123,6 +2144,27 @@ object SparkEntry {
         |SELECT h.event_type, h.hour_epoch, h.x AS n_events,
         |  ((st.n*h.x - st.s1)*(st.n*h.x - st.s1) > 4*(st.n*st.s2 - st.s1*st.s1)) AS is_anomaly
         |FROM h JOIN st USING (event_type)""".stripMargin,
+    "text_gopher_rules" ->
+      s"""WITH $toksCte,
+         |gg AS MATERIALIZED (SELECT t.doc_id AS id, d.text AS tx, t.terms,
+         |      string_split(d.text, chr(10)) AS lines
+         |  FROM toks t JOIN documents d USING (doc_id)),
+         |gc AS (SELECT id,
+         |  len(terms)::BIGINT AS n_words,
+         |  CAST(list_sum(list_transform(terms, w -> length(w))) AS BIGINT) AS sum_word_len,
+         |  (len(regexp_extract_all(tx, '#')) + len(regexp_extract_all(tx, '\\.\\.\\.')))::BIGINT AS n_symbols,
+         |  len(lines)::BIGINT AS n_lines,
+         |  len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::BIGINT AS n_bullet,
+         |  len(list_filter(lines, l -> regexp_matches(rtrim(l), '\\.\\.\\.$$')))::BIGINT AS n_ellipsis,
+         |  len(list_filter(terms, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha,
+         |  len(list_filter(terms, w -> w IN ('the','a','an','of','and','is','to','in','it','that')))::BIGINT AS n_stop_hits
+         | FROM gg)
+         |SELECT *, (n_words >= 50 AND n_words <= 100000
+         |  AND sum_word_len >= 3*n_words AND sum_word_len <= 10*n_words
+         |  AND 10*n_symbols <= n_words AND 10*n_bullet <= 9*n_lines
+         |  AND 10*n_ellipsis <= 3*n_lines AND 5*n_alpha >= 4*n_words
+         |  AND n_stop_hits >= 2) AS keep
+         |FROM gc""".stripMargin,
     "text_pii_scrub" -> {
       val ps = TextStats.piiPatterns
       val cnt = ps.map { case (n, re, _) =>

@@ -12,7 +12,7 @@ import graft.ops.{Dedup, TextStats}
   * Usage:
   *   runMain graft.cli.Curate --docs docs.parquet --out /tmp/kept
   *     [--id-col doc_id --text-col text]
-  *     [--min-tokens 40] [--min-ttr 0.0] [--lang en] [--c4 y]
+  *     [--min-tokens 40] [--min-ttr 0.0] [--lang en] [--c4 y] [--gopher y]
   *     [--near-dup y] [--bands 4] [--rows-per-band 2] [--shingle-w 2] [--jaccard 0.7]
   *     [--max-bucket 10000]
   *     [--probes eval.parquet --ngram 5 --min-shared 3]
@@ -77,13 +77,22 @@ object Curate {
     // javascript filter + lorem-ipsum/brace doc drop); kept docs carry the
     // LINE-FILTERED text downstream, as in the original pipeline
     val c4 = opts.get("--c4").exists(_ == "y")
-    val quality = if (!c4) quality0 else {
+    val afterC4 = if (!c4) quality0 else {
       val r = TextStats.c4Rules(quality0, col(textCol), col(idCol))
         .filter(col("keep")).select(col("id").as(idCol), col("clean_text"))
       quality0.drop(textCol).join(r, Seq(idCol))
         .withColumnRenamed("clean_text", textCol).persist()
     }
-    val c4Field = if (c4) s""""after_c4":${quality.count()},""" else ""
+    val c4Field = if (c4) s""""after_c4":${afterC4.count()},""" else ""
+
+    // 1c. --gopher y: Gopher quality rules (integer-exact ratio thresholds)
+    val gopher = opts.get("--gopher").exists(_ == "y")
+    val quality = if (!gopher) afterC4 else {
+      val keepIds = TextStats.gopherRules(afterC4, col(textCol), col(idCol))
+        .filter(col("keep")).select(col("id").as(idCol))
+      afterC4.join(keepIds, Seq(idCol)).persist()
+    }
+    val gopherField = if (gopher) s""""after_gopher":${quality.count()},""" else ""
 
     val bands = opts.getOrElse("--bands", "4").toInt
     val shingleW = opts.getOrElse("--shingle-w", "2").toInt
@@ -187,7 +196,7 @@ object Curate {
     }.getOrElse("")
 
     val storeField = store.map(_ => s""""after_store":$nStore,""").getOrElse("")
-    println(s"""{"input":$nInput,"after_quality":$nQuality,$c4Field$storeField$hllField""" +
+    println(s"""{"input":$nInput,"after_quality":$nQuality,$c4Field$gopherField$storeField$hllField""" +
       s""""after_exact_dedup":$nExact,"after_near_dedup":$nNear,$capField"kept":$nKept,"out":"$out"}""")
     spark.stop()
   }

@@ -502,4 +502,38 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("n_terms") - coalesce(col("kept_n"), lit(0L))).as("removed_terms"))
   }
+
+  /** Paragraph-level dedup (the Dolma/CCNet pass between document dedup and
+    * substring dedup): every newline-separated paragraph keeps only its
+    * FIRST corpus-wide occurrence — ordered by (doc id, position), so the
+    * keeper is deterministic — and later occurrences are dropped from their
+    * documents' rebuilt text. Paragraphs shorter than `minLen` chars (blank
+    * lines, separators) are exempt: deduplicating those would collapse
+    * every empty line in the corpus onto one global survivor.
+    *
+    * Shapes: one shuffle on the paragraph value (the first-occurrence
+    * window — WindowGroupLimit-friendly rank-1 filter), one groupBy back on
+    * doc id for the rebuild. The paragraph relation is localCheckpointed
+    * once (window + totals both consume it). Output:
+    * (id, n_paras, n_dropped, clean_text). */
+  def paragraphDedup(df: DataFrame, text: Column, id: Column, minLen: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = df.select(id.cast("long").as("id"),
+        posexplode(split(text, "\n")).as(Seq("pos", "para")))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("para")).orderBy(col("id"), col("pos"))
+    val kept = p
+      .withColumn("rn",
+        when(length(col("para")) >= minLen, row_number().over(w)).otherwise(lit(1)))
+      .filter(col("rn") === 1)
+    val reb = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("kept_n"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x("para")), "\n").as("clean_text"))
+    p.groupBy(col("id")).agg(count(lit(1)).as("n_paras"))
+      .join(reb, Seq("id"), "left")
+      .select(col("id"), col("n_paras"),
+        (col("n_paras") - coalesce(col("kept_n"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -106,6 +106,45 @@ object TextStats {
         concat_ws("\n", col("kept")).as("clean_text"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021 §A1.1, public) with every ratio
+    * threshold CROSS-MULTIPLIED to integers (3 ≤ mean word len ≤ 10 becomes
+    * 3n ≤ Σlen ≤ 10n, etc.) so the keep decision is exact BIGINT arithmetic
+    * — no float ratios to drift cross-engine. Rules: word count in
+    * [minWords, maxWords]; mean word length in [3, 10]; symbol-to-word
+    * ratio ('#' + '...') ≤ 1/10; bullet-start lines ≤ 9/10; ellipsis-end
+    * lines ≤ 3/10; words-with-an-alphabetic-char ≥ 4/5; ≥ 2 stopword hits.
+    * Row-local; arrays materialized in their own projection (HOF
+    * outer-capture trap). Output: per-rule counts + the keep flag. */
+  def gopherRules(df: DataFrame, text: Column, id: Column,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val base = df.select(id.as("id"), text.as("t"),
+      tokens(text).as("toks"), split(text, "\n").as("lines"))
+    base.select(
+      col("id"),
+      size(col("toks")).cast("long").as("n_words"),
+      aggregate(transform(col("toks"), w => length(w).cast("long")),
+        lit(0L), (a, v) => a + v).as("sum_word_len"),
+      (regexp_count(col("t"), lit("#")) + regexp_count(col("t"), lit(raw"\.\.\.")))
+        .cast("long").as("n_symbols"),
+      size(col("lines")).cast("long").as("n_lines"),
+      size(filter(col("lines"), l => trim(l).rlike("^[-*•]"))).cast("long")
+        .as("n_bullet"),
+      size(filter(col("lines"), l => rtrim(l).rlike(raw"\.\.\.$$"))).cast("long")
+        .as("n_ellipsis"),
+      size(filter(col("toks"), w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+      size(filter(col("toks"), w => w.isInCollection(defaultStopwords))).cast("long")
+        .as("n_stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("sum_word_len") >= lit(3L) * col("n_words") &&
+          col("sum_word_len") <= lit(10L) * col("n_words") &&
+          lit(10L) * col("n_symbols") <= col("n_words") &&
+          lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines") &&
+          lit(10L) * col("n_ellipsis") <= lit(3L) * col("n_lines") &&
+          lit(5L) * col("n_alpha") >= lit(4L) * col("n_words") &&
+          col("n_stop_hits") >= 2)
+  }
+
   /** PII patterns shared by [[piiScrub]] and its oracle — written in the
     * common Java-regex/RE2 dialect subset so both engines match identically. */
   val piiPatterns: Seq[(String, String, String)] = Seq(

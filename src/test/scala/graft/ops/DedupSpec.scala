@@ -290,6 +290,26 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got(6L) == (("tail7 tail8", 6L)))
   }
 
+  test("paragraphDedup: first corpus occurrence survives, blank lines exempt, rebuild ordered") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "shared boilerplate footer\nunique alpha"),
+      (1L, "unique beta\n\nshared boilerplate footer\nunique gamma"),
+      (2L, "shared boilerplate footer\nshared boilerplate footer"), // in-doc repeat also drops
+      (3L, "\n\n")) // only blanks — all exempt, nothing dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) == ((2L, 0L, "shared boilerplate footer\nunique alpha")))
+    assert(got(1L) == ((4L, 1L, "unique beta\n\nunique gamma"))) // blank line kept, dup dropped
+    assert(got(2L) == ((2L, 2L, "")))
+    assert(got(3L) == ((3L, 0L, "\n\n")))
+    // partition invariance
+    val again = Dedup.paragraphDedup(docs.repartition(5), col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(again == got)
+  }
+
   test("containmentVerify: embedded short doc scores containment 1.0, low jaccard") {
     import spark.implicits._
     val short = "alpha beta gamma delta epsilon zeta"

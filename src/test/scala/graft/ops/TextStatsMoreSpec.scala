@@ -44,6 +44,23 @@ class TextStatsMoreSpec extends AnyFunSuite with SparkTestSession {
     assert(got(4L)._4 && !got(4L)._5)
   }
 
+  test("gopherRules: each rule trips on its targeted fixture; a clean doc keeps") {
+    import spark.implicits._
+    val cleanWords = (1 to 60).map(i => if (i % 5 == 0) "the" else s"word$i")
+    val docs = Seq(
+      (1L, cleanWords.mkString(" ")),                          // passes everything
+      (2L, (1 to 10).map(_ => "word").mkString(" ")),          // too few words
+      (3L, (1 to 60).map(_ => "ab").mkString(" ")),            // mean word len 2 < 3
+      (4L, cleanWords.mkString(" ") + " ##########"),          // 10 symbols vs 61 words
+      (5L, (1 to 60).map(i => s"$i").mkString(" ")),           // numeric: alpha frac 0
+      (6L, (1 to 8).map(_ => "- bullet line here").mkString("\n"))) // all bullets
+      .toDF("doc_id", "text")
+    val got = TextStats.gopherRules(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(9)).toMap
+    assert(got(1L))
+    assert(!got(2L) && !got(3L) && !got(4L) && !got(5L) && !got(6L))
+  }
+
   test("piiScrub: emails, IPs and phones become typed tokens with audit counts") {
     import spark.implicits._
     val docs = Seq(
