@@ -133,6 +133,8 @@ object SparkEntry {
     // exact neighborhood function N(r) + 90%-mass effective diameter —
     // HyperBall's estimation target as integer-exact ground truth
     "kg_neighborhood" -> ((s, d) => DocKg.neighborhood(s, d)),
+    // classical closeness centrality, scaled-integer exact
+    "kg_closeness" -> ((s, d) => DocKg.closeness(s, d)),
     // Luby MIS with md5 priorities — the parallel symmetry-breaker, rng-free
     "kg_mis" -> ((s, d) => DocKg.mis(s, d)),
     // strongly connected components: FW-BW pivot peeling, min-id pivots,
@@ -1304,6 +1306,26 @@ object SparkEntry {
          |      FROM d3 WHERE src <> dst GROUP BY src)
          |SELECT n.id, coalesce(hs.h, 0)::BIGINT AS h
          |FROM nodes n LEFT JOIN hs ON n.id = hs.id""".stripMargin,
+    "kg_closeness" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |adj AS MATERIALIZED (SELECT DISTINCT source AS src, target AS dst
+         |      FROM edges WHERE source <> target),
+         |nodes AS MATERIALIZED (SELECT src AS id FROM adj UNION SELECT dst FROM adj),
+         |cd0 AS MATERIALIZED (SELECT id AS src, id AS dst, CAST(0 AS BIGINT) AS dist FROM nodes),
+         |${(1 to 3).map(i =>
+              s"""cd$i AS MATERIALIZED (SELECT src, dst, CAST(min(dist) AS BIGINT) AS dist FROM (
+                 |      SELECT src, dst, dist FROM cd${i - 1}
+                 |      UNION ALL
+                 |      SELECT r.src, a.dst, r.dist + 1 FROM cd${i - 1} r JOIN adj a ON r.dst = a.src)
+                 |      GROUP BY 1, 2)""".stripMargin).mkString(",\n")},
+         |cs AS (SELECT src AS id, count(*)::BIGINT AS n_reach, CAST(sum(dist) AS BIGINT) AS sum_dist
+         |      FROM cd3 WHERE src <> dst GROUP BY src)
+         |SELECT n.id, coalesce(cs.n_reach, 0)::BIGINT AS n_reach,
+         |       coalesce(cs.sum_dist, 0)::BIGINT AS sum_dist,
+         |       CASE WHEN coalesce(cs.sum_dist, 0) = 0 THEN 0
+         |            ELSE 1000000 * cs.n_reach // cs.sum_dist END::BIGINT AS closeness
+         |FROM nodes n LEFT JOIN cs ON n.id = cs.id""".stripMargin,
     "kg_scc" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

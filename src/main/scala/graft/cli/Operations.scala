@@ -28,7 +28,7 @@ object Operations {
   private val Analytics =
     Set("PAGERANK", "PPR", "HITS", "COMPONENTS", "LPA", "KCORE", "BFS", "CLUSTCOEFF",
       "KTRUSS", "WALKS", "NODE2VEC", "DEGHIST", "ASSORT", "HARMONIC", "HYPERBALL",
-      "NTRIPLES", "MIS", "KATZ", "MODULARITY", "SCC", "NEIGHBORHOOD")
+      "NTRIPLES", "MIS", "KATZ", "MODULARITY", "SCC", "NEIGHBORHOOD", "CLOSENESS")
 
   private def runAnalytics(a: Graph, b: Option[Graph], op: String,
       opts: Map[String, String], out: String): Unit = {
@@ -82,6 +82,7 @@ object Operations {
       case "MODULARITY" => GraphOps.modularity(edges, iters)
       case "SCC"        => GraphOps.scc(edges, outerRounds = iters, innerRounds = iters)
       case "NEIGHBORHOOD" => GraphOps.neighborhoodFunction(edges, iters)
+      case "CLOSENESS"  => GraphOps.closeness(edges, iters)
       case "DELTA"      =>
         val be = b.get.links.map(l => (l.source, l.target, l.sent, l.c))
           .toDF("source", "target", "sent", "c")

@@ -845,6 +845,39 @@ object GraphOps {
       .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
   }
 
+  /** Closeness centrality in exact scaled integers over the same bounded
+    * all-pairs BFS relation as [[harmonic]]: c(v) = 10^6·reach div Σdist
+    * with reach = |{u ≠ v : dist(v→u) ≤ rounds}| — harmonic's sibling that
+    * web-graph studies quote; harmonic handles disconnected graphs more
+    * gracefully, closeness is the classical definition. Zero for sinks.
+    * Output: (id, n_reach, sum_dist, closeness) — every column BIGINT. */
+  def closeness(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16]: $rounds")
+    val adj = edges.filter(col("source") =!= col("target"))
+      .select(col("source").as("asrc"), col("target").as("adst"))
+      .distinct().localCheckpoint(true)
+    val nodes = adj.select(col("asrc").as("id"))
+      .union(adj.select(col("adst").as("id"))).distinct().localCheckpoint(true)
+    var dist = nodes.select(col("id").as("src"), col("id").as("dst"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val ext = dist.join(adj, dist("dst") === adj("asrc"))
+        .select(col("src"), col("adst").as("dst"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(ext)
+        .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    val c = dist.filter(col("src") =!= col("dst"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_reach"), sum(col("dist")).as("sum_dist"))
+    nodes.join(c, nodes("id") === c("src"), "left")
+      .select(col("id"),
+        coalesce(col("n_reach"), lit(0L)).as("n_reach"),
+        coalesce(col("sum_dist"), lit(0L)).as("sum_dist"),
+        when(coalesce(col("sum_dist"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr("1000000 * n_reach div sum_dist")).as("closeness"))
+  }
+
   /** Strongly connected components by FW-BW pivot peeling (Fleischer et al.;
     * engine extension — the DIRECTED-graph community read the undirected
     * [[connectedComponents]] can't give). Deterministic and rng-free: each

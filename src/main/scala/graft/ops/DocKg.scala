@@ -368,6 +368,10 @@ object DocKg {
   def scc(spark: SparkSession, dir: String): DataFrame =
     GraphOps.scc(edges(spark, dir), outerRounds = 3, innerRounds = 3)
 
+  /** Exact scaled-integer closeness centrality (GraphOps.closeness). */
+  def closeness(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.closeness(edges(spark, dir), rounds = 3)
+
   /** Warm-start PageRank: 2 stored iterations + 1 resumed == the full
     * 3-iteration run; the oracle is kg_pagerank's own SQL (the
     * kg_edges_incremental pattern). */

@@ -95,6 +95,16 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Seq((6L, 6L, 36L), (6L, 6L, 36L)))
   }
 
+  test("closeness: exact scaled-integer reach/sum-dist on a chain; sinks zero") {
+    val e = edges(("A", "B", 1), ("B", "C", 1), ("X", "Y", 1))
+    val got = GraphOps.closeness(e, rounds = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // A: reaches B@1, C@2 -> 2e6 div 3 = 666666; B: C@1 -> 1e6; sinks 0
+    assert(got == Map(
+      "A" -> ((2L, 3L, 666666L)), "B" -> ((1L, 1L, 1000000L)), "C" -> ((0L, 0L, 0L)),
+      "X" -> ((1L, 1L, 1000000L)), "Y" -> ((0L, 0L, 0L))))
+  }
+
   test("harmonic: exact scaled-integer reciprocal distances on a chain") {
     val e = edges(("A", "B", 1), ("B", "C", 1), ("X", "Y", 1))
     val got = GraphOps.harmonic(e, rounds = 3).collect()
