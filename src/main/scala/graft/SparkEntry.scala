@@ -480,6 +480,24 @@ object SparkEntry {
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 20), col("vec_id"),
         col("embedding"), dim = 64, coarse, m = 2, ksub = 4, iters = 2, k = 5)
     }),
+    // recall@5 of the IVF-PQ composite vs exact brute-force cosine — the
+    // compression/recall trade measured, not assumed. On the synthetic
+    // STRUCTURELESS (uniform-random) embeddings recall is near chance by
+    // construction — there is no neighborhood structure for cells/codes to
+    // preserve; PqSpec's planted-blobs case shows the same index at
+    // recall 1.0 when structure exists
+    "ann_ivf_pq_recall" -> ((s, d) => {
+      val e = embeds(s, d)
+      val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
+        col("vec_id"), col("embedding"), k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val coarse = Similarity.kmeansCentroids(e, col("vec_id"), col("embedding"),
+        k = 8, iters = 2)
+      val approx = Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 20), col("vec_id"),
+        col("embedding"), dim = 64, coarse, m = 2, ksub = 4, iters = 2, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      Similarity.recallAtK(exact, approx, k = 5)
+    }),
     // scale path for near-dup pairs: LSH bucket join (NO cross join in the
     // plan — asserted by PlanSpec); near-dups planted deterministically
     // (perturbed copy of every vector at id+10000) since the synthetic
@@ -951,6 +969,28 @@ object SparkEntry {
        |${kmUpdateCteFor(w, s"${pfx}a2", s"${pfx}c1", s"${pfx}c2")},
        |${kmAssignCteFor(s"${pfx}qv", s"${pfx}c2", s"${pfx}a3")}""".stripMargin
   }
+
+  /** The full IVF-PQ chain (coarse kmCtes -> residuals -> per-subspace
+    * residual PQ -> in-cell ADC ranks), shared by ann_ivf_pq and its recall
+    * measurement. Ends at `ipqr` (ranked ADC distances). */
+  private lazy val ivfPqCtes =
+    s"""$kmCtes,
+       |rq AS MATERIALIZED (SELECT a.id, a.cluster AS cell,
+       |      list_transform(range(1, ${annDim + 1}), i -> a.q[i] - c.cq[i]) AS r
+       |  FROM a3 a JOIN c2 c ON a.cluster = c.cid),
+       |${pqResCtes(0, 0, 32, 4)},
+       |${pqResCtes(1, 32, 32, 4)},
+       |ipqc AS (SELECT a0.id, a0.cluster AS c0, a1.cluster AS c1
+       |  FROM r0a3 a0 JOIN r1a3 a1 ON a0.id = a1.id),
+       |ipqd AS (SELECT q.id AS query_id, n.id AS neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(q0.q, b0.cq), p -> (p[1]-p[2])*(p[1]-p[2]))) +
+       |         list_sum(list_transform(list_zip(q1.q, b1.cq), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+       |  FROM rq q JOIN rq n ON q.cell = n.cell AND q.id <> n.id
+       |  JOIN ipqc pc ON pc.id = n.id
+       |  JOIN r0c2 b0 ON b0.cid = pc.c0 JOIN r1c2 b1 ON b1.cid = pc.c1
+       |  JOIN r0qv q0 ON q0.id = q.id JOIN r1qv q1 ON q1.id = q.id
+       |  WHERE q.id < 20),
+       |ipqr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM ipqd)""".stripMargin
 
   private lazy val kmCtes =
     s"""qv AS MATERIALIZED (SELECT vec_id AS id,
@@ -2008,24 +2048,20 @@ object SparkEntry {
          |pqr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM pqdist)
          |SELECT query_id, rank, neighbor_id, dist FROM pqr WHERE rank <= 5""".stripMargin,
     "ann_ivf_pq" ->
-      s"""WITH $kmCtes,
-         |rq AS MATERIALIZED (SELECT a.id, a.cluster AS cell,
-         |      list_transform(range(1, ${annDim + 1}), i -> a.q[i] - c.cq[i]) AS r
-         |  FROM a3 a JOIN c2 c ON a.cluster = c.cid),
-         |${pqResCtes(0, 0, 32, 4)},
-         |${pqResCtes(1, 32, 32, 4)},
-         |ipqc AS (SELECT a0.id, a0.cluster AS c0, a1.cluster AS c1
-         |  FROM r0a3 a0 JOIN r1a3 a1 ON a0.id = a1.id),
-         |ipqd AS (SELECT q.id AS query_id, n.id AS neighbor_id,
-         |    CAST(list_sum(list_transform(list_zip(q0.q, b0.cq), p -> (p[1]-p[2])*(p[1]-p[2]))) +
-         |         list_sum(list_transform(list_zip(q1.q, b1.cq), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
-         |  FROM rq q JOIN rq n ON q.cell = n.cell AND q.id <> n.id
-         |  JOIN ipqc pc ON pc.id = n.id
-         |  JOIN r0c2 b0 ON b0.cid = pc.c0 JOIN r1c2 b1 ON b1.cid = pc.c1
-         |  JOIN r0qv q0 ON q0.id = q.id JOIN r1qv q1 ON q1.id = q.id
-         |  WHERE q.id < 20),
-         |ipqr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM ipqd)
+      s"""WITH $ivfPqCtes
          |SELECT query_id, rank, neighbor_id, dist FROM ipqr WHERE rank <= 5""".stripMargin,
+    "ann_ivf_pq_recall" ->
+      s"""WITH $ivfPqCtes,
+         |iap AS MATERIALIZED (SELECT query_id, neighbor_id FROM ipqr WHERE rank <= 5),
+         |ibv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |ibq AS (SELECT * FROM ibv WHERE vec_id < 20),
+         |ibs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosineSql("q.e", "c.e")} AS score
+         |       FROM ibv c, ibq q WHERE q.vec_id <> c.vec_id),
+         |ibr AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM ibs),
+         |iex AS MATERIALIZED (SELECT query_id, neighbor_id FROM ibr WHERE rank <= 5)
+         |SELECT query_id, count(iap.neighbor_id)::BIGINT AS hits,
+         |       count(iap.neighbor_id)::DOUBLE / 5.0 AS recall
+         |FROM iex LEFT JOIN iap USING (query_id, neighbor_id) GROUP BY query_id""".stripMargin,
     "text_lm_surprisal" ->
       s"""WITH $toksCte,
          |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(terms) - 1), i -> terms[i+1] || ' ' || terms[i+2])) AS bigram FROM toks),
