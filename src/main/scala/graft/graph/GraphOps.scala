@@ -669,6 +669,43 @@ object GraphOps {
     regs
   }
 
+  /** Effective-diameter ESTIMATE from HyperBall registers — the Boldi-Vigna
+    * read that made web-graph diameters measurable at 10^12 nodes, where the
+    * exact [[neighborhoodFunction]] all-pairs relation is infeasible. Runs
+    * the register max-merge round by round, summing per-node ball-size
+    * estimates into N̂(r), and reports the smallest r with
+    * N̂(r) ≥ 0.9·N̂(maxRounds). Estimates are float (HLL harmonic means) —
+    * spec-BOUNDED against the exact operator (small balls sit in HLL's
+    * linear-counting regime, where estimates are near-exact), not
+    * hash-pinned. Output rows: (radius, est_pairs, is_effective_diameter). */
+  def effectiveDiameterEstimate(edges: DataFrame, p: Int = 4, maxRounds: Int = 3): Seq[(Int, Double, Boolean)] = {
+    require(maxRounds >= 1 && maxRounds <= 16, s"rounds must be in [1,16]: $maxRounds")
+    val adj = edges.filter(col("source") =!= col("target"))
+      .select(col("source").as("src"), col("target").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = adj.select(col("src").as("id"))
+      .union(adj.select(col("dst").as("id"))).distinct()
+    val (reg, rho) = graft.ops.Sketches.hllCols(col("id"), p)
+    var regs = nodes
+      .select(col("id"), reg.as("register"), rho.as("max_rho"))
+      .localCheckpoint(true)
+    def nHat(r: DataFrame): Double = hyperBallSizes(r, p).values.sum
+    val perRound = Seq.newBuilder[(Int, Double)]
+    perRound += 0 -> nHat(regs)
+    for (r <- 1 to maxRounds) {
+      val pulled = adj.join(regs, adj("dst") === regs("id"))
+        .select(adj("src").as("id"), col("register"), col("max_rho"))
+      regs = regs.union(pulled)
+        .groupBy(col("id"), col("register")).agg(max(col("max_rho")).as("max_rho"))
+        .localCheckpoint(true)
+      perRound += r -> nHat(regs)
+    }
+    val rounds = perRound.result()
+    val total = rounds.last._2
+    val effIdx = rounds.indexWhere(_._2 >= 0.9 * total)
+    rounds.map { case (r, n) => (r, n, r == effIdx) }
+  }
+
   /** Ball-size estimates from a [[hyperBall]] register relation: one
     * (id → estimated |B(id, r)|) map, computed driver-side over the collected
     * nodes×2^p rows (bounded: the KG node relation is post-aggregation;

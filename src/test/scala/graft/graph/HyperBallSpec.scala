@@ -90,6 +90,24 @@ class HyperBallSpec extends AnyFunSuite with SparkTestSession {
     assert(a == hllOf(Set("A", "B", "C"), 4))
   }
 
+  test("effective-diameter estimate agrees with the exact neighborhood function " +
+      "where HLL sits in its near-exact linear-counting regime") {
+    import spark.implicits._
+    // hub -> 8 leaves: N jumps 9 -> 17 at r=1 and stays — the 90% mass line
+    // falls strictly inside the jump, so the boundary is robust to HLL noise
+    // (a fixture sitting exactly ON the 90% line would flip on estimator bias)
+    val star = (0 until 8).map(i => ("HUB", s"leaf$i"))
+      .toDF("source", "target").withColumn("sent", lit(0)).withColumn("c", lit(1.0))
+    val exact = GraphOps.neighborhoodFunction(star, rounds = 3).collect()
+      .find(_.getBoolean(3)).get.getLong(0)
+    assert(exact == 1L)
+    val est = GraphOps.effectiveDiameterEstimate(star, p = 8, maxRounds = 3)
+    assert(est.count(_._3) == 1)
+    assert(est.find(_._3).get._1.toLong == exact, s"estimate $est vs exact $exact")
+    // N-hat is monotone in r
+    assert(est.map(_._2) == est.map(_._2).sorted)
+  }
+
   test("ball-size estimates land in the p=8 error envelope of the exact counts") {
     val sizes = GraphOps.hyperBallSizes(GraphOps.hyperBall(edgeDf, p = 8, rounds = 3), p = 8)
     assert(sizes.size == n)
