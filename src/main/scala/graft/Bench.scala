@@ -135,8 +135,9 @@ object Bench {
       "text_quality", "text_fingerprint", "text_repetition", "text_lm_surprisal",
       "text_tfidf_topk", "text_len_quantiles", "events_json",
       "sample_stratified", "sample_weighted", "pack_chunks", "curate_source_stats",
-      "kg_scc", "kg_neighborhood", "ann_ivf_pq", "layout_zorder",
-      "text_c4_filter", "text_pii_scrub", "events_retention", "events_anomaly",
+      "kg_scc", "kg_neighborhood", "kg_closeness", "ann_ivf_pq", "ann_ivf_pq_recall",
+      "layout_zorder", "text_c4_filter", "text_gopher_rules", "text_pii_scrub",
+      "dedup_paragraphs", "events_retention", "events_anomaly",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
     val spark = SparkSession.builder()

@@ -585,6 +585,8 @@ object SparkEntry {
     "events_retention" -> ((s, d) => Relational.eventsRetention(s, d)),
     // hourly-count anomaly flags as an exact-integer z-test (no sqrt/floats)
     "events_anomaly" -> ((s, d) => Relational.eventsAnomaly(s, d)),
+    // DAU/WAU stickiness: trailing-window engagement ratio per day
+    "events_stickiness" -> ((s, d) => Relational.eventsStickiness(s, d)),
     // AS-OF join (an operator Spark lacks natively): purchase -> latest
     // prior view per user via ONE carry-forward window — the oracle uses
     // DuckDB's NATIVE ASOF LEFT JOIN (independent algorithm, same answer)
@@ -2234,6 +2236,14 @@ object SparkEntry {
         |  $scrub AS scrubbed
         |FROM documents""".stripMargin
     },
+    "events_stickiness" ->
+      """WITH e AS (SELECT epoch_us(ts) // 1000000 AS es, user_id FROM events),
+        |du AS MATERIALIZED (SELECT DISTINCT es - es % 86400 AS day, user_id FROM e),
+        |sdau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS dau FROM du GROUP BY 1),
+        |sf AS (SELECT day + 86400 * unnest(range(0, 3)) AS anchor, user_id FROM du),
+        |swau AS (SELECT anchor AS day, count(DISTINCT user_id)::BIGINT AS wau FROM sf GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau, d.dau::DOUBLE / w.wau::DOUBLE AS stickiness
+        |FROM sdau d JOIN swau w USING (day)""".stripMargin,
     "events_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS es FROM events),
         |h AS MATERIALIZED (SELECT user_id, es - es % 3600 AS hour FROM e),

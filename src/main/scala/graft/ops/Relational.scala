@@ -204,6 +204,30 @@ object Relational {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** DAU / WAU stickiness: per day, distinct active users that day and over
+    * the trailing `window` days, plus the engagement ratio. The trailing
+    * window is an explode of each activity day onto the `window` anchor days
+    * it contributes to — day cardinality is tiny, so the fan-out is bounded
+    * and the count-distincts stay keyed on (day). Integer day arithmetic;
+    * the ratio is one IEEE division of small integers (bit-stable). */
+  def eventsStickiness(spark: SparkSession, dir: String, window: Int = 3): DataFrame = {
+    val du = t(spark, dir, "events")
+      .select((epochSec(col("ts")) - pmod(epochSec(col("ts")), lit(86400))).as("day"),
+        col("user_id"))
+      .distinct().localCheckpoint() // two consumers: DAU and the window fan-out
+    val dau = du.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day"),
+        col("day") + (window - 1) * 86400L, lit(86400L))).as("anchor"), col("user_id"))
+      .groupBy(col("anchor").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    // anchors past the last activity day are artifacts of the fan-out: keep
+    // only days that actually have activity
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+  }
+
   def eventsSessions(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val ev = t(spark, dir, "events")

@@ -68,6 +68,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("layout_zorder: map-side bit interleave — no exchange in the plan") {
+    val p = planOf("layout_zorder")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("row-local text family (c4/gopher/pii): no exchange in the plans") {
+    for (q <- Seq("text_c4_filter", "text_gopher_rules", "text_pii_scrub")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q: $p")
+    }
+  }
+
   test("ann_ivf_pq: residual-PQ search is a cell equijoin — no cartesian product") {
     val p = planOf("ann_ivf_pq")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
