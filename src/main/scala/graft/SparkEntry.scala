@@ -160,6 +160,10 @@ object SparkEntry {
     // paragraph survives, ordered by (doc, pos); blank lines exempt
     "dedup_paragraphs" -> ((s, d) =>
       Dedup.paragraphDedup(docs(s, d), col("text"), col("doc_id"))),
+    // per-source boilerplate removal: lines in >= 50% of a source's docs
+    // are removed from all of them (nav/footer noise — keeper included)
+    "curate_boilerplate" -> ((s, d) =>
+      Dedup.boilerplateRemove(docs(s, d), col("text"), col("doc_id"), col("source"))),
     "dedup_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"),
         bands = 4, shingleW = 2, rowsPerBand = 2)
@@ -1649,6 +1653,21 @@ object SparkEntry {
          |SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
          |       (len(b.terms) - coalesce(r.kept_n, 0))::BIGINT AS removed_terms
          |FROM toks b LEFT JOIN reb r ON b.doc_id = r.doc_id""".stripMargin,
+    "curate_boilerplate" ->
+      """WITH b0 AS (SELECT source AS g, doc_id AS id, string_split(text, chr(10)) AS ls FROM documents),
+        |bl AS MATERIALIZED (SELECT g, id, unnest(range(0, len(ls))) AS pos, unnest(ls) AS line FROM b0),
+        |bgd AS (SELECT g, count(DISTINCT id)::BIGINT AS gdocs FROM bl GROUP BY 1),
+        |bld AS (SELECT g, line, count(DISTINCT id)::BIGINT AS ldocs FROM bl WHERE length(line) >= 1 GROUP BY 1, 2),
+        |bbo AS MATERIALIZED (SELECT bld.g, bld.line FROM bld JOIN bgd USING (g)
+        |      WHERE bgd.gdocs >= 5 AND bld.ldocs * 10 >= bgd.gdocs * 5),
+        |bkept AS (SELECT bl.id, bl.pos, bl.line FROM bl LEFT JOIN bbo
+        |      ON bl.g = bbo.g AND bl.line = bbo.line WHERE bbo.g IS NULL),
+        |breb AS (SELECT id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |      count(*)::BIGINT AS kept_n FROM bkept GROUP BY id)
+        |SELECT t.id, len(t.ls)::BIGINT AS n_lines,
+        |  (len(t.ls) - coalesce(r.kept_n, 0))::BIGINT AS n_removed,
+        |  coalesce(r.clean_text, '') AS clean_text
+        |FROM b0 t LEFT JOIN breb r ON t.id = r.id""".stripMargin,
     "dedup_paragraphs" ->
       """WITH p0 AS (SELECT doc_id AS id, string_split(text, chr(10)) AS lines FROM documents),
         |p AS MATERIALIZED (SELECT id, unnest(range(0, len(lines))) AS pos, unnest(lines) AS para FROM p0),

@@ -503,6 +503,47 @@ object Dedup {
         (col("n_terms") - coalesce(col("kept_n"), lit(0L))).as("removed_terms"))
   }
 
+  /** Host-level boilerplate removal (the CCNet-family pass paragraphDedup
+    * does NOT cover): a line is boilerplate WITHIN a group (host/source)
+    * when it appears in ≥ num/den of the group's documents — nav bars,
+    * cookie banners, footers — and is then removed from EVERY document of
+    * that group, keeper included (unlike first-occurrence dedup, boilerplate
+    * is noise everywhere). Groups need ≥ minDocs documents before the
+    * frequency estimate is trusted; empty lines are exempt. The threshold is
+    * the exact integer compare den·line_docs ≥ num·group_docs.
+    *
+    * Shapes: one (group, line) distinct-doc count co-partitioned with the
+    * line explode, a group-size relation joined on the group key, one
+    * anti-join to drop flagged lines, one doc-id groupBy to rebuild. The
+    * exploded line relation is localCheckpointed once (three consumers).
+    * Output: (id, n_lines, n_removed, clean_text). */
+  def boilerplateRemove(df: DataFrame, text: Column, id: Column, group: Column,
+      minDocs: Int = 5, num: Int = 5, den: Int = 10): DataFrame = {
+    require(num >= 1 && den >= num, s"threshold $num/$den must be a fraction <= 1")
+    val lines = df.select(group.as("g"), id.cast("long").as("id"),
+        posexplode(split(text, "\n")).as(Seq("pos", "line")))
+      .localCheckpoint()
+    val gdocs = lines.select(col("g"), col("id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("gdocs"))
+    val ldocs = lines.filter(length(col("line")) >= 1)
+      .select(col("g"), col("id"), col("line")).distinct()
+      .groupBy(col("g"), col("line")).agg(count(lit(1)).as("ldocs"))
+    val boiler = ldocs.join(gdocs, "g")
+      .filter(col("gdocs") >= minDocs &&
+        col("ldocs") * den >= col("gdocs") * num)
+      .select(col("g"), col("line"))
+    val kept = lines.join(boiler, Seq("g", "line"), "left_anti")
+    val reb = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("kept_n"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line")), "\n").as("clean_text"))
+    lines.groupBy(col("id")).agg(count(lit(1)).as("n_lines"))
+      .join(reb, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("kept_n"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Paragraph-level dedup (the Dolma/CCNet pass between document dedup and
     * substring dedup): every newline-separated paragraph keeps only its
     * FIRST corpus-wide occurrence — ordered by (doc id, position), so the

@@ -290,6 +290,25 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got(6L) == (("tail7 tail8", 6L)))
   }
 
+  test("boilerplateRemove: frequent lines vanish from ALL docs of the group; small groups exempt") {
+    import spark.implicits._
+    val footer = "cookie banner accept all"
+    // host A: 5 docs, footer in 3/5 (>= 50%); host B: 2 docs (< minDocs) with a shared line
+    val docs = (
+      (0 until 3).map(i => (i.toLong, s"unique body $i\n$footer", "hostA")) ++
+        Seq((3L, "unique body three", "hostA"), (4L, "unique body four", "hostA")) ++
+        Seq((10L, "shared b line\nown b0", "hostB"), (11L, "shared b line\nown b1", "hostB")))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.boilerplateRemove(docs, col("text"), col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    (0 until 3).foreach(i =>
+      assert(got(i.toLong) == ((2L, 1L, s"unique body $i")), s"doc $i: ${got(i.toLong)}"))
+    assert(got(3L) == ((1L, 0L, "unique body three")))
+    // hostB is under minDocs: its shared line survives
+    assert(got(10L) == ((2L, 0L, "shared b line\nown b0")))
+    assert(got(11L) == ((2L, 0L, "shared b line\nown b1")))
+  }
+
   test("paragraphDedup: first corpus occurrence survives, blank lines exempt, rebuild ordered") {
     import spark.implicits._
     val docs = Seq(
