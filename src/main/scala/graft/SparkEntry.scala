@@ -140,6 +140,13 @@ object SparkEntry {
     // strongly connected components: FW-BW pivot peeling, min-id pivots,
     // bounded rounds as the contract (peeled sets are proven SCC subsets)
     "kg_scc" -> ((s, d) => DocKg.scc(s, d)),
+    // the north rule's acceptance metric as an operator: triple-set P/R
+    // between two crawl windows (even vs odd docs) — one full-outer join
+    "kg_triple_pr" -> ((s, d) => {
+      val t = DocKg.triples(s, d).localCheckpoint(true)
+      graft.kg.Eval.triplePR(
+        t.filter(col("doc_id") % 2 === 0), t.filter(col("doc_id") % 2 === 1))
+    }),
     // exact-integer modularity of the LPA communities (Q·(2m)² per community)
     "kg_modularity" -> ((s, d) => DocKg.modularity(s, d)),
     // Katz centrality in exact truncating-integer fixed point (alpha = 1/8)
@@ -1352,6 +1359,20 @@ object SparkEntry {
          |      FROM d3 WHERE src <> dst GROUP BY src)
          |SELECT n.id, coalesce(hs.h, 0)::BIGINT AS h
          |FROM nodes n LEFT JOIN hs ON n.id = hs.id""".stripMargin,
+    "kg_triple_pr" ->
+      s"""WITH $triplesCte,
+         |pg AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM triples WHERE doc_id % 2 = 0),
+         |pr AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM triples WHERE doc_id % 2 = 1),
+         |cnt AS (SELECT
+         |  (SELECT count(*) FROM pg JOIN pr USING (subj, pred, obj))::BIGINT AS tp,
+         |  (SELECT count(*) FROM pg ANTI JOIN pr USING (subj, pred, obj))::BIGINT AS fp,
+         |  (SELECT count(*) FROM pr ANTI JOIN pg USING (subj, pred, obj))::BIGINT AS fn)
+         |SELECT tp, fp, fn,
+         |  CASE WHEN tp + fp = 0 THEN 'NaN'::DOUBLE ELSE tp::DOUBLE / (tp + fp)::DOUBLE END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN 'NaN'::DOUBLE ELSE tp::DOUBLE / (tp + fn)::DOUBLE END AS recall,
+         |  CASE WHEN 2*tp + fp + fn = 0 THEN 'NaN'::DOUBLE
+         |       ELSE (2*tp)::DOUBLE / (2*tp + fp + fn)::DOUBLE END AS f1
+         |FROM cnt""".stripMargin,
     "kg_closeness" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

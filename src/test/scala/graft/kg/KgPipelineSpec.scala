@@ -274,4 +274,20 @@ class KgPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(gids(0) == gids(1)) // same synonym group -> no pair generated
     assert(Sampler.sampleDoc(grouped, Sampler.Config()).isEmpty)
   }
+
+  test("Eval.triplePR: confusion counts, P/R/F1 closed forms, NaN on empty sides") {
+    import spark.implicits._
+    val got = Seq(("a", "pos", "b"), ("a", "pos", "b"), ("c", "neg", "d"), ("x", "pos", "y"))
+      .toDF("subj", "pred", "obj") // duplicate row collapses: identity is DISTINCT
+    val ref = Seq(("a", "pos", "b"), ("c", "neg", "d"), ("m", "neg", "n"), ("p", "pos", "q"))
+      .toDF("subj", "pred", "obj")
+    val r = Eval.triplePR(got, ref).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 2L)))
+    assert(r.getDouble(3) == 2.0 / 3.0) // precision
+    assert(r.getDouble(4) == 0.5)       // recall
+    assert(r.getDouble(5) == 4.0 / 7.0) // f1 = 2tp/(2tp+fp+fn)
+    val empty = Seq.empty[(String, String, String)].toDF("subj", "pred", "obj")
+    val e = Eval.triplePR(empty, ref).head()
+    assert(e.getDouble(3).isNaN && e.getDouble(4) == 0.0)
+  }
 }
