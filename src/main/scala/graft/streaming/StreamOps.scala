@@ -14,6 +14,17 @@ import graft.ner.Ner
   * stateless, so it needs no watermark — plus watermarked event-stream
   * aggregations demonstrating tumbling windows and session windows.
   */
+/** One closed user session ([[StreamOps.sessionsWithState]] output row).
+  * `closed_by`: "gap" (a new event arrived past the gap), "cap" (maxEvents
+  * reached), or "timeout" (watermark passed the idle deadline). Top-level
+  * (not nested in the object): nested case classes trip Janino's method
+  * resolution in the state-encoder's generated code. */
+final case class UserSession(user_id: Long, start_ts: Long, end_ts: Long,
+    n_events: Long, sum_value: Double, closed_by: String)
+
+/** Per-user session state — constant size, no event buffer. */
+final case class SessState(startS: Long, lastS: Long, nEv: Long, sumV: Double)
+
 object StreamOps {
 
   /** Streaming KG: pages stream -> triples stream. Stateless row-local maps;
@@ -74,6 +85,62 @@ object StreamOps {
           graft.graph.GraphBuilder.cleanValueCol(col("obj"))).as("target"),
         col("pred").as("sent")))
       .select(col("line"))
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the state
+    * rung session_window can't express: sessions close on a 30-min gap OR an
+    * event-count cap, and idle sessions flush by event-time timeout when the
+    * watermark passes their deadline. Per-user state is CONSTANT
+    * (start/last/n/sum — no event buffer), so state size is #active-users,
+    * not #events: the bounded-state discipline at 10^9 users. Within a
+    * micro-batch events sort by timestamp in the group function (the
+    * iterator carries no order guarantee), so emissions are deterministic
+    * for a given batch decomposition. */
+  def sessionsWithState(events: DataFrame, gapMinutes: Int = 30, maxEvents: Int = 100)(
+      implicit spark: SparkSession): Dataset[UserSession] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapSec = gapMinutes * 60L
+    val typed = events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", s"${gapMinutes * 2} minutes")
+      .select(col("user_id").cast("long").as("_1"), col("ts").as("_2"),
+        col("value").cast("double").as("_3"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) { (uid, rows, state) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+        if (state.hasTimedOut) {
+          val s = state.get
+          out += UserSession(uid, s.startS, s.lastS, s.nEv, s.sumV, "timeout")
+          state.remove()
+        } else {
+          var cur = state.getOption
+          for ((_, ts, v) <- rows.toArray.sortBy(_._2.getTime)) {
+            val es = ts.getTime / 1000L
+            cur match {
+              case Some(s) if es - s.lastS > gapSec =>
+                out += UserSession(uid, s.startS, s.lastS, s.nEv, s.sumV, "gap")
+                cur = Some(SessState(es, es, 1L, v))
+              case Some(s) =>
+                val ns = SessState(s.startS, es, s.nEv + 1L, s.sumV + v)
+                if (ns.nEv >= maxEvents) {
+                  out += UserSession(uid, ns.startS, ns.lastS, ns.nEv, ns.sumV, "cap")
+                  cur = None
+                } else cur = Some(ns)
+              case None => cur = Some(SessState(es, es, 1L, v))
+            }
+          }
+          cur match {
+            case Some(s) =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastS + gapSec) * 1000L)
+            case None => state.remove()
+          }
+        }
+        out.iterator
+      }
+  }
 
   /** Tumbling 1h windowed counts per event type with a 2h watermark
     * (late data beyond the watermark is dropped, state is bounded). */

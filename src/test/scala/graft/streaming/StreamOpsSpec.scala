@@ -305,6 +305,28 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(ledger.forall(_.startsWith("t-")) && ledger.size == 2, s"ledger $ledger")
   }
 
+  test("sessionsWithState: gap closes a session, cap closes a session, state stays bounded") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamOps.sessionsWithState(
+      mem.toDF().toDF("user_id", "ts", "value"), gapMinutes = 30, maxEvents = 3)(spark)
+      .writeStream.format("memory").queryName("state_sessions").outputMode("append").start()
+    // user 1: two events 10 min apart, then one 90 min later -> gap closure
+    mem.addData(Seq((1L, ts(0), 1.0), (1L, ts(10), 2.0)))
+    q.processAllAvailable()
+    mem.addData(Seq((1L, ts(100), 5.0)))
+    q.processAllAvailable()
+    // user 2: three events inside the gap -> cap closure at maxEvents=3
+    mem.addData(Seq((2L, ts(100), 1.0), (2L, ts(101), 1.0), (2L, ts(102), 1.0)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("state_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4), r.getString(5))).toSet
+    assert(got == Set(
+      (1L, 2L, 3.0, "gap"),  // the first 2-event session, closed by the 90-min jump
+      (2L, 3L, 3.0, "cap"))) // user 2 capped at 3 events
+  }
+
   test("warc pages stream: segment files landing in a dir == batch warc read; " +
       "fused triples flow") {
     import spark.implicits._
