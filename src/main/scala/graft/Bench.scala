@@ -137,7 +137,7 @@ object Bench {
       "sample_stratified", "sample_weighted", "pack_chunks", "curate_source_stats",
       "kg_scc", "kg_neighborhood", "kg_closeness", "ann_ivf_pq", "ann_ivf_pq_recall",
       "layout_zorder", "text_c4_filter", "text_gopher_rules", "text_pii_scrub",
-      "dedup_paragraphs", "curate_boilerplate", "kg_triple_pr",
+      "dedup_paragraphs", "curate_boilerplate", "kg_triple_pr", "ann_kmeans_store",
       "events_retention", "events_anomaly", "events_stickiness",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 

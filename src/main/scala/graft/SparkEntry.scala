@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, DocKg, LangModel, Packing, Relational, Similarity, Sketches, TextStats, UrlOps}
+import graft.ops.{CentroidStore, Dedup, DocKg, LangModel, Packing, Relational, Similarity, Sketches, TextStats, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -490,6 +490,21 @@ object SparkEntry {
         k = 8, iters = 2)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 20), col("vec_id"),
         col("embedding"), dim = 64, coarse, m = 2, ksub = 4, iters = 2, k = 5)
+    }),
+    // persistent quantizer maintenance: init trains on the even half, one
+    // ingest folds the odd half under the derived centroids — the state
+    // relation (exact sums + counts) is the oracle-checked output
+    "ann_kmeans_store" -> ((s, d) => {
+      val e = embeds(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-cstore-q").toString + "/cs"
+      CentroidStore.init(e.filter(col("vec_id") % 2 === 0), col("vec_id"),
+        col("embedding"), dir, CentroidStore.Params(k = 4, dim = 64, scale = 1000),
+        iters = 2)
+      CentroidStore.ingest(e.filter(col("vec_id") % 2 === 1), col("vec_id"),
+        col("embedding"), dir, "b1")
+      CentroidStore.state(s, dir)
+        .select(col("cell"), col("pos"), col("s").as("sum_q"), col("cnt"))
     }),
     // recall@5 of the IVF-PQ composite vs exact brute-force cosine — the
     // compression/recall trade measured, not assumed. On the synthetic
@@ -2092,6 +2107,38 @@ object SparkEntry {
     "ann_ivf_pq" ->
       s"""WITH $ivfPqCtes
          |SELECT query_id, rank, neighbor_id, dist FROM ipqr WHERE rank <= 5""".stripMargin,
+    "ann_kmeans_store" ->
+      s"""WITH qve AS MATERIALIZED (SELECT vec_id AS id,
+         |      list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000) AS BIGINT)) AS q
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |qvo AS MATERIALIZED (SELECT vec_id AS id,
+         |      list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000) AS BIGINT)) AS q
+         |  FROM embeddings WHERE vec_id % 2 = 1),
+         |${kmInitCtesFor("se", "qve", 4)},
+         |sec0 AS (SELECT cid, cq FROM sei3),
+         |${kmAssignCteFor("qve", "sec0", "sea1")},
+         |${kmUpdateCteFor(64, "sea1", "sec0", "sec1")},
+         |${kmAssignCteFor("qve", "sec1", "sea2")},
+         |${kmUpdateCteFor(64, "sea2", "sec1", "sec2")},
+         |${kmAssignCteFor("qve", "sec2", "sea3")},
+         |svp AS (SELECT cid AS cell, unnest(range(0, 64)) AS pos, unnest(cq) AS sv FROM sec2),
+         |sse AS (SELECT a.cluster AS cell, i.i - 1 AS pos, CAST(sum(a.q[i.i]) AS BIGINT) AS sv,
+         |      count(*)::BIGINT AS c
+         |  FROM sea3 a CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+         |st1 AS MATERIALIZED (SELECT cell, pos, CAST(sum(sv) AS BIGINT) AS sv,
+         |      CAST(sum(c) AS BIGINT) AS c FROM (
+         |      SELECT cell, pos, sv, 1 AS c FROM svp
+         |      UNION ALL SELECT cell, pos, sv, c FROM sse) GROUP BY 1, 2),
+         |sdc1 AS (SELECT cell AS cid, list(CAST(floor(sv::DOUBLE / c) AS BIGINT) ORDER BY pos) AS cq
+         |  FROM st1 GROUP BY 1),
+         |${kmAssignCteFor("qvo", "sdc1", "soa")},
+         |sso AS (SELECT a.cluster AS cell, i.i - 1 AS pos, CAST(sum(a.q[i.i]) AS BIGINT) AS sv,
+         |      count(*)::BIGINT AS c
+         |  FROM soa a CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2)
+         |SELECT cell, CAST(pos AS BIGINT) AS pos, CAST(sum(sv) AS BIGINT) AS sum_q,
+         |       CAST(sum(c) AS BIGINT) AS cnt FROM (
+         |  SELECT cell, pos, sv, c FROM st1
+         |  UNION ALL SELECT cell, pos, sv, c FROM sso) GROUP BY 1, 2""".stripMargin,
     "ann_ivf_pq_recall" ->
       s"""WITH $ivfPqCtes,
          |iap AS MATERIALIZED (SELECT query_id, neighbor_id FROM ipqr WHERE rank <= 5),
