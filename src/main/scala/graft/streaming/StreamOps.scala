@@ -302,6 +302,27 @@ object StreamOps {
       }
       .start()
 
+  /** Continuous quantizer maintenance: each micro-batch of vectors folds
+    * into the persistent [[graft.ops.CentroidStore]] under the store's
+    * CURRENT derived centroids (the mini-batch k-means step). Sums need
+    * exactly-once like edge counts, so the epoch-derived batch id rides
+    * CentroidStore's ledger — retry-stable by construction. The store must
+    * already be initialized ([[graft.ops.CentroidStore.init]] on a seed
+    * batch): a quantizer cannot be trained on data it hasn't seen. */
+  def vecIngestStream(vectors: DataFrame, idCol: String, vecCol: String,
+      store: String, checkpoint: String, batchPrefix: String)(
+      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!graft.ops.CentroidStore.ingest(batch, col(idCol), col(vecCol),
+            store, s"$batchPrefix-$epoch"))
+          System.err.println(s"[vecIngestStream] batch '$batchPrefix-$epoch' already in " +
+            s"$store ledger; fold skipped")
+        ()
+      }
+      .start()
+
   /** Continuous distinct-count monitoring: each micro-batch's HLL registers
     * ([[graft.ops.Sketches.hllRegisters]]) fold into the persistent register
     * store by register max. Because max-merge is idempotent AND commutative,

@@ -305,6 +305,37 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(ledger.forall(_.startsWith("t-")) && ledger.size == 2, s"ledger $ledger")
   }
 
+  test("vec ingest stream: micro-batches fold into the CentroidStore exactly once") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-vec-ingest").toString + "/cs"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vec-ingest-ckpt").toString
+    val dim = 8
+    // seed: two constant blobs (values 1 and 11) -> trained centroids exactly those
+    val seed = (0 until 10).flatMap(j => Seq(
+      (j.toLong, Seq.fill(dim)(1.0)), (100L + j, Seq.fill(dim)(11.0))))
+      .toDF("vec_id", "embedding")
+    graft.ops.CentroidStore.init(seed, col("vec_id"), col("embedding"), store,
+      graft.ops.CentroidStore.Params(k = 2, dim = dim, scale = 1000))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.vecIngestStream(mem.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", store, ckpt, batchPrefix = "v")
+    mem.addData(Seq((200L, Seq.fill(dim)(3.0)), (201L, Seq.fill(dim)(3.0))))
+    q.processAllAvailable()
+    mem.addData(Seq((202L, Seq.fill(dim)(13.0))))
+    q.processAllAvailable(); q.stop()
+    // blob-1 cell: prior 1 + 10 seed + 2 stream of 3000 -> floor(17000/13)
+    val cents = graft.ops.CentroidStore.centroids(spark, store)
+    val cell1 = graft.ops.CentroidStore.assign(
+      Seq((999L, Seq.fill(dim)(1.0))).toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), store).head().getLong(1).toInt
+    assert(cents(cell1).forall(_ == (11L * 1000 + 2 * 3000) / 13))
+    assert(cents(1 - cell1).forall(_ == (11L * 11000 + 13000) / 12))
+    // two epochs in the ledger, each folded once
+    val ledger = graft.ops.CentroidStore.mergedBatches(spark, store)
+    assert(ledger.count(_.startsWith("v-")) == 2, s"ledger $ledger")
+  }
+
   test("sessionsWithState: gap closes a session, cap closes a session, state stays bounded") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
