@@ -135,6 +135,7 @@ object SparkEntry {
     "kg_neighborhood" -> ((s, d) => DocKg.neighborhood(s, d)),
     // classical closeness centrality, scaled-integer exact
     "kg_closeness" -> ((s, d) => DocKg.closeness(s, d)),
+    "kg_betweenness" -> ((s, d) => DocKg.betweenness(s, d)),
     // Luby MIS with md5 priorities — the parallel symmetry-breaker, rng-free
     "kg_mis" -> ((s, d) => DocKg.mis(s, d)),
     // strongly connected components: FW-BW pivot peeling, min-id pivots,
@@ -1408,6 +1409,40 @@ object SparkEntry {
          |       CASE WHEN coalesce(cs.sum_dist, 0) = 0 THEN 0
          |            ELSE 1000000 * cs.n_reach // cs.sum_dist END::BIGINT AS closeness
          |FROM nodes n LEFT JOIN cs ON n.id = cs.id""".stripMargin,
+    "kg_betweenness" ->
+      s"""WITH btadj AS MATERIALIZED (
+         |      SELECT DISTINCT 'O' || l_orderkey AS src, 'P' || l_partkey AS dst FROM lineitem
+         |      UNION
+         |      SELECT DISTINCT 'P' || l_partkey, 'S' || l_suppkey FROM lineitem
+         |      UNION
+         |      SELECT DISTINCT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier),
+         |btnodes AS MATERIALIZED (SELECT src AS id FROM btadj UNION SELECT dst FROM btadj),
+         |btsp0 AS MATERIALIZED (SELECT id AS src, id AS dst, CAST(0 AS BIGINT) AS dist,
+         |      CAST(1 AS BIGINT) AS sigma FROM btnodes
+         |      WHERE ('0x' || substr(md5(id), 1, 15))::BIGINT % 1000000 < 50000),
+         |${(1 to 3).map(d =>
+              s"""btx$d AS MATERIALIZED (SELECT r.src, a.dst, CAST(sum(r.sigma) AS BIGINT) AS sigma
+                 |      FROM btsp${d - 1} r JOIN btadj a ON r.dst = a.src
+                 |      WHERE r.dist = ${d - 1} GROUP BY 1, 2),
+                 |btsp$d AS MATERIALIZED (SELECT * FROM btsp${d - 1}
+                 |      UNION ALL
+                 |      SELECT x.src, x.dst, CAST($d AS BIGINT) AS dist, x.sigma
+                 |      FROM btx$d x ANTI JOIN btsp${d - 1} p USING (src, dst))""".stripMargin).mkString(",\n")},
+         |btd3 AS MATERIALIZED (SELECT src, dst AS node, CAST(0 AS BIGINT) AS delta
+         |      FROM btsp3 WHERE dist = 3),
+         |${Seq((2, 3), (1, 2)).map { case (d, d1) =>
+              s"""btd$d AS MATERIALIZED (SELECT u.src, u.dst AS node,
+                 |      coalesce(CAST(sum(u.sigma * (1000000 + dw.delta) // w.sigma) AS BIGINT), 0) AS delta
+                 |      FROM (SELECT * FROM btsp3 WHERE dist = $d) u
+                 |      LEFT JOIN btadj a ON u.dst = a.src
+                 |      LEFT JOIN (SELECT * FROM btsp3 WHERE dist = $d1) w
+                 |             ON w.src = u.src AND w.dst = a.dst
+                 |      LEFT JOIN btd$d1 dw ON dw.src = w.src AND dw.node = w.dst
+                 |      GROUP BY 1, 2)""".stripMargin }.mkString(",\n")},
+         |btacc AS (SELECT node, delta FROM btd2 UNION ALL SELECT node, delta FROM btd1),
+         |btbc AS (SELECT node AS id, CAST(sum(delta) AS BIGINT) AS betweenness FROM btacc GROUP BY 1)
+         |SELECT n.id, coalesce(b.betweenness, 0)::BIGINT AS betweenness
+         |FROM btnodes n LEFT JOIN btbc b ON n.id = b.id""".stripMargin,
     "kg_scc" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

@@ -915,6 +915,90 @@ object GraphOps {
           .otherwise(expr("1000000 * n_reach div sum_dist")).as("closeness"))
   }
 
+  /** Betweenness centrality by bounded-radius Brandes in exact scaled
+    * integers (engine extension; same bounded-BFS contract as [[closeness]]:
+    * shortest paths of length ≤ `rounds` hops over the directed adjacency,
+    * all nodes as sources — the bounded radius IS the sampled-Brandes
+    * approximation knob, identically cross-engine).
+    *
+    * Forward pass: the shortest-path relation (src, dst, dist, σ) where σ
+    * counts shortest src→dst paths — per hop one co-partitioned join, a
+    * partial-agg sum of σ over predecessors, and an anti-join against the
+    * already-settled set (first discovery = BFS distance), lineage truncated
+    * per round. Backward pass (Brandes' dependency accumulation): for levels
+    * d = rounds−1 … 1,
+    *   δ(s,u) = Σ_{u→w, dist(s,w)=d+1} σ(s,u)·(10^6 + δ(s,w)) div σ(s,w)
+    * with a truncating division per TERM (order-independent, so the shuffle
+    * order can't change the sum — the [[harmonic]] scaled-integer trick) and
+    * betweenness(v) = Σ_s δ(s,v), endpoints excluded as in Brandes.
+    *
+    * `sourceFraction` < 1 is the Brandes–Pich sampled-sources approximation
+    * — the standard web-scale estimator: seed the forward pass from a
+    * deterministic md5-bucket sample of the nodes ([[graft.ops.Sampling]]
+    * hash, so the SAME sources are chosen in any engine and on any
+    * partitioning) and accumulate dependencies from those sources only.
+    *
+    * Scale shapes: everything is keyed (src, node) — the relation is the
+    * same bounded all-pairs set closeness materializes, partitioned by src;
+    * no driver-side state beyond the loop counter. σ ≤ maxdeg^rounds and
+    * δ ≤ 10^6·pairs keep σ·(10^6+δ) far below 2^63 at the bounded radius.
+    * Output: (id, betweenness) BIGINT, 0 for nodes on no shortest path. */
+  def betweenness(edges: DataFrame, rounds: Int = 3,
+      sourceFraction: Double = 1.0): DataFrame = {
+    require(rounds >= 2 && rounds <= 8, s"rounds must be in [2,8]: $rounds")
+    require(sourceFraction > 0 && sourceFraction <= 1,
+      s"sourceFraction out of (0,1]: $sourceFraction")
+    val adj = edges.filter(col("source") =!= col("target"))
+      .select(col("source").as("asrc"), col("target").as("adst"))
+      .distinct().localCheckpoint(true)
+    val nodes = adj.select(col("asrc").as("id"))
+      .union(adj.select(col("adst").as("id"))).distinct().localCheckpoint(true)
+    val sources =
+      if (sourceFraction >= 1.0) nodes
+      else graft.ops.Sampling.sampleByHash(nodes, col("id"), sourceFraction)
+    var sp = sources.select(col("id").as("src"), col("id").as("dst"),
+      lit(0L).as("dist"), lit(1L).as("sigma")).localCheckpoint(true)
+    for (d <- 1 to rounds) {
+      val ext = sp.filter(col("dist") === (d - 1).toLong)
+        .join(adj, col("dst") === col("asrc"))
+        .groupBy(col("src"), col("adst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("src"), col("adst").as("dst"), lit(d.toLong).as("dist"), col("sigma"))
+      val fresh = ext.join(sp.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
+      sp = sp.union(fresh).localCheckpoint(true)
+    }
+    // backward accumulation: delta holds the (src, node, delta) rows of the
+    // CURRENT level d+1 only; acc collects every level's rows for the final
+    // per-node sum.
+    var delta = sp.filter(col("dist") === rounds.toLong)
+      .select(col("src"), col("dst").as("node"), lit(0L).as("delta"))
+      .localCheckpoint(true)
+    var acc = delta.filter(lit(false)) // empty, same schema
+    for (d <- (rounds - 1) to 1 by -1) {
+      val u = sp.filter(col("dist") === d.toLong)
+        .select(col("src"), col("dst").as("u"), col("sigma").as("sigma_u"))
+      val w = sp.filter(col("dist") === (d + 1).toLong)
+        .select(col("src").as("wsrc"), col("dst").as("w"), col("sigma").as("sigma_w"))
+      val dw = delta.select(col("src").as("dsrc"), col("node").as("dnode"), col("delta").as("delta_w"))
+      val contrib = u
+        .join(adj, col("u") === col("asrc"))
+        .join(w, col("wsrc") === col("src") && col("adst") === col("w"))
+        .join(dw, col("dsrc") === col("src") && col("dnode") === col("w"))
+        .groupBy(col("src"), col("u"))
+        .agg(sum(expr("sigma_u * (1000000 + delta_w) div sigma_w")).as("contrib"))
+        .select(col("src").as("csrc"), col("u").as("cnode"), col("contrib"))
+      delta = sp.filter(col("dist") === d.toLong)
+        .select(col("src"), col("dst").as("node"))
+        .join(contrib, col("csrc") === col("src") && col("cnode") === col("node"), "left")
+        .select(col("src"), col("node"), coalesce(col("contrib"), lit(0L)).as("delta"))
+        .localCheckpoint(true)
+      acc = acc.union(delta)
+    }
+    val bc = acc.groupBy(col("node")).agg(sum(col("delta")).as("betweenness"))
+    nodes.join(bc, nodes("id") === bc("node"), "left")
+      .select(col("id"), coalesce(col("betweenness"), lit(0L)).as("betweenness"))
+  }
+
   /** Strongly connected components by FW-BW pivot peeling (Fleischer et al.;
     * engine extension — the DIRECTED-graph community read the undirected
     * [[connectedComponents]] can't give). Deterministic and rng-free: each

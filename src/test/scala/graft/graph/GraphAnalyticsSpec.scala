@@ -105,6 +105,85 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
       "X" -> ((1L, 1L, 1000000L)), "Y" -> ((0L, 0L, 0L))))
   }
 
+  test("betweenness: chain puts interior nodes on every through-path") {
+    val e = edges(("A", "B", 1), ("B", "C", 1), ("C", "D", 1))
+    val got = GraphOps.betweenness(e, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src=A: delta(C)=1e6 (to D), delta(B)=(1e6+1e6)=2e6; src=B: delta(C)=1e6
+    assert(got == Map(
+      "A" -> 0L, "B" -> 2000000L, "C" -> 2000000L, "D" -> 0L))
+  }
+
+  test("betweenness: diamond splits dependency by path counts (sigma=2)") {
+    val e = edges(("A", "B", 1), ("A", "C", 1), ("B", "D", 1), ("C", "D", 1))
+    val got = GraphOps.betweenness(e, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sigma(A->D)=2: each middle node carries 1e6 div 2 of the (A,D) pair
+    assert(got == Map(
+      "A" -> 0L, "B" -> 500000L, "C" -> 500000L, "D" -> 0L))
+  }
+
+  test("betweenness: parity with an independent bounded-Brandes reference") {
+    val n = 12
+    val names = (0 until n).map(i => s"n$i")
+    val es = for {
+      i <- 0 until n; j <- 0 until n
+      if i != j && (i * 5 + j * 7) % 11 < 2
+    } yield (names(i), names(j), 1.0)
+    val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val inGraph = es.flatMap(e => Seq(e._1, e._2)).toSet
+    // reference: per-source sigma-BFS to `rounds` hops, then Brandes'
+    // accumulation with the SAME per-term truncating scaled division
+    val rounds = 3
+    def refBetweenness(sources: Set[String]): Map[String, Long] = {
+      val bcRef = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for (s <- sources) {
+        val dist = scala.collection.mutable.Map(s -> 0)
+        val sigma = scala.collection.mutable.Map(s -> 1L)
+        var frontier = Seq(s)
+        for (d <- 1 to rounds) {
+          val cand = frontier.flatMap(u => adj.getOrElse(u, Nil).map(v => (v, sigma(u))))
+            .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
+            .filter { case (v, _) => !dist.contains(v) }
+          cand.foreach { case (v, sg) => dist(v) = d; sigma(v) = sg }
+          frontier = cand.keys.toSeq
+        }
+        val delta = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        for (d <- (rounds - 1) to 1 by -1; (u, du) <- dist if du == d) {
+          var accum = 0L
+          for (w <- adj.getOrElse(u, Nil) if dist.get(w).contains(d + 1))
+            accum += sigma(u) * (1000000L + delta(w)) / sigma(w)
+          delta(u) = accum
+          bcRef(u) += accum
+        }
+      }
+      bcRef.toMap.withDefaultValue(0L)
+    }
+    val bcRef = refBetweenness(inGraph)
+    val got = GraphOps.betweenness(edges(es: _*), rounds = rounds).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == inGraph)
+    inGraph.foreach(v => assert(got(v) == bcRef(v), s"node $v"))
+    assert(got.values.exists(_ > 0L)) // fixture actually exercises the paths
+
+    // Brandes–Pich sampled sources: the md5-bucket sample (the same hash
+    // Sampling.sampleByHash applies) restricts the forward seeds, and the
+    // result must equal the reference summed over EXACTLY those sources.
+    import spark.implicits._
+    val buckets = inGraph.toSeq.toDF("id")
+      .select(col("id"), graft.ops.Sampling.hashBucket(col("id")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val frac = 0.5
+    val sampled = inGraph.filter(v => buckets(v) < (frac * 1000000L).toLong)
+    assert(sampled.nonEmpty && sampled != inGraph) // a strict nonempty subset
+    val bcSampledRef = refBetweenness(sampled)
+    val gotSampled = GraphOps.betweenness(edges(es: _*), rounds = rounds,
+        sourceFraction = frac).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotSampled.keySet == inGraph) // output still covers every node
+    inGraph.foreach(v => assert(gotSampled(v) == bcSampledRef(v), s"sampled $v"))
+  }
+
   test("harmonic: exact scaled-integer reciprocal distances on a chain") {
     val e = edges(("A", "B", 1), ("B", "C", 1), ("X", "Y", 1))
     val got = GraphOps.harmonic(e, rounds = 3).collect()
