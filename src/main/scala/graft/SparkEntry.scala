@@ -325,6 +325,18 @@ object SparkEntry {
     // keep decision (an unbiased hash-sample, not a scan-order artifact)
     "curate_host_cap" -> ((s, d) =>
       UrlOps.hostCap(docs(s, d), messyUrl(col("doc_id")), col("doc_id"), cap = 30)),
+    // token-budget mixture: each source contributes docs in deterministic
+    // hash order until floor(weight_s * total) tokens — the corpus-mixing
+    // step; two-level (source x cell histogram -> broadcast decision ->
+    // boundary-cell-only exact running sum), so no per-source skew window
+    "curate_mixture" -> ((s, d) => {
+      val dd = docs(s, d).withColumn("n_tokens",
+        size(split(trim(col("text")), raw"\s+")).cast("long"))
+      graft.ops.Sampling.tokenBudgetMixture(dd, col("doc_id"), col("source"),
+          col("n_tokens"), MixtureWeights, MixtureBudget, MixtureDefault,
+          MixtureCells)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
     // Zipf rank-frequency head: the corpus-health power-law diagnostic
     "text_zipf" -> ((s, d) =>
       TextStats.zipf(docs(s, d), col("text"), k = 100)),
@@ -638,6 +650,17 @@ object SparkEntry {
   )
 
   // ------------------------------------------------------------------ oracles
+
+  /** curate_mixture params, shared by the Spark query and its oracle so the
+    * per-source budgets can never drift: budget_s = floor(weight·total). */
+  private val MixtureBudget = 10000L
+  private val MixtureWeights = Map("src0" -> 0.08, "src1" -> 0.15, "src2" -> 0.04)
+  private val MixtureDefault = 0.05
+  private val MixtureCells = 8 // cellWidth 125000: ~3 docs/cell at sf0.01, so the boundary refinement is really exercised
+  private val mixtureBudgetCase =
+    "CASE source " + MixtureWeights.toSeq.sortBy(_._1).map { case (src, w) =>
+      s"WHEN '$src' THEN ${(w * MixtureBudget).toLong}"
+    }.mkString(" ") + s" ELSE ${(MixtureDefault * MixtureBudget).toLong} END"
 
   private val lexCase =
     "CASE %s WHEN 'spark' THEN 'ORG' WHEN 'customer' THEN 'PERSON' WHEN 'table' THEN 'LOC' WHEN 'stream' THEN 'GPE' END"
@@ -1908,6 +1931,19 @@ object SparkEntry {
          |       row_number() OVER (PARTITION BY host ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
          |       FROM hosts)
          |SELECT doc_id AS id, host FROM rk WHERE rk <= 30""".stripMargin,
+    "curate_mixture" ->
+      s"""WITH mixt AS (SELECT doc_id, source,
+         |        len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+         |        md5(cast(doc_id AS VARCHAR)) AS h,
+         |        ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bucket
+         |      FROM documents),
+         |mixc AS (SELECT doc_id, source, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY source
+         |            ORDER BY bucket // ${1000000L / MixtureCells}, h, doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |        $mixtureBudgetCase AS budget
+         |      FROM mixt)
+         |SELECT doc_id, source, n_tokens FROM mixc WHERE cum <= budget""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $verifiedPairsCte,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM vpairs UNION SELECT b_id, a_id FROM vpairs),

@@ -69,6 +69,77 @@ object Sampling {
     df.filter(hashBucket(id) < threshold)
   }
 
+  /** Token-budget mixture sampling — the corpus-mixing step of a training
+    * run (Pile/DoReMi shape): each source contributes documents until its
+    * token budget `floor(weight_s · totalBudget)` is exhausted, and WHICH
+    * documents fill the budget is a deterministic, partition-invariant
+    * hash order rather than scan order. The canonical per-source order is
+    * (cell, md5(id), id) with cell = [[hashBucket]](id) div (Buckets/cells);
+    * a row is kept iff its per-source cumulative token count (inclusive,
+    * in that order) is ≤ the source's budget.
+    *
+    * Scale shape — the naive rule is a running sum over EVERY row of a
+    * source through one partition (a skew bomb: one web crawl source can be
+    * most of the corpus). Instead, two levels:
+    *   1. one map-side agg to a (source × cells) token histogram — tiny;
+    *   2. a window over that histogram picks the full-prefix cells (cum ≤
+    *      budget) and the single crossing cell per source;
+    *   3. the decision broadcast-joins back: full-cell rows pass with no
+    *      further work, and only the crossing cell's rows (≈ 1/cells of a
+    *      source) pay an exact within-cell running sum.
+    * So the per-row cost is one broadcast hash join, and the only windowed
+    * relation is bounded by source_tokens/cells per source.
+    *
+    * Sources absent from `weights` get `defaultWeight`. Rows with null
+    * tokens are dropped; zero-token rows follow the two-level decision
+    * (they are kept only in the selected cell prefix — at the 100 TB input
+    * shape tokens ≥ 1 for any non-empty document). */
+  def tokenBudgetMixture(df: DataFrame, id: Column, source: Column,
+      tokens: Column, weights: Map[String, Double], totalBudget: Long,
+      defaultWeight: Double = 0.0, cells: Int = 1000): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be >= 0: $totalBudget")
+    require(cells >= 1 && Buckets % cells == 0,
+      s"cells must divide the $Buckets bucket space: $cells")
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0),
+      "weights must be >= 0")
+    val cellWidth = Buckets / cells
+    def budgetFor(src: Column): Column = weights.foldLeft(
+      lit((defaultWeight * totalBudget).toLong)) { case (acc, (value, w)) =>
+        when(src === value, lit((w * totalBudget).toLong)).otherwise(acc)
+    }
+    val inputCols = df.columns.map(col)
+    val base = df
+      .withColumn("__id", id).withColumn("__src", source)
+      .withColumn("__tok", tokens.cast("long"))
+      .withColumn("__h", md5(col("__id").cast("string").cast("binary")))
+      // cell label = the cell's bucket-start offset (bucket − bucket mod
+      // width): integer-only, exact, and order-identical to bucket div width
+      .withColumn("__cell",
+        hashBucket(col("__id")) - pmod(hashBucket(col("__id")), lit(cellWidth)))
+    val hist = base.groupBy(col("__src"), col("__cell"))
+      .agg(sum(col("__tok")).as("__ctok"))
+    val wCells = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src")).orderBy(col("__cell"))
+    val decision = hist
+      .withColumn("__cum", sum(col("__ctok")).over(wCells))
+      .withColumn("__before", col("__cum") - col("__ctok"))
+      .withColumn("__budget", budgetFor(col("__src")))
+      .filter(col("__cum") <= col("__budget") || col("__before") < col("__budget"))
+      .select(col("__src").as("__dsrc"), col("__cell").as("__dcell"),
+        (col("__cum") <= col("__budget")).as("__full"),
+        col("__before"), col("__budget"))
+    val joined = base.join(broadcast(decision),
+      col("__src") === col("__dsrc") && col("__cell") === col("__dcell"))
+    val wInCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src")).orderBy(col("__h"), col("__id"))
+    val kept = joined.filter(col("__full")).select(inputCols: _*)
+      .union(joined.filter(!col("__full"))
+        .withColumn("__rcum", sum(col("__tok")).over(wInCell))
+        .filter(col("__before") + col("__rcum") <= col("__budget"))
+        .select(inputCols: _*))
+    kept
+  }
+
   /** Keep at most `cap` rows per group, decided by a deterministic md5 rank
     * within the group (ties by id) — a partition-invariant, unbiased
     * hash-sample of each group rather than a scan-order artifact. Groups at

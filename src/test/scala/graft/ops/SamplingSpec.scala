@@ -56,6 +56,67 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("Sample"), plan) // not Spark's rng sampler
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("tokenBudgetMixture: equals the single-level prefix rule, any cells/partitioning") {
+    import spark.implicits._
+    val rows = (0 until 600).map { i =>
+      (i.toLong, s"src${i % 5}", 5L + (i * 13) % 40)
+    }
+    val df = rows.toDF("id", "src", "tok")
+    val weights = Map("src0" -> 0.30, "src1" -> 0.10, "src3" -> 0.0)
+    val budget = 3000L
+    val default = 0.05
+    // independent reference: per source, order by (cell, md5(id), id),
+    // keep while the inclusive running token sum fits the source budget
+    def ref(cells: Int): Set[Long] = {
+      val cellWidth = 1000000L / cells
+      def bucket(id: Long) =
+        java.lang.Long.parseLong(md5hex(id.toString).take(15), 16) % 1000000L
+      rows.groupBy(_._2).flatMap { case (src, rs) =>
+        val b = (weights.getOrElse(src, default) * budget).toLong
+        var cum = 0L
+        rs.sortBy { case (id, _, _) =>
+          (bucket(id) - bucket(id) % cellWidth, md5hex(id.toString), id)
+        }.flatMap { case (id, _, tok) =>
+          cum += tok; if (cum <= b) Some(id) else None
+        }
+      }.toSet
+    }
+    for (cells <- Seq(1, 8, 1000); parts <- Seq(2, 17)) {
+      val got = Sampling.tokenBudgetMixture(df.repartition(parts), col("id"),
+          col("src"), col("tok"), weights, budget, default, cells)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == ref(cells), s"cells=$cells parts=$parts")
+    }
+    // weight-0 source contributes nothing; every per-source budget is tight:
+    // the kept token mass fits, and no further doc in canonical order would
+    val kept = Sampling.tokenBudgetMixture(df, col("id"), col("src"),
+      col("tok"), weights, budget, default, cells = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(!kept.exists(_._2 == "src3"))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    bySrc.foreach { case (src, toks) =>
+      assert(toks <= (weights.getOrElse(src, default) * budget).toLong, src)
+    }
+  }
+
+  test("tokenBudgetMixture: raising the total budget only adds documents") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (i.toLong, s"s${i % 3}", 10L))
+      .toDF("id", "src", "tok")
+    val w = Map("s0" -> 0.5, "s1" -> 0.3)
+    val small = Sampling.tokenBudgetMixture(df, col("id"), col("src"),
+      col("tok"), w, 1000L, 0.1, cells = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val large = Sampling.tokenBudgetMixture(df, col("id"), col("src"),
+      col("tok"), w, 2400L, 0.1, cells = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large) && small.size < large.size)
+  }
+
   test("groupCap: per-group cap, all columns preserved, partition-invariant") {
     import spark.implicits._
     val rows = ((0 until 40).map(i => (i.toLong, "big", s"t$i")) ++
