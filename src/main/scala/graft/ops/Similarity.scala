@@ -197,8 +197,12 @@ object Similarity {
     * and oracle-expressible, but k-1 driver-synchronous full scans — the
     * right shape only while k is small (the oracle's k=8). */
   private def maximinExact(q: DataFrame, k: Int): Array[Array[Long]] = {
+    // ONE TakeOrdered both seeds the start point and guards N >= k (maximin
+    // would silently seed duplicate centroids on a smaller corpus)
+    val head = q.orderBy(col("id")).limit(k).collect()
+    require(head.length == k, s"corpus has fewer than k=$k vectors")
     val init = scala.collection.mutable.ArrayBuffer(
-      q.orderBy(col("id")).limit(1).collect()(0).getSeq[Long](1).toArray)
+      head(0).getSeq[Long](1).toArray)
     while (init.length < k) {
       val next = q.select(col("q"), minDistCol(col("q"), init.toSeq).as("d"), col("id"))
         .orderBy(col("d").desc, col("id")).limit(1).collect()
@@ -225,43 +229,13 @@ object Similarity {
     require(rows.length >= k,
       s"seed sample has ${rows.length} < k=$k points; raise seedSampleFraction")
     // sort driver-side by id with SQL ordering semantics (no global sort
-    // job). Strings compare as unsigned UTF-8 BYTES — Spark's UTF8String
-    // binary order, which differs from Java String's UTF-16 code-unit order
-    // for supplementary characters; the exact path's orderBy(col("id"))
-    // start/tie rules must hold identically here.
-    val pts: Array[(Any, Array[Long])] =
-      rows.map(r => (r.get(0), r.getSeq[Long](1).toArray)).sortWith { (a, b) =>
-        (a._1, b._1) match {
-          case (x: Long, y: Long) => x < y
-          case (x: Int, y: Int)   => x < y
-          case (x: String, y: String) =>
-            java.util.Arrays.compareUnsigned(
-              x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-              y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
-          case (x, y) => throw new IllegalArgumentException(
-            s"unorderable id type for sampled seeding: ${x.getClass} vs ${y.getClass}")
-        }
-      }
-    def d2(a: Array[Long], b: Array[Long]): Long = {
-      var s = 0L; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-    val chosen = scala.collection.mutable.ArrayBuffer(pts(0)._2)
-    val minD = pts.map(p => d2(p._2, chosen(0)))
-    while (chosen.length < k) {
-      // farthest point from the chosen set; ties to the smaller id — pts is
-      // id-sorted, so the first index attaining the max wins
-      var best = 0; var i = 1
-      while (i < pts.length) { if (minD(i) > minD(best)) best = i; i += 1 }
-      val seed = pts(best)._2
-      chosen += seed
-      i = 0
-      while (i < pts.length) {
-        val d = d2(pts(i)._2, seed); if (d < minD(i)) minD(i) = d; i += 1
-      }
-    }
-    chosen.toArray
+    // job; [[idLess]]), then maximin with the exact path's start/tie rules
+    // ([[maximinDriver]]: pts is id-sorted, so the first index attaining
+    // the max distance is the smaller id).
+    val pts: Array[Array[Long]] =
+      rows.map(r => (r.get(0), r.getSeq[Long](1).toArray))
+        .sortWith((a, b) => idLess(a._1, b._1)).map(_._2)
+    maximinDriver(pts, k).toArray
   }
 
   /** Lloyd's k-means coarse quantizer for IVF — the learned replacement for
@@ -289,8 +263,6 @@ object Similarity {
     // localCheckpoint, not persist: iterative consumers (memory note — AQE
     // re-stringifies nested plans per action otherwise)
     val q = quantized(df, id, vec, scale).localCheckpoint()
-    // guards maximin from silently seeding duplicate centroids on N < k
-    require(q.limit(k).count() == k, s"corpus has fewer than k=$k vectors")
     var cents: Array[Array[Long]] = seedSampleFraction match {
       case None    => maximinExact(q, k)
       case Some(f) => maximinSampled(q, k, f)
@@ -486,11 +458,117 @@ object Similarity {
       ksub: Int, iters: Int, scale: Int = 1000,
       seedSampleFraction: Option[Double] = None): Array[Array[Array[Long]]] = {
     require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    require(ksub >= 1, s"ksub=$ksub must be >= 1")
     val w = dim / m
-    (0 until m).map { s =>
-      kmeansCentroids(df, id, slice(asDouble(vec), s * w + 1, w), ksub, iters,
-        scale, seedSampleFraction)
-    }.toArray
+    // All m subquantizers train in ONE pass per seeding round / Lloyd
+    // iteration (the FAISS shape): the per-subspace trainings are
+    // independent, so each driver-synchronous job carries every subspace at
+    // once — job count is O(ksub + iters), not O(m*(ksub + iters)), and the
+    // corpus is checkpointed once, not m times. Per-subspace math (maximin
+    // start/tie rules, floor(sum/cnt) updates) is identical to training each
+    // slice through [[kmeansCentroids]], so the returned codebooks are
+    // bit-for-bit the same and the unrolled SQL oracle is unchanged.
+    val qs = array((0 until m).map(s =>
+      quantCol(slice(asDouble(vec), s * w + 1, w), scale)): _*)
+    val q = df.select(id.as("id"), qs.as("qs")).localCheckpoint()
+    def subvecs(r: org.apache.spark.sql.Row, i: Int): Array[Array[Long]] =
+      r.getSeq[scala.collection.Seq[Long]](i).map(_.toArray).toArray
+    val chosen: Array[scala.collection.mutable.ArrayBuffer[Array[Long]]] =
+      seedSampleFraction match {
+        case Some(f) =>
+          // one collect of the hash sample; per-subspace maximin driver-side
+          // with the same start/tie rules as the exact path
+          require(f > 0 && f <= 1, s"seedSampleFraction out of (0,1]: $f")
+          val rows = Sampling.sampleByHash(q, col("id"), f)
+            .select(col("id"), col("qs")).collect()
+          require(rows.length >= ksub,
+            s"seed sample has ${rows.length} < ksub=$ksub points; raise seedSampleFraction")
+          val pts = rows.map(r => (r.get(0), subvecs(r, 1))).sortWith { (a, b) =>
+            idLess(a._1, b._1)
+          }
+          Array.tabulate(m) { s =>
+            maximinDriver(pts.map(_._2(s)), ksub)
+          }
+        case None =>
+          // init + N >= ksub guard in one TakeOrdered (as in [[maximinExact]])
+          val head = q.orderBy(col("id")).limit(ksub).collect()
+          require(head.length == ksub, s"corpus has fewer than ksub=$ksub vectors")
+          val acc = Array.tabulate(m)(s =>
+            scala.collection.mutable.ArrayBuffer(subvecs(head(0), 1)(s)))
+          var r = 1
+          while (r < ksub) {
+            // ONE job picks the farthest point of EVERY subspace: per-row
+            // min-distance to each subspace's chosen set, exploded to
+            // (subspace, d), per-subspace argmax with ties to the smaller id
+            val ds = array((0 until m).map(s =>
+              minDistCol(element_at(col("qs"), s + 1), acc(s).toSeq)): _*)
+            val rn = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("s")).orderBy(col("d").desc, col("id"))
+            val best = q.select(col("id"), col("qs"), posexplode(ds).as(Seq("s", "d")))
+              .withColumn("rn", row_number().over(rn)).filter(col("rn") === 1)
+              .select(col("s"), col("qs")).collect()
+            best.foreach { row => acc(row.getInt(0)) += subvecs(row, 1)(row.getInt(0)) }
+            r += 1
+          }
+          acc
+      }
+    var books: Array[Array[Array[Long]]] = chosen.map(_.toArray)
+    for (_ <- 1 to iters) {
+      // ONE job sums every subspace: (s, cluster_s, pos, coordinate)
+      val cl = array((0 until m).map(s =>
+        nearestCentroid(element_at(col("qs"), s + 1), books(s))): _*)
+      val sums = q.select(col("qs"), posexplode(cl).as(Seq("s", "cl")))
+        .select(col("s"), col("cl"),
+          posexplode(element_at(col("qs"), col("s") + 1)).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("cl"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { row =>
+        next(row.getInt(0))(row.getLong(1).toInt)(row.getInt(2)) =
+          math.floor(row.getLong(3).toDouble / row.getLong(4)).toLong
+      }
+      books = next
+    }
+    books
+  }
+
+  /** SQL id ordering driver-side: longs/ints numerically, strings as
+    * unsigned UTF-8 bytes (Spark's UTF8String binary order, which differs
+    * from Java's UTF-16 code-unit order for supplementary characters). */
+  private def idLess(x: Any, y: Any): Boolean = (x, y) match {
+    case (a: Long, b: Long) => a < b
+    case (a: Int, b: Int)   => a < b
+    case (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    case _ => throw new IllegalArgumentException(
+      s"unorderable id type for sampled seeding: ${x.getClass} vs ${y.getClass}")
+  }
+
+  /** Driver-side maximin over an id-ordered point set (first point = the
+    * smallest id; ties to the first index = the smaller id). */
+  private def maximinDriver(pts: Array[Array[Long]], k: Int)
+      : scala.collection.mutable.ArrayBuffer[Array[Long]] = {
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(pts(0))
+    val minD = pts.map(p => d2(p, chosen(0)))
+    while (chosen.length < k) {
+      var best = 0; var i = 1
+      while (i < pts.length) { if (minD(i) > minD(best)) best = i; i += 1 }
+      val seed = pts(best)
+      chosen += seed
+      i = 0
+      while (i < pts.length) {
+        val d = d2(pts(i), seed); if (d < minD(i)) minD(i) = d; i += 1
+      }
+    }
+    chosen
   }
 
   /** PQ encoding: per subspace the nearest-codebook-centroid index — m

@@ -77,4 +77,21 @@ class PqSpec extends AnyFunSuite with SparkTestSession {
     assert(got.map(_._3).toSet == (0L until 10L).toSet - 5L) // blob-0 mates, self excluded
     assert(got.map(_._4).forall(_ >= 0L))
   }
+
+  test("fused multi-subspace training == per-slice kmeansCentroids, " +
+      "exact and sampled seeding") {
+    val w = dim / 2
+    def slices(seedFrac: Option[Double]) = (0 until 2).map { s =>
+      Similarity.kmeansCentroids(blobs, col("vec_id"),
+        slice(col("embedding"), s * w + 1, w), k = 3, iters = 2,
+        seedSampleFraction = seedFrac)
+        .map(_.toSeq).toSeq
+    }
+    for (frac <- Seq(None, Some(0.6))) {
+      val fused = Similarity.pqCodebooks(blobs, col("vec_id"), col("embedding"),
+        dim, m = 2, ksub = 3, iters = 2, seedSampleFraction = frac)
+        .map(_.map(_.toSeq).toSeq).toSeq
+      assert(fused == slices(frac), s"fused codebooks diverge (seed=$frac)")
+    }
+  }
 }
