@@ -45,22 +45,25 @@ object RankStore {
     else None
   }
 
-  /** Swap `ranks` in as the new snapshot. The relation must already be
-    * materialized off the old snapshot's files (pageRank/pageRankResume
-    * localCheckpoint eagerly, so their results are) — the swap then never
-    * overwrites its own input. */
-  def write(ranks: DataFrame, dir: String): Unit = {
+  /** Swap `ranks` in as the new snapshot and return the MATERIALIZED
+    * relation. The eager localCheckpoint here is load-bearing twice over:
+    * the incoming plan may lazily read the CURRENT snapshot's files
+    * (pageRankResume over [[read]] stays one lazy plan for small budgets),
+    * so the swap would otherwise overwrite its own input, and the returned
+    * frame must survive the old files disappearing. */
+  def write(ranks: DataFrame, dir: String): DataFrame = {
     val spark = ranks.sparkSession
     recover(spark, dir)
     val fs = fsOf(spark, dir)
     def mv(from: String, to: String): Unit =
       if (!fs.rename(hp(from), hp(to)))
         sys.error(s"rank store swap failed: $from -> $to (both copies retained)")
-    ranks.select(col("id"), col("r")).write.mode("overwrite").parquet(s"$dir/ranks.next")
+    val mat = ranks.select(col("id"), col("r")).localCheckpoint(true)
+    mat.write.mode("overwrite").parquet(s"$dir/ranks.next")
     if (fs.exists(hp(s"$dir/ranks"))) mv(s"$dir/ranks", s"$dir/ranks.bak")
     mv(s"$dir/ranks.next", s"$dir/ranks")
     fs.delete(hp(s"$dir/ranks.bak"), true)
-    ()
+    mat
   }
 
   /** Advance the stored ranks by `iters` exact iterations over the CURRENT
@@ -73,6 +76,5 @@ object RankStore {
       case None       => GraphOps.pageRank(edges, iters)
     }
     write(next, dir)
-    next
   }
 }
