@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{CentroidStore, Dedup, DocKg, LangModel, Packing, Relational, Similarity, Sketches, TextStats, UrlOps}
+import graft.ops.{CentroidStore, Dedup, DocKg, LangModel, Packing, Relational, Similarity, Sketches, TextStats, UrlOps, WebGraph}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -646,7 +646,40 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("chunk_id"), col("chunk"), col("n_tokens"))),
     "events_sessions" -> ((s, d) => Relational.eventsSessions(s, d)
       .select(col("user_id"), col("n_sessions"), col("max_session_events"),
-        col("max_session_sec")))
+        col("max_session_sec"))),
+    // ---- web link graph from the html:binary column (ops/WebGraph.scala):
+    // pages synthesize deterministic markup per doc (decoys included); the
+    // oracle replays the link FORMULA symbolically, so a regex that misses
+    // an anchor form / botches relative resolution / keeps a decoy is a
+    // row mismatch. Extraction itself is row-local — no shuffle.
+    "web_links" -> ((s, d) => WebGraph.extractLinks(
+      WebGraph.syntheticLinkedPages(docs(s, d), col("doc_id"), col("text")),
+      col("html"), col("url"))),
+    // host-coarsened link graph: one partial-agg exchange
+    "web_host_graph" -> ((s, d) => WebGraph.hostGraph(WebGraph.extractLinks(
+      WebGraph.syntheticLinkedPages(docs(s, d), col("doc_id"), col("text")),
+      col("html"), col("url")))),
+    // per-target in-link count + distinct linking hosts (endorsement vs
+    // same-site-navigation separation)
+    "web_inlinks" -> ((s, d) => WebGraph.inLinkProfile(WebGraph.extractLinks(
+      WebGraph.syntheticLinkedPages(docs(s, d), col("doc_id"), col("text")),
+      col("html"), col("url")))),
+    // top-2 anchor terms per target (count DESC, term ASC): off-page
+    // evidence rollup, WindowGroupLimit-shaped
+    "web_anchor_topk" -> ((s, d) => WebGraph.anchorTermProfile(
+      WebGraph.extractLinks(
+        WebGraph.syntheticLinkedPages(docs(s, d), col("doc_id"), col("text")),
+        col("html"), col("url")), k = 2)),
+    // exact integer PageRank over the EXTRACTED host graph — markup to
+    // authority scores end-to-end, all relational
+    "web_pagerank" -> ((s, d) => {
+      val links = WebGraph.extractLinks(
+        WebGraph.syntheticLinkedPages(docs(s, d), col("doc_id"), col("text")),
+        col("html"), col("url"))
+      graft.graph.GraphOps.pageRank(WebGraph.hostGraph(links)
+        .select(col("src_host").as("source"), col("dst_host").as("target"),
+          col("n_links").cast("double").as("c")), iters = 3)
+    })
   )
 
   // ------------------------------------------------------------------ oracles
@@ -727,7 +760,14 @@ object SparkEntry {
   private lazy val pageRankSql: String =
     s"""WITH $triplesCte,
        |${edgesCte("edges", "triples", 2)},
-       |ew AS MATERIALIZED (SELECT source, target, CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS w
+       |${pageRankChainCtes(3)}
+       |SELECT id, r FROM r3""".stripMargin
+
+  /** The exact-integer PageRank iteration chain over an `edges(source,
+    * target, c)` CTE — shared by the KG and the web-host-graph oracles so
+    * the arithmetic can never drift between them. Ends with `r{iters}`. */
+  private def pageRankChainCtes(iters: Int): String =
+    s"""ew AS MATERIALIZED (SELECT source, target, CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS w
        |      FROM edges GROUP BY 1, 2),
        |ow AS (SELECT source, CAST(sum(w) AS BIGINT) AS ow FROM ew GROUP BY 1),
        |ewj AS MATERIALIZED (SELECT e.source, e.target, e.w, o.ow FROM ew e JOIN ow o ON e.source = o.source),
@@ -735,14 +775,33 @@ object SparkEntry {
        |      (SELECT source AS id FROM ew UNION ALL SELECT target FROM ew)),
        |meta AS MATERIALIZED (SELECT 1000000000000 // count(*) AS t FROM pn),
        |r0 AS MATERIALIZED (SELECT id, (SELECT t FROM meta) AS r FROM pn),
-       |${(1 to 3).map(i =>
+       |${(1 to iters).map(i =>
             s"""c$i AS (SELECT e.target, CAST(sum((85 * r.r * e.w) // (100 * e.ow)) AS BIGINT) AS cin
                |      FROM ewj e JOIN r${i - 1} r ON e.source = r.id GROUP BY 1),
                |r$i AS MATERIALIZED (SELECT pn.id,
                |      CAST((SELECT (15 * t) // 100 FROM meta) + coalesce(c.cin, 0) AS BIGINT) AS r
                |      FROM pn LEFT JOIN c$i c ON pn.id = c.target)""".stripMargin)
-          .mkString(",\n")}
-       |SELECT id, r FROM r3""".stripMargin
+          .mkString(",\n")}""".stripMargin
+
+  /** The WebGraph synthetic-link derivation formula (ops/WebGraph.scala
+    * fixture comment) replayed symbolically — the SPEC the engine's html
+    * extraction must recover from real markup. Ends with
+    * `weblinks(src, dst, anchor)`; host columns are re-derived from the url
+    * STRINGS (regexp) so UrlOps.hostOf is independently checked too. */
+  private val webLinksCtes =
+    """wl0 AS (SELECT doc_id AS i, unnest(range(1, 2 + doc_id % 3)) AS j FROM documents),
+      |wl1 AS (SELECT i, j, (i * 31 + j * 97) % 1000 AS dst_id FROM wl0),
+      |weblinks AS MATERIALIZED (SELECT
+      |  'https://h' || (i % 40) || '.example.test/doc/' || i AS src,
+      |  CASE WHEN j % 2 = 1
+      |    THEN 'https://h' || (dst_id % 40) || '.example.test/doc/' || dst_id
+      |    ELSE 'https://h' || (i % 40) || '.example.test/doc/' || dst_id END AS dst,
+      |  'see topic' || (dst_id % 7) || ' doc ' || dst_id AS anchor
+      |FROM wl1)""".stripMargin
+
+  private val webHostsCte =
+    """webhosts AS (SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src_host,
+      |  regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dst_host FROM weblinks)""".stripMargin
 
   /** The phrase-merge training loop unrolled: per round, pair counts over
     * the '  '-joined corpus string, a 1-row argmax (cnt DESC, pair ASC), and
@@ -2455,6 +2514,33 @@ object SparkEntry {
         |      FROM g GROUP BY user_id, session_id)
         |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
         |       max(duration_sec) AS max_session_sec
-        |FROM h GROUP BY user_id""".stripMargin
+        |FROM h GROUP BY user_id""".stripMargin,
+    "web_links" ->
+      s"""WITH $webLinksCtes
+         |SELECT src, dst, anchor FROM weblinks""".stripMargin,
+    "web_host_graph" ->
+      s"""WITH $webLinksCtes,
+         |$webHostsCte
+         |SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+         |FROM webhosts GROUP BY 1, 2""".stripMargin,
+    "web_inlinks" ->
+      s"""WITH $webLinksCtes
+         |SELECT dst, count(*)::BIGINT AS n_inlinks,
+         |       count(DISTINCT regexp_extract(src, '^[a-z]+://([^/]+)', 1))::BIGINT AS n_src_hosts
+         |FROM weblinks GROUP BY dst""".stripMargin,
+    "web_anchor_topk" ->
+      s"""WITH $webLinksCtes,
+         |at AS (SELECT dst, unnest(string_split(anchor, ' ')) AS term FROM weblinks),
+         |ac AS (SELECT dst, term, count(*)::BIGINT AS n FROM at WHERE term <> '' GROUP BY 1, 2)
+         |SELECT dst, term, n,
+         |       row_number() OVER (PARTITION BY dst ORDER BY n DESC, term)::BIGINT AS rank
+         |FROM ac QUALIFY rank <= 2""".stripMargin,
+    "web_pagerank" ->
+      s"""WITH $webLinksCtes,
+         |$webHostsCte,
+         |edges AS (SELECT src_host AS source, dst_host AS target, count(*)::DOUBLE AS c
+         |          FROM webhosts GROUP BY 1, 2),
+         |${pageRankChainCtes(3)}
+         |SELECT id, r FROM r3""".stripMargin
   )
 }

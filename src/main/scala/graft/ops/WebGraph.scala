@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-link-graph construction from the `html:binary` page column — the
+  * engine extension the BASELINE input shape `(url, warc_ts, html, text,
+  * lang)` calls for beyond the reference's text-only pipeline (the reference
+  * ingests pre-extracted text and never sees markup; SURVEY.md §1). A
+  * Common-Crawl-scale KG job needs the hyperlink graph for host-level
+  * authority (PageRank over hosts), crawl frontier curation, and anchor-text
+  * entity evidence.
+  *
+  * Everything here is composed from codegen'd built-ins (decode /
+  * regexp_extract_all / arrays_zip / explode / concat): extraction is one
+  * narrow row-local generator projection — NO shuffle, no UDF — so at 100 TB
+  * it rides the page scan for free; only the downstream host/anchor rollups
+  * exchange, and those are on the already-tiny (src,dst,anchor) relation.
+  *
+  * Extraction contract (documented limits, WebGraphSpec pins each):
+  *   - `<a ... href="..."|'...' ...> inner </a>`, case-insensitive, tags and
+  *     newlines allowed inside the anchor body (inner markup is stripped);
+  *     unquoted href values are NOT recognized (vanishingly rare in real
+  *     crawls and ambiguous to delimit with a regex).
+  *   - fragment-only (`#...`), `javascript:`, `mailto:`, `tel:` and empty
+  *     hrefs are dropped — they are not crawlable graph edges.
+  *   - relative references resolve RFC-3986-style against the page url:
+  *     `//host/p` keeps the source scheme, `/p` keeps scheme://host, `p`
+  *     resolves against the source directory. The result is canonicalized
+  *     with [[UrlOps.canonicalizeUrl]] so the graph keys are dedup-stable.
+  */
+object WebGraph {
+
+  private val AnchorPat =
+    "(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>(.*?)</a>"
+
+  private def schemeOf(url: Column): Column =
+    regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+
+  /** scheme://host prefix of a url (lowercased host, port preserved). */
+  private def originOf(url: Column): Column =
+    concat(schemeOf(url), lit("://"), UrlOps.hostOf(url))
+
+  /** Directory base of a url: everything up to and including the last '/'
+    * of the path (query/fragment stripped); authority-only urls gain '/'. */
+  private def dirBaseOf(url: Column): Column = {
+    val noQf = regexp_replace(url, "[?#].*", "")
+    when(noQf.rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/]+/"),
+      regexp_replace(noQf, "/[^/]*$", "/"))
+      .otherwise(concat(noQf, lit("/")))
+  }
+
+  /** Resolve an href against the page url and canonicalize. Total: never
+    * errors on junk hrefs (returns a canonicalized best-effort string). */
+  def resolveHref(pageUrl: Column, href: Column): Column = {
+    val h = trim(href)
+    val abs = when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), h)
+      .when(h.startsWith("//"), concat(schemeOf(pageUrl), lit(":"), h))
+      .when(h.startsWith("/"), concat(originOf(pageUrl), h))
+      .otherwise(concat(dirBaseOf(pageUrl), h))
+    UrlOps.canonicalizeUrl(abs)
+  }
+
+  /** Hyperlink extraction: one row per `<a href>` anchor of every page.
+    * Output: (src, dst, anchor) — src/dst canonicalized urls, anchor the
+    * tag-stripped whitespace-collapsed inner text. Row-local (no exchange);
+    * pages without links contribute nothing. `html` may be binary (UTF-8
+    * decoded) or string. */
+  def extractLinks(pages: DataFrame, html: Column, url: Column): DataFrame = {
+    val h = decode(html.cast("binary"), "UTF-8")
+    val pairs = arrays_zip(
+      regexp_extract_all(h, lit(AnchorPat), lit(1)).as("href"),
+      regexp_extract_all(h, lit(AnchorPat), lit(2)).as("body"))
+    val src = UrlOps.canonicalizeUrl(url)
+    val exploded = pages
+      .select(src.as("src"), explode(pairs).as("a"))
+      .select(col("src"), trim(col("a.href")).as("href"), col("a.body").as("body"))
+    val skip = col("href") === "" || col("href").startsWith("#") ||
+      lower(col("href")).rlike("^(javascript|mailto|tel):")
+    exploded.filter(!skip)
+      .select(
+        col("src"),
+        resolveHref(col("src"), col("href")).as("dst"),
+        trim(regexp_replace(regexp_replace(col("body"), "<[^>]*>", " "),
+          "\\s+", " ")).as("anchor"))
+  }
+
+  /** Host-level link graph: (src_host, dst_host, n_links). The web graph's
+    * standard coarsening — hosts are ~1e-4 of urls, so the rollup turns a
+    * trillion-edge url graph into a relation PageRank can iterate on. One
+    * exchange with map-side partial aggregation. */
+  def hostGraph(links: DataFrame): DataFrame =
+    links.select(UrlOps.hostOf(col("src")).as("src_host"),
+        UrlOps.hostOf(col("dst")).as("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+
+  /** Per-target in-link profile: total in-links and distinct linking hosts —
+    * the crawl-priority / spam signal pair (many links from ONE host is
+    * navigation boilerplate; many hosts is genuine endorsement). */
+  def inLinkProfile(links: DataFrame): DataFrame =
+    links.select(col("dst"), UrlOps.hostOf(col("src")).as("src_host"))
+      .groupBy(col("dst"))
+      .agg(count(lit(1)).as("n_inlinks"),
+        count_distinct(col("src_host")).as("n_src_hosts"))
+
+  /** Top-k anchor terms per link target, ordered (count DESC, term ASC) —
+    * aggregated anchor text is off-page evidence of what a url IS (the
+    * classic retrieval/KG-linking signal). Terms are the whitespace tokens
+    * of the tag-stripped anchor. Two exchanges ((dst,term) count, then the
+    * per-dst window); the rank filter is a WindowGroupLimit, so only k rows
+    * per dst survive the sort. */
+  def anchorTermProfile(links: DataFrame, k: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = links
+      .select(col("dst"), explode(split(col("anchor"), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("dst"), col("term")).agg(count(lit(1)).as("n"))
+    terms.withColumn("rank", row_number().over(
+        Window.partitionBy(col("dst")).orderBy(col("n").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col("dst"), col("term"), col("n"), col("rank").cast("long"))
+  }
+
+  // ------------------------------------------------------------------
+  // Deterministic linked-page fixture (the oracle mirror).
+  //
+  // The registered web_* queries run over the driver's `documents` table,
+  // which has no html column — so the queries synthesize one per row with a
+  // formula the DuckDB oracle replicates symbolically (same pattern as
+  // mm_frame_sample). The link derivation is the SPEC; the engine must
+  // recover exactly these edges from the real markup, so a regex that
+  // misses an anchor form, botches relative resolution, or fails to filter
+  // a decoy shows up as an oracle row mismatch.
+  //
+  // Per doc i (url https://h{i%40}.example.test/doc/{i}):
+  //   links j = 1 .. 1 + i%3, dst_id = (i*31 + j*97) % 1000
+  //   odd j: absolute double-quoted href to dst_id's own host
+  //   even j: single-quoted ROOT-RELATIVE href /doc/{dst_id} (resolves to
+  //           the SOURCE host — same-site navigation, like real pages)
+  //   anchor: "see topic{dst_id%7} doc {dst_id}"
+  // plus three decoys that must NOT extract: an <a> without href, a
+  // fragment-only link, and a mailto link.
+  // ------------------------------------------------------------------
+
+  def syntheticUrl(id: Column): Column =
+    concat(lit("https://h"), pmod(id, lit(40L)).cast("string"),
+      lit(".example.test/doc/"), id.cast("string"))
+
+  def syntheticLinkedHtml(id: Column, text: Column): Column = {
+    val items = transform(sequence(lit(1L), lit(1L) + pmod(id, lit(3L))), j => {
+      val dst = pmod(id * 31L + j * 97L, lit(1000L))
+      val anchor = concat(lit("see topic"), pmod(dst, lit(7L)).cast("string"),
+        lit(" doc "), dst.cast("string"))
+      when(pmod(j, lit(2L)) === 1L,
+        concat(lit("<li><a class=\"ref\" href=\"https://h"),
+          pmod(dst, lit(40L)).cast("string"), lit(".example.test/doc/"),
+          dst.cast("string"), lit("\">"), anchor, lit("</a></li>")))
+        .otherwise(concat(lit("<li><a href='/doc/"), dst.cast("string"),
+          lit("'>"), anchor, lit("</a></li>")))
+    })
+    concat(
+      lit("<html><head><title>t</title></head><body><p>"), text,
+      lit("</p><a name=\"x\">not a link</a><a href=\"#top\">top</a>" +
+        "<a href=\"mailto:a@b.c\">mail</a><ul>"),
+      array_join(items, ""),
+      lit("</ul></body></html>"))
+  }
+
+  /** The documents table as synthetic linked pages: (url, html). */
+  def syntheticLinkedPages(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(syntheticUrl(id).as("url"),
+      encode(syntheticLinkedHtml(id, text), "UTF-8").as("html"))
+}

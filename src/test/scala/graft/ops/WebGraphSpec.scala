@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WebGraphSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def links(url: String, html: String) =
+    WebGraph.extractLinks(
+      Seq((url, html.getBytes("UTF-8"))).toDF("url", "html"),
+      col("html"), col("url"))
+      .as[(String, String, String)].collect().toList
+
+  test("extractLinks: quote styles, case, attribute order, inner markup") {
+    val html =
+      """<HTML><body>
+        |<A CLASS="x" HREF="https://other.test/a">First <b>bold</b>
+        |  link</A>
+        |<a href='https://other.test/b' rel=nofollow>second</a>
+        |</body></HTML>""".stripMargin
+    val got = links("https://src.test/dir/page", html)
+    assert(got === List(
+      ("https://src.test/dir/page", "https://other.test/a", "First bold link"),
+      ("https://src.test/dir/page", "https://other.test/b", "second")))
+  }
+
+  test("extractLinks: relative resolution — root, protocol, directory") {
+    val html = """<a href="/root/x">r</a><a href="//cdn.test/y">p</a><a href="sub/z">d</a>"""
+    val got = links("https://h.test/dir/page?q=1#f", html).map(_._2)
+    assert(got === List(
+      "https://h.test/root/x", "https://cdn.test/y", "https://h.test/dir/sub/z"))
+  }
+
+  test("extractLinks: decoys dropped — no href, fragment, mailto/javascript/tel, empty") {
+    val html = """<a name="n">plain</a><a href="#top">t</a><a href="mailto:a@b">m</a>
+      |<a href="JavaScript:void(0)">j</a><a href="tel:+1">c</a><a href="">e</a>
+      |<a href="https://keep.test/only">keep</a>""".stripMargin
+    val got = links("https://h.test/p", html)
+    assert(got === List(("https://h.test/p", "https://keep.test/only", "keep")))
+  }
+
+  test("extractLinks: dst canonicalized (port, fragment, params) and total on junk") {
+    val html = """<a href="HTTPS://Keep.TEST:443/A/?utm_source=x&b=2&a=1#frag">k</a>"""
+    assert(links("https://h.test/p", html).map(_._2) ===
+      List("https://keep.test/A?a=1&b=2"))
+    // authority-only page url: directory base gains '/'
+    assert(links("https://h.test", """<a href="x">k</a>""").map(_._2) ===
+      List("https://h.test/x"))
+  }
+
+  test("extractLinks is row-local: no exchange in the physical plan") {
+    val pages = WebGraph.syntheticLinkedPages(
+      Seq((1L, "t"), (2L, "u")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+    val p = WebGraph.extractLinks(pages, col("html"), col("url"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("synthetic fixture round-trip: extraction recovers exactly the formula links") {
+    val ids = (0L until 50L).toList
+    val docsDf = ids.map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val got = WebGraph.extractLinks(
+      WebGraph.syntheticLinkedPages(docsDf, col("doc_id"), col("text")),
+      col("html"), col("url"))
+      .as[(String, String, String)].collect().toSet
+    val want = (for { i <- ids; j <- 1L to (1L + i % 3) } yield {
+      val dst = (i * 31 + j * 97) % 1000
+      val dstHost = if (j % 2 == 1) s"h${dst % 40}.example.test" else s"h${i % 40}.example.test"
+      (s"https://h${i % 40}.example.test/doc/$i",
+        s"https://$dstHost/doc/$dst",
+        s"see topic${dst % 7} doc $dst")
+    }).toSet
+    assert(got === want)
+  }
+
+  test("hostGraph / inLinkProfile / anchorTermProfile aggregate the link relation") {
+    val l = Seq(
+      ("https://a.test/1", "https://b.test/x", "big cats"),
+      ("https://a.test/2", "https://b.test/x", "big dogs"),
+      ("https://c.test/3", "https://b.test/x", "big cats now"),
+      ("https://a.test/1", "https://c.test/y", "one"))
+      .toDF("src", "dst", "anchor")
+    val hosts = WebGraph.hostGraph(l).as[(String, String, Long)].collect().toSet
+    assert(hosts === Set(("a.test", "b.test", 2L), ("c.test", "b.test", 1L),
+      ("a.test", "c.test", 1L)))
+    val prof = WebGraph.inLinkProfile(l).as[(String, Long, Long)].collect().toSet
+    assert(prof === Set(("https://b.test/x", 3L, 2L), ("https://c.test/y", 1L, 1L)))
+    val terms = WebGraph.anchorTermProfile(l, k = 2)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(terms === Set(
+      ("https://b.test/x", "big", 3L, 1L), ("https://b.test/x", "cats", 2L, 2L),
+      ("https://c.test/y", "one", 1L, 1L)))
+  }
+}
