@@ -302,6 +302,29 @@ object StreamOps {
       }
       .start()
 
+  /** Continuous web-graph maintenance: a stream of crawled pages flows
+    * through [[graft.ops.WebGraph.extractLinks]] (row-local, so the stateless
+    * stream stays stateless) into the host-coarsened link relation, and each
+    * micro-batch's host-pair counts fold into the persistent
+    * [[graft.ops.EdgeStore]] exactly-once via [[edgeIngestStream]]'s
+    * epoch-ledger path. Downstream, `EdgeStore.edges(store)` +
+    * [[graft.graph.GraphOps.pageRank]] (or `RankStore.advance` for the
+    * warm-start variant) re-derive host authority at any cadence — crawl to
+    * continuously-refreshed PageRank with no batch recompute of history. The
+    * `sent` key is the constant "href" so link counts share EdgeStore's
+    * (source, target, sent) state schema with KG relations without
+    * colliding with them. */
+  def linkIngestStream(pages: DataFrame, store: String, checkpoint: String,
+      batchPrefix: String)(
+      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery = {
+    val links = graft.ops.WebGraph.extractLinks(pages, col("html"), col("url"))
+    val relations = links.select(
+      graft.ops.UrlOps.hostOf(col("src")).as("source"),
+      graft.ops.UrlOps.hostOf(col("dst")).as("target"),
+      lit("href").as("sent"))
+    edgeIngestStream(relations, store, checkpoint, batchPrefix)
+  }
+
   /** Continuous quantizer maintenance: each micro-batch of vectors folds
     * into the persistent [[graft.ops.CentroidStore]] under the store's
     * CURRENT derived centroids (the mini-batch k-means step). Sums need

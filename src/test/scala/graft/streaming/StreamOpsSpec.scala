@@ -305,6 +305,37 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(ledger.forall(_.startsWith("t-")) && ledger.size == 2, s"ledger $ledger")
   }
 
+  test("streaming link ingest: crawl micro-batches maintain the host graph in the EdgeStore") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-link-ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-link-ingest-ckpt").toString
+    def page(url: String, hrefs: (String, String)*): (String, Array[Byte]) =
+      (url, hrefs.map { case (h, a) => s"""<a href="$h">$a</a>""" }
+        .mkString("<html><body>", "", "</body></html>").getBytes("UTF-8"))
+    val mem = MemoryStream[(String, Array[Byte])]
+    val q = StreamOps.linkIngestStream(
+      mem.toDF().toDF("url", "html"), store, ckpt, batchPrefix = "w")
+    mem.addData(Seq(
+      page("https://a.test/1", "https://b.test/x" -> "to b", "/local" -> "self"),
+      page("https://c.test/1", "https://b.test/y" -> "to b")))
+    q.processAllAvailable()
+    mem.addData(Seq(page("https://a.test/2", "https://b.test/z" -> "again")))
+    q.processAllAvailable(); q.stop()
+    val got = graft.ops.EdgeStore.edges(spark, store).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
+    // counts accumulate ACROSS micro-batches (a.test->b.test spans both);
+    // the root-relative href lands as a same-host self-edge
+    assert(got == Set(
+      ("a.test", "b.test", "href", 2.0),
+      ("a.test", "a.test", "href", 1.0),
+      ("c.test", "b.test", "href", 1.0)), got)
+    // the continuously-maintained graph feeds authority directly
+    val ranks = graft.graph.GraphOps.pageRank(
+      graft.ops.EdgeStore.edges(spark, store), iters = 2)
+    assert(ranks.count() == 3)
+  }
+
   test("vec ingest stream: micro-batches fold into the CentroidStore exactly once") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
