@@ -670,6 +670,16 @@ object SparkEntry {
       WebGraph.extractLinks(
         WebGraph.syntheticLinkedPages(docs(s, d), col("doc_id"), col("text")),
         col("html"), col("url")), k = 2)),
+    // crawl-frontier selection: discovered-but-uncrawled urls by host-diverse
+    // endorsement, capped per host (politeness) — anti-join + WindowGroupLimit
+    "web_frontier" -> ((s, d) => {
+      val dd = docs(s, d)
+      WebGraph.frontier(
+        WebGraph.extractLinks(
+          WebGraph.syntheticLinkedPages(dd, col("doc_id"), col("text")),
+          col("html"), col("url")),
+        dd.select(WebGraph.syntheticUrl(col("doc_id")).as("url")), perHost = 2)
+    }),
     // exact integer PageRank over the EXTRACTED host graph — markup to
     // authority scores end-to-end, all relational
     "web_pagerank" -> ((s, d) => {
@@ -2535,6 +2545,17 @@ object SparkEntry {
          |SELECT dst, term, n,
          |       row_number() OVER (PARTITION BY dst ORDER BY n DESC, term)::BIGINT AS rank
          |FROM ac QUALIFY rank <= 2""".stripMargin,
+    "web_frontier" ->
+      s"""WITH $webLinksCtes,
+         |cand AS (SELECT dst, count(*)::BIGINT AS n_inlinks,
+         |       count(DISTINCT regexp_extract(src, '^[a-z]+://([^/]+)', 1))::BIGINT AS n_src_hosts
+         |       FROM weblinks GROUP BY dst),
+         |crawled AS (SELECT 'https://h' || (doc_id % 40) || '.example.test/doc/' || doc_id AS url FROM documents),
+         |uncrawled AS (SELECT * FROM cand WHERE dst NOT IN (SELECT url FROM crawled))
+         |SELECT dst AS url, n_inlinks, n_src_hosts,
+         |       row_number() OVER (PARTITION BY regexp_extract(dst, '^[a-z]+://([^/]+)', 1)
+         |                          ORDER BY n_src_hosts DESC, n_inlinks DESC, dst)::BIGINT AS rank
+         |FROM uncrawled QUALIFY rank <= 2""".stripMargin,
     "web_pagerank" ->
       s"""WITH $webLinksCtes,
          |$webHostsCte,

@@ -42,6 +42,10 @@ import graft.ner.{BracketNer, CapitalizedNer}
   *          --fused on (zero-token-allocation kernel: triples + graph only,
   *            no contents/predict exports — the 10^12-page production shape;
   *            composes with --checkpoint for resumable fused runs)
+  *          --links DIR (web-link-graph side channel from the same page set:
+  *            (src, dst, anchor) parquet + host-graph csv via ops/WebGraph —
+  *            row-local, adds no shuffle; markup-less sources contribute
+  *            nothing; fixture input: `runMain graft.tools.WarcFixture`)
   *          --edge-store DIR --batch-id ID (continuous KG maintenance: fold
   *            this batch's unfiltered edge counts into the persistent
   *            EdgeStore — exactly-once per batch id — and emit the graph
@@ -147,6 +151,21 @@ object Infer {
     }
     val fusedCfg = KgPipeline.Config(sampler =
       Sampler.Config(termsPerContext = tpc, distInTermsBound = tpc, renderText = false))
+
+    // --links DIR: web-link-graph side channel off the SAME page set —
+    // (src, dst, anchor) parquet plus the host-coarsened graph csv
+    // (ops/WebGraph.scala). Row-local extraction, so it adds no shuffle to
+    // the run; sources without markup (txt/csv/jsonl: html is null) simply
+    // contribute no links. Composes with every page source incl. --warc.
+    opts.get("--links").foreach { dir =>
+      import org.apache.spark.sql.functions.col
+      val links = graft.ops.WebGraph.extractLinks(
+          pages.toDF().filter(col("html").isNotNull), col("html"), col("url"))
+        .localCheckpoint() // one page scan feeds both the link and host outputs
+      links.write.mode(SaveMode.Overwrite).parquet(s"$dir/links")
+      graft.io.Sinks.csv(graft.ops.WebGraph.hostGraph(links), s"$dir/hosts")
+      println(s"""{"links_out":"$dir","links":${links.count()}}""")
+    }
 
     // resumable path: triples written bucket-checkpointed, then exit
     opts.get("--checkpoint").foreach { ckptDir =>

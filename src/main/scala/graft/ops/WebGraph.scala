@@ -122,6 +122,37 @@ object WebGraph {
       .select(col("dst"), col("term"), col("n"), col("rank").cast("long"))
   }
 
+  /** Crawl-frontier selection: discovered-but-uncrawled urls, prioritized
+    * by endorsement and capped per host (politeness). `links` is an
+    * [[extractLinks]] relation; `crawled` any relation with a `url` column
+    * of already-fetched canonical urls. Per candidate url the score is
+    * (distinct linking hosts, total in-links) — host diversity first, the
+    * same endorsement-over-navigation ordering as [[inLinkProfile]] — and
+    * `perHost` caps how many urls any single target host contributes
+    * (a crawler's politeness budget).
+    *
+    * Shape at 10^12 urls: one partial-agg exchange on dst, a shuffle
+    * LEFT ANTI join against the crawled set (both sides hash-partitioned
+    * on url — never broadcast: the crawled set is the big one), and the
+    * per-host cap is a WindowGroupLimit, so only `perHost` rows per host
+    * survive the sort. Output: (url, n_inlinks, n_src_hosts, rank). */
+  def frontier(links: DataFrame, crawled: DataFrame, perHost: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = links
+      .select(col("dst"), UrlOps.hostOf(col("src")).as("src_host"))
+      .groupBy(col("dst"))
+      .agg(count(lit(1)).as("n_inlinks"),
+        count_distinct(col("src_host")).as("n_src_hosts"))
+      .join(crawled.select(col("url").as("dst")), Seq("dst"), "left_anti")
+    cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(UrlOps.hostOf(col("dst")))
+          .orderBy(col("n_src_hosts").desc, col("n_inlinks").desc, col("dst").asc)))
+      .filter(col("rank") <= perHost)
+      .select(col("dst").as("url"), col("n_inlinks"), col("n_src_hosts"),
+        col("rank").cast("long"))
+  }
+
   // ------------------------------------------------------------------
   // Deterministic linked-page fixture (the oracle mirror).
   //

@@ -75,6 +75,25 @@ class WebGraphSpec extends AnyFunSuite with SparkTestSession {
     assert(got === want)
   }
 
+  test("frontier: uncrawled candidates, host-diverse priority, per-host politeness cap") {
+    val l = Seq(
+      ("https://a.test/1", "https://new.test/x", "nx"),
+      ("https://b.test/1", "https://new.test/x", "nx"),
+      ("https://a.test/1", "https://new.test/y", "ny"),
+      ("https://a.test/2", "https://new.test/y", "ny"),
+      ("https://a.test/1", "https://new.test/z", "nz"),
+      ("https://a.test/1", "https://old.test/seen", "s"))
+      .toDF("src", "dst", "anchor")
+    val crawled = Seq("https://old.test/seen").toDF("url")
+    val got = WebGraph.frontier(l, crawled, perHost = 2)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // x: 2 links from 2 hosts outranks y: 2 links 1 host; z (1/1) cut by the cap;
+    // old.test/seen is already crawled
+    assert(got === Set(
+      ("https://new.test/x", 2L, 2L, 1L),
+      ("https://new.test/y", 2L, 1L, 2L)))
+  }
+
   test("hostGraph / inLinkProfile / anchorTermProfile aggregate the link relation") {
     val l = Seq(
       ("https://a.test/1", "https://b.test/x", "big cats"),
