@@ -139,7 +139,8 @@ object Bench {
       "layout_zorder", "text_c4_filter", "text_gopher_rules", "text_pii_scrub",
       "dedup_paragraphs", "curate_boilerplate", "kg_triple_pr", "ann_kmeans_store",
       "events_retention", "events_anomaly", "events_stickiness",
-      "web_links", "web_host_graph", "web_pagerank",
+      "web_links", "web_host_graph", "web_pagerank", "web_frontier",
+      "kg_betweenness", "curate_mixture",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
     val spark = SparkSession.builder()

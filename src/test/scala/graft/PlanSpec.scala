@@ -224,6 +224,28 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"ntriples must be map-side over edges:\n$pNt")
   }
 
+  test("web_links: extraction is shuffle-free and prunes the documents scan") {
+    val p = planOf("web_links")
+    assert(!p.contains("Exchange"), s"link extraction must be row-local:\n$p")
+    assert(p.contains("struct<doc_id:bigint,text:string>"), p)
+    assert(!p.contains("n_chars") && !p.contains("source"),
+      "unused documents columns must be pruned")
+  }
+
+  test("web_host_graph: one exchange (the partial-agg host rollup), nothing else") {
+    val p = planOf("web_host_graph")
+    assert("Exchange".r.findAllIn(p).size == 1, s"host rollup must be one shuffle:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
+  test("web_pagerank / web_frontier: extracted-graph iterations stay key-joined") {
+    for (q <- Seq("web_pagerank", "web_frontier")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n$p")
+    }
+  }
+
   test("entry: flagship pipeline has no shuffle before the final aggregation") {
     val df = SparkEntry.entry(spark)
     val p = df.queryExecution.executedPlan.toString
