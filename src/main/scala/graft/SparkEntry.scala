@@ -39,6 +39,19 @@ object SparkEntry {
         .when(did % 4 === 2, lit("?b=2&a=1")).otherwise(lit("")),
       when(did % 5 === 0, lit("#section-2")).otherwise(lit("")))
 
+  /** ccSLD-varied host fixture for the registrable-domain rollup: the suffix
+    * family cycles through plain TLDs and [[UrlOps.ccSlds]] members so the
+    * 2-vs-3-label decision is really exercised; the oracle replays the same
+    * formula and the same pinned suffix set. */
+  private def tldUrl(did: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("https://w"), pmod(did, lit(7L)).cast("string"), lit("."),
+      when(pmod(did, lit(5L)) === 0L, lit("shop.co.uk"))
+        .when(pmod(did, lit(5L)) === 1L, lit("example.com"))
+        .when(pmod(did, lit(5L)) === 2L, lit("site.org"))
+        .when(pmod(did, lit(5L)) === 3L, lit("labs.com.au"))
+        .otherwise(lit("blog.co.jp")),
+      lit("/p/"), did.cast("string"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- KG pipeline over documents (SURVEY §2.3/2.4/2.5: P2/P3/P5, J1/F1, A1-A5)
     "kg_mentions" -> ((s, d) => DocKg.mentions(s, d)
@@ -670,6 +683,17 @@ object SparkEntry {
       WebGraph.extractLinks(
         WebGraph.syntheticLinkedPages(docs(s, d), col("doc_id"), col("text")),
         col("html"), col("url")), k = 2)),
+    // rel=canonical declarations out of the <head> (both attribute orders +
+    // quote styles; the stylesheet <link> decoy must not extract) — the
+    // publisher's own duplicate-alias signal, row-local
+    "web_canonical" -> ((s, d) => WebGraph.extractCanonical(
+      WebGraph.syntheticLinkedPages(docs(s, d), col("doc_id"), col("text")),
+      col("html"), col("url"))),
+    // registrable-domain (PLD) rollup over ccSLD-varied hosts: w3.shop.co.uk
+    // groups under shop.co.uk, w2.example.com under example.com
+    "web_domains" -> ((s, d) => docs(s, d)
+      .select(UrlOps.registrableDomain(tldUrl(col("doc_id"))).as("domain"))
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))),
     // crawl-frontier selection: discovered-but-uncrawled urls by host-diverse
     // endorsement, capped per host (politeness) — anti-join + WindowGroupLimit
     "web_frontier" -> ((s, d) => {
@@ -2545,6 +2569,23 @@ object SparkEntry {
          |SELECT dst, term, n,
          |       row_number() OVER (PARTITION BY dst ORDER BY n DESC, term)::BIGINT AS rank
          |FROM ac QUALIFY rank <= 2""".stripMargin,
+    "web_canonical" ->
+      """SELECT 'https://h' || (doc_id % 40) || '.example.test/doc/' || doc_id AS url,
+        |       'https://h' || ((doc_id - doc_id % 2) % 40) || '.example.test/doc/' || (doc_id - doc_id % 2) AS canonical
+        |FROM documents""".stripMargin,
+    "web_domains" ->
+      s"""WITH h AS (SELECT 'w' || (doc_id % 7) || '.' ||
+         |  CASE doc_id % 5 WHEN 0 THEN 'shop.co.uk' WHEN 1 THEN 'example.com'
+         |    WHEN 2 THEN 'site.org' WHEN 3 THEN 'labs.com.au' ELSE 'blog.co.jp' END AS host
+         |  FROM documents),
+         |p AS (SELECT string_split(host, '.') AS parts, host FROM h),
+         |d AS (SELECT CASE
+         |  WHEN len(parts) <= 2 THEN host
+         |  WHEN (parts[len(parts)-1] || '.' || parts[len(parts)]) IN
+         |    (${graft.ops.UrlOps.ccSlds.map(s => s"'$s'").mkString(", ")})
+         |    THEN parts[len(parts)-2] || '.' || parts[len(parts)-1] || '.' || parts[len(parts)]
+         |  ELSE parts[len(parts)-1] || '.' || parts[len(parts)] END AS domain FROM p)
+         |SELECT domain, count(*)::BIGINT AS n_docs FROM d GROUP BY domain""".stripMargin,
     "web_frontier" ->
       s"""WITH $webLinksCtes,
          |cand AS (SELECT dst, count(*)::BIGINT AS n_inlinks,

@@ -61,6 +61,36 @@ object UrlOps {
     lower(regexp_extract(trim(url),
       "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/:?#]+)", 1))
 
+  /** Country-code second-level suffixes under which a THIRD label is needed
+    * to make a registrable domain (the high-traffic subset of the public
+    * suffix list; the full PSL is a data-file swap behind the same column
+    * expression — this subset is pinned so the DuckDB oracle can replay the
+    * identical decision). */
+  val ccSlds: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "com.tr",
+    "com.ar", "co.za", "com.sg", "com.hk", "co.nz", "com.tw")
+
+  /** Registrable domain (pay-level domain): the host's last two labels, or
+    * last three when the 2-label suffix is a [[ccSlds]] country-code SLD —
+    * the grouping key for domain-level corpus caps and the host-graph
+    * coarsening one level above [[hostOf]] (`w3.shop.co.uk` and
+    * `w5.shop.co.uk` are the same publisher). Total: IP literals,
+    * single-label hosts and scheme-less junk pass through as [[hostOf]]'s
+    * result. Pure codegen'd built-ins (split / element_at / isin). */
+  def registrableDomain(url: Column): Column = {
+    val host = hostOf(url)
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val last3 = concat_ws(".", element_at(parts, -3), element_at(parts, -2),
+      element_at(parts, -1))
+    when(n <= 2, host)
+      .when(last2.isin(ccSlds: _*), last3)
+      .otherwise(last2)
+  }
+
   /** Per-host document cap — domain balancing for training corpora: no host
     * contributes more than `cap` documents. The keep decision is a
     * deterministic md5 rank within the host (ties broken by id), so reruns

@@ -122,6 +122,29 @@ object WebGraph {
       .select(col("dst"), col("term"), col("n"), col("rank").cast("long"))
   }
 
+  private val LinkTagPat = "(?is)<link\\b[^>]*>"
+
+  /** `<link rel="canonical">` extraction: one (url, canonical) row per
+    * canonical declaration — the publisher's own duplicate-alias signal,
+    * which a crawl pipeline folds into exact dedup (group by canonical
+    * instead of fetched url) and into frontier dedup. Attribute order and
+    * quote style are free (`rel` before or after `href`, single or double
+    * quotes, self-closing tags); relative hrefs resolve like anchors.
+    * Row-local, no shuffle; pages without a canonical contribute nothing;
+    * a page declaring several canonicals (malformed but seen in the wild)
+    * emits one row each — callers decide the tiebreak. */
+  def extractCanonical(pages: DataFrame, html: Column, url: Column): DataFrame = {
+    val h = decode(html.cast("binary"), "UTF-8")
+    val src = UrlOps.canonicalizeUrl(url)
+    pages.select(src.as("url"),
+        explode(regexp_extract_all(h, lit(LinkTagPat), lit(0))).as("tag"))
+      .filter(lower(col("tag")).rlike("\\brel\\s*=\\s*[\"']?canonical\\b"))
+      .select(col("url"),
+        regexp_extract(col("tag"), "(?i)\\bhref\\s*=\\s*[\"']([^\"']*)[\"']", 1).as("href"))
+      .filter(col("href") =!= "")
+      .select(col("url"), resolveHref(col("url"), col("href")).as("canonical"))
+  }
+
   /** Crawl-frontier selection: discovered-but-uncrawled urls, prioritized
     * by endorsement and capped per host (politeness). `links` is an
     * [[extractLinks]] relation; `crawled` any relation with a `url` column
@@ -172,6 +195,11 @@ object WebGraph {
   //   anchor: "see topic{dst_id%7} doc {dst_id}"
   // plus three decoys that must NOT extract: an <a> without href, a
   // fragment-only link, and a mailto link.
+  // The <head> carries a rel=canonical declaration to doc (i - i%2) — odd
+  // pages alias their even predecessor, even pages self-canonicalize —
+  // with attribute ORDER and QUOTE STYLE varied by parity (even:
+  // rel-then-href double-quoted; odd: href-then-rel single-quoted,
+  // self-closing), plus a rel=stylesheet decoy that must NOT extract.
   // ------------------------------------------------------------------
 
   def syntheticUrl(id: Column): Column =
@@ -190,8 +218,15 @@ object WebGraph {
         .otherwise(concat(lit("<li><a href='/doc/"), dst.cast("string"),
           lit("'>"), anchor, lit("</a></li>")))
     })
+    val canonId = id - pmod(id, lit(2L))
+    val canonUrl = concat(lit("https://h"), pmod(canonId, lit(40L)).cast("string"),
+      lit(".example.test/doc/"), canonId.cast("string"))
+    val canonTag = when(pmod(id, lit(2L)) === 0L,
+      concat(lit("<link rel=\"canonical\" href=\""), canonUrl, lit("\">")))
+      .otherwise(concat(lit("<link href='"), canonUrl, lit("' rel='canonical'/>")))
     concat(
-      lit("<html><head><title>t</title></head><body><p>"), text,
+      lit("<html><head><title>t</title>"), canonTag,
+      lit("<link rel=\"stylesheet\" href=\"/s.css\"></head><body><p>"), text,
       lit("</p><a name=\"x\">not a link</a><a href=\"#top\">top</a>" +
         "<a href=\"mailto:a@b.c\">mail</a><ul>"),
       array_join(items, ""),

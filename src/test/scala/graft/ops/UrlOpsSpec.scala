@@ -58,6 +58,18 @@ class UrlOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Seq("www.example.com", "a.b.c", "example.com", "[::1]", ""))
   }
 
+  test("registrableDomain: last two labels, three under a ccSLD; total on junk") {
+    val got = Seq(
+      "https://w3.shop.co.uk/p", "https://deep.w3.shop.co.uk/p",
+      "https://w2.example.com/p", "https://example.com/p",
+      "https://co.uk/p", // the suffix ITSELF as host: 2 labels -> unchanged
+      "https://localhost/p", "http://[::1]/x", "junk")
+      .toDF("url").select(UrlOps.registrableDomain(col("url")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("shop.co.uk", "shop.co.uk", "example.com", "example.com",
+      "co.uk", "localhost", "[::1]", ""))
+  }
+
   test("hostCap: cap enforced per host, under-cap hosts whole, partition-invariant") {
     // host h0: 50 docs, host h1: 7 docs, cap 10
     val docs = ((0 until 50).map(i => (i.toLong, s"https://h0.com/p$i")) ++

@@ -75,6 +75,33 @@ class WebGraphSpec extends AnyFunSuite with SparkTestSession {
     assert(got === want)
   }
 
+  test("extractCanonical: both attribute orders and quotes, stylesheet decoy, resolution") {
+    val html =
+      """<html><head><link rel="stylesheet" href="/s.css">
+        |<link rel="canonical" href="/canon">
+        |<LINK HREF='https://other.test/c' REL='canonical'/></head><body/></html>""".stripMargin
+    val got = WebGraph.extractCanonical(
+      Seq(("https://h.test/p?x=1", html.getBytes("UTF-8"))).toDF("url", "html"),
+      col("html"), col("url")).as[(String, String)].collect().toList
+    assert(got === List(
+      ("https://h.test/p?x=1", "https://h.test/canon"),
+      ("https://h.test/p?x=1", "https://other.test/c")))
+  }
+
+  test("synthetic fixture: canonical declarations recover the alias formula") {
+    val ids = (0L until 20L).toList
+    val docsDf = ids.map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val got = WebGraph.extractCanonical(
+      WebGraph.syntheticLinkedPages(docsDf, col("doc_id"), col("text")),
+      col("html"), col("url")).as[(String, String)].collect().toSet
+    val want = ids.map { i =>
+      val c = i - i % 2
+      (s"https://h${i % 40}.example.test/doc/$i",
+        s"https://h${c % 40}.example.test/doc/$c")
+    }.toSet
+    assert(got === want)
+  }
+
   test("frontier: uncrawled candidates, host-diverse priority, per-host politeness cap") {
     val l = Seq(
       ("https://a.test/1", "https://new.test/x", "nx"),
