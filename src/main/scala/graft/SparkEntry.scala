@@ -52,6 +52,37 @@ object SparkEntry {
         .otherwise(lit("blog.co.jp")),
       lit("/p/"), did.cast("string"))
 
+  /** Robots.txt fixture per synthetic host k (= doc_id % 40): the four k%4
+    * classes exercise longest-prefix precedence in BOTH directions, the
+    * non-* group filter, stacked user-agent lines, comments and crawl-delay.
+    * The engine PARSES these bodies; the oracle replays the class outcome. */
+  private def robotsBody(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(pmod(k, lit(4L)) === 0L,
+      lit("User-agent: *\nDisallow: /doc\nAllow: /do\n"))
+      .when(pmod(k, lit(4L)) === 1L,
+        lit("User-agent: *\nDisallow: /doc\nAllow: /doc/\n"))
+      .when(pmod(k, lit(4L)) === 2L,
+        lit("User-agent: googlebot\nDisallow: /\n"))
+      .otherwise(concat(
+        lit("User-agent: *\nUser-agent: extra\nDisallow: /\nCrawl-delay: "),
+        (pmod(k, lit(7L)) + 1L).cast("string"), lit("\n# note\n")))
+
+  /** The 40 synthetic hosts with their robots bodies. */
+  private def robotsHosts(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(pmod(col("doc_id"), lit(40L)).as("k")).distinct()
+      .select(concat(lit("h"), col("k").cast("string"), lit(".example.test")).as("host"),
+        robotsBody(col("k")).as("body"), col("k"))
+
+  /** Sitemap xml fixture per synthetic host k: three <loc> entries (urls
+    * /doc/{k*3+j}) with whitespace padding the engine must trim. */
+  private def sitemapXml(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("<?xml version=\"1.0\"?><urlset>"),
+      array_join(transform(sequence(lit(0L), lit(2L)), j =>
+        concat(lit("<url><loc>  https://h"), k.cast("string"),
+          lit(".example.test/doc/"), (k * 3L + j).cast("string"),
+          lit("  </loc><lastmod>2026-01-01</lastmod></url>"))), ""),
+      lit("</urlset>"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- KG pipeline over documents (SURVEY §2.3/2.4/2.5: P2/P3/P5, J1/F1, A1-A5)
     "kg_mentions" -> ((s, d) => DocKg.mentions(s, d)
@@ -683,6 +714,26 @@ object SparkEntry {
       WebGraph.extractLinks(
         WebGraph.syntheticLinkedPages(docs(s, d), col("doc_id"), col("text")),
         col("html"), col("url")), k = 2)),
+    // robots-exclusion over the EXTRACTED link targets: parse per-host
+    // robots.txt bodies (typed row-local flatMap), evaluate RFC-9309
+    // longest-prefix/allow-wins precedence per candidate url via one
+    // argmax-by-struct aggregation (ops/Robots.scala)
+    "web_robots" -> ((s, d) => {
+      val dd = docs(s, d)
+      val links = WebGraph.extractLinks(
+        WebGraph.syntheticLinkedPages(dd, col("doc_id"), col("text")),
+        col("html"), col("url"))
+      graft.ops.Robots.allowed(links.select(col("dst")), col("dst"),
+        graft.ops.Robots.rules(robotsHosts(s, d), col("host"), col("body")).toDF())
+    }),
+    // crawl-delay seconds of the * group, hosts that declare one
+    "web_crawl_delays" -> ((s, d) => graft.ops.Robots.crawlDelays(
+      robotsHosts(s, d), col("host"), col("body"))),
+    // sitemap <loc> crawl seeding: whitespace-padded entries trimmed +
+    // canonicalized, row-local
+    "web_sitemap" -> ((s, d) => WebGraph.extractSitemapUrls(
+      robotsHosts(s, d).select(col("host"), sitemapXml(col("k")).as("xml")),
+      col("xml"), col("host"))),
     // rel=canonical declarations out of the <head> (both attribute orders +
     // quote styles; the stylesheet <link> decoy must not extract) — the
     // publisher's own duplicate-alias signal, row-local
@@ -2569,6 +2620,24 @@ object SparkEntry {
          |SELECT dst, term, n,
          |       row_number() OVER (PARTITION BY dst ORDER BY n DESC, term)::BIGINT AS rank
          |FROM ac QUALIFY rank <= 2""".stripMargin,
+    "web_robots" ->
+      s"""WITH $webLinksCtes,
+         |cand AS (SELECT DISTINCT dst FROM weblinks),
+         |kn AS (SELECT dst, regexp_extract(dst, '^https://h(\\d+)\\.', 1)::BIGINT AS k FROM cand)
+         |SELECT dst AS url,
+         |       CASE k % 4 WHEN 0 THEN false WHEN 1 THEN true
+         |                  WHEN 2 THEN true ELSE false END AS allowed
+         |FROM kn""".stripMargin,
+    "web_crawl_delays" ->
+      """WITH ks AS (SELECT DISTINCT doc_id % 40 AS k FROM documents)
+        |SELECT 'h' || k || '.example.test' AS host, (k % 7 + 1)::BIGINT AS delay_sec
+        |FROM ks WHERE k % 4 = 3""".stripMargin,
+    "web_sitemap" ->
+      """WITH ks AS (SELECT DISTINCT doc_id % 40 AS k FROM documents),
+        |j AS (SELECT k, unnest(range(0, 3)) AS j FROM ks)
+        |SELECT 'h' || k || '.example.test' AS sitemap_host,
+        |       'https://h' || k || '.example.test/doc/' || (k * 3 + j) AS url
+        |FROM j""".stripMargin,
     "web_canonical" ->
       """SELECT 'https://h' || (doc_id % 40) || '.example.test/doc/' || doc_id AS url,
         |       'https://h' || ((doc_id - doc_id % 2) % 40) || '.example.test/doc/' || (doc_id - doc_id % 2) AS canonical

@@ -145,6 +145,23 @@ object WebGraph {
       .select(col("url"), resolveHref(col("url"), col("href")).as("canonical"))
   }
 
+  /** Sitemap `<loc>` extraction — crawl seeding from the publisher's own
+    * url inventory. Row-local regex over the xml body; surrounding
+    * whitespace inside `<loc>` is trimmed, the five predefined XML entities
+    * are decoded (`&amp;` LAST, so `&amp;lt;` correctly yields the literal
+    * `&lt;`), empty entries dropped, results canonicalized.
+    * Output: (sitemap_host, url). */
+  def extractSitemapUrls(docs: DataFrame, xml: Column, host: Column): DataFrame = {
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(col("loc")) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    docs.select(host.as("sitemap_host"),
+        explode(regexp_extract_all(xml.cast("string"),
+          lit("(?is)<loc>\\s*(.*?)\\s*</loc>"), lit(1))).as("loc"))
+      .filter(col("loc") =!= "")
+      .select(col("sitemap_host"), UrlOps.canonicalizeUrl(decoded).as("url"))
+  }
+
   /** Crawl-frontier selection: discovered-but-uncrawled urls, prioritized
     * by endorsement and capped per host (politeness). `links` is an
     * [[extractLinks]] relation; `crawled` any relation with a `url` column
