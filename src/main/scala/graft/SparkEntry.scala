@@ -637,6 +637,16 @@ object SparkEntry {
     // exact corpus length percentiles via the value histogram
     "text_len_quantiles" -> ((s, d) =>
       TextStats.histogramQuantiles(docs(s, d), col("n_chars"), Seq(0.5, 0.9, 0.99))),
+    // TF-IDF retrieval: every 25th doc's first 3 tokens as the query set,
+    // top-3 docs per query over the inverted-index join (all-integer score)
+    "text_tfidf_retrieve" -> ((s, d) => {
+      val dd = docs(s, d)
+      val qs = dd.filter(pmod(col("doc_id"), lit(25L)) === 0L)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 3), " ").as("qtext"))
+      TextStats.tfIdfRetrieve(dd, col("text"), col("doc_id"),
+        qs, col("qid"), col("qtext"), k = 3)
+    }),
     // ---- multimodal plumbing: opaque binary column + typed metadata
     "mm_binary_meta" -> ((s, d) => docs(s, d)
       .select(col("doc_id"),
@@ -2389,6 +2399,20 @@ object SparkEntry {
          |       FROM tf JOIN dft USING (term) CROSS JOIN nd),
          |r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, term) AS rank FROM sc)
          |SELECT id, rank, term, tf, df, score FROM r WHERE rank <= 5""".stripMargin,
+    "text_tfidf_retrieve" ->
+      s"""WITH $toksCte,
+         |tm AS (SELECT doc_id AS id, unnest(terms) AS term FROM toks),
+         |tf AS MATERIALIZED (SELECT id, term, count(*)::BIGINT AS tf FROM tm WHERE term <> '' GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT id)::BIGINT AS n_docs FROM tf),
+         |post AS MATERIALIZED (SELECT term, id, CAST(tf * ((length(bin(n_docs)) - 1) - (length(bin(df)) - 1)) AS BIGINT) AS w
+         |       FROM tf JOIN dft USING (term) CROSS JOIN nd),
+         |qt AS (SELECT doc_id AS qid, unnest(list_distinct(terms[1:3])) AS term
+         |       FROM toks WHERE doc_id % 25 = 0),
+         |sc AS (SELECT qid, id, CAST(sum(w) AS BIGINT) AS score
+         |       FROM qt JOIN post USING (term) WHERE term <> '' GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank FROM sc)
+         |SELECT qid, rank::BIGINT AS rank, id AS doc_id, score FROM r WHERE rank <= 3""".stripMargin,
     "text_len_quantiles" ->
       s"""WITH h AS MATERIALIZED (SELECT n_chars AS v, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
          |c AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM h),

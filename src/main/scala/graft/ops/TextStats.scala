@@ -203,6 +203,45 @@ object TextStats {
         col("tf"), col("df"), col("score"))
   }
 
+  /** Distributed TF-IDF retrieval: top-k documents per query through an
+    * inverted-index join — the data-curation retrieval step (targeted
+    * corpus slices, eval-set neighbor mining) with the SAME all-integer
+    * weight as [[tfIdfTopK]]: tf · (ilog2(N) − ilog2(df)), so the ranking
+    * is bit-identical cross-engine. A query term counts once (document tf
+    * carries the weight); terms absent from the corpus contribute nothing.
+    *
+    * Shape at corpus scale: postings (tf) build is one exchange; the
+    * query-term join is keyed on term — the classic inverted-index shape.
+    * Ultra-common terms make hot postings keys: `maxDf` > 0 drops terms in
+    * more than that many documents BEFORE the join (stop-listing — they
+    * carry near-zero idf weight but full join cost; at web scale always
+    * set it). Top-k per query is a WindowGroupLimit.
+    * Output: (qid, rank, doc_id, score). */
+  def tfIdfRetrieve(docs: DataFrame, text: Column, id: Column,
+      queries: DataFrame, qid: Column, qtext: Column,
+      k: Int, maxDf: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(id.as("id"), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df, N and the postings join
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val capped = if (maxDf > 0) dft.filter(col("df") <= maxDf) else dft
+    val nd = tf.agg(countDistinct(col("id")).cast("long").as("n_docs"))
+    val postings = tf.join(capped, "term").crossJoin(broadcast(nd))
+      .withColumn("w",
+        col("tf") * (LangModel.ilog2(col("n_docs")) - LangModel.ilog2(col("df"))))
+    val qt = queries
+      .select(qid.as("qid"), explode(array_distinct(tokens(qtext))).as("term"))
+      .filter(col("term") =!= "")
+    val scored = qt.join(postings, "term")
+      .groupBy(col("qid"), col("id")).agg(sum(col("w")).as("score"))
+    val win = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("doc_id"), col("score"))
+  }
+
   /** Exact quantiles by value histogram — the scale-correct exact-percentile
     * pattern when value cardinality << row count (lengths, scores, counts):
     * one aggregation to (value, cnt), a cumulative sum over the value-ordered

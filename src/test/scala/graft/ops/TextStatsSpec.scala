@@ -13,6 +13,30 @@ class TextStatsSpec extends AnyFunSuite with SparkTestSession {
         ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
   }
 
+  test("tfIdfRetrieve: distinctive query terms rank their source doc first; maxDf stop-lists") {
+    import spark.implicits._
+    // 'the' appears everywhere (idf weight 0 AND a hot postings key);
+    // zebra/quark are distinctive to docs 1 and 2
+    val docs = Seq(
+      (1L, "the zebra zebra runs"), (2L, "the quark spins"),
+      (3L, "the plain filler text"), (4L, "the other filler words"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "zebra"), (20L, "quark the")).toDF("qid", "qtext")
+    val got = TextStats.tfIdfRetrieve(docs, col("text"), col("doc_id"),
+      qs, col("qid"), col("qtext"), k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // zebra: only doc 1 (tf=2, idf=ilog2(4)-ilog2(1)=2 -> score 4)
+    // quark the: doc 2 scores quark (1*2) + the (1*0) = 2; docs 1/3/4 score 0 via 'the'
+    assert(got.contains((10L, 1L, 1L, 4L)))
+    assert(got.filter(_._1 == 20L).maxBy(r => (-r._2))._3 == 2L)
+    assert(got.count(_._1 == 10L) == 1L) // 'zebra' posting has one doc
+    // stop-listing: maxDf=3 drops 'the' postings entirely -> query 20 returns only doc 2
+    val capped = TextStats.tfIdfRetrieve(docs, col("text"), col("doc_id"),
+      qs, col("qid"), col("qtext"), k = 2, maxDf = 3L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(capped.filter(_._1 == 20L).map(_._3) == Set(2L))
+  }
+
   test("repetition: duplicate-line fraction counts repeated lines") {
     val m = rep(
       1L -> "unique one\nunique two\nunique three",
