@@ -140,6 +140,7 @@ object Bench {
       "dedup_paragraphs", "curate_boilerplate", "kg_triple_pr", "ann_kmeans_store",
       "events_retention", "events_anomaly", "events_stickiness",
       "web_links", "web_host_graph", "web_pagerank", "web_frontier",
+      "web_robots", "text_tfidf_retrieve",
       "kg_betweenness", "curate_mixture",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
