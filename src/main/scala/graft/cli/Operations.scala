@@ -17,6 +17,9 @@ import graft.graph.{D3Json, GraphOps}
   *   [--iters N] [--source NODE (PPR/BFS)] [--k N (KCORE/KTRUSS)]
   *   [--rounds N (KTRUSS peeling depth, default 8)] [--seed S (WALKS/NODE2VEC)]
   *   [--master local[N]]
+  * Analytics can also run straight over an `Infer --links` output instead of
+  * a force JSON: `--links-parquet DIR` loads DIR/links, host-coarsens and
+  * count-weights it — the crawl -> host-authority path with no JSON hop.
   * NTRIPLES writes <out>/graph.nt (RDF dump) instead of the csv.
   * DELTA reads BOTH --a and --b and writes the edge-level
   * added/removed/changed/stable diff as analytics.csv.
@@ -30,7 +33,7 @@ object Operations {
       "KTRUSS", "WALKS", "NODE2VEC", "DEGHIST", "ASSORT", "HARMONIC", "HYPERBALL",
       "NTRIPLES", "MIS", "KATZ", "MODULARITY", "SCC", "NEIGHBORHOOD", "CLOSENESS")
 
-  private def runAnalytics(a: Graph, b: Option[Graph], op: String,
+  private def runAnalytics(a: Option[Graph], b: Option[Graph], op: String,
       opts: Map[String, String], out: String): Unit = {
     val master = opts.getOrElse("--master",
       s"local[${math.min(8, Runtime.getRuntime.availableProcessors)}]")
@@ -41,7 +44,22 @@ object Operations {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val edges = a.links.map(l => (l.source, l.target, l.sent, l.c)).toDF("source", "target", "sent", "c")
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // --links-parquet DIR: analytics straight over an `Infer --links` link
+    // relation — host-coarsened, count-weighted (the crawl -> host-authority
+    // path with no JSON hop). Otherwise edges come from the --a force JSON.
+    val edges = opts.get("--links-parquet") match {
+      case Some(dir) =>
+        spark.read.parquet(s"$dir/links")
+          .select(graft.ops.UrlOps.hostOf(col("src")).as("source"),
+            graft.ops.UrlOps.hostOf(col("dst")).as("target"))
+          .groupBy(col("source"), col("target"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .select(col("source"), col("target"), lit("href").as("sent"), col("c"))
+      case None =>
+        val g = a.getOrElse(sys.error("--a (force JSON) or --links-parquet required"))
+        g.links.map(l => (l.source, l.target, l.sent, l.c)).toDF("source", "target", "sent", "c")
+    }
     val iters = opts.getOrElse("--iters", "3").toInt
     val result = op match {
       // --rank-store DIR: resume the exact iteration from the stored
@@ -188,13 +206,14 @@ object Operations {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     def read(p: String) = parseGraph(
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
-    val a = read(opts("--a"))
     val op = opts.getOrElse("--operation", GraphOps.Union)
     if (Analytics.contains(op) || op == "DELTA") {
       val bOpt = if (op == "DELTA") Some(read(opts("--b"))) else None
-      runAnalytics(a, bOpt, op, opts, opts.getOrElse("--out", sys.error("--out required")))
+      runAnalytics(opts.get("--a").map(read), bOpt, op, opts,
+        opts.getOrElse("--out", sys.error("--out required")))
       return
     }
+    val a = read(opts("--a"))
     val b = read(opts("--b"))
     val weights = opts.getOrElse("--weights", "y") == "y"
     val out = opts.getOrElse("--out", sys.error("--out required"))
