@@ -765,6 +765,21 @@ object SparkEntry {
           col("html"), col("url")),
         dd.select(WebGraph.syntheticUrl(col("doc_id")).as("url")), perHost = 2)
     }),
+    // the crawl scheduler's actual output: frontier candidates that the
+    // target host's robots.txt permits — endorsement ranking, politeness
+    // cap and robots-exclusion composed end-to-end
+    "web_frontier_allowed" -> ((s, d) => {
+      val dd = docs(s, d)
+      val frontier = WebGraph.frontier(
+        WebGraph.extractLinks(
+          WebGraph.syntheticLinkedPages(dd, col("doc_id"), col("text")),
+          col("html"), col("url")),
+        dd.select(WebGraph.syntheticUrl(col("doc_id")).as("url")), perHost = 2)
+      val verdicts = graft.ops.Robots.allowed(frontier.select(col("url")), col("url"),
+        graft.ops.Robots.rules(robotsHosts(s, d), col("host"), col("body")).toDF())
+      frontier.join(verdicts, Seq("url")).filter(col("allowed"))
+        .select(col("url"), col("n_inlinks"), col("n_src_hosts"), col("rank"))
+    }),
     // exact integer PageRank over the EXTRACTED host graph — markup to
     // authority scores end-to-end, all relational
     "web_pagerank" -> ((s, d) => {
@@ -2690,6 +2705,19 @@ object SparkEntry {
          |       row_number() OVER (PARTITION BY regexp_extract(dst, '^[a-z]+://([^/]+)', 1)
          |                          ORDER BY n_src_hosts DESC, n_inlinks DESC, dst)::BIGINT AS rank
          |FROM uncrawled QUALIFY rank <= 2""".stripMargin,
+    "web_frontier_allowed" ->
+      s"""WITH $webLinksCtes,
+         |cand AS (SELECT dst, count(*)::BIGINT AS n_inlinks,
+         |       count(DISTINCT regexp_extract(src, '^[a-z]+://([^/]+)', 1))::BIGINT AS n_src_hosts
+         |       FROM weblinks GROUP BY dst),
+         |crawled AS (SELECT 'https://h' || (doc_id % 40) || '.example.test/doc/' || doc_id AS url FROM documents),
+         |uncrawled AS (SELECT * FROM cand WHERE dst NOT IN (SELECT url FROM crawled)),
+         |fr AS (SELECT dst AS url, n_inlinks, n_src_hosts,
+         |       row_number() OVER (PARTITION BY regexp_extract(dst, '^[a-z]+://([^/]+)', 1)
+         |                          ORDER BY n_src_hosts DESC, n_inlinks DESC, dst)::BIGINT AS rank
+         |       FROM uncrawled QUALIFY rank <= 2)
+         |SELECT url, n_inlinks, n_src_hosts, rank FROM fr
+         |WHERE (regexp_extract(url, '^https://h(\\d+)\\.', 1)::BIGINT % 4) IN (1, 2)""".stripMargin,
     "web_pagerank" ->
       s"""WITH $webLinksCtes,
          |$webHostsCte,
