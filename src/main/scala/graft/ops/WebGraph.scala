@@ -176,15 +176,21 @@ object WebGraph {
     * on url — never broadcast: the crawled set is the big one), and the
     * per-host cap is a WindowGroupLimit, so only `perHost` rows per host
     * survive the sort. Output: (url, n_inlinks, n_src_hosts, rank). */
-  def frontier(links: DataFrame, crawled: DataFrame, perHost: Int = 2): DataFrame = {
+  def frontier(links: DataFrame, crawled: DataFrame, perHost: Int = 2): DataFrame =
+    frontierRank(
+      links.select(col("dst"), UrlOps.hostOf(col("src")).as("src_host"))
+        .groupBy(col("dst"))
+        .agg(count(lit(1)).as("n_inlinks"),
+          count_distinct(col("src_host")).as("n_src_hosts")),
+      crawled, perHost)
+
+  /** The ranking stage of [[frontier]] over an already-aggregated candidate
+    * profile (dst, n_inlinks, n_src_hosts) — shared with the store-backed
+    * continuous variant ([[frontierFromStore]]). */
+  def frontierRank(profile: DataFrame, crawled: DataFrame, perHost: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cand = links
-      .select(col("dst"), UrlOps.hostOf(col("src")).as("src_host"))
-      .groupBy(col("dst"))
-      .agg(count(lit(1)).as("n_inlinks"),
-        count_distinct(col("src_host")).as("n_src_hosts"))
+    profile
       .join(crawled.select(col("url").as("dst")), Seq("dst"), "left_anti")
-    cand
       .withColumn("rank", row_number().over(
         Window.partitionBy(UrlOps.hostOf(col("dst")))
           .orderBy(col("n_src_hosts").desc, col("n_inlinks").desc, col("dst").asc)))
@@ -192,6 +198,21 @@ object WebGraph {
       .select(col("dst").as("url"), col("n_inlinks"), col("n_src_hosts"),
         col("rank").cast("long"))
   }
+
+  /** Frontier over a persistent in-link store (see
+    * [[graft.streaming.StreamOps.frontierIngestStream]]): the store's
+    * `(dst url, src host, "inlink", cnt)` state rows aggregate to the same
+    * candidate profile a batch [[frontier]] computes, so a crawler can ask
+    * "what next" at any cadence without rescanning crawl history. */
+  def frontierFromStore(spark: org.apache.spark.sql.SparkSession, store: String,
+      crawled: DataFrame, perHost: Int = 2): DataFrame =
+    frontierRank(
+      graft.ops.EdgeStore.state(spark, store)
+        .filter(col("sent") === "inlink")
+        .groupBy(col("source").as("dst"))
+        .agg(sum(col("cnt")).as("n_inlinks"),
+          count_distinct(col("target")).as("n_src_hosts")),
+      crawled, perHost)
 
   // ------------------------------------------------------------------
   // Deterministic linked-page fixture (the oracle mirror).

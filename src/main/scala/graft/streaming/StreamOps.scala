@@ -325,6 +325,24 @@ object StreamOps {
     edgeIngestStream(relations, store, checkpoint, batchPrefix)
   }
 
+  /** Continuous frontier maintenance — the crawl-scheduler sibling of
+    * [[linkIngestStream]]: each crawl micro-batch's discovered links fold
+    * into the persistent [[graft.ops.EdgeStore]] as `(dst url, src host,
+    * "inlink")` count rows (exactly-once by epoch ledger), so
+    * [[graft.ops.WebGraph.frontierFromStore]] can answer "what should we
+    * fetch next" at any cadence without rescanning crawl history. State is
+    * one row per (discovered url, linking host) — the crawler's frontier
+    * DB, compacted by EdgeStore's merge on every fold. */
+  def frontierIngestStream(pages: DataFrame, store: String, checkpoint: String,
+      batchPrefix: String)(
+      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery = {
+    val links = graft.ops.WebGraph.extractLinks(pages, col("html"), col("url"))
+    edgeIngestStream(links.select(
+      col("dst").as("source"),
+      graft.ops.UrlOps.hostOf(col("src")).as("target"),
+      lit("inlink").as("sent")), store, checkpoint, batchPrefix)
+  }
+
   /** Continuous quantizer maintenance: each micro-batch of vectors folds
     * into the persistent [[graft.ops.CentroidStore]] under the store's
     * CURRENT derived centroids (the mini-batch k-means step). Sums need

@@ -336,6 +336,39 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(ranks.count() == 3)
   }
 
+  test("streaming frontier ingest: store-backed frontier == batch frontier over all links") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-frontier-ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-frontier-ckpt").toString
+    def page(url: String, hrefs: (String, String)*): (String, Array[Byte]) =
+      (url, hrefs.map { case (h, a) => s"""<a href="$h">$a</a>""" }
+        .mkString("<html><body>", "", "</body></html>").getBytes("UTF-8"))
+    val batch1 = Seq(
+      page("https://a.test/1", "https://new.test/x" -> "nx", "https://new.test/y" -> "ny"),
+      page("https://b.test/1", "https://new.test/x" -> "nx"))
+    val batch2 = Seq(
+      page("https://a.test/2", "https://new.test/y" -> "ny", "https://new.test/z" -> "nz",
+        "https://old.test/seen" -> "s"))
+    val mem = MemoryStream[(String, Array[Byte])]
+    val q = StreamOps.frontierIngestStream(
+      mem.toDF().toDF("url", "html"), store, ckpt, batchPrefix = "f")
+    mem.addData(batch1); q.processAllAvailable()
+    mem.addData(batch2); q.processAllAvailable(); q.stop()
+    val crawled = Seq("https://old.test/seen").toDF("url")
+    val fromStore = graft.ops.WebGraph.frontierFromStore(spark, store, crawled, perHost = 2)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // the batch answer over ALL links at once must match the accreted store
+    val allPages = (batch1 ++ batch2).toDF("url", "html")
+    val batchAnswer = graft.ops.WebGraph.frontier(
+      graft.ops.WebGraph.extractLinks(allPages, col("html"), col("url")),
+      crawled, perHost = 2).as[(String, Long, Long, Long)].collect().toSet
+    assert(fromStore === batchAnswer)
+    assert(fromStore === Set(
+      ("https://new.test/x", 2L, 2L, 1L),   // 2 links, 2 hosts
+      ("https://new.test/y", 2L, 1L, 2L)))  // 2 links, 1 host; z cut by cap
+  }
+
   test("vec ingest stream: micro-batches fold into the CentroidStore exactly once") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
