@@ -158,12 +158,29 @@ object Infer {
     // the run; sources without markup (txt/csv/jsonl: html is null) simply
     // contribute no links. Composes with every page source incl. --warc.
     opts.get("--links").foreach { dir =>
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, lit}
       val links = graft.ops.WebGraph.extractLinks(
           pages.toDF().filter(col("html").isNotNull), col("html"), col("url"))
         .localCheckpoint() // one page scan feeds both the link and host outputs
       links.write.mode(SaveMode.Overwrite).parquet(s"$dir/links")
       graft.io.Sinks.csv(graft.ops.WebGraph.hostGraph(links), s"$dir/hosts")
+      // --frontier-store DIR --batch-id ID: fold this batch's in-link
+      // evidence (dst url, src host) into the persistent frontier store —
+      // the batch counterpart of StreamOps.frontierIngestStream; query it
+      // with Operations --operation FRONTIER
+      opts.get("--frontier-store").foreach { storeDir =>
+        val batchId = opts.getOrElse("--batch-id",
+          sys.error("--frontier-store requires --batch-id (the idempotent-retry token)"))
+        val folded = graft.ops.EdgeStore.merge(
+          graft.graph.GraphBuilder.edgeState(links.select(
+            col("dst").as("source"),
+            graft.ops.UrlOps.hostOf(col("src")).as("target"),
+            lit("inlink").as("sent"))),
+          storeDir, s"frontier-$batchId")
+        if (!folded)
+          System.err.println(s"batch 'frontier-$batchId' already in $storeDir ledger; " +
+            "fold skipped (idempotent retry)")
+      }
       println(s"""{"links_out":"$dir","links":${links.count()}}""")
     }
 

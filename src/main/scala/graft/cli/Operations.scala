@@ -20,6 +20,9 @@ import graft.graph.{D3Json, GraphOps}
   * Analytics can also run straight over an `Infer --links` output instead of
   * a force JSON: `--links-parquet DIR` loads DIR/links, host-coarsens and
   * count-weights it — the crawl -> host-authority path with no JSON hop.
+  * FRONTIER reads the persistent in-link store instead (`--frontier-store
+  * DIR [--crawled PARQUET] [--per-host N]`) — the scheduler query over
+  * state accreted by `Infer --frontier-store` / frontierIngestStream.
   * NTRIPLES writes <out>/graph.nt (RDF dump) instead of the csv.
   * DELTA reads BOTH --a and --b and writes the edge-level
   * added/removed/changed/stable diff as analytics.csv.
@@ -31,7 +34,8 @@ object Operations {
   private val Analytics =
     Set("PAGERANK", "PPR", "HITS", "COMPONENTS", "LPA", "KCORE", "BFS", "CLUSTCOEFF",
       "KTRUSS", "WALKS", "NODE2VEC", "DEGHIST", "ASSORT", "HARMONIC", "HYPERBALL",
-      "NTRIPLES", "MIS", "KATZ", "MODULARITY", "SCC", "NEIGHBORHOOD", "CLOSENESS")
+      "NTRIPLES", "MIS", "KATZ", "MODULARITY", "SCC", "NEIGHBORHOOD", "CLOSENESS",
+      "FRONTIER")
 
   private def runAnalytics(a: Option[Graph], b: Option[Graph], op: String,
       opts: Map[String, String], out: String): Unit = {
@@ -48,7 +52,7 @@ object Operations {
     // --links-parquet DIR: analytics straight over an `Infer --links` link
     // relation — host-coarsened, count-weighted (the crawl -> host-authority
     // path with no JSON hop). Otherwise edges come from the --a force JSON.
-    val edges = opts.get("--links-parquet") match {
+    lazy val edges = opts.get("--links-parquet") match {
       case Some(dir) =>
         spark.read.parquet(s"$dir/links")
           .select(graft.ops.UrlOps.hostOf(col("src")).as("source"),
@@ -62,6 +66,16 @@ object Operations {
     }
     val iters = opts.getOrElse("--iters", "3").toInt
     val result = op match {
+      // FRONTIER: crawl-scheduler read over the persistent in-link store
+      // (Infer --frontier-store / StreamOps.frontierIngestStream feed it);
+      // --crawled PARQUET excludes already-fetched urls (url column)
+      case "FRONTIER" =>
+        val crawled = opts.get("--crawled")
+          .map(p => spark.read.parquet(p).select(col("url")))
+          .getOrElse(Seq.empty[String].toDF("url"))
+        graft.ops.WebGraph.frontierFromStore(spark,
+          opts.getOrElse("--frontier-store", sys.error("FRONTIER requires --frontier-store")),
+          crawled, opts.getOrElse("--per-host", "2").toInt)
       // --rank-store DIR: resume the exact iteration from the stored
       // snapshot and swap the advanced ranks back (continuous analytics
       // over the accreting KG — pairs with Infer's --edge-store)
