@@ -789,6 +789,28 @@ object SparkEntry {
       graft.graph.GraphOps.pageRank(WebGraph.hostGraph(links)
         .select(col("src_host").as("source"), col("dst_host").as("target"),
           col("n_links").cast("double").as("c")), iters = 3)
+    }),
+    // redirect-chain resolution by pointer doubling: 2 rounds resolve the
+    // fixture's <=3-hop chains; the oracle unrolls the same two rounds
+    "web_redirects" -> ((s, d) => WebGraph.resolveRedirects(
+      WebGraph.syntheticRedirects(docs(s, d), col("doc_id")), doublingRounds = 2)),
+    // evidence-diversity rollup per KG edge: mention multiplicity vs
+    // distinct-doc vs distinct-host support (spam-resistant confidence)
+    "kg_edge_evidence" -> ((s, d) => DocKg.edgeEvidence(s, d)),
+    // temporal KG rollup: first/last observation + distinct active days per
+    // edge from the per-doc warc_ts formula — integer epochs end-to-end
+    "kg_edge_history" -> ((s, d) => DocKg.edgeHistory(s, d)),
+    // TransE-style filtered negative sampling over the extracted host graph:
+    // deterministic bucket-ranked vocabulary draw, anti-joined against true
+    // edges — the KG-embedding training-data feed
+    "kg_negative_samples" -> ((s, d) => {
+      val links = WebGraph.extractLinks(
+        WebGraph.syntheticLinkedPages(docs(s, d), col("doc_id"), col("text")),
+        col("html"), col("url"))
+      graft.ops.KgEmbed.negativeTails(
+        WebGraph.hostGraph(links).select(col("src_host").as("source"),
+          lit("links").as("sent"), col("dst_host").as("target")),
+        seed = 7L, buckets = 8)
     })
   )
 
@@ -2724,6 +2746,65 @@ object SparkEntry {
          |edges AS (SELECT src_host AS source, dst_host AS target, count(*)::DOUBLE AS c
          |          FROM webhosts GROUP BY 1, 2),
          |${pageRankChainCtes(3)}
-         |SELECT id, r FROM r3""".stripMargin
+         |SELECT id, r FROM r3""".stripMargin,
+    // pointer doubling unrolled: after round k every chain <= 2^k is resolved
+    "web_redirects" ->
+      """WITH rd AS (SELECT
+        |  'https://h' || (doc_id % 40) || '.example.test/doc/' || doc_id AS src,
+        |  'https://h' || ((doc_id - 1) % 40) || '.example.test/doc/' || (doc_id - 1) AS dst
+        |  FROM documents WHERE doc_id % 4 <> 0),
+        |rr0 AS MATERIALIZED (SELECT src, dst AS cur, 1::BIGINT AS hops FROM rd),
+        |rr1 AS MATERIALIZED (SELECT a.src, coalesce(b.cur, a.cur) AS cur,
+        |       a.hops + coalesce(b.hops, 0) AS hops
+        |       FROM rr0 a LEFT JOIN rr0 b ON a.cur = b.src),
+        |rr2 AS (SELECT a.src, coalesce(b.cur, a.cur) AS cur,
+        |       a.hops + coalesce(b.hops, 0) AS hops
+        |       FROM rr1 a LEFT JOIN rr1 b ON a.cur = b.src)
+        |SELECT src AS url, cur AS final_url, hops FROM rr2""".stripMargin,
+    "kg_edge_evidence" ->
+      s"""WITH $triplesCte
+         |SELECT subj_type || '.' || subj AS source, obj_type || '.' || obj AS target,
+         |       pred AS sent, count(*)::BIGINT AS n_mentions,
+         |       count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |       count(DISTINCT 'h' || (doc_id % 40) || '.example.test')::BIGINT AS n_hosts
+         |FROM triples GROUP BY 1, 2, 3""".stripMargin,
+    "kg_edge_history" ->
+      s"""WITH $triplesCte,
+         |obs AS (SELECT subj_type || '.' || subj AS source, obj_type || '.' || obj AS target,
+         |        pred AS sent,
+         |        1700000000 + (doc_id % 14) * 86400 + (doc_id % 7) * 3600 AS ts
+         |        FROM triples)
+         |SELECT source, target, sent, count(*)::BIGINT AS n_obs,
+         |       min(ts)::BIGINT AS first_seen, max(ts)::BIGINT AS last_seen,
+         |       count(DISTINCT ts // 86400)::BIGINT AS n_days
+         |FROM obs GROUP BY 1, 2, 3""".stripMargin,
+    // deterministic bucket-ranked vocabulary draw + filtered anti-join,
+    // replayed symbolically (md5 mod arithmetic identical cross-engine)
+    "kg_negative_samples" ->
+      s"""WITH $webLinksCtes,
+         |$webHostsCte,
+         |hedges AS MATERIALIZED (SELECT DISTINCT src_host AS source, 'links' AS sent,
+         |         dst_host AS target FROM webhosts),
+         |vocab0 AS (SELECT source AS ent FROM hedges UNION SELECT target FROM hedges),
+         |vocab AS MATERIALIZED (SELECT ent,
+         |         ('0x' || substr(md5(ent), 1, 15))::BIGINT % 8 AS bucket FROM vocab0),
+         |vrank AS MATERIALIZED (SELECT ent, bucket,
+         |         row_number() OVER (PARTITION BY bucket ORDER BY ent) - 1 AS rnk FROM vocab),
+         |vcounts AS MATERIALIZED (SELECT bucket, count(*)::BIGINT AS n_ents,
+         |         row_number() OVER (ORDER BY bucket) - 1 AS occ_rank,
+         |         count(*) OVER ()::BIGINT AS n_occ
+         |         FROM vocab GROUP BY bucket),
+         |keyed AS (SELECT source, sent, target,
+         |          source || '|' || sent || '|' || target || '|7' AS key FROM hedges),
+         |pick AS (SELECT k.*, c.bucket AS pick_bucket, c.n_ents,
+         |         ('0x' || substr(md5(k.key || '#r'), 1, 15))::BIGINT % c.n_ents AS pick_rank
+         |         FROM keyed k JOIN vcounts c
+         |           ON ('0x' || substr(md5(k.key || '#b'), 1, 15))::BIGINT % c.n_occ = c.occ_rank),
+         |neg AS (SELECT p.source, p.sent, p.target, v.ent AS target_neg
+         |        FROM pick p JOIN vrank v ON v.bucket = p.pick_bucket AND v.rnk = p.pick_rank)
+         |SELECT n.source, n.sent, n.target, n.target_neg FROM neg n
+         |WHERE NOT EXISTS (SELECT 1 FROM hedges e
+         |                  WHERE e.source = n.source AND e.sent = n.sent
+         |                    AND e.target = n.target_neg)""".stripMargin
   )
 }

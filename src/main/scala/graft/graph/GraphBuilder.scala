@@ -72,6 +72,40 @@ object GraphBuilder {
       .groupBy(col("source"), col("target"), col("sent"))
       .agg(sum(col("cnt")).cast("long").as("cnt"))
 
+  /** Evidence-diversity rollup per edge: beyond raw multiplicity, how BROAD
+    * is the support — distinct documents and distinct hosts asserting the
+    * edge. At web scale raw mention count is gameable (one boilerplate
+    * template repeated across a single site inflates it); distinct-host
+    * support is the standard spam-resistant confidence signal, mirroring
+    * how [[graft.ops.WebGraph.inLinkProfile]] separates endorsement from
+    * same-site navigation. Input: per-mention relation
+    * (source, target, sent, doc_id, host); output adds
+    * (n_mentions, n_docs, n_hosts). One shuffle on the edge key; the two
+    * count-distincts share it (Expand, still a single exchange). */
+  def edgeEvidence(mentions: DataFrame): DataFrame =
+    mentions
+      .na.drop(Seq("source", "target", "sent"))
+      .groupBy(col("source"), col("target"), col("sent"))
+      .agg(count(lit(1)).as("n_mentions"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        count_distinct(col("host")).as("n_hosts"))
+
+  /** Temporal rollup per edge over the observation timestamp (epoch
+    * seconds, e.g. the BASELINE input shape's warc_ts): when was the edge
+    * first and last asserted, and on how many distinct UTC days — the
+    * temporal-KG maintenance signal (edge freshness / decay candidates /
+    * emerging relations) a continuously-crawling KG needs. Input:
+    * (source, target, sent, ts_epoch); integer epochs end-to-end, one
+    * shuffle on the edge key. */
+  def edgeHistory(observations: DataFrame): DataFrame =
+    observations
+      .na.drop(Seq("source", "target", "sent"))
+      .groupBy(col("source"), col("target"), col("sent"))
+      .agg(count(lit(1)).as("n_obs"),
+        min(col("ts_epoch")).as("first_seen"),
+        max(col("ts_epoch")).as("last_seen"),
+        count_distinct(floor(col("ts_epoch") / 86400L)).as("n_days"))
+
   /** Read the edge relation out of (possibly merged) state: min-links HAVING
     * (F5) + the weights toggle (U4). */
   def edgesFromState(state: DataFrame, minLinks: Double = 1, weights: Boolean = true): DataFrame = {

@@ -169,6 +169,33 @@ object DocKg {
         (col("c1") * col("c2")).as("w"))
   }
 
+  /** Per-triple observation rows with the edge key plus provenance columns
+    * (doc_id, host, ts_epoch) — the input shape for the evidence/temporal
+    * rollups. The documents table has no url/warc_ts column, so host and
+    * timestamp come from the same deterministic per-doc formulas the web_*
+    * family uses (host = hostOf(syntheticUrl(doc_id)); warc_ts = a fixed
+    * epoch + doc-dependent day/hour offsets), which the oracle replays
+    * symbolically. */
+  def tripleObservations(spark: SparkSession, dir: String): DataFrame =
+    triples(spark, dir).select(
+      concat(col("subj_type"), lit("."), col("subj")).as("source"),
+      concat(col("obj_type"), lit("."), col("obj")).as("target"),
+      col("pred").as("sent"),
+      col("doc_id"),
+      UrlOps.hostOf(WebGraph.syntheticUrl(col("doc_id"))).as("host"),
+      (lit(1700000000L) + pmod(col("doc_id"), lit(14L)) * 86400L
+        + pmod(col("doc_id"), lit(7L)) * 3600L).as("ts_epoch"))
+
+  /** Evidence-diversity per edge (n_mentions / n_docs / n_hosts) — see
+    * [[graft.graph.GraphBuilder.edgeEvidence]]. */
+  def edgeEvidence(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.edgeEvidence(tripleObservations(spark, dir))
+
+  /** Temporal edge rollup (first_seen / last_seen / n_days) — see
+    * [[graft.graph.GraphBuilder.edgeHistory]]. */
+  def edgeHistory(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.edgeHistory(tripleObservations(spark, dir))
+
   /** Top-k strongest targets per source node by edge weight (§2.7 windows:
     * the reference never sorts mid-pipeline, but a KG consumer's first query
     * is "the k strongest relations of X"). One row_number window over the

@@ -214,6 +214,36 @@ object WebGraph {
           count_distinct(col("target")).as("n_src_hosts")),
       crawled, perHost)
 
+  /** Resolve redirect chains to their terminal target by pointer doubling:
+    * `redirects` is the (src, dst) hop relation a crawler accretes from
+    * 3xx responses and meta-refresh tags; the output maps every redirecting
+    * url to the end of its chain with the hop count
+    * (url, final_url, hops).
+    *
+    * Each round substitutes every pointer with the pointee's CURRENT
+    * pointer (f(u) <- f(f(u)), hops adding), so after `doublingRounds`
+    * rounds every chain of length <= 2^doublingRounds is fully resolved —
+    * rounds is the contract, like kg_scc's bounded peeling: real redirect
+    * chains are browser-capped (~20 hops), so 5 rounds covers them, and a
+    * redirect CYCLE (which never terminates) simply stops advancing its
+    * `final_url` while its hop count saturates — bounded and deterministic,
+    * no driver-side convergence polling. Each round is ONE self
+    * left-join on the url key; the whole loop stays a single lazy plan
+    * (small fixed budget — AQE materializes each exchange once; see
+    * GraphOps.roundCkpt note on lazy round loops). */
+  def resolveRedirects(redirects: DataFrame, doublingRounds: Int = 3): DataFrame = {
+    var cur = redirects.select(col("src"), col("dst").as("cur"), lit(1L).as("hops"))
+    for (_ <- 1 to doublingRounds) {
+      val next = cur.select(col("src").as("n_src"), col("cur").as("n_cur"),
+        col("hops").as("n_hops"))
+      cur = cur.join(next, cur("cur") === next("n_src"), "left")
+        .select(col("src"),
+          coalesce(col("n_cur"), col("cur")).as("cur"),
+          (col("hops") + coalesce(col("n_hops"), lit(0L))).as("hops"))
+    }
+    cur.select(col("src").as("url"), col("cur").as("final_url"), col("hops"))
+  }
+
   // ------------------------------------------------------------------
   // Deterministic linked-page fixture (the oracle mirror).
   //
@@ -275,4 +305,12 @@ object WebGraph {
   def syntheticLinkedPages(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.select(syntheticUrl(id).as("url"),
       encode(syntheticLinkedHtml(id, text), "UTF-8").as("html"))
+
+  /** Deterministic redirect-map fixture over the documents table: doc i with
+    * i % 4 != 0 redirects to doc i-1 — chains of length up to 3 ending at
+    * the nearest multiple of 4 (which does not redirect). The oracle replays
+    * the formula and unrolls the doubling rounds symbolically. */
+  def syntheticRedirects(docs: DataFrame, id: Column): DataFrame =
+    docs.filter(pmod(id, lit(4L)) =!= 0L)
+      .select(syntheticUrl(id).as("src"), syntheticUrl(id - 1L).as("dst"))
 }

@@ -139,4 +139,32 @@ class WebGraphSpec extends AnyFunSuite with SparkTestSession {
       ("https://b.test/x", "big", 3L, 1L), ("https://b.test/x", "cats", 2L, 2L),
       ("https://c.test/y", "one", 1L, 1L)))
   }
+
+  test("resolveRedirects: chains resolve to the terminal with exact hop counts") {
+    // a -> b -> c -> d (3 hops), e -> d (1 hop), lone -> off (1 hop)
+    val rd = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("e", "d"), ("lone", "off"))
+      .toDF("src", "dst")
+    val got = WebGraph.resolveRedirects(rd, doublingRounds = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("a", "d", 3L), ("b", "d", 2L), ("c", "d", 1L),
+      ("e", "d", 1L), ("lone", "off", 1L)))
+    // one round only resolves chains up to 2 hops — bounded-rounds contract
+    val r1 = WebGraph.resolveRedirects(rd, doublingRounds = 1)
+      .as[(String, String, Long)].collect().toSet
+    assert(r1.contains(("a", "c", 2L)) && r1.contains(("b", "d", 2L)))
+  }
+
+  test("resolveRedirects: a cycle stays bounded and deterministic") {
+    val rd = Seq(("x", "y"), ("y", "x"), ("a", "x")).toDF("src", "dst")
+    val got = WebGraph.resolveRedirects(rd, doublingRounds = 3)
+      .as[(String, String, Long)].collect()
+      .map { case (u, f, h) => u -> ((f, h)) }.toMap
+    // every src still maps somewhere inside the cycle, hops saturated at 2^3
+    assert(got.keySet === Set("x", "y", "a"))
+    assert(Set("x", "y").contains(got("a")._1))
+    val again = WebGraph.resolveRedirects(rd.repartition(7), doublingRounds = 3)
+      .as[(String, String, Long)].collect()
+      .map { case (u, f, h) => u -> ((f, h)) }.toMap
+    assert(again === got)
+  }
 }
