@@ -794,6 +794,17 @@ object SparkEntry {
     // fixture's <=3-hop chains; the oracle unrolls the same two rounds
     "web_redirects" -> ((s, d) => WebGraph.resolveRedirects(
       WebGraph.syntheticRedirects(docs(s, d), col("doc_id")), doublingRounds = 2)),
+    // mirror/shared-content host pairs via fingerprint inverted-index join.
+    // The corpus has no exact-duplicate texts, so the registered fingerprint
+    // is the 3-token LEAD (syndication-style shared openings cross hosts);
+    // production mirrors would use the full-text md5 the op defaults to
+    "web_mirror_hosts" -> ((s, d) => WebGraph.mirrorHosts(docs(s, d),
+      graft.ops.UrlOps.hostOf(WebGraph.syntheticUrl(col("doc_id"))),
+      md5(concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 3)).cast("binary")),
+      minShared = 1L, maxHostsPerFp = 16L)),
+    // per-doc entity salience: mention count / first position / rank —
+    // the node-weighting prior per page
+    "kg_entity_salience" -> ((s, d) => DocKg.entitySalience(s, d)),
     // evidence-diversity rollup per KG edge: mention multiplicity vs
     // distinct-doc vs distinct-host support (spam-resistant confidence)
     "kg_edge_evidence" -> ((s, d) => DocKg.edgeEvidence(s, d)),
@@ -2761,6 +2772,29 @@ object SparkEntry {
         |       a.hops + coalesce(b.hops, 0) AS hops
         |       FROM rr1 a LEFT JOIN rr1 b ON a.cur = b.src)
         |SELECT src AS url, cur AS final_url, hops FROM rr2""".stripMargin,
+    "web_mirror_hosts" ->
+      """WITH hf AS (SELECT DISTINCT 'h' || (doc_id % 40) || '.example.test' AS host,
+        |            md5(array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:3], ' ')) AS fp
+        |            FROM documents),
+        |fpc AS (SELECT fp FROM hf GROUP BY fp HAVING count(*) <= 16),
+        |kept AS MATERIALIZED (SELECT hf.host, hf.fp FROM hf JOIN fpc USING (fp)),
+        |sizes AS (SELECT host, count(*)::BIGINT AS n_fps FROM kept GROUP BY host),
+        |mpairs AS (SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS n_shared
+        |           FROM kept a JOIN kept b ON a.fp = b.fp AND a.host < b.host
+        |           GROUP BY 1, 2 HAVING count(*) >= 1)
+        |SELECT p.host_a, p.host_b, p.n_shared, sa.n_fps AS n_a, sb.n_fps AS n_b
+        |FROM mpairs p JOIN sizes sa ON p.host_a = sa.host
+        |              JOIN sizes sb ON p.host_b = sb.host""".stripMargin,
+    "kg_entity_salience" ->
+      s"""WITH $mentionsCte,
+         |pe AS (SELECT doc_id, value, type, count(*)::BIGINT AS n_mentions,
+         |       min(term_index)::BIGINT AS first_pos, max(term_index)::BIGINT AS last_pos
+         |       FROM mentions GROUP BY 1, 2, 3)
+         |SELECT doc_id, value, type, n_mentions, first_pos, last_pos,
+         |       last_pos - first_pos AS spread,
+         |       row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY n_mentions DESC, first_pos, value)::BIGINT AS salience_rank
+         |FROM pe""".stripMargin,
     "kg_edge_evidence" ->
       s"""WITH $triplesCte
          |SELECT subj_type || '.' || subj AS source, obj_type || '.' || obj AS target,

@@ -169,6 +169,36 @@ object DocKg {
         (col("c1") * col("c2")).as("w"))
   }
 
+  /** Per-document entity salience from the mention relation: how IMPORTANT
+    * is each entity to each page — mention count, first/last mention
+    * position, positional spread, and a deterministic per-doc salience rank
+    * (mentions DESC, earlier-first, value ASC). The per-page salience rank
+    * is the node-weighting / entity-disambiguation prior a KG builder feeds
+    * downstream (a page's rank-1 entity anchors its topic; reference
+    * ARElight weights nodes only by global degree). One shuffle on
+    * (doc_id, value, type); the rank is a per-doc window over the already
+    * aggregated (small) per-doc entity set. */
+  def entitySalience(spark: SparkSession, dir: String): DataFrame =
+    salienceFromMentions(mentions(spark, dir))
+
+  /** [[entitySalience]] over any (doc_id, term_index, value, type) mention
+    * relation. */
+  def salienceFromMentions(m: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perEntity = m.groupBy(col("doc_id"), col("value"), col("type"))
+      .agg(count(lit(1)).as("n_mentions"),
+        min(col("term_index")).cast("long").as("first_pos"),
+        max(col("term_index")).cast("long").as("last_pos"))
+    perEntity
+      .withColumn("salience_rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("n_mentions").desc, col("first_pos").asc, col("value").asc)))
+      .select(col("doc_id"), col("value"), col("type"), col("n_mentions"),
+        col("first_pos"), col("last_pos"),
+        (col("last_pos") - col("first_pos")).as("spread"),
+        col("salience_rank").cast("long"))
+  }
+
   /** Per-triple observation rows with the edge key plus provenance columns
     * (doc_id, host, ts_epoch) — the input shape for the evidence/temporal
     * rollups. The documents table has no url/warc_ts column, so host and

@@ -214,6 +214,39 @@ object WebGraph {
           count_distinct(col("target")).as("n_src_hosts")),
       crawled, perHost)
 
+  /** Mirror / shared-content host pairs: hosts whose page-content
+    * fingerprint sets overlap in at least `minShared` fingerprints —
+    * site-mirror and mass-syndication detection, the host-granularity
+    * complement of document dedup (a crawler demotes a detected mirror
+    * instead of re-fetching it page by page).
+    *
+    * Shape: (host, fingerprint) distinct pairs, inverted-index self-join on
+    * the fingerprint, pair rollup — the decontaminate join pattern. A
+    * fingerprint shared by more than `maxHostsPerFp` hosts is dropped
+    * before the join (boilerplate/empty-page fingerprints would otherwise
+    * go quadratic — the standard degenerate-bucket cap, pinned in the
+    * oracle). Output: (host_a, host_b, n_shared, n_a, n_b) with
+    * host_a < host_b; n_a/n_b are the hosts' distinct fingerprint counts
+    * (post-cap), so overlap coefficients derive downstream without a
+    * rescan. */
+  def mirrorHosts(pages: DataFrame, host: Column, fingerprint: Column,
+      minShared: Long = 2L, maxHostsPerFp: Long = 16L): DataFrame = {
+    val hf = pages.select(host.as("host"), fingerprint.as("fp")).distinct()
+    val fpHosts = hf.groupBy(col("fp")).agg(count(lit(1)).as("n_hosts"))
+      .filter(col("n_hosts") <= maxHostsPerFp)
+    val kept = hf.join(fpHosts.select(col("fp")), Seq("fp"))
+    val sizes = kept.groupBy(col("host")).agg(count(lit(1)).as("n_fps"))
+    val a = kept.select(col("fp"), col("host").as("host_a"))
+    val b = kept.select(col("fp"), col("host").as("host_b"))
+    a.join(b, Seq("fp")).filter(col("host_a") < col("host_b"))
+      .groupBy(col("host_a"), col("host_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("host").as("host_a"), col("n_fps").as("n_a")), Seq("host_a"))
+      .join(sizes.select(col("host").as("host_b"), col("n_fps").as("n_b")), Seq("host_b"))
+      .select(col("host_a"), col("host_b"), col("n_shared"), col("n_a"), col("n_b"))
+  }
+
   /** Resolve redirect chains to their terminal target by pointer doubling:
     * `redirects` is the (src, dst) hop relation a crawler accretes from
     * 3xx responses and meta-refresh tags; the output maps every redirecting

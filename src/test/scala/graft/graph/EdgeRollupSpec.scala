@@ -25,6 +25,24 @@ class EdgeRollupSpec extends AnyFunSuite with SparkTestSession {
       ("GPE.stream", "LOC.table", "neg", 1L, 1L, 1L)))
   }
 
+  test("salienceFromMentions: rank by mentions desc, then earliest, then value") {
+    import org.apache.spark.sql.functions.col
+    val m = Seq(
+      (1L, 5, "spark", "ORG"), (1L, 9, "spark", "ORG"), (1L, 2, "table", "LOC"),
+      (1L, 20, "stream", "GPE"),
+      (2L, 0, "customer", "PERSON"))
+      .toDF("doc_id", "term_index", "value", "type")
+    val got = graft.ops.DocKg.salienceFromMentions(m)
+      .select(col("doc_id"), col("value"), col("n_mentions"), col("first_pos"),
+        col("spread"), col("salience_rank"))
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "spark", 2L, 5L, 4L, 1L),   // most mentions wins
+      (1L, "table", 1L, 2L, 0L, 2L),   // tie on mentions -> earliest first
+      (1L, "stream", 1L, 20L, 0L, 3L),
+      (2L, "customer", 1L, 0L, 0L, 1L)))
+  }
+
   test("edgeHistory: first/last epoch and distinct active days") {
     val got = GraphBuilder.edgeHistory(obs)
       .as[(String, String, String, Long, Long, Long, Long)].collect().toSet

@@ -140,6 +140,31 @@ class WebGraphSpec extends AnyFunSuite with SparkTestSession {
       ("https://c.test/y", "one", 1L, 1L)))
   }
 
+  test("mirrorHosts: shared-fingerprint pairs, sizes, and the hot-fp cap") {
+    val pages = Seq(
+      ("a.test", "f1"), ("a.test", "f2"), ("a.test", "f3"),
+      ("b.test", "f1"), ("b.test", "f2"), ("b.test", "f9"),
+      ("c.test", "f1"),
+      // fh is shared by all four hosts -> dropped by maxHostsPerFp = 3
+      ("a.test", "fh"), ("b.test", "fh"), ("c.test", "fh"), ("d.test", "fh"),
+      // duplicate observation of the same (host, fp) must not double-count
+      ("a.test", "f1"))
+      .toDF("host", "fp")
+    val got = WebGraph.mirrorHosts(pages, col("host"), col("fp"),
+        minShared = 1L, maxHostsPerFp = 3L)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // post-cap fingerprint sets: a={f1,f2,f3}, b={f1,f2,f9}, c={f1}
+    assert(got === Set(
+      ("a.test", "b.test", 2L, 3L, 3L),
+      ("a.test", "c.test", 1L, 3L, 1L),
+      ("b.test", "c.test", 1L, 3L, 1L)))
+    // minShared = 2 keeps only the real mirror pair
+    val strict = WebGraph.mirrorHosts(pages, col("host"), col("fp"),
+        minShared = 2L, maxHostsPerFp = 3L)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(strict === Set(("a.test", "b.test", 2L, 3L, 3L)))
+  }
+
   test("resolveRedirects: chains resolve to the terminal with exact hop counts") {
     // a -> b -> c -> d (3 hops), e -> d (1 hop), lone -> off (1 hop)
     val rd = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("e", "d"), ("lone", "off"))
