@@ -805,6 +805,12 @@ object SparkEntry {
     // per-doc entity salience: mention count / first position / rank —
     // the node-weighting prior per page
     "kg_entity_salience" -> ((s, d) => DocKg.entitySalience(s, d)),
+    // freshness-decayed edge confidence: exact-integer exponential decay
+    // (1e6 >> age_halflives) over the warc_ts observation formula
+    "kg_edge_decay" -> ((s, d) => DocKg.edgeDecay(s, d)),
+    // schema induction: triple + distinct-endpoint counts per
+    // (subj_type, pred, obj_type) signature
+    "kg_schema_stats" -> ((s, d) => DocKg.schemaProfile(s, d)),
     // evidence-diversity rollup per KG edge: mention multiplicity vs
     // distinct-doc vs distinct-host support (spam-resistant confidence)
     "kg_edge_evidence" -> ((s, d) => DocKg.edgeEvidence(s, d)),
@@ -2795,6 +2801,24 @@ object SparkEntry {
          |       row_number() OVER (PARTITION BY doc_id
          |         ORDER BY n_mentions DESC, first_pos, value)::BIGINT AS salience_rank
          |FROM pe""".stripMargin,
+    "kg_edge_decay" ->
+      s"""WITH $triplesCte,
+         |obs AS (SELECT subj_type || '.' || subj AS source, obj_type || '.' || obj AS target,
+         |        pred AS sent,
+         |        1700000000 + (doc_id % 14) * 86400 + (doc_id % 7) * 3600 AS ts
+         |        FROM triples),
+         |ag AS (SELECT source, target, sent,
+         |       least((greatest(${DocKg.DecayNowEpoch} - ts, 0) // 86400) // 3, 20) AS age_hl
+         |       FROM obs)
+         |SELECT source, target, sent, count(*)::BIGINT AS n_obs,
+         |       sum(1000000 >> age_hl)::BIGINT AS decayed_w
+         |FROM ag GROUP BY 1, 2, 3""".stripMargin,
+    "kg_schema_stats" ->
+      s"""WITH $triplesCte
+         |SELECT subj_type, pred, obj_type, count(*)::BIGINT AS n_triples,
+         |       count(DISTINCT subj)::BIGINT AS n_subj,
+         |       count(DISTINCT obj)::BIGINT AS n_obj
+         |FROM triples GROUP BY 1, 2, 3""".stripMargin,
     "kg_edge_evidence" ->
       s"""WITH $triplesCte
          |SELECT subj_type || '.' || subj AS source, obj_type || '.' || obj AS target,

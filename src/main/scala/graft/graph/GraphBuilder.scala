@@ -106,6 +106,38 @@ object GraphBuilder {
         max(col("ts_epoch")).as("last_seen"),
         count_distinct(floor(col("ts_epoch") / 86400L)).as("n_days"))
 
+  /** Freshness-decayed edge weight: each observation contributes
+    * `1e6 >> min(age_halflives, maxBuckets)` where age_halflives =
+    * floor(age_days / halfLifeDays) — an EXACT-integer exponential decay
+    * (right shift IS floor-division by 2^k on non-negatives), so recent
+    * assertions dominate stale ones without any float drift between
+    * engines. The recency-weighted confidence a continuously-maintained KG
+    * ranks edges by (complement of [[edgeHistory]], which reports the raw
+    * temporal extent). Observations dated after `nowEpoch` clamp to age 0;
+    * ages past `maxBuckets` half-lives contribute 1e6 >> maxBuckets
+    * (0 when maxBuckets >= 20). One shuffle on the edge key. */
+  def edgeDecay(observations: DataFrame, nowEpoch: Long, halfLifeDays: Int = 7,
+      maxBuckets: Int = 20): DataFrame =
+    observations
+      .na.drop(Seq("source", "target", "sent"))
+      .withColumn("age_hl",
+        least(expr(s"(greatest(${nowEpoch}L - ts_epoch, 0L) div 86400) div $halfLifeDays"),
+          lit(maxBuckets.toLong)).cast("int"))
+      .withColumn("contrib", expr("shiftright(1000000L, age_hl)"))
+      .groupBy(col("source"), col("target"), col("sent"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("contrib")).as("decayed_w"))
+
+  /** Schema profile of the materialized KG — triple and distinct-endpoint
+    * counts per (subj_type, pred, obj_type) signature: the schema-induction
+    * / ontology-drift report (which relation signatures exist, how
+    * populated, how concentrated). One shuffle; the count-distincts share
+    * it via Expand. */
+  def schemaProfile(triples: DataFrame): DataFrame =
+    triples.groupBy(col("subj_type"), col("pred"), col("obj_type"))
+      .agg(count(lit(1)).as("n_triples"),
+        count_distinct(col("subj")).as("n_subj"),
+        count_distinct(col("obj")).as("n_obj"))
+
   /** Read the edge relation out of (possibly merged) state: min-links HAVING
     * (F5) + the weights toggle (U4). */
   def edgesFromState(state: DataFrame, minLinks: Double = 1, weights: Boolean = true): DataFrame = {

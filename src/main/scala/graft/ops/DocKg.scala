@@ -226,6 +226,20 @@ object DocKg {
   def edgeHistory(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.edgeHistory(tripleObservations(spark, dir))
 
+  /** Reference "now" for the decay query: two weeks past the synthetic
+    * warc_ts base, so the 14-day doc spread exercises several half-lives. */
+  val DecayNowEpoch: Long = 1700000000L + 14L * 86400L
+
+  /** Freshness-decayed edge confidence — see
+    * [[graft.graph.GraphBuilder.edgeDecay]]. */
+  def edgeDecay(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.edgeDecay(tripleObservations(spark, dir), DecayNowEpoch,
+      halfLifeDays = 3, maxBuckets = 20)
+
+  /** KG schema profile — see [[graft.graph.GraphBuilder.schemaProfile]]. */
+  def schemaProfile(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.schemaProfile(triples(spark, dir))
+
   /** Top-k strongest targets per source node by edge weight (§2.7 windows:
     * the reference never sorts mid-pipeline, but a KG consumer's first query
     * is "the k strongest relations of X"). One row_number window over the

@@ -43,6 +43,36 @@ class EdgeRollupSpec extends AnyFunSuite with SparkTestSession {
       (2L, "customer", 1L, 0L, 0L, 1L)))
   }
 
+  test("edgeDecay: exact halving per half-life, future clamp, age cap") {
+    val now = 1700000000L + 28L * 86400L
+    val obs = Seq(
+      ("a", "b", "pos", now),                    // age 0 -> 1000000
+      ("a", "b", "pos", now - 7L * 86400L),      // 1 half-life -> 500000
+      ("a", "b", "pos", now - 14L * 86400L),     // 2 -> 250000
+      ("a", "b", "pos", now + 999L),             // future clamps to age 0
+      ("c", "d", "neg", now - 400L * 86400L))    // past the cap -> 1e6 >> 20 = 0
+      .toDF("source", "target", "sent", "ts_epoch")
+    val got = GraphBuilder.edgeDecay(obs, now, halfLifeDays = 7, maxBuckets = 20)
+      .as[(String, String, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", "b", "pos", 4L, 1000000L + 500000L + 250000L + 1000000L),
+      ("c", "d", "neg", 1L, 0L)))
+  }
+
+  test("schemaProfile: per-signature triple and endpoint counts") {
+    val t = Seq(
+      ("spark", "ORG", "pos", "table", "LOC"),
+      ("spark", "ORG", "pos", "stream", "LOC"),
+      ("flink", "ORG", "pos", "table", "LOC"),
+      ("spark", "ORG", "neg", "table", "LOC"))
+      .toDF("subj", "subj_type", "pred", "obj", "obj_type")
+    val got = GraphBuilder.schemaProfile(t)
+      .as[(String, String, String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("ORG", "pos", "LOC", 3L, 2L, 2L),
+      ("ORG", "neg", "LOC", 1L, 1L, 1L)))
+  }
+
   test("edgeHistory: first/last epoch and distinct active days") {
     val got = GraphBuilder.edgeHistory(obs)
       .as[(String, String, String, Long, Long, Long, Long)].collect().toSet
