@@ -184,6 +184,22 @@ object Infer {
       println(s"""{"links_out":"$dir","links":${links.count()}}""")
     }
 
+    // --mirrors DIR [--min-shared N]: mirror/shared-content host pairs over
+    // this run's page set (host of url x md5 of extracted text) — the
+    // host-granularity dedup report a crawl operator reads before
+    // re-scheduling fetches (ops/WebGraph.mirrorHosts).
+    opts.get("--mirrors").foreach { dir =>
+      import org.apache.spark.sql.functions.{col, md5}
+      val pairs = graft.ops.WebGraph.mirrorHosts(
+        pages.toDF().filter(col("text").isNotNull),
+        graft.ops.UrlOps.hostOf(col("url")),
+        md5(col("text").cast("binary")),
+        minShared = opts.getOrElse("--min-shared", "2").toLong)
+        .localCheckpoint() // one materialization feeds the csv and the count
+      graft.io.Sinks.csv(pairs, dir)
+      println(s"""{"mirrors_out":"$dir","host_pairs":${pairs.count()}}""")
+    }
+
     // resumable path: triples written bucket-checkpointed, then exit
     opts.get("--checkpoint").foreach { ckptDir =>
       val n = opts.getOrElse("--buckets", "16").toInt

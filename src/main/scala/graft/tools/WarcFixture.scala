@@ -11,17 +11,20 @@ import graft.sources.Warc
   * one invocation). No Spark session: this is a plain fixture writer over
   * [[graft.sources.Warc.writeGz]].
   *
-  * Usage: runMain graft.tools.WarcFixture /tmp/fixture_links.warc.gz [nPages]
+  * Usage: runMain graft.tools.WarcFixture /tmp/fixture_links.warc.gz [nPages] [nMirrors]
   *
   * Page i (url https://h{i%4}.fix.test/doc/{i}) links to doc (i*7+3) % n
   * absolutely and to /doc/{(i+1) % n} root-relatively, with one mailto decoy;
   * body text includes bracket entities so the KG pipeline emits triples from
-  * the same pages.
+  * the same pages. With nMirrors > 0, that many PAIRS of syndicated pages
+  * with byte-identical bodies land on hosts hm{2k}/hm{2k+1} — the
+  * `Infer --mirrors` drive detects exactly those host pairs.
   */
 object WarcFixture {
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse(sys.error("usage: WarcFixture <out.warc.gz> [nPages]"))
+    val out = args.headOption.getOrElse(sys.error("usage: WarcFixture <out.warc.gz> [nPages] [nMirrors]"))
     val n = args.lift(1).map(_.toInt).getOrElse(12)
+    val nMirrors = args.lift(2).map(_.toInt).getOrElse(0)
     require(n > 0, s"nPages must be positive: $n")
     val recs = (0 until n).map { i =>
       val url = s"https://h${i % 4}.fix.test/doc/$i"
@@ -36,9 +39,16 @@ object WarcFixture {
            |</body></html>""".stripMargin
       Warc.responseRecord(url, new Timestamp(1700000000000L + i * 1000L),
         body.getBytes(UTF_8))
+    } ++ (0 until 2 * nMirrors).map { j =>
+      val body =
+        s"""<html><head><title>wire story ${j / 2}</title></head><body>
+           |<p>[ORG:Newswire] reports big [GPE:Widgetland] syndication ${j / 2}.</p>
+           |</body></html>""".stripMargin
+      Warc.responseRecord(s"https://hm$j.fix.test/wire/${j / 2}",
+        new Timestamp(1700000100000L + j * 1000L), body.getBytes(UTF_8))
     }
     val bytes = Warc.writeGz(recs)
     java.nio.file.Files.write(java.nio.file.Paths.get(out), bytes)
-    println(s"""{"warc_out":"$out","pages":$n,"bytes":${bytes.length}}""")
+    println(s"""{"warc_out":"$out","pages":${n + 2 * nMirrors},"bytes":${bytes.length}}""")
   }
 }
