@@ -794,6 +794,30 @@ object SparkEntry {
     // fixture's <=3-hop chains; the oracle unrolls the same two rounds
     "web_redirects" -> ((s, d) => WebGraph.resolveRedirects(
       WebGraph.syntheticRedirects(docs(s, d), col("doc_id")), doublingRounds = 2)),
+    // anchor text as off-page entity evidence for the TARGET url: lexicon
+    // terms inside anchors rolled up per (dst, entity)
+    "web_anchor_entities" -> ((s, d) => WebGraph.anchorEntityEvidence(
+      WebGraph.extractLinks(
+        WebGraph.syntheticLinkedPages(docs(s, d), col("doc_id"), col("text")),
+        col("html"), col("url")),
+      Map("doc" -> "MISC", "topic3" -> "TOPIC", "see" -> "CUE"))),
+    // politeness-aware dispatch: frontier slots spaced by each host's
+    // declared Crawl-delay (default 1s) -> (url, rank, fetch offset)
+    "web_fetch_schedule" -> ((s, d) => {
+      val dd = docs(s, d)
+      WebGraph.fetchSchedule(
+        WebGraph.frontier(
+          WebGraph.extractLinks(
+            WebGraph.syntheticLinkedPages(dd, col("doc_id"), col("text")),
+            col("html"), col("url")),
+          dd.select(WebGraph.syntheticUrl(col("doc_id")).as("url")), perHost = 2),
+        graft.ops.Robots.crawlDelays(robotsHosts(s, d), col("host"), col("body")))
+    }),
+    // per-host content profile: doc/token volume, thin-page count, language
+    // spread — the host-granularity crawl-budget gate
+    "web_host_profile" -> ((s, d) => WebGraph.hostProfile(docs(s, d),
+      graft.ops.UrlOps.hostOf(WebGraph.syntheticUrl(col("doc_id"))),
+      col("text"), col("lang"), thinTokens = 60)),
     // mirror/shared-content host pairs via fingerprint inverted-index join.
     // The corpus has no exact-duplicate texts, so the registered fingerprint
     // is the 3-token LEAD (syndication-style shared openings cross hosts);
@@ -2778,6 +2802,38 @@ object SparkEntry {
         |       a.hops + coalesce(b.hops, 0) AS hops
         |       FROM rr1 a LEFT JOIN rr1 b ON a.cur = b.src)
         |SELECT src AS url, cur AS final_url, hops FROM rr2""".stripMargin,
+    "web_anchor_entities" ->
+      s"""WITH $webLinksCtes,
+         |at AS (SELECT dst, unnest(string_split(anchor, ' ')) AS value FROM weblinks)
+         |SELECT dst, value,
+         |       CASE value WHEN 'doc' THEN 'MISC' WHEN 'topic3' THEN 'TOPIC'
+         |                  WHEN 'see' THEN 'CUE' END AS type,
+         |       count(*)::BIGINT AS n_mentions
+         |FROM at WHERE value IN ('doc', 'topic3', 'see') GROUP BY 1, 2, 3""".stripMargin,
+    "web_fetch_schedule" ->
+      s"""WITH $webLinksCtes,
+         |cand AS (SELECT dst, count(*)::BIGINT AS n_inlinks,
+         |       count(DISTINCT regexp_extract(src, '^[a-z]+://([^/]+)', 1))::BIGINT AS n_src_hosts
+         |       FROM weblinks GROUP BY dst),
+         |crawled AS (SELECT 'https://h' || (doc_id % 40) || '.example.test/doc/' || doc_id AS url FROM documents),
+         |uncrawled AS (SELECT * FROM cand WHERE dst NOT IN (SELECT url FROM crawled)),
+         |fr AS (SELECT dst AS url, regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS host,
+         |       row_number() OVER (PARTITION BY regexp_extract(dst, '^[a-z]+://([^/]+)', 1)
+         |                          ORDER BY n_src_hosts DESC, n_inlinks DESC, dst)::BIGINT AS rank
+         |       FROM uncrawled QUALIFY rank <= 2),
+         |dl AS (SELECT 'h' || k || '.example.test' AS host, (k % 7 + 1)::BIGINT AS delay_sec
+         |       FROM (SELECT DISTINCT doc_id % 40 AS k FROM documents) WHERE k % 4 = 3)
+         |SELECT fr.url, fr.host, fr.rank, coalesce(dl.delay_sec, 1)::BIGINT AS delay_sec,
+         |       (fr.rank - 1) * coalesce(dl.delay_sec, 1) AS fetch_offset_sec
+         |FROM fr LEFT JOIN dl ON fr.host = dl.host""".stripMargin,
+    "web_host_profile" ->
+      raw"""WITH t AS (SELECT 'h' || (doc_id % 40) || '.example.test' AS host,
+           |       len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens, lang
+           |       FROM documents)
+           |SELECT host, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens_sum,
+           |       sum(CASE WHEN n_tokens < 60 THEN 1 ELSE 0 END)::BIGINT AS n_thin,
+           |       count(DISTINCT lang)::BIGINT AS n_langs
+           |FROM t GROUP BY host""".stripMargin,
     "web_mirror_hosts" ->
       """WITH hf AS (SELECT DISTINCT 'h' || (doc_id % 40) || '.example.test' AS host,
         |            md5(array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:3], ' ')) AS fp

@@ -214,6 +214,58 @@ object WebGraph {
           count_distinct(col("target")).as("n_src_hosts")),
       crawled, perHost)
 
+  /** Anchor text as ENTITY evidence for the link target: off-page mentions
+    * of lexicon entities inside anchors, rolled up per (target url, entity).
+    * The classic web-KG signal — link text describes the TARGET (often
+    * better than the target's own body: anchors gave early web search its
+    * entity labels), so these rows feed the same mention relation the
+    * on-page NER produces, with `n_mentions` as the off-page support
+    * count. Whitespace tokenization to match the pipeline's tokenizer; the
+    * lexicon join is a broadcast (closed vocabulary). */
+  def anchorEntityEvidence(links: DataFrame, lexicon: Map[String, String]): DataFrame = {
+    val spark = links.sparkSession
+    import spark.implicits._
+    val lex = broadcast(lexicon.toSeq.toDF("value", "type"))
+    links.select(col("dst"), explode(split(col("anchor"), "\\s+")).as("value"))
+      .filter(col("value") =!= "")
+      .join(lex, Seq("value"))
+      .groupBy(col("dst"), col("value"), col("type"))
+      .agg(count(lit(1)).as("n_mentions"))
+  }
+
+  /** Politeness-aware fetch schedule over a ranked frontier: each host's
+    * candidates fetch `crawl-delay` seconds apart (RFC-9309 Crawl-delay via
+    * [[Robots.crawlDelays]]; hosts that declare none use `defaultDelaySec`),
+    * so slot k of a host fires at offset (k-1)·delay. Turns the frontier
+    * ranking into the dispatcher's actual work order — (url, host, rank,
+    * delay_sec, fetch_offset_sec) — with one left join on host (the delays
+    * relation is per-host — small — but joined hash-to-hash since host
+    * cardinality at web scale is ~1e8). */
+  def fetchSchedule(frontier: DataFrame, delays: DataFrame,
+      defaultDelaySec: Long = 1L): DataFrame =
+    frontier.withColumn("host", UrlOps.hostOf(col("url")))
+      .join(delays, Seq("host"), "left")
+      .select(col("url"), col("host"), col("rank"),
+        coalesce(col("delay_sec"), lit(defaultDelaySec)).as("delay_sec"),
+        ((col("rank") - 1L) * coalesce(col("delay_sec"), lit(defaultDelaySec)))
+          .as("fetch_offset_sec"))
+
+  /** Per-host content profile over the page set: document count, token
+    * volume, thin-page count (< `thinTokens` tokens), and language spread —
+    * the crawl-prioritization / quality gate at host granularity (a host
+    * that is 90% thin pages gets its budget cut before per-doc scoring even
+    * runs). All-integer, one shuffle on host. */
+  def hostProfile(pages: DataFrame, host: Column, text: Column, lang: Column,
+      thinTokens: Int = 20): DataFrame = {
+    val nTokens = size(split(trim(text), "\\s+"))
+    pages.select(host.as("host"), nTokens.as("n_tokens"), lang.as("lang"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens_sum"),
+        sum(when(col("n_tokens") < thinTokens, 1L).otherwise(0L)).as("n_thin"),
+        count_distinct(col("lang")).as("n_langs"))
+  }
+
   /** Mirror / shared-content host pairs: hosts whose page-content
     * fingerprint sets overlap in at least `minShared` fingerprints —
     * site-mirror and mass-syndication detection, the host-granularity

@@ -140,6 +140,47 @@ class WebGraphSpec extends AnyFunSuite with SparkTestSession {
       ("https://c.test/y", "one", 1L, 1L)))
   }
 
+  test("anchorEntityEvidence: lexicon terms in anchors roll up per target") {
+    val l = Seq(
+      ("https://a.test/1", "https://b.test/x", "visit acme shop"),
+      ("https://a.test/2", "https://b.test/x", "acme  again"),
+      ("https://c.test/3", "https://b.test/y", "plain words only"))
+      .toDF("src", "dst", "anchor")
+    val got = WebGraph.anchorEntityEvidence(l, Map("acme" -> "ORG", "shop" -> "LOC"))
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("https://b.test/x", "acme", "ORG", 2L),
+      ("https://b.test/x", "shop", "LOC", 1L)))
+  }
+
+  test("fetchSchedule: per-host slots spaced by crawl delay, default for silent hosts") {
+    val fr = Seq(
+      ("https://slow.test/a", 1L), ("https://slow.test/b", 2L),
+      ("https://quiet.test/c", 1L), ("https://quiet.test/d", 3L))
+      .toDF("url", "rank")
+    val dl = Seq(("slow.test", 5L)).toDF("host", "delay_sec")
+    val got = WebGraph.fetchSchedule(fr, dl, defaultDelaySec = 1L)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("https://slow.test/a", "slow.test", 1L, 5L, 0L),
+      ("https://slow.test/b", "slow.test", 2L, 5L, 5L),
+      ("https://quiet.test/c", "quiet.test", 1L, 1L, 0L),
+      ("https://quiet.test/d", "quiet.test", 3L, 1L, 2L)))
+  }
+
+  test("hostProfile: volume, thin-page count, language spread per host") {
+    val pages = Seq(
+      ("h1", "one two three four", "en"),
+      ("h1", "tiny", "en"),
+      ("h1", "eins zwei drei", "de"),
+      ("h2", "a b c", "en"))
+      .toDF("host", "text", "lang")
+    val got = WebGraph.hostProfile(pages, col("host"), col("text"), col("lang"),
+        thinTokens = 3)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(("h1", 3L, 8L, 1L, 2L), ("h2", 1L, 3L, 0L, 1L)))
+  }
+
   test("mirrorHosts: shared-fingerprint pairs, sizes, and the hot-fp cap") {
     val pages = Seq(
       ("a.test", "f1"), ("a.test", "f2"), ("a.test", "f3"),
