@@ -23,6 +23,9 @@ import graft.graph.{D3Json, GraphOps}
   * FRONTIER reads the persistent in-link store instead (`--frontier-store
   * DIR [--crawled PARQUET] [--per-host N]`) — the scheduler query over
   * state accreted by `Infer --frontier-store` / frontierIngestStream.
+  * MIRRORS reads the persistent fingerprint store (`--fp-store DIR
+  * [--min-shared N]`) — shared-content host pairs over the whole crawl
+  * history accreted by StreamOps.fpIngestStream.
   * NTRIPLES writes <out>/graph.nt (RDF dump) instead of the csv.
   * DELTA reads BOTH --a and --b and writes the edge-level
   * added/removed/changed/stable diff as analytics.csv.
@@ -35,7 +38,7 @@ object Operations {
     Set("PAGERANK", "PPR", "HITS", "COMPONENTS", "LPA", "KCORE", "BFS", "CLUSTCOEFF",
       "KTRUSS", "WALKS", "NODE2VEC", "DEGHIST", "ASSORT", "HARMONIC", "HYPERBALL",
       "NTRIPLES", "MIS", "KATZ", "MODULARITY", "SCC", "NEIGHBORHOOD", "CLOSENESS",
-      "FRONTIER")
+      "FRONTIER", "MIRRORS")
 
   private def runAnalytics(a: Option[Graph], b: Option[Graph], op: String,
       opts: Map[String, String], out: String): Unit = {
@@ -76,6 +79,12 @@ object Operations {
         graft.ops.WebGraph.frontierFromStore(spark,
           opts.getOrElse("--frontier-store", sys.error("FRONTIER requires --frontier-store")),
           crawled, opts.getOrElse("--per-host", "2").toInt)
+      // MIRRORS: mirror/shared-content host pairs over the persistent
+      // fingerprint store (StreamOps.fpIngestStream feeds it)
+      case "MIRRORS" =>
+        graft.ops.WebGraph.mirrorHostsFromStore(spark,
+          opts.getOrElse("--fp-store", sys.error("MIRRORS requires --fp-store")),
+          opts.getOrElse("--min-shared", "2").toLong)
       // --rank-store DIR: resume the exact iteration from the stored
       // snapshot and swap the advanced ranks back (continuous analytics
       // over the accreting KG — pairs with Infer's --edge-store)

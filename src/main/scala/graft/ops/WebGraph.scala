@@ -299,6 +299,19 @@ object WebGraph {
       .select(col("host_a"), col("host_b"), col("n_shared"), col("n_a"), col("n_b"))
   }
 
+  /** [[mirrorHosts]] over a persistent fingerprint store (see
+    * [[graft.streaming.StreamOps.fpIngestStream]]): the store's
+    * `(host, fingerprint, "fp", cnt)` state rows ARE the distinct
+    * (host, fp) relation — duplicate observations across batches were
+    * compacted into the count at fold time — so the mirror report runs
+    * over the whole crawl history without rescanning any page. */
+  def mirrorHostsFromStore(spark: org.apache.spark.sql.SparkSession, store: String,
+      minShared: Long = 2L, maxHostsPerFp: Long = 16L): DataFrame =
+    mirrorHosts(
+      graft.ops.EdgeStore.state(spark, store).filter(col("sent") === "fp")
+        .select(col("source").as("host"), col("target").as("fp")),
+      col("host"), col("fp"), minShared, maxHostsPerFp)
+
   /** Resolve redirect chains to their terminal target by pointer doubling:
     * `redirects` is the (src, dst) hop relation a crawler accretes from
     * 3xx responses and meta-refresh tags; the output maps every redirecting

@@ -343,6 +343,22 @@ object StreamOps {
       lit("inlink").as("sent")), store, checkpoint, batchPrefix)
   }
 
+  /** Continuous mirror detection — the content-dedup sibling of
+    * [[frontierIngestStream]]: each crawl micro-batch folds its pages'
+    * `(host, text-md5 fingerprint, "fp")` rows into the persistent
+    * [[graft.ops.EdgeStore]] (exactly-once by epoch ledger), so
+    * [[graft.ops.WebGraph.mirrorHostsFromStore]] can report syndication /
+    * mirror host pairs over the WHOLE crawl history at any cadence. State
+    * is one row per distinct (host, fingerprint) with an observation count
+    * — ~one row per unique page per host, compacted on every fold. */
+  def fpIngestStream(pages: DataFrame, store: String, checkpoint: String,
+      batchPrefix: String)(
+      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+    edgeIngestStream(pages.filter(col("text").isNotNull).select(
+      graft.ops.UrlOps.hostOf(col("url")).as("source"),
+      md5(col("text").cast("binary")).as("target"),
+      lit("fp").as("sent")), store, checkpoint, batchPrefix)
+
   /** Continuous quantizer maintenance: each micro-batch of vectors folds
     * into the persistent [[graft.ops.CentroidStore]] under the store's
     * CURRENT derived centroids (the mini-batch k-means step). Sums need

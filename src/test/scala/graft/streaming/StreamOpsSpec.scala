@@ -369,6 +369,38 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
       ("https://new.test/y", 2L, 1L, 2L)))  // 2 links, 1 host; z cut by cap
   }
 
+  test("streaming fp ingest: store-backed mirror report == batch report over all pages") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-fp-ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fp-ckpt").toString
+    val batch1 = Seq(
+      ("https://m1.test/a", "same wire story"),
+      ("https://m1.test/b", "unique to m1"),
+      ("https://m2.test/x", "same wire story"))
+    val batch2 = Seq(
+      ("https://m2.test/y", "second shared piece"),
+      ("https://m1.test/c", "second shared piece"),
+      ("https://m1.test/a2", "same wire story"), // same host+text again: compacts
+      ("https://m3.test/solo", "nothing shared"))
+    val mem = MemoryStream[(String, String)]
+    val q = StreamOps.fpIngestStream(
+      mem.toDF().toDF("url", "text"), store, ckpt, batchPrefix = "fp")
+    mem.addData(batch1); q.processAllAvailable()
+    mem.addData(batch2); q.processAllAvailable(); q.stop()
+    val fromStore = graft.ops.WebGraph.mirrorHostsFromStore(spark, store, minShared = 2L)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val allPages = (batch1 ++ batch2).toDF("url", "text")
+    val batchAnswer = graft.ops.WebGraph.mirrorHosts(allPages,
+        graft.ops.UrlOps.hostOf(col("url")), md5(col("text").cast("binary")),
+        minShared = 2L)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(fromStore === batchAnswer)
+    // m1/m2 share both the wire story and the second piece; m1 has 3
+    // distinct fps (a/a2 compacted in the store), m2 has 2; m3 shares nothing
+    assert(fromStore === Set(("m1.test", "m2.test", 2L, 3L, 2L)))
+  }
+
   test("vec ingest stream: micro-batches fold into the CentroidStore exactly once") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
