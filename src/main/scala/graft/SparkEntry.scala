@@ -841,6 +841,24 @@ object SparkEntry {
     // temporal KG rollup: first/last observation + distinct active days per
     // edge from the per-doc warc_ts formula — integer epochs end-to-end
     "kg_edge_history" -> ((s, d) => DocKg.edgeHistory(s, d)),
+    // contradictory-evidence triage: pairs asserted with >= 2 distinct
+    // predicates, per-polarity counts + dominant label + conflict permille
+    "kg_conflicts" -> ((s, d) => DocKg.conflicts(s, d)),
+    // time-respecting 2-hop paths: first_seen(a->b) <= last_seen(b->c)
+    "kg_temporal_paths" -> ((s, d) => DocKg.temporalPaths2(s, d)),
+    // TrustRank over the extracted host graph: teleport mass split over the
+    // k%10==1 seed-host whitelist — link-spam demotion, exact BIGINT ranks
+    "web_trustrank" -> ((s, d) => {
+      val links = WebGraph.extractLinks(
+        WebGraph.syntheticLinkedPages(docs(s, d), col("doc_id"), col("text")),
+        col("html"), col("url"))
+      val kcol = when(col("id").rlike("^h[0-9]+\\."),
+        regexp_extract(col("id"), "^h([0-9]+)\\.", 1).cast("long")).otherwise(lit(-1L))
+      graft.graph.GraphOps.trustRank(WebGraph.hostGraph(links)
+        .select(col("src_host").as("source"), col("dst_host").as("target"),
+          col("n_links").cast("double").as("c")),
+        pmod(kcol, lit(10L)) === 1L, iters = 3)
+    }),
     // TransE-style filtered negative sampling over the extracted host graph:
     // deterministic bucket-ranked vocabulary draw, anti-joined against true
     // edges — the KG-embedding training-data feed
@@ -2892,6 +2910,60 @@ object SparkEntry {
          |       min(ts)::BIGINT AS first_seen, max(ts)::BIGINT AS last_seen,
          |       count(DISTINCT ts // 86400)::BIGINT AS n_days
          |FROM obs GROUP BY 1, 2, 3""".stripMargin,
+    "kg_conflicts" ->
+      s"""WITH $triplesCte,
+         |ag AS (SELECT subj_type || '.' || subj AS source, obj_type || '.' || obj AS target,
+         |       sum(CASE WHEN pred = 'pos' THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         |       sum(CASE WHEN pred = 'neg' THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+         |       sum(CASE WHEN pred = 'neu' THEN 1 ELSE 0 END)::BIGINT AS n_neu,
+         |       count(*)::BIGINT AS n_obs,
+         |       count(DISTINCT pred)::BIGINT AS n_preds
+         |       FROM triples GROUP BY 1, 2)
+         |SELECT source, target, n_pos, n_neg, n_neu, n_obs,
+         |       CASE WHEN n_neg >= n_neu AND n_neg >= n_pos THEN 'neg'
+         |            WHEN n_neu >= n_pos THEN 'neu' ELSE 'pos' END AS dominant,
+         |       (1000 * (n_obs - greatest(n_pos, n_neg, n_neu))) // n_obs AS conflict_permille
+         |FROM ag WHERE n_preds >= 2""".stripMargin,
+    "kg_temporal_paths" ->
+      s"""WITH $triplesCte,
+         |obs AS (SELECT subj_type || '.' || subj AS source, obj_type || '.' || obj AS target,
+         |        pred AS sent,
+         |        1700000000 + (doc_id % 14) * 86400 + (doc_id % 7) * 3600 AS ts
+         |        FROM triples),
+         |h AS MATERIALIZED (SELECT source, target, sent,
+         |      min(ts)::BIGINT AS first_seen, max(ts)::BIGINT AS last_seen
+         |      FROM obs GROUP BY 1, 2, 3)
+         |SELECT e1.source AS a, e1.target AS b, e2.target AS c_node,
+         |       e1.sent AS s1, e2.sent AS s2, e1.first_seen AS t1, e2.last_seen AS t2
+         |FROM h e1 JOIN h e2 ON e1.target = e2.source
+         |WHERE e1.source <> e2.target AND e1.first_seen <= e2.last_seen""".stripMargin,
+    "web_trustrank" ->
+      s"""WITH $webLinksCtes,
+         |$webHostsCte,
+         |edges AS (SELECT src_host AS source, dst_host AS target, count(*)::DOUBLE AS c
+         |          FROM webhosts GROUP BY 1, 2),
+         |ew AS MATERIALIZED (SELECT source, target, CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS w
+         |      FROM edges GROUP BY 1, 2),
+         |ow AS (SELECT source, CAST(sum(w) AS BIGINT) AS ow FROM ew GROUP BY 1),
+         |ewj AS MATERIALIZED (SELECT e.source, e.target, e.w, o.ow FROM ew e JOIN ow o ON e.source = o.source),
+         |pn AS MATERIALIZED (SELECT DISTINCT id FROM
+         |      (SELECT source AS id FROM ew UNION ALL SELECT target FROM ew)),
+         |sd AS MATERIALIZED (SELECT id FROM pn
+         |      WHERE CASE WHEN regexp_matches(id, '^h\\d+\\.')
+         |                 THEN regexp_extract(id, '^h(\\d+)\\.', 1)::BIGINT % 10 ELSE -1 END = 1),
+         |sm AS MATERIALIZED (SELECT count(*)::BIGINT AS k FROM sd),
+         |r0 AS MATERIALIZED (SELECT pn.id,
+         |      CAST(CASE WHEN sd.id IS NOT NULL THEN 1000000000000 // (SELECT k FROM sm) ELSE 0 END AS BIGINT) AS r
+         |      FROM pn LEFT JOIN sd ON pn.id = sd.id),
+         |${(1 to 3).map(i =>
+              s"""c$i AS (SELECT e.target, CAST(sum((85 * r.r * e.w) // (100 * e.ow)) AS BIGINT) AS cin
+                 |      FROM ewj e JOIN r${i - 1} r ON e.source = r.id GROUP BY 1),
+                 |r$i AS MATERIALIZED (SELECT pn.id,
+                 |      CAST(CASE WHEN sd.id IS NOT NULL THEN ((15 * 1000000000000) // 100) // (SELECT k FROM sm) ELSE 0 END
+                 |           + coalesce(c.cin, 0) AS BIGINT) AS r
+                 |      FROM pn LEFT JOIN sd ON pn.id = sd.id LEFT JOIN c$i c ON pn.id = c.target)""".stripMargin)
+            .mkString(",\n")}
+         |SELECT id, r FROM r3""".stripMargin,
     // deterministic bucket-ranked vocabulary draw + filtered anti-join,
     // replayed symbolically (md5 mod arithmetic identical cross-engine)
     "kg_negative_samples" ->

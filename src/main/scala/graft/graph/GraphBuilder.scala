@@ -106,6 +106,40 @@ object GraphBuilder {
         max(col("ts_epoch")).as("last_seen"),
         count_distinct(floor(col("ts_epoch") / 86400L)).as("n_days"))
 
+  /** Contradictory-evidence report over the triple relation: entity pairs
+    * the corpus asserts with MORE THAN ONE distinct predicate — the
+    * knowledge-base quality signal a KG builder triages before publishing
+    * (ARElight renders one edge per (pair, sentiment) and leaves the
+    * contradiction implicit in the graph; this rollup surfaces it as a
+    * first-class relation, reference graph_ops has no counterpart). Output
+    * per conflicted (source, target): the three per-polarity evidence
+    * counts, total observations, the dominant label (max count, ties to the
+    * lexicographically smallest label), and `conflict_permille` = the share
+    * of observations that contradict the dominant label, in exact integer
+    * permille (1000 * (n_obs - max_count) div n_obs). One shuffle on the
+    * pair key with map-side partial aggregation; the conflict filter and
+    * permille math are post-aggregation row-local. */
+  def conflicts(triples: DataFrame): DataFrame =
+    triples
+      .groupBy(concat(col("subj_type"), lit("."), col("subj")).as("source"),
+        concat(col("obj_type"), lit("."), col("obj")).as("target"))
+      .agg(
+        sum(when(col("pred") === "pos", 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("pred") === "neg", 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("pred") === "neu", 1L).otherwise(0L)).as("n_neu"),
+        count(lit(1)).as("n_obs"),
+        count_distinct(col("pred")).as("n_preds"))
+      .filter(col("n_preds") >= 2)
+      // argmax with ties to the smallest label: neg < neu < pos
+      .withColumn("dominant",
+        when(col("n_neg") >= col("n_neu") && col("n_neg") >= col("n_pos"), lit("neg"))
+          .when(col("n_neu") >= col("n_pos"), lit("neu"))
+          .otherwise(lit("pos")))
+      .withColumn("conflict_permille",
+        expr("(1000 * (n_obs - greatest(n_pos, n_neg, n_neu))) div n_obs"))
+      .select(col("source"), col("target"), col("n_pos"), col("n_neg"),
+        col("n_neu"), col("n_obs"), col("dominant"), col("conflict_permille"))
+
   /** Freshness-decayed edge weight: each observation contributes
     * `1e6 >> min(age_halflives, maxBuckets)` where age_halflives =
     * floor(age_days / halfLifeDays) — an EXACT-integer exponential decay

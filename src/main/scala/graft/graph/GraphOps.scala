@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.{Graph, GraphLink, GraphNode}
 
@@ -390,6 +390,47 @@ object GraphOps {
           (when(col("id") === source, lit(pBase)).otherwise(lit(0L)) +
             coalesce(col("cin"), lit(0L))).as("r"))
         .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** TrustRank: personalized PageRank whose teleport set is a SEED SET of
+    * trusted nodes (the classic link-spam demotion signal for a crawl/host
+    * graph, per the public TrustRank formulation): authority flows out of a
+    * hand-vetted whitelist, so hosts reachable only through spam farms score
+    * ~0 regardless of raw in-degree. Same exact BIGINT arithmetic as
+    * [[pageRank]] (bit-identical cross-engine): total mass 10^12 split
+    * evenly over the k seed nodes (10^12 div k initial rank each — at k=1
+    * this degenerates to [[personalizedPageRank]]), teleport base
+    * (15 * 10^12 div 100) div k per seed, non-seeds teleport 0.
+    *
+    * `seedPred` is a boolean Column over `id`, so callers seed by pattern or
+    * by a broadcast whitelist membership; the seed count resolves once at
+    * prep with one tiny aggregate over the node relation prPrep already
+    * materialized (constant driver work, independent of graph size). Per
+    * iteration: one join co-partitioned on source + one aggregation on
+    * target, the whole fixed budget one lazy plan ([[roundCkpt]]). Dangling
+    * and non-seed-reachable mass drops, as in [[pageRank]]. Engine
+    * extension, no reference counterpart (see [[pageRank]]'s note). */
+  def trustRank(edges: DataFrame, seedPred: Column, iters: Int = 3): DataFrame = {
+    val g = prPrep(edges)
+    val (ew, nodes) = (g.ew, g.nodes)
+    val k = nodes.filter(seedPred).count()
+    require(k > 0, "trustRank: no node satisfies the seed predicate")
+    val mass = 1000000000000L
+    val share = mass / k
+    val pBase = ((15L * mass) / 100L) / k
+    val ck = roundCkpt(iters, maxLazy = 8) _
+    var ranks = nodes.select(col("id"),
+      when(seedPred, lit(share)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = ew.join(ranks.filter(col("r") > 0), ew("source") === col("id"))
+        .select(col("target"), expr("(85 * r * w) div (100 * ow)").as("contrib"))
+        .groupBy(col("target")).agg(sum(col("contrib")).as("cin"))
+      ranks = ck(nodes.join(contribs, nodes("id") === contribs("target"), "left")
+        .select(col("id"),
+          (when(seedPred, lit(pBase)).otherwise(lit(0L)) +
+            coalesce(col("cin"), lit(0L))).as("r")))
     }
     ranks
   }

@@ -236,6 +236,34 @@ object DocKg {
     GraphBuilder.edgeDecay(tripleObservations(spark, dir), DecayNowEpoch,
       halfLifeDays = 3, maxBuckets = 20)
 
+  /** Contradictory-evidence report — see
+    * [[graft.graph.GraphBuilder.conflicts]]. */
+  def conflicts(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.conflicts(triples(spark, dir))
+
+  /** Time-respecting 2-hop paths over the temporal edge rollup: a→b→c
+    * qualifies iff SOME observation of the first edge precedes (<=) some
+    * observation of the second — equivalently first_seen(a→b) <=
+    * last_seen(b→c), since observations exist at both rollup extremes. The
+    * temporal-KG reachability primitive ([[paths2]] is its atemporal
+    * sibling): "information could have propagated a→b→c in time order".
+    * The history relation is aggregated once and localCheckpoint'd — it
+    * feeds both sides of the self-join, and without materialization the
+    * full pages→triples lineage would evaluate twice when exchange reuse
+    * doesn't fire. The join shuffles both (small, post-aggregation) sides
+    * on the shared middle node; the time filter is row-local. */
+  def temporalPaths2(spark: SparkSession, dir: String): DataFrame = {
+    val h = GraphBuilder.edgeHistory(tripleObservations(spark, dir)).localCheckpoint(true)
+    val e1 = h.select(col("source").as("a"), col("target").as("b"),
+      col("sent").as("s1"), col("first_seen").as("t1"))
+    val e2 = h.select(col("source").as("b"), col("target").as("c_node"),
+      col("sent").as("s2"), col("last_seen").as("t2"))
+    e1.join(e2, "b")
+      .filter(col("a") =!= col("c_node") && col("t1") <= col("t2"))
+      .select(col("a"), col("b"), col("c_node"), col("s1"), col("s2"),
+        col("t1"), col("t2"))
+  }
+
   /** KG schema profile — see [[graft.graph.GraphBuilder.schemaProfile]]. */
   def schemaProfile(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.schemaProfile(triples(spark, dir))
