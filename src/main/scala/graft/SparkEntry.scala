@@ -384,6 +384,21 @@ object SparkEntry {
     // Zipf rank-frequency head: the corpus-health power-law diagnostic
     "text_zipf" -> ((s, d) =>
       TextStats.zipf(docs(s, d), col("text"), k = 100)),
+    // unsupervised keyword extraction (TextRank): exact integer PageRank
+    // over the corpus adjacency co-occurrence graph
+    "text_keywords" -> ((s, d) =>
+      TextStats.textRankKeywords(docs(s, d), col("text"), iters = 3)),
+    // SPARQL-style BGP over the materialized KG: ?x -pos-> ?y -neg-> ?z —
+    // constants pushed to the scan, patterns chained on shared variables
+    "kg_bgp" -> ((s, d) => {
+      val rel = DocKg.triples(s, d).select(
+        concat(col("subj_type"), lit("."), col("subj")).as("s"),
+        col("pred").as("p"),
+        concat(col("obj_type"), lit("."), col("obj")).as("o"))
+      graft.ops.Bgp.matchPatterns(rel, Seq(
+        graft.ops.Bgp.Pat("?x", "pos", "?y"),
+        graft.ops.Bgp.Pat("?y", "neg", "?z")))
+    }),
     // tokenizer-training loop: k rounds of distributed pair counting, one
     // merge per round (count DESC, pair ASC) — the trained merge table
     "text_phrase_merges" -> ((s, d) =>
@@ -1394,6 +1409,25 @@ object SparkEntry {
          |fr AS (SELECT term, count(*)::BIGINT AS freq FROM tf GROUP BY term),
          |rk AS (SELECT row_number() OVER (ORDER BY freq DESC, term) AS rank, term, freq FROM fr)
          |SELECT CAST(rank AS BIGINT) AS rank, term, freq FROM rk WHERE rank <= 100""".stripMargin,
+    "text_keywords" ->
+      s"""WITH $toksCte,
+         |tk AS (SELECT terms FROM toks WHERE len(terms) >= 2),
+         |adj0 AS (SELECT unnest(list_transform(range(0, len(terms) - 1), i -> terms[i+1])) AS a,
+         |                unnest(list_transform(range(0, len(terms) - 1), i -> terms[i+2])) AS b
+         |         FROM tk),
+         |adj AS (SELECT a, b FROM adj0 WHERE a <> '' AND b <> '' AND a <> b),
+         |ed0 AS (SELECT a AS source, b AS target FROM adj UNION ALL SELECT b, a FROM adj),
+         |edges AS (SELECT source, target, least(count(*), 100000)::DOUBLE AS c
+         |          FROM ed0 GROUP BY 1, 2),
+         |${pageRankChainCtes(3)}
+         |SELECT id, r FROM r3""".stripMargin,
+    "kg_bgp" ->
+      s"""WITH $triplesCte,
+         |rel AS (SELECT DISTINCT subj_type || '.' || subj AS s, pred AS p,
+         |               obj_type || '.' || obj AS o FROM triples),
+         |p1 AS (SELECT DISTINCT s AS x, o AS y FROM rel WHERE p = 'pos'),
+         |p2 AS (SELECT DISTINCT s AS y, o AS z FROM rel WHERE p = 'neg')
+         |SELECT p1.x, p1.y, p2.z FROM p1 JOIN p2 ON p1.y = p2.y""".stripMargin,
     "text_phrase_merges" ->
       s"""WITH ${phraseCtes(5)}
          |${(1 to 5).map(i =>

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SPARQL-style basic-graph-pattern (BGP) matching over an (s, p, o) triple
+  * relation — the KG CONSUMER's query primitive: once the pipeline has
+  * materialized triples, "find all (x, y, z) such that x→pos→y and y→neg→z"
+  * is a conjunctive pattern query, not bespoke code. Engine extension;
+  * reference anchor: none (ARElight materializes the d3js graph and stops —
+  * `arelight/run/operations.py` offers only whole-graph algebra).
+  *
+  * Plan shape (the 100 TB story): each pattern compiles to a FILTERED SCAN
+  * of the triple relation — constants become pushed-down predicates on the
+  * columnar store, so a pattern touching one predicate reads one predicate's
+  * row group stripes, never the whole KG. Patterns then chain with
+  * equi-joins on shared variables (classic left-deep BGP join), each a hash
+  * join on the binding columns. A pattern sharing NO variable with the
+  * already-joined prefix would be a cartesian product; rejected fail-fast
+  * (reorder the pattern list so every step connects — the caller knows the
+  * query's join graph).
+  */
+object Bgp {
+
+  /** One triple pattern. Each position is a variable (leading '?') or a
+    * constant; a variable repeated WITHIN a pattern (e.g. `Pat("?x", "likes",
+    * "?x")`) constrains those positions equal. */
+  final case class Pat(s: String, p: String, o: String)
+
+  private def isVar(t: String): Boolean = t.startsWith("?")
+
+  /** Bindings of one pattern against the relation: constants filtered,
+    * variables projected (deduplicated — set semantics per pattern, so a
+    * projection that drops distinguishing columns cannot carry
+    * multiplicities into the join). Returns (bindings, variable names). */
+  private def one(rel: DataFrame, p: Pat): (DataFrame, Seq[String]) = {
+    var df = rel
+    for ((c, t) <- Seq("s" -> p.s, "p" -> p.p, "o" -> p.o) if !isVar(t))
+      df = df.filter(col(c) === t)
+    val varCols = Seq("s" -> p.s, "p" -> p.p, "o" -> p.o).filter(x => isVar(x._2))
+    require(varCols.nonEmpty, s"pattern $p binds no variable")
+    val byVar = varCols.groupBy(_._2)
+    for ((_, occ) <- byVar if occ.length > 1; pair <- occ.map(_._1).sliding(2))
+      df = df.filter(col(pair.head) === col(pair.last))
+    val ordered = byVar.toSeq.sortBy(_._1)
+    (df.select(ordered.map { case (v, occ) => col(occ.head._1).as(v.drop(1)) }: _*)
+      .distinct(),
+      ordered.map(_._1.drop(1)))
+  }
+
+  /** Match `patterns` conjunctively against `rel` (columns `s`, `p`, `o`).
+    * Output: one column per distinct variable (name without the '?'), one
+    * row per solution under set semantics (duplicate triples in `rel` do
+    * not multiply solutions — callers usually pass a `.distinct()`-ed or
+    * aggregated triple relation anyway). */
+  def matchPatterns(rel: DataFrame, patterns: Seq[Pat]): DataFrame = {
+    require(patterns.nonEmpty, "empty pattern list")
+    val (h, hv) = one(rel, patterns.head)
+    var acc = h
+    var bound = hv.toSet
+    for (pat <- patterns.tail) {
+      val (df, vs) = one(rel, pat)
+      val shared = vs.filter(bound.contains)
+      require(shared.nonEmpty,
+        s"pattern $pat shares no variable with the joined prefix — " +
+          "cartesian product rejected; reorder the patterns")
+      acc = acc.join(df, shared)
+      bound ++= vs
+    }
+    acc
+  }
+}

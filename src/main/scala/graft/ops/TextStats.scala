@@ -242,6 +242,42 @@ object TextStats {
         col("id").as("doc_id"), col("score"))
   }
 
+  /** TextRank keyword scores (the public graph-ranking keyword-extraction
+    * formulation): exact integer PageRank over the corpus-wide word
+    * co-occurrence graph — terms are nodes; each ADJACENT token pair
+    * contributes a symmetrized edge, weighted by corpus adjacency count.
+    * Terms that co-occur with many well-connected terms rank highest — the
+    * unsupervised keyword signal a curation pipeline uses where tf-idf has
+    * no query. Engine extension; reference anchor: none (ARElight ranks
+    * graph NODES by degree, `arelight/backend/d3js/graphs_operations.py`,
+    * never corpus vocabulary).
+    *
+    * Scale shape: tokenization is row-local; the only shuffle before the
+    * rank loop is the (a, b) adjacency rollup, whose cardinality is bounded
+    * by vocabulary², not corpus size. Adjacency counts saturate at the
+    * [[graft.graph.GraphOps.pageRank]] weight bound (10^5) — mirrored in
+    * the oracle — so one degenerate bigram cannot overflow the exact
+    * integer recurrence at any corpus size. Self-adjacencies (immediately
+    * repeated tokens) carry no ranking signal and are dropped. Output:
+    * (id, r) — term, BIGINT rank, as in the pageRank family. */
+  def textRankKeywords(df: DataFrame, text: Column, iters: Int = 3): DataFrame = {
+    // materialize the token array in its own projection: the transform
+    // lambda below must capture an attribute, not the split expression
+    // (a captured expression subtree re-evaluates per element)
+    val toks = df.select(tokens(text).as("terms")).filter(size(col("terms")) >= 2)
+    val adj = toks
+      .select(explode(transform(sequence(lit(0), size(col("terms")) - 2),
+        i => struct(element_at(col("terms"), i + 1).as("a"),
+          element_at(col("terms"), i + 2).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "" && col("a") =!= col("b"))
+    val edges = adj
+      .union(adj.select(col("b"), col("a")))
+      .groupBy(col("a").as("source"), col("b").as("target"))
+      .agg(least(count(lit(1)), lit(100000L)).cast("double").as("c"))
+    graft.graph.GraphOps.pageRank(edges, iters)
+  }
+
   /** Exact quantiles by value histogram — the scale-correct exact-percentile
     * pattern when value cardinality << row count (lengths, scores, counts):
     * one aggregation to (value, cnt), a cumulative sum over the value-ordered

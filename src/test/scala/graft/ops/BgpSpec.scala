@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.ops.Bgp.Pat
+
+/** Basic-graph-pattern matcher semantics and the TextRank keyword graph. */
+class BgpSpec extends AnyFunSuite with SparkTestSession {
+
+  private def rel = {
+    import spark.implicits._
+    Seq(
+      ("a", "pos", "b"), ("b", "neg", "c"), ("b", "neg", "d"),
+      ("x", "pos", "b"), ("a", "neg", "b"), ("c", "likes", "c"),
+      ("d", "likes", "e")).toDF("s", "p", "o")
+  }
+
+  test("two-pattern chain joins on the shared variable") {
+    val got = Bgp.matchPatterns(rel, Seq(Pat("?x", "pos", "?y"), Pat("?y", "neg", "?z")))
+      .collect().map(r => (r.getString(1), r.getString(0), r.getString(2))).toSet
+    // (x, y, z): pos edges into b from a and x; neg out of b to c and d
+    assert(got == Set(("a", "b", "c"), ("a", "b", "d"), ("x", "b", "c"), ("x", "b", "d")))
+  }
+
+  test("constants filter; single pattern with one variable") {
+    val got = Bgp.matchPatterns(rel, Seq(Pat("b", "neg", "?z")))
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("c", "d"))
+  }
+
+  test("repeated variable within a pattern forces equality") {
+    val got = Bgp.matchPatterns(rel, Seq(Pat("?x", "likes", "?x")))
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("c")) // d likes e does not bind ?x twice
+  }
+
+  test("predicate variable binds") {
+    val got = Bgp.matchPatterns(rel, Seq(Pat("a", "?p", "b")))
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("pos", "neg"))
+  }
+
+  test("disconnected pattern is rejected (no cartesian)") {
+    val ex = intercept[IllegalArgumentException] {
+      Bgp.matchPatterns(rel, Seq(Pat("?x", "pos", "?y"), Pat("?u", "neg", "?v")))
+    }
+    assert(ex.getMessage.contains("cartesian"))
+  }
+
+  test("set semantics: duplicate triples do not multiply solutions") {
+    val dup = rel.union(rel)
+    val a = Bgp.matchPatterns(dup, Seq(Pat("?x", "pos", "?y"), Pat("?y", "neg", "?z"))).count()
+    val b = Bgp.matchPatterns(rel, Seq(Pat("?x", "pos", "?y"), Pat("?y", "neg", "?z"))).count()
+    assert(a == b)
+  }
+
+  test("three-pattern chain extends bindings left-deep") {
+    import spark.implicits._
+    val r3 = Seq(("a", "p1", "b"), ("b", "p2", "c"), ("c", "p3", "d"))
+      .toDF("s", "p", "o")
+    val got = Bgp.matchPatterns(r3,
+      Seq(Pat("?x", "p1", "?y"), Pat("?y", "p2", "?z"), Pat("?z", "p3", "?w")))
+      .collect()
+    assert(got.length == 1)
+  }
+
+  test("textRankKeywords: symmetric graph ranks symmetric terms equally; self-pairs dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "a b a" gives a<->b twice; "c c d" gives only c<->d (self-pair c,c dropped)
+    val df = Seq("a b a", "c c d").toDF("text")
+    val got = TextStats.textRankKeywords(df, col("text"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("a", "b", "c", "d"))
+    assert(got("a") == got("b")) // perfectly symmetric neighborhood
+    assert(got("c") == got("d"))
+    // a<->b edge has weight 2, c<->d weight 1 — but ranks are per-node mass
+    // shares; with 4 nodes and symmetric pairs, all equal under the exact
+    // recurrence (each node's single out-edge carries its full rank)
+    assert(got("a") == got("c"))
+  }
+}
