@@ -67,6 +67,16 @@ object SparkEntry {
         lit("User-agent: *\nUser-agent: extra\nDisallow: /\nCrawl-delay: "),
         (pmod(k, lit(7L)) + 1L).cast("string"), lit("\n# note\n")))
 
+  /** The extracted host graph as a weighted (source, target, c) edge
+    * relation — the shared input of the graph-analytics queries that want a
+    * bigger node space than the 4-entity document KG (40 hosts). */
+  private def hostEdges(s: SparkSession, d: String): DataFrame =
+    WebGraph.hostGraph(WebGraph.extractLinks(
+        WebGraph.syntheticLinkedPages(docs(s, d), col("doc_id"), col("text")),
+        col("html"), col("url")))
+      .select(col("src_host").as("source"), col("dst_host").as("target"),
+        col("n_links").cast("double").as("c"))
+
   /** The 40 synthetic hosts with their robots bodies. */
   private def robotsHosts(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(pmod(col("doc_id"), lit(40L)).as("k")).distinct()
@@ -885,7 +895,22 @@ object SparkEntry {
         WebGraph.hostGraph(links).select(col("src_host").as("source"),
           lit("links").as("sent"), col("dst_host").as("target")),
         seed = 7L, buckets = 8)
-    })
+    }),
+    // bounded Bellman-Ford over the host graph: exact integer min-cost
+    // within 4 hops, cost = 1e6 div link count (strength -> resistance)
+    "kg_sssp" -> ((s, d) => graft.graph.GraphOps.sssp(
+      hostEdges(s, d), "h1.example.test", rounds = 4)),
+    // physical-layout decision report: by_src vs by_edge placement at 8
+    // partitions — balance, remote endpoints, replication factor
+    "kg_partition_stats" -> ((s, d) => graft.graph.GraphOps.partitionStats(
+      hostEdges(s, d), parts = 8)),
+    // filtered link-prediction eval (common-neighbor baseline): per held-out
+    // host pair, exact rank / reciprocal rank / hits@k among corrupted tails
+    "kg_lp_eval" -> ((s, d) => graft.graph.GraphOps.linkPredictionEval(
+      hostEdges(s, d), testMod = 4)),
+    // per-(doc, object-entity) stance rollup: majority attitude polarity of
+    // the page toward each entity it asserts attitudes about
+    "kg_doc_stance" -> ((s, d) => DocKg.docStance(s, d))
   )
 
   // ------------------------------------------------------------------ oracles
@@ -3025,6 +3050,107 @@ object SparkEntry {
          |SELECT n.source, n.sent, n.target, n.target_neg FROM neg n
          |WHERE NOT EXISTS (SELECT 1 FROM hedges e
          |                  WHERE e.source = n.source AND e.sent = n.sent
-         |                    AND e.target = n.target_neg)""".stripMargin
+         |                    AND e.target = n.target_neg)""".stripMargin,
+    // Bellman-Ford unrolled: after round i, sd_i holds exact min cost over
+    // paths of <= i edges (cost = 1e6 // link count, truncating div both engines)
+    "kg_sssp" ->
+      s"""WITH $webLinksCtes,
+         |$webHostsCte,
+         |edges AS (SELECT src_host AS source, dst_host AS target, count(*)::DOUBLE AS c
+         |          FROM webhosts GROUP BY 1, 2),
+         |adjc AS MATERIALIZED (SELECT source AS src, target AS dst,
+         |      1000000 // CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS cost
+         |      FROM edges WHERE source <> target GROUP BY 1, 2),
+         |sd0 AS MATERIALIZED (SELECT 'h1.example.test' AS id, 0::BIGINT AS dist),
+         |${(1 to 4).map(i =>
+              s"""sd$i AS MATERIALIZED (SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+                 |      SELECT id, dist FROM sd${i - 1}
+                 |      UNION ALL
+                 |      SELECT a.dst AS id, d.dist + a.cost AS dist
+                 |      FROM sd${i - 1} d JOIN adjc a ON d.id = a.src) GROUP BY id)""".stripMargin)
+            .mkString(",\n")}
+         |SELECT id, dist FROM sd4""".stripMargin,
+    // both placement schemes replayed on the md5 bucket formula; loads over
+    // NON-EMPTY partitions, replication as distinct (node, partition) pairs
+    "kg_partition_stats" ->
+      s"""WITH $webLinksCtes,
+         |$webHostsCte,
+         |edges AS (SELECT src_host AS source, dst_host AS target, count(*)::DOUBLE AS c
+         |          FROM webhosts GROUP BY 1, 2),
+         |e AS MATERIALIZED (SELECT s, t,
+         |      ('0x' || substr(md5(s), 1, 15))::BIGINT % 8 AS sp,
+         |      ('0x' || substr(md5(t), 1, 15))::BIGINT % 8 AS tp,
+         |      ('0x' || substr(md5(s || '|' || t), 1, 15))::BIGINT % 8 AS ep
+         |      FROM (SELECT DISTINCT source AS s, target AS t FROM edges
+         |            WHERE source <> target)),
+         |lsrc AS (SELECT sum(n)::BIGINT AS n_edges, max(n)::BIGINT AS max_load,
+         |         min(n)::BIGINT AS min_load
+         |         FROM (SELECT sp, count(*) AS n FROM e GROUP BY sp)),
+         |rsrc AS (SELECT sum(CASE WHEN tp <> sp THEN 1 ELSE 0 END)::BIGINT AS remote_endpoints FROM e),
+         |psrc AS (SELECT count(*)::BIGINT AS repl_sum, count(DISTINCT id)::BIGINT AS n_nodes
+         |         FROM (SELECT DISTINCT id, p FROM
+         |               (SELECT s AS id, sp AS p FROM e UNION ALL SELECT t, sp FROM e))),
+         |ledge AS (SELECT sum(n)::BIGINT AS n_edges, max(n)::BIGINT AS max_load,
+         |          min(n)::BIGINT AS min_load
+         |          FROM (SELECT ep, count(*) AS n FROM e GROUP BY ep)),
+         |redge AS (SELECT sum(CASE WHEN sp <> ep THEN 1 ELSE 0 END
+         |                       + CASE WHEN tp <> ep THEN 1 ELSE 0 END)::BIGINT AS remote_endpoints FROM e),
+         |pedge AS (SELECT count(*)::BIGINT AS repl_sum, count(DISTINCT id)::BIGINT AS n_nodes
+         |          FROM (SELECT DISTINCT id, p FROM
+         |                (SELECT s AS id, ep AS p FROM e UNION ALL SELECT t, ep FROM e)))
+         |SELECT 'by_src' AS scheme, 8::BIGINT AS n_parts, n_edges, max_load, min_load,
+         |       remote_endpoints, repl_sum, n_nodes, (repl_sum * 1000) // n_nodes AS repl_permille
+         |FROM lsrc, rsrc, psrc
+         |UNION ALL
+         |SELECT 'by_edge', 8::BIGINT, n_edges, max_load, min_load,
+         |       remote_endpoints, repl_sum, n_nodes, (repl_sum * 1000) // n_nodes
+         |FROM ledge, redge, pedge""".stripMargin,
+    // filtered ranking protocol replayed: md5-mod split, wedge-join
+    // common-neighbor scores, pessimistic tie-break on the node key
+    "kg_lp_eval" ->
+      s"""WITH $webLinksCtes,
+         |$webHostsCte,
+         |edges AS (SELECT src_host AS source, dst_host AS target, count(*)::DOUBLE AS c
+         |          FROM webhosts GROUP BY 1, 2),
+         |und AS MATERIALIZED (SELECT DISTINCT least(source, target) AS a,
+         |      greatest(source, target) AS b FROM edges WHERE source <> target),
+         |m AS MATERIALIZED (SELECT a, b,
+         |      (('0x' || substr(md5(a || '|' || b), 1, 15))::BIGINT % 4 = 0) AS is_test FROM und),
+         |tst AS MATERIALIZED (SELECT a AS u, b AS v FROM m WHERE is_test),
+         |trn AS (SELECT a, b FROM m WHERE NOT is_test),
+         |adjt AS MATERIALIZED (SELECT a AS x, b AS n FROM trn UNION ALL SELECT b, a FROM trn),
+         |cn AS MATERIALIZED (SELECT p.x AS p, q.x AS q, count(*)::BIGINT AS score
+         |      FROM adjt p JOIN adjt q ON p.n = q.n WHERE p.x <> q.x GROUP BY 1, 2),
+         |nodes AS (SELECT a AS w FROM und UNION SELECT b FROM und),
+         |cand AS MATERIALIZED (SELECT t.u, t.v, nd.w FROM tst t CROSS JOIN nodes nd
+         |      WHERE nd.w <> t.u
+         |        AND NOT EXISTS (SELECT 1 FROM m
+         |                        WHERE m.a = least(t.u, nd.w) AND m.b = greatest(t.u, nd.w))),
+         |negs AS (SELECT c.u, c.v, c.w, coalesce(cn.score, 0)::BIGINT AS s
+         |      FROM cand c LEFT JOIN cn ON cn.p = c.u AND cn.q = c.w),
+         |pos AS MATERIALIZED (SELECT t.u, t.v, coalesce(cn.score, 0)::BIGINT AS pos_score
+         |      FROM tst t LEFT JOIN cn ON cn.p = t.u AND cn.q = t.v),
+         |per AS (SELECT n.u, n.v, count(*)::BIGINT AS n_cand,
+         |      sum(CASE WHEN n.s > p.pos_score OR (n.s = p.pos_score AND n.w < n.v)
+         |               THEN 1 ELSE 0 END)::BIGINT AS n_better
+         |      FROM negs n JOIN pos p ON n.u = p.u AND n.v = p.v GROUP BY 1, 2)
+         |SELECT p.u AS a, p.v AS b, p.pos_score,
+         |       coalesce(per.n_cand, 0)::BIGINT AS n_cand,
+         |       (coalesce(per.n_better, 0) + 1)::BIGINT AS rank,
+         |       1000000 // (coalesce(per.n_better, 0) + 1) AS rr_scaled,
+         |       (CASE WHEN coalesce(per.n_better, 0) + 1 <= 1 THEN 1 ELSE 0 END)::BIGINT AS hit1,
+         |       (CASE WHEN coalesce(per.n_better, 0) + 1 <= 3 THEN 1 ELSE 0 END)::BIGINT AS hit3
+         |FROM pos p LEFT JOIN per ON p.u = per.u AND p.v = per.v""".stripMargin,
+    "kg_doc_stance" ->
+      s"""WITH $triplesCte,
+         |st AS (SELECT doc_id, obj, obj_type,
+         |       sum(CASE WHEN pred = 'pos' THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         |       sum(CASE WHEN pred = 'neg' THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+         |       count(*)::BIGINT AS n_total
+         |       FROM triples GROUP BY 1, 2, 3)
+         |SELECT doc_id, obj, obj_type, n_pos, n_neg, n_total,
+         |       CASE WHEN n_pos > n_neg THEN 'pos'
+         |            WHEN n_neg > n_pos THEN 'neg' ELSE 'neu' END AS stance
+         |FROM st""".stripMargin
   )
 }

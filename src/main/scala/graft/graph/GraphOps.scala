@@ -1508,4 +1508,172 @@ object GraphOps {
       .withColumn("coeff",
         (col("tri") * 2).cast("double") / (col("deg") * (col("deg") - 1)).cast("double"))
   }
+
+  /** The repo-wide md5 bucket hash as a Column (cross-engine: DuckDB replays
+    * it as `('0x' || substr(md5(x), 1, 15))::BIGINT % m` — 15 hex digits =
+    * 60 bits, always non-negative). */
+  private def md5Mod(s: Column, m: Int): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long") % m
+
+  /** Bounded-round single-source shortest paths (Bellman–Ford relaxation)
+    * over the weighted directed edge relation, in exact integer arithmetic.
+    * Edge cost = `costScale div w` with w the validated integral summed edge
+    * weight — stronger evidence ⇒ cheaper traversal, the standard strength→
+    * resistance flip for KG proximity queries. After r rounds the relation
+    * holds the exact min cost over paths of ≤ r edges (the Bellman–Ford
+    * invariant): the FIXED round budget is the operator contract, which lets
+    * the DuckDB oracle unroll identical rounds as chained MATERIALIZED CTEs
+    * (the [[kCore]] discipline). Costs are non-negative, so rounds past the
+    * true eccentricity are no-ops.
+    *
+    * Per round: one join of the distance relation with the (checkpointed
+    * once) adjacency relation on the node key + one min aggregation over
+    * (old ∪ relaxed), partial-aggregated map-side. The distance relation
+    * feeds two consumers per round (join + union), so the lazy-plan budget
+    * is the doubling one; bigger budgets truncate lineage per round.
+    * Output: (id, dist) for nodes reachable within `rounds` hops.
+    * Engine extension, no reference counterpart. */
+  def sssp(edges: DataFrame, source: String, rounds: Int = 4,
+      costScale: Long = 1000000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"rounds must be in [1,32]: $rounds")
+    require(costScale >= 1L, s"costScale must be positive: $costScale")
+    val cInt = when(col("c") =!= floor(col("c")),
+      raise_error(concat(lit("sssp requires integral edge weights, got c="), col("c")))
+        .cast("double")).otherwise(col("c")).cast("long")
+    val adj = edges.filter(col("source") =!= col("target"))
+      .groupBy(col("source").as("src"), col("target").as("dst"))
+      .agg(sum(cInt).as("w"))
+      .select(col("src"), col("dst"), expr(s"$costScale div w").as("cost"))
+      .localCheckpoint(true)
+    val spark = edges.sparkSession
+    var dist = spark.range(1).select(lit(source).as("id"), lit(0L).as("dist"))
+    val ck = roundCkpt(rounds, maxLazy = 4) _
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(adj, dist("id") === adj("src"))
+        .select(col("dst").as("id"), (col("dist") + col("cost")).as("dist"))
+      dist = ck(dist.union(relaxed).groupBy(col("id")).agg(min(col("dist")).as("dist")))
+    }
+    dist
+  }
+
+  /** Partition-quality report for the two canonical edge-placement schemes
+    * at a given partition count — the numbers that decide a 100 TB physical
+    * layout (bucket-by-source vs 2D edge hashing):
+    *
+    *  - `by_src`:  an edge lives in partition h(source) mod P (the 1D hash
+    *    that `groupBy(source)` / bucketBy(source) induces). Skewed
+    *    out-degree piles onto single partitions; a join on `target` fetches
+    *    the remote endpoint.
+    *  - `by_edge`: an edge lives in partition h(source|target) mod P
+    *    (2D / vertex-cut placement, PowerGraph-style). Load balance is
+    *    near-perfect by construction; the cost moves into node replication.
+    *
+    * Per scheme, over the distinct directed simple edge set: edge count,
+    * max/min partition load among non-empty partitions (balance/skew),
+    * remote_endpoints = Σ per-edge endpoints NOT co-located with the edge's
+    * partition (the shuffle volume a node-keyed join pays), repl_sum =
+    * Σ_v |{partitions holding an edge incident to v}| (the PowerGraph
+    * replication factor numerator) with its per-node permille. Hash =
+    * [[md5Mod]], so the report is cross-engine exact. Shape: one distinct
+    * projection + three map-side-combinable aggregations; nothing touches
+    * the driver. Engine extension, no reference counterpart. */
+  def partitionStats(edges: DataFrame, parts: Int = 8): DataFrame = {
+    require(parts >= 2, s"parts must be >= 2: $parts")
+    val e = edges.filter(col("source") =!= col("target"))
+      .select(col("source").as("s"), col("target").as("t")).distinct()
+      .select(col("s"), col("t"), md5Mod(col("s"), parts).as("sp"),
+        md5Mod(col("t"), parts).as("tp"),
+        md5Mod(concat(col("s"), lit("|"), col("t")), parts).as("ep"))
+      .localCheckpoint(true)
+
+    def scheme(name: String, partCol: String, remote: Column): DataFrame = {
+      val loads = e.groupBy(col(partCol)).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("n_edges"), max(col("n")).as("max_load"),
+          min(col("n")).as("min_load"))
+      val remotes = e.agg(sum(remote).as("remote_endpoints"))
+      val repl = e.select(col("s").as("id"), col(partCol).as("p"))
+        .union(e.select(col("t"), col(partCol))).distinct()
+        .agg(count(lit(1)).as("repl_sum"), countDistinct(col("id")).as("n_nodes"))
+      loads.crossJoin(remotes).crossJoin(repl)
+        .select(lit(name).as("scheme"), lit(parts.toLong).as("n_parts"),
+          col("n_edges"), col("max_load"), col("min_load"),
+          col("remote_endpoints"), col("repl_sum"), col("n_nodes"),
+          expr("(repl_sum * 1000) div n_nodes").as("repl_permille"))
+    }
+
+    scheme("by_src", "sp",
+        when(col("tp") =!= col("sp"), 1L).otherwise(0L))
+      .union(scheme("by_edge", "ep",
+        when(col("sp") =!= col("ep"), 1L).otherwise(0L) +
+          when(col("tp") =!= col("ep"), 1L).otherwise(0L)))
+  }
+
+  /** Filtered link-prediction ranking evaluation — the KG-completion
+    * scoreboard (per-edge rank, reciprocal rank, hits@k) for a structural
+    * scorer, here common-neighbor count on the TRAIN split: the
+    * zero-hyperparameter baseline every KG embedding has to beat.
+    * Deterministic protocol, exact integers end to end:
+    *
+    *  - split: an undirected simple pair (a < b) is TEST iff
+    *    h(a|b) mod `testMod` == 0 ([[md5Mod]]); the rest train.
+    *  - candidates: per test pair (u, v), corrupt the second endpoint with
+    *    every node w of the graph, FILTERED — skip w == u and any w forming
+    *    a true (train or test) pair with u. The standard "filtered" setting:
+    *    other true edges must not count as errors.
+    *  - score(x, y) = |N_train(x) ∩ N_train(y)| (undirected).
+    *  - rank(u,v) = 1 + #{w : score(u,w) > score(u,v), or equal and w < v}
+    *    — a deterministic pessimistic tie-break on the node key.
+    *
+    * Output per test pair: (a, b, pos_score, n_cand, rank, rr_scaled =
+    * 10^6 div rank, hit1, hit3). The candidate build is test-pairs × node
+    * vocabulary — intentional and bounded by the test fraction on the
+    * POST-aggregation graph; at web scale swap the full vocabulary for the
+    * sampled corruption draw ([[graft.ops.KgEmbed.negativeSamples]]), which
+    * keeps the identical join shape. Scoring is one wedge self-join of the
+    * train adjacency (the [[neighborJaccard]] shape) computed once and
+    * probed by both the positive and the candidate side. */
+  def linkPredictionEval(edges: DataFrame, testMod: Int = 4): DataFrame = {
+    require(testMod >= 2, s"testMod must be >= 2: $testMod")
+    val und = undirectedSimple(edges)
+      .withColumn("is_test",
+        md5Mod(concat(col("a"), lit("|"), col("b")), testMod) === 0L)
+      .localCheckpoint(true)
+    val test = und.filter(col("is_test")).select(col("a").as("u"), col("b").as("v"))
+    val train = und.filter(!col("is_test")).select(col("a"), col("b"))
+    val adjTrain = train.select(col("a").as("x"), col("b").as("n"))
+      .union(train.select(col("b"), col("a")))
+    // common-neighbor scores for every pair sharing >= 1 train neighbor,
+    // both directions kept so positives and candidates probe by (u, other)
+    val cn = adjTrain.select(col("x").as("p"), col("n"))
+      .join(adjTrain.select(col("x").as("q"), col("n")), "n")
+      .filter(col("p") =!= col("q"))
+      .groupBy(col("p"), col("q")).agg(count(lit(1)).as("score"))
+      .localCheckpoint(true)
+    val nodes = und.select(col("a").as("w")).union(und.select(col("b"))).distinct()
+    val truePairs = und.select(col("a"), col("b"))
+    val cand = test.crossJoin(nodes)
+      .filter(col("w") =!= col("u"))
+      .join(truePairs,
+        least(col("u"), col("w")) === truePairs("a") &&
+          greatest(col("u"), col("w")) === truePairs("b"), "left_anti")
+    val negScored = cand
+      .join(cn, cand("u") === cn("p") && cand("w") === cn("q"), "left")
+      .select(col("u"), col("v"), col("w"), coalesce(col("score"), lit(0L)).as("s"))
+    val pos = test
+      .join(cn, test("u") === cn("p") && test("v") === cn("q"), "left")
+      .select(col("u"), col("v"), coalesce(col("score"), lit(0L)).as("pos_score"))
+    val perTest = negScored.join(pos, Seq("u", "v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("s") > col("pos_score") ||
+          (col("s") === col("pos_score") && col("w") < col("v")), 1L)
+          .otherwise(0L)).as("n_better"))
+    pos.join(perTest, Seq("u", "v"), "left")
+      .select(col("u").as("a"), col("v").as("b"), col("pos_score"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        (coalesce(col("n_better"), lit(0L)) + 1L).as("rank"))
+      .withColumn("rr_scaled", expr("1000000 div rank"))
+      .withColumn("hit1", when(col("rank") <= 1, 1L).otherwise(0L))
+      .withColumn("hit3", when(col("rank") <= 3, 1L).otherwise(0L))
+  }
 }

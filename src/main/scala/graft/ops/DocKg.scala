@@ -268,6 +268,28 @@ object DocKg {
   def schemaProfile(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.schemaProfile(triples(spark, dir))
 
+  /** Document-level stance toward each entity the page asserts attitudes
+    * ABOUT: the per-(doc, object-entity) rollup of triple polarities, with
+    * the majority label (ties → neu). The document-granularity aggregate a
+    * media-analysis consumer reads off the KG ("how does this page lean on
+    * X"), one step up from the reference's per-pair attitudes
+    * (/root/reference/arelight/run/infer.py:201-222 emits per-pair labels
+    * only). One shuffle on (doc_id, obj, obj_type); counts are map-side
+    * partials. */
+  def docStance(spark: SparkSession, dir: String): DataFrame =
+    stanceFromTriples(triples(spark, dir))
+
+  /** [[docStance]] over any (doc_id, pred, obj, obj_type) triple relation. */
+  def stanceFromTriples(triplesDf: DataFrame): DataFrame =
+    triplesDf
+      .groupBy(col("doc_id"), col("obj"), col("obj_type"))
+      .agg(sum(when(col("pred") === "pos", 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("pred") === "neg", 1L).otherwise(0L)).as("n_neg"),
+        count(lit(1)).as("n_total"))
+      .withColumn("stance",
+        when(col("n_pos") > col("n_neg"), "pos")
+          .when(col("n_neg") > col("n_pos"), "neg").otherwise("neu"))
+
   /** Top-k strongest targets per source node by edge weight (§2.7 windows:
     * the reference never sorts mid-pipeline, but a KG consumer's first query
     * is "the k strongest relations of X"). One row_number window over the
