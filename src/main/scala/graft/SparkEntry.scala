@@ -71,8 +71,13 @@ object SparkEntry {
     * relation — the shared input of the graph-analytics queries that want a
     * bigger node space than the 4-entity document KG (40 hosts). */
   private def hostEdges(s: SparkSession, d: String): DataFrame =
+    hostEdgesOf(docs(s, d))
+
+  /** [[hostEdges]] over any pre-filtered documents relation (the
+    * batch-split store queries). */
+  private def hostEdgesOf(dd: DataFrame): DataFrame =
     WebGraph.hostGraph(WebGraph.extractLinks(
-        WebGraph.syntheticLinkedPages(docs(s, d), col("doc_id"), col("text")),
+        WebGraph.syntheticLinkedPages(dd, col("doc_id"), col("text")),
         col("html"), col("url")))
       .select(col("src_host").as("source"), col("dst_host").as("target"),
         col("n_links").cast("double").as("c"))
@@ -910,7 +915,19 @@ object SparkEntry {
       hostEdges(s, d), testMod = 4)),
     // per-(doc, object-entity) stance rollup: majority attitude polarity of
     // the page toward each entity it asserts attitudes about
-    "kg_doc_stance" -> ((s, d) => DocKg.docStance(s, d))
+    "kg_doc_stance" -> ((s, d) => DocKg.docStance(s, d)),
+    // continuous entity resolution: two disjoint crawl batches folded into a
+    // persistent component-label store; the unrolled init+ingest must equal
+    // a full-graph recompute (min-label components are history-independent)
+    "kg_components_store" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-compstore-q").toString + "/cs"
+      graft.ops.ComponentStore.merge(
+        hostEdgesOf(docs(s, d).filter(col("doc_id") % 2 === 0)), dir, "b0")
+      graft.ops.ComponentStore.merge(
+        hostEdgesOf(docs(s, d).filter(col("doc_id") % 2 === 1)), dir, "b1")
+      graft.ops.ComponentStore.state(s, dir)
+    })
   )
 
   // ------------------------------------------------------------------ oracles
@@ -3151,6 +3168,21 @@ object SparkEntry {
          |SELECT doc_id, obj, obj_type, n_pos, n_neg, n_total,
          |       CASE WHEN n_pos > n_neg THEN 'pos'
          |            WHEN n_neg > n_pos THEN 'neg' ELSE 'neu' END AS stance
-         |FROM st""".stripMargin
+         |FROM st""".stripMargin,
+    // the oracle is the FULL-graph closure — no batch split: min-label
+    // components are history-independent, so the store fold must match it
+    "kg_components_store" ->
+      s"""WITH RECURSIVE $webLinksCtes,
+         |$webHostsCte,
+         |und AS (SELECT DISTINCT least(src_host, dst_host) AS a,
+         |        greatest(src_host, dst_host) AS b
+         |        FROM webhosts WHERE src_host <> dst_host),
+         |e2 AS (SELECT a AS src, b AS dst FROM und UNION SELECT b, a FROM und),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e2
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src
+         |)
+         |SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src""".stripMargin
   )
 }

@@ -26,6 +26,12 @@ import graft.graph.{D3Json, GraphOps}
   * MIRRORS reads the persistent fingerprint store (`--fp-store DIR
   * [--min-shared N]`) — shared-content host pairs over the whole crawl
   * history accreted by StreamOps.fpIngestStream.
+  * COMPONENTS with `--component-store DIR [--batch-id ID]` folds this
+  * graph's edges into the persistent label store (exactly-once) and reads
+  * the accreted labels — continuous entity resolution.
+  * SSSP (`--source NODE [--iters N]`), PARTSTATS (`--parts N`) and LPEVAL
+  * (`--test-mod N`) run the Bellman-Ford distances, the placement-quality
+  * report and the filtered link-prediction ranking over the same edges.
   * NTRIPLES writes <out>/graph.nt (RDF dump) instead of the csv.
   * DELTA reads BOTH --a and --b and writes the edge-level
   * added/removed/changed/stable diff as analytics.csv.
@@ -38,7 +44,7 @@ object Operations {
     Set("PAGERANK", "PPR", "HITS", "COMPONENTS", "LPA", "KCORE", "BFS", "CLUSTCOEFF",
       "KTRUSS", "WALKS", "NODE2VEC", "DEGHIST", "ASSORT", "HARMONIC", "HYPERBALL",
       "NTRIPLES", "MIS", "KATZ", "MODULARITY", "SCC", "NEIGHBORHOOD", "CLOSENESS",
-      "FRONTIER", "MIRRORS")
+      "FRONTIER", "MIRRORS", "SSSP", "PARTSTATS", "LPEVAL")
 
   private def runAnalytics(a: Option[Graph], b: Option[Graph], op: String,
       opts: Map[String, String], out: String): Unit = {
@@ -95,7 +101,20 @@ object Operations {
       case "PPR"        => GraphOps.personalizedPageRank(edges,
         opts.getOrElse("--source", sys.error("PPR requires --source NODE")), iters)
       case "HITS"       => GraphOps.hits(edges, math.max(1, iters - 1))
-      case "COMPONENTS" => GraphOps.connectedComponents(edges)
+      // --component-store DIR: continuous entity resolution — with
+      // --batch-id, fold THIS graph's edges in (exactly-once), then read the
+      // accreted labels; without it, just read the store (pairs with
+      // Infer --component-store / the store queries)
+      case "COMPONENTS" => opts.get("--component-store") match {
+        case Some(dir) =>
+          opts.get("--batch-id").foreach { bid =>
+            if (!graft.ops.ComponentStore.merge(edges, dir, bid))
+              System.err.println(
+                s"batch '$bid' already in $dir ledger; fold skipped (idempotent retry)")
+          }
+          graft.ops.ComponentStore.state(spark, dir)
+        case None => GraphOps.connectedComponents(edges)
+      }
       case "LPA"        => GraphOps.labelPropagation(edges, iters)
       case "KCORE"      => GraphOps.kCore(edges, opts.getOrElse("--k", "2").toLong, iters + 1)
       case "BFS"        => GraphOps.bfs(edges,
@@ -124,6 +143,12 @@ object Operations {
       case "SCC"        => GraphOps.scc(edges, outerRounds = iters, innerRounds = iters)
       case "NEIGHBORHOOD" => GraphOps.neighborhoodFunction(edges, iters)
       case "CLOSENESS"  => GraphOps.closeness(edges, iters)
+      case "SSSP"       => GraphOps.sssp(edges,
+        opts.getOrElse("--source", sys.error("SSSP requires --source NODE")), iters)
+      case "PARTSTATS"  => GraphOps.partitionStats(edges,
+        opts.getOrElse("--parts", "8").toInt)
+      case "LPEVAL"     => GraphOps.linkPredictionEval(edges,
+        opts.getOrElse("--test-mod", "4").toInt)
       case "DELTA"      =>
         val be = b.get.links.map(l => (l.source, l.target, l.sent, l.c))
           .toDF("source", "target", "sent", "c")
