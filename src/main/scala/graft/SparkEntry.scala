@@ -124,6 +124,9 @@ object SparkEntry {
     // PMI edge significance in integer log2 space (exact cross-engine) —
     // discounts hot-entity co-occurrence by both marginals
     "kg_pmi" -> ((s, d) => DocKg.pmi(s, d)),
+    // per-relation functionality profile: subjects with >1 distinct object
+    // under a mostly-functional predicate are likely extraction errors
+    "kg_functionality" -> ((s, d) => DocKg.functionality(s, d)),
     // incremental edge maintenance: two batches of unfiltered counts merged
     // by key, HAVING applied at read — must equal the full-batch kg_edges
     "kg_edges_incremental" -> ((s, d) => DocKg.edgesIncremental(s, d)),
@@ -632,6 +635,18 @@ object SparkEntry {
         concat(array(element_at(col("e"), 1) + 0.5), slice(col("e"), 2, 63)).as("e")))
       Dedup.semanticKeepOne(aug, col("vec_id"), col("e"), threshold = 0.9, dim = 64)
     }),
+    // SEMANTIC eval-set decontamination: cross-set LSH cosine join — corpus
+    // (the perturbed copies) vs eval set (every fifth original); bucket join
+    // on (band, sig) only, exact-cosine verify, never corpus x eval
+    "decontaminate_semantic" -> ((s, d) => {
+      val e = embeds(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val corpus = e.select((col("vec_id") + 10000).as("vec_id"),
+        concat(array(element_at(col("e"), 1) + 0.5), slice(col("e"), 2, 63)).as("e"))
+      val evals = e.filter(col("vec_id") % 5 === 0)
+      Similarity.lshCosineJoin(corpus, evals, col("vec_id"), col("e"),
+        threshold = 0.9, dim = 64)
+    }),
     // ---- text analysis
     "text_quality" -> ((s, d) => TextStats.quality(docs(s, d), col("text"), col("doc_id"))
       .select(col("id"), col("n_tokens").cast("long"), col("n_chars").cast("long"),
@@ -664,6 +679,15 @@ object SparkEntry {
     // tf-idf top-5 keywords per document (integer-log2 idf, WindowGroupLimit)
     "text_tfidf_topk" -> ((s, d) =>
       TextStats.tfIdfTopK(docs(s, d), col("text"), col("doc_id"), k = 5)),
+    // DSIR importance weights: hashed-token bucket distributions, target =
+    // the English slice; integer-log2 likelihood ratios, broadcast dict
+    "text_dsir_weights" -> ((s, d) => TextStats.dsirWeights(
+      docs(s, d), col("text"), col("doc_id"), col("lang") === "en")),
+    // the selection step of DSIR: top-50 most target-like docs — TakeOrdered
+    // (distributed partial top-k), never a global sort
+    "curate_dsir_select" -> ((s, d) => TextStats.dsirWeights(
+        docs(s, d), col("text"), col("doc_id"), col("lang") === "en")
+      .orderBy(col("dsir_w").desc, col("doc_id")).limit(50)),
     // exact corpus length percentiles via the value histogram
     "text_len_quantiles" -> ((s, d) =>
       TextStats.histogramQuantiles(docs(s, d), col("n_chars"), Seq(0.5, 0.9, 0.99))),
@@ -819,6 +843,25 @@ object SparkEntry {
       graft.graph.GraphOps.pageRank(WebGraph.hostGraph(links)
         .select(col("src_host").as("source"), col("dst_host").as("target"),
           col("n_links").cast("double").as("c")), iters = 3)
+    }),
+    // rich-club profile of the extracted host graph: histogram-collapsed
+    // degree thresholds, never an O(maxK * |E|) scan (GraphOps.richClub)
+    "web_richclub" -> ((s, d) =>
+      graft.graph.GraphOps.richClub(hostEdges(s, d), maxK = 8)),
+    // two-iteration exact-integer SimRank over the host graph: "hosts are
+    // similar when similar hosts link to them" (GraphOps.simRank)
+    "web_simrank" -> ((s, d) =>
+      graft.graph.GraphOps.simRank(hostEdges(s, d))),
+    // per-host change rate between two crawl snapshots -> revisit schedule;
+    // snapshot B mutates every third page deterministically so the digest
+    // join sees real churn (WebGraph.changeRate)
+    "web_change_rate" -> ((s, d) => {
+      val dd = docs(s, d)
+      val a = dd.select(WebGraph.syntheticUrl(col("doc_id")).as("url"), col("text"))
+      val b = dd.select(WebGraph.syntheticUrl(col("doc_id")).as("url"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      WebGraph.changeRate(a, b)
     }),
     // redirect-chain resolution by pointer doubling: 2 rounds resolve the
     // fixture's <=3-hop chains; the oracle unrolls the same two rounds
@@ -1445,6 +1488,18 @@ object SparkEntry {
          |SELECT source, target, n_st, n_s, n_t,
          |       CAST((length(bin(n_st * n)) - 1) - (length(bin(n_s * n_t)) - 1) AS BIGINT) AS ipmi
          |FROM pcnt JOIN st USING (source) JOIN tt USING (target) CROSS JOIN tot""".stripMargin,
+    "kg_functionality" ->
+      s"""WITH $triplesCte,
+         |tk AS (SELECT pred AS sent, subj_type || '.' || subj AS source,
+         |              obj_type || '.' || obj AS target FROM triples),
+         |per_subj AS (SELECT sent, source, count(DISTINCT target)::BIGINT AS n_obj
+         |             FROM tk GROUP BY 1, 2)
+         |SELECT sent, count(*)::BIGINT AS n_subjects,
+         |       SUM(CASE WHEN n_obj = 1 THEN 1 ELSE 0 END)::BIGINT AS n_functional,
+         |       SUM(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+         |       SUM(n_obj - 1)::BIGINT AS n_extra_objects,
+         |       CAST((SUM(CASE WHEN n_obj = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS func_scaled
+         |FROM per_subj GROUP BY sent""".stripMargin,
     "text_zipf" ->
       s"""WITH $toksCte,
          |tf AS (SELECT unnest(terms) AS term FROM toks),
@@ -2402,6 +2457,21 @@ object SparkEntry {
          |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
          |SELECT v.id FROM v LEFT JOIN labels l ON v.id = l.id
          |WHERE l.cluster IS NULL OR l.cluster = v.id""".stripMargin,
+    "decontaminate_semantic" ->
+      s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cp AS (SELECT vec_id + 10000 AS id, [e[1] + 0.5] || e[2:${annDim}] AS e FROM v0),
+         |ev AS (SELECT vec_id AS id, e FROM v0 WHERE vec_id % 5 = 0),
+         |sigc AS (${(0 until annBands).map(b =>
+               s"SELECT id, $b AS band, ${annBandSql(b)} AS sig FROM cp")
+               .mkString("\n       UNION ALL ")}),
+         |sige AS (${(0 until annBands).map(b =>
+               s"SELECT id, $b AS band, ${annBandSql(b)} AS sig FROM ev")
+               .mkString("\n       UNION ALL ")}),
+         |cand AS (SELECT DISTINCT c.id AS corpus_id, v.id AS eval_id
+         |         FROM sigc c JOIN sige v ON c.band = v.band AND c.sig = v.sig)
+         |SELECT corpus_id, eval_id, ${cosineSql("vc.e", "ve.e")} AS score
+         |FROM cand JOIN cp vc ON cand.corpus_id = vc.id JOIN ev ve ON cand.eval_id = ve.id
+         |WHERE ${cosineSql("vc.e", "ve.e")} >= 0.9""".stripMargin,
     "text_repetition" ->
       s"""WITH $toksCte,
          |rep AS (SELECT t.doc_id, string_split(d.text, chr(10)) AS lines,
@@ -2560,6 +2630,40 @@ object SparkEntry {
          |SELECT id, n_bigrams, surprisal,
          |       surprisal::DOUBLE / n_bigrams::DOUBLE AS mean_surprisal
          |FROM sc""".stripMargin,
+    "text_dsir_weights" ->
+      s"""WITH t0 AS (SELECT doc_id, lang = 'en' AS is_t,
+         |            unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents),
+         |tb AS (SELECT doc_id, is_t,
+         |              ('0x' || substr(md5(term), 1, 15))::BIGINT % 64 AS b FROM t0),
+         |db AS MATERIALIZED (SELECT doc_id, is_t, b, count(*)::BIGINT AS c_doc
+         |      FROM tb GROUP BY 1, 2, 3),
+         |rawd AS (SELECT b, CAST(SUM(c_doc) AS BIGINT) AS c_raw FROM db GROUP BY b),
+         |tgt AS (SELECT b, CAST(SUM(c_doc) AS BIGINT) AS c_tgt FROM db WHERE is_t GROUP BY b),
+         |dict AS (SELECT rawd.b,
+         |         CAST((length(bin(COALESCE(c_tgt, 0) + 1)) - 1)
+         |            - (length(bin(c_raw + 1)) - 1) AS BIGINT) AS lr
+         |         FROM rawd LEFT JOIN tgt ON rawd.b = tgt.b)
+         |SELECT doc_id, CAST(SUM(c_doc * lr) AS BIGINT) AS dsir_w,
+         |       CAST(SUM(c_doc) AS BIGINT) AS n_terms
+         |FROM db JOIN dict USING (b) GROUP BY doc_id""".stripMargin,
+    "curate_dsir_select" ->
+      s"""WITH t0 AS (SELECT doc_id, lang = 'en' AS is_t,
+         |            unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents),
+         |tb AS (SELECT doc_id, is_t,
+         |              ('0x' || substr(md5(term), 1, 15))::BIGINT % 64 AS b FROM t0),
+         |db AS MATERIALIZED (SELECT doc_id, is_t, b, count(*)::BIGINT AS c_doc
+         |      FROM tb GROUP BY 1, 2, 3),
+         |rawd AS (SELECT b, CAST(SUM(c_doc) AS BIGINT) AS c_raw FROM db GROUP BY b),
+         |tgt AS (SELECT b, CAST(SUM(c_doc) AS BIGINT) AS c_tgt FROM db WHERE is_t GROUP BY b),
+         |dict AS (SELECT rawd.b,
+         |         CAST((length(bin(COALESCE(c_tgt, 0) + 1)) - 1)
+         |            - (length(bin(c_raw + 1)) - 1) AS BIGINT) AS lr
+         |         FROM rawd LEFT JOIN tgt ON rawd.b = tgt.b),
+         |w AS (SELECT doc_id, CAST(SUM(c_doc * lr) AS BIGINT) AS dsir_w,
+         |             CAST(SUM(c_doc) AS BIGINT) AS n_terms
+         |      FROM db JOIN dict USING (b) GROUP BY doc_id)
+         |SELECT doc_id, dsir_w, n_terms FROM w
+         |ORDER BY dsir_w DESC, doc_id LIMIT 50""".stripMargin,
     "text_tfidf_topk" ->
       s"""WITH $toksCte,
          |tm AS (SELECT doc_id AS id, unnest(terms) AS term FROM toks),
@@ -2882,6 +2986,65 @@ object SparkEntry {
          |          FROM webhosts GROUP BY 1, 2),
          |${pageRankChainCtes(3)}
          |SELECT id, r FROM r3""".stripMargin,
+    "web_richclub" ->
+      s"""WITH $webLinksCtes,
+         |$webHostsCte,
+         |und AS MATERIALIZED (SELECT DISTINCT least(src_host, dst_host) AS a,
+         |       greatest(src_host, dst_host) AS b
+         |       FROM webhosts WHERE src_host <> dst_host),
+         |deg AS MATERIALIZED (SELECT id, count(*)::BIGINT AS deg
+         |       FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+         |dh AS (SELECT deg, count(*)::BIGINT AS n FROM deg GROUP BY deg),
+         |mh AS (SELECT m, count(*)::BIGINT AS n FROM (
+         |         SELECT least(da.deg, db.deg) AS m
+         |         FROM und JOIN deg da ON und.a = da.id JOIN deg db ON und.b = db.id)
+         |       GROUP BY m),
+         |ks AS (SELECT unnest(range(1, 9)) AS k),
+         |nk AS (SELECT k, CAST(COALESCE(SUM(dh.n), 0) AS BIGINT) AS n_nodes
+         |       FROM ks LEFT JOIN dh ON dh.deg > ks.k GROUP BY k),
+         |ek AS (SELECT k, CAST(COALESCE(SUM(mh.n), 0) AS BIGINT) AS n_edges
+         |       FROM ks LEFT JOIN mh ON mh.m > ks.k GROUP BY k)
+         |SELECT CAST(k AS BIGINT) AS k, n_nodes, n_edges,
+         |       CASE WHEN n_nodes >= 2
+         |            THEN (n_edges * 2)::DOUBLE / (n_nodes * (n_nodes - 1))::DOUBLE END AS phi
+         |FROM nk JOIN ek USING (k)""".stripMargin,
+    "web_simrank" ->
+      s"""WITH $webLinksCtes,
+         |$webHostsCte,
+         |inn AS MATERIALIZED (SELECT DISTINCT src_host AS i, dst_host AS v
+         |       FROM webhosts WHERE src_host <> dst_host),
+         |indeg AS (SELECT v, count(*)::BIGINT AS d FROM inn GROUP BY v),
+         |innd AS MATERIALIZED (SELECT inn.v, inn.i, indeg.d FROM inn
+         |       JOIN indeg USING (v) WHERE d <= 10000),
+         |s1 AS (SELECT a.v AS pa, b.v AS pb, a.d AS da, b.d AS db, count(*)::BIGINT AS inter
+         |       FROM innd a JOIN innd b ON a.i = b.i AND a.v < b.v GROUP BY 1, 2, 3, 4),
+         |s1s AS MATERIALIZED (SELECT pa, pb,
+         |       CAST((4 * inter * 1000000) // (5 * da * db) AS BIGINT) AS s FROM s1),
+         |s1f AS (SELECT pa AS si, pb AS sj, s FROM s1s
+         |        UNION ALL SELECT pb, pa, s FROM s1s
+         |        UNION ALL SELECT i, i, CAST(1000000 AS BIGINT)
+         |                  FROM (SELECT DISTINCT i FROM inn)),
+         |ps AS (SELECT a.v AS a, b.v AS b, a.d AS da, b.d AS db,
+         |              CAST(SUM(f.s) AS BIGINT) AS psum
+         |       FROM innd a JOIN s1f f ON a.i = f.si
+         |       JOIN innd b ON f.sj = b.i AND a.v < b.v
+         |       GROUP BY 1, 2, 3, 4),
+         |s2 AS (SELECT a, b, CAST((4 * psum) // (5 * da * db) AS BIGINT) AS s2 FROM ps)
+         |SELECT s2.a, s2.b, CAST(COALESCE(x.s, 0) AS BIGINT) AS s1, s2.s2
+         |FROM s2 LEFT JOIN s1s x ON s2.a = x.pa AND s2.b = x.pb
+         |WHERE s2.s2 > 0""".stripMargin,
+    "web_change_rate" ->
+      """WITH c0 AS (SELECT doc_id, text,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END AS text2
+        |  FROM documents),
+        |ch AS (SELECT 'h' || (doc_id % 40) || '.example.test' AS host,
+        |  CASE WHEN md5(text) <> md5(text2) THEN 1 ELSE 0 END AS changed FROM c0),
+        |agg AS (SELECT host, count(*)::BIGINT AS n_pages, SUM(changed)::BIGINT AS n_changed
+        |        FROM ch GROUP BY host)
+        |SELECT host, n_pages, n_changed,
+        |       CAST((n_changed * 1000000) // n_pages AS BIGINT) AS change_ppm,
+        |       CAST(greatest(6, 168 - (162 * n_changed) // n_pages) AS BIGINT) AS revisit_hours
+        |FROM agg""".stripMargin,
     // pointer doubling unrolled: after round k every chain <= 2^k is resolved
     "web_redirects" ->
       """WITH rd AS (SELECT

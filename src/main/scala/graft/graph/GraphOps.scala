@@ -1676,4 +1676,93 @@ object GraphOps {
       .withColumn("hit1", when(col("rank") <= 1, 1L).otherwise(0L))
       .withColumn("hit3", when(col("rank") <= 3, 1L).otherwise(0L))
   }
+
+  /** Rich-club profile of the undirected simple graph: for each degree
+    * threshold k in [1, maxK], the node count N_k = |{v : deg(v) > k}|, the
+    * edge count E_k = |{(a,b) : min(deg a, deg b) > k}|, and the rich-club
+    * coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) — do the hubs of the web/KG
+    * graph preferentially interlink (φ near 1) or only fan out to the
+    * periphery (φ near 0)? Engine extension: no reference counterpart in
+    * /root/reference/arelight (the reference stops at per-node degree,
+    * backend/d3js/utils_graph.py).
+    *
+    * Scale shape: two aggregations over the edge relation (degrees, then
+    * per-edge min-degree), each collapsed to a HISTOGRAM before the k-range
+    * join — the k × histogram cross join touches O(maxK · distinct degrees)
+    * rows, never O(maxK · |E|). φ is a single division of exact BIGINTs
+    * (bit-identical cross-engine); thresholds with fewer than two qualifying
+    * nodes emit NULL (density of an empty club is undefined). */
+  def richClub(edges: DataFrame, maxK: Int = 8): DataFrame = {
+    val und = undirectedSimple(edges).localCheckpoint(true)
+    val deg = degreesOfSimple(und)
+    val degHist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n"))
+    val minHist = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(least(col("da"), col("db")).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("n"))
+    val ks = edges.sparkSession.range(1L, maxK + 1L).select(col("id").as("k"))
+    val nk = ks.join(degHist, col("deg") > col("k"), "left")
+      .groupBy(col("k")).agg(coalesce(sum(col("n")), lit(0L)).as("n_nodes"))
+    val ek = ks.join(minHist, col("m") > col("k"), "left")
+      .groupBy(col("k")).agg(coalesce(sum(col("n")), lit(0L)).as("n_edges"))
+    nk.join(ek, "k").select(col("k"), col("n_nodes"), col("n_edges"),
+      when(col("n_nodes") >= 2,
+        (col("n_edges") * 2L).cast("double") /
+          (col("n_nodes") * (col("n_nodes") - 1L)).cast("double"))
+        .as("phi"))
+  }
+
+  /** Bounded SimRank (two iterations, C = 4/5) over the DIRECTED simple edge
+    * relation, in exact scaled integers (scale 10^6, truncating division —
+    * bit-identical cross-engine like [[pageRank]]). "Two nodes are similar
+    * when their in-neighbors are similar":
+    *
+    *   S0(i,j) = 1e6·[i = j]
+    *   S1(a,b) = (4 · |I(a)∩I(b)| · 1e6) div (5 · |I(a)|·|I(b)|)
+    *   S2(a,b) = (4 · Σ_{i∈I(a), j∈I(b)} S1'(i,j)) div (5 · |I(a)|·|I(b)|)
+    *
+    * where S1' is S1 symmetrized plus the 1e6 diagonal. Output one row per
+    * unordered pair (a < b) with S2 > 0, carrying both iterations.
+    *
+    * Scale shape: the S1 round is the [[neighborJaccard]] wedge join (common
+    * in-neighbor count via the inverted adjacency, shuffled on the neighbor
+    * key only); the S2 round joins the adjacency to the SPARSE S1' relation
+    * on each side — pair space is bounded by co-citation, never all-pairs,
+    * and `maxInDegree` caps hub fan-out exactly like the wedge family.
+    * Intermediate products stay under 2^62: Σ S1' ≤ |I(a)|·|I(b)|·1e6 ≤ 1e14
+    * under the cap. Engine extension (no reference counterpart). */
+  def simRank(edges: DataFrame, maxInDegree: Long = 10000L): DataFrame = {
+    val inn = edges.filter(col("source") =!= col("target"))
+      .select(col("source").as("i"), col("target").as("v"))
+      .distinct().localCheckpoint(true)
+    val indeg = inn.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val innD = inn.join(indeg.filter(col("d") <= maxInDegree), "v")
+      .localCheckpoint(true)
+    val s1pairs = innD.select(col("v").as("pa"), col("i"), col("d").as("da"))
+      .join(innD.select(col("v").as("pb"), col("i"), col("d").as("db")), "i")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"), col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("pa"), col("pb"),
+        expr("(4L * inter * 1000000L) div (5L * da * db)").as("s"))
+      .localCheckpoint(true)
+    val diag = inn.select(col("i")).distinct()
+      .select(col("i").as("si"), col("i").as("sj"), lit(1000000L).as("s"))
+    val s1full = s1pairs.select(col("pa").as("si"), col("pb").as("sj"), col("s"))
+      .union(s1pairs.select(col("pb"), col("pa"), col("s")))
+      .union(diag)
+    val ps = innD.select(col("v").as("a"), col("i").as("si"), col("d").as("da"))
+      .join(s1full, "si")
+      .join(innD.select(col("v").as("b"), col("i").as("sj"), col("d").as("db")), "sj")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("da"), col("db"))
+      .agg(sum(col("s")).as("psum"))
+    ps.select(col("a"), col("b"),
+        expr("(4L * psum) div (5L * da * db)").as("s2"))
+      .join(s1pairs.select(col("pa").as("a"), col("pb").as("b"), col("s").as("s1")),
+        Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("s1"), lit(0L)).as("s1"), col("s2"))
+      .filter(col("s2") > 0L)
+  }
 }

@@ -379,6 +379,36 @@ object DocKg {
     pmiFromRelation(
       GraphBuilder.withNodeKeys(relations(triples(spark, dir)), typeMapDf(spark)))
 
+  /** Per-relation functionality profile — the KB-quality signal behind
+    * functional-constraint violation mining: a relation whose subjects
+    * mostly map to ONE object (functionality near 1) makes each additional
+    * object per subject a likely extraction error. For every predicate:
+    * subject count, count of 1-object (functional) subjects, count of
+    * multi-object (violating) subjects, total surplus objects, and the
+    * functionality share as exact scaled BIGINT (`n_functional · 10^6 div
+    * n_subjects`, truncating division — bit-identical cross-engine). Engine
+    * extension: no reference counterpart in /root/reference/arelight (the
+    * reference emits raw attitudes only, run/infer.py).
+    *
+    * Scale shape: two chained aggregations — (pred, subject) distinct-object
+    * counts (one shuffle on the composite key, partial agg applies), then a
+    * predicate rollup whose key space is the relation vocabulary (tiny). No
+    * joins, nothing driver-side. */
+  def functionality(spark: SparkSession, dir: String): DataFrame =
+    functionalityFromRelation(
+      GraphBuilder.withNodeKeys(relations(triples(spark, dir)), typeMapDf(spark)))
+
+  /** [[functionality]] over any (source, sent, target) relation. */
+  def functionalityFromRelation(rel: DataFrame): DataFrame =
+    rel.groupBy(col("sent"), col("source"))
+      .agg(count_distinct(col("target")).as("n_obj"))
+      .groupBy(col("sent"))
+      .agg(count(lit(1)).as("n_subjects"),
+        sum(when(col("n_obj") === 1L, 1L).otherwise(0L)).as("n_functional"),
+        sum(when(col("n_obj") > 1L, 1L).otherwise(0L)).as("n_violating"),
+        sum(col("n_obj") - 1L).as("n_extra_objects"))
+      .withColumn("func_scaled", expr("(n_functional * 1000000L) div n_subjects"))
+
   /** Exact fixed-point PageRank over the aggregated KG edge relation
     * (GraphOps.pageRank) — post-construction graph analytics with
     * bit-identical cross-engine ranks. */

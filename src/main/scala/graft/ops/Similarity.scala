@@ -110,6 +110,44 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  /** CROSS-SET LSH cosine join — semantic eval-set decontamination at scale:
+    * which corpus documents are near-duplicates (embedding cosine ≥
+    * `threshold`) of any benchmark/eval item? Same planes, band layout and
+    * strictly-sequential fold as [[lshCosinePairs]] (bucket contents are
+    * oracle-exact); the join is corpus-sigs ⨝ eval-sigs on (band, sig) only —
+    * never corpus × eval. `maxBucketSize` caps degenerate CORPUS buckets
+    * (measured on the corpus side, the unbounded one; the eval set is
+    * benchmark-sized) before the candidate join, mirroring
+    * [[graft.ops.Dedup.minhashCandidates]]'s guardrail.
+    *
+    * Scale shape: signatures are map-side; the bucket join shuffles on the
+    * (band, sig) key; the exact-cosine verify touches candidates only. At
+    * 10^12 corpus docs × 10^5 eval items the eval side broadcasts. */
+  def lshCosineJoin(corpus: DataFrame, evals: DataFrame, id: Column, vec: Column,
+      threshold: Double, dim: Int, bands: Int = 4, rowsPerBand: Int = 8,
+      seed: Long = 0x5EED5EEDL, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val planes = hyperplanes(bands * rowsPerBand, dim, seed)
+    def sigs(df: DataFrame, as: String): DataFrame = df.select(id.as(as),
+        graft.functions.VectorExpressions.hyperplane_sig(asDouble(vec), planes, rowsPerBand).as("bsigs"))
+      .select(col(as), posexplode(col("bsigs")))
+      .select(col(as), col("pos").as("band"), col("col").as("sig"))
+    val cs0 = sigs(corpus, "corpus_id")
+    val cs = if (maxBucketSize == Int.MaxValue) cs0 else {
+      val hot = cs0.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
+        .select(col("band"), col("sig"))
+      cs0.join(hot, Seq("band", "sig"), "left_anti")
+    }
+    val cand = cs.join(sigs(evals, "eval_id"), Seq("band", "sig"))
+      .select(col("corpus_id"), col("eval_id")).distinct()
+    val c = corpus.select(id.as("corpus_id"), asDouble(vec).as("c_vec"))
+    val e = evals.select(id.as("eval_id"), asDouble(vec).as("e_vec"))
+    cand.join(c, "corpus_id").join(e, "eval_id")
+      .select(col("corpus_id"), col("eval_id"),
+        cosine(col("c_vec"), col("e_vec")).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** IVF-style coarse bucket: index (1-based) of the maximum coordinate among
     * the first `probeDims` dimensions. Deterministic, engine-portable. */
   def bucket(vec: Column, probeDims: Int): Column = {

@@ -337,4 +337,46 @@ object TextStats {
         sum(col("toks")).as("n_tokens"),
         (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"),
         (sum(col("toks")).cast("double") / count(lit(1)).cast("double")).as("mean_tokens"))
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hash every token into one
+    * of `buckets` feature buckets, estimate the target and raw feature
+    * distributions from bucket counts, and score each document by the summed
+    * log-likelihood ratio of its features — the standard cheap proxy for
+    * "how target-like is this document" that drives pretraining-data
+    * selection. Exact cross-engine arithmetic: the log ratio is the integer
+    * log2 difference `ilog2(c_target + 1) − ilog2(c_raw + 1)` per bucket
+    * ([[LangModel.ilog2]]; add-one smoothing keeps empty buckets total), and
+    * the document weight is the BIGINT sum of `count_in_doc · log_ratio`.
+    *
+    * Bucket hash = top-60-bit md5 mod `buckets` — the [[Dedup]] hash family,
+    * replayed verbatim in the DuckDB oracle.
+    *
+    * Scale shape: one shuffle to (doc, bucket) counts; the two distribution
+    * estimates re-aggregate that relation down to `buckets` rows; the
+    * log-ratio dictionary (≤ `buckets` rows) is BROADCAST back onto the
+    * per-doc counts — at 10^12 documents the only large exchange is the
+    * first one, and the dictionary stays a constant-size build side. */
+  def dsirWeights(df: DataFrame, text: Column, id: Column, isTarget: Column,
+      buckets: Int = 64): DataFrame = {
+    val perDoc = df.select(id.as("doc_id"), isTarget.as("is_t"),
+        explode(tokens(text)).as("term"))
+      .select(col("doc_id"), col("is_t"),
+        (conv(substring(md5(col("term").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % buckets).as("b"))
+      .groupBy(col("doc_id"), col("is_t"), col("b"))
+      .agg(count(lit(1)).as("c_doc"))
+      .localCheckpoint()
+    val raw = perDoc.groupBy(col("b")).agg(sum(col("c_doc")).cast("long").as("c_raw"))
+    val tgt = perDoc.filter(col("is_t"))
+      .groupBy(col("b")).agg(sum(col("c_doc")).cast("long").as("c_tgt"))
+    val dict = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"),
+        (LangModel.ilog2(coalesce(col("c_tgt"), lit(0L)) + 1L) -
+          LangModel.ilog2(col("c_raw") + 1L)).as("lr"))
+    perDoc.join(broadcast(dict), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_doc") * col("lr")).cast("long").as("dsir_w"),
+        sum(col("c_doc")).cast("long").as("n_terms"))
+  }
 }

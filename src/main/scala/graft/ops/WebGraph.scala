@@ -266,6 +266,32 @@ object WebGraph {
         count_distinct(col("lang")).as("n_langs"))
   }
 
+  /** Per-host content change rate between two crawl snapshots of the same
+    * url set, and the derived revisit schedule — the freshness policy a
+    * continuous crawler feeds back into its frontier (hosts that never
+    * change get long revisit intervals; churn-heavy hosts get short ones).
+    * Both inputs are (url, text); a page counts as CHANGED when its content
+    * digest (md5 of the raw text — cross-engine exact) differs between the
+    * snapshots. Outputs per host: page count, changed count, the change
+    * ratio as exact ppm (`n_changed · 10^6 div n_pages`, truncating), and a
+    * revisit interval interpolated linearly from 168 h (static host) down to
+    * a 6 h floor (fully churning host) in exact BIGINT arithmetic.
+    *
+    * Scale shape: digests are map-side; one url-keyed equi-join between the
+    * snapshots (co-partitioned when both crawls are bucketed by url hash,
+    * as the checkpoint layout already does); one host-keyed rollup with
+    * partial aggregation. Urls present in only one snapshot drop out of the
+    * inner join — change rate is defined on the re-fetched set. */
+  def changeRate(prev: DataFrame, cur: DataFrame): DataFrame =
+    prev.select(col("url"), md5(col("text").cast("binary")).as("h_prev"))
+      .join(cur.select(col("url"), md5(col("text").cast("binary")).as("h_cur")), "url")
+      .select(UrlOps.hostOf(col("url")).as("host"),
+        when(col("h_prev") =!= col("h_cur"), 1L).otherwise(0L).as("changed"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_pages"), sum(col("changed")).cast("long").as("n_changed"))
+      .withColumn("change_ppm", expr("(n_changed * 1000000L) div n_pages"))
+      .withColumn("revisit_hours", expr("greatest(6L, 168L - (162L * n_changed) div n_pages)"))
+
   /** Mirror / shared-content host pairs: hosts whose page-content
     * fingerprint sets overlap in at least `minShared` fingerprints —
     * site-mirror and mass-syndication detection, the host-granularity
