@@ -127,6 +127,9 @@ object SparkEntry {
     // per-relation functionality profile: subjects with >1 distinct object
     // under a mostly-functional predicate are likely extraction errors
     "kg_functionality" -> ((s, d) => DocKg.functionality(s, d)),
+    // inverse functionality: objects that are near-unique keys — the
+    // PARIS-style signal for which relations ER blocking should key on
+    "kg_inv_functionality" -> ((s, d) => DocKg.inverseFunctionality(s, d)),
     // incremental edge maintenance: two batches of unfiltered counts merged
     // by key, HAVING applied at read — must equal the full-batch kg_edges
     "kg_edges_incremental" -> ((s, d) => DocKg.edgesIncremental(s, d)),
@@ -221,6 +224,10 @@ object SparkEntry {
     "kg_graph_difference" -> ((s, d) => DocKg.graphDifference(s, d)),
     // ---- dedup family
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), col("text"), col("doc_id"))),
+    // sorted-neighborhood ER blocking: pairs within a 4-slot window of the
+    // 12-char-prefix sort order — the lexical complement to LSH banding
+    "er_sorted_neighborhood" -> ((s, d) => Dedup.sortedNeighborhood(
+      docs(s, d), substring(lower(trim(col("text"))), 1, 12), col("doc_id"), w = 4)),
     // exact substring dedup (Lee et al. family): repeated w-token passages
     // removed from every doc but the min-id keeper, text rebuilt in place
     "dedup_spans" -> ((s, d) =>
@@ -668,6 +675,10 @@ object SparkEntry {
       .select(col("doc_id"), TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe"))),
     "text_fingerprint" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))),
+    // winnowing (MOSS) fingerprints: window-min 4-gram hashes, rightmost
+    // tie-break — shared-passage sketch at ~2/(w+1) of the gram count
+    "text_winnowing" -> ((s, d) =>
+      TextStats.winnowing(docs(s, d), col("text"), col("doc_id"), k = 4, w = 4)),
     // repetition signals (Gopher-rules family): duplicate-line fraction +
     // most-frequent-bigram share — row-local, no shuffle
     "text_repetition" -> ((s, d) =>
@@ -852,6 +863,10 @@ object SparkEntry {
     // similar when similar hosts link to them" (GraphOps.simRank)
     "web_simrank" -> ((s, d) =>
       graft.graph.GraphOps.simRank(hostEdges(s, d))),
+    // Broder bow-tie macro structure of the host graph: CORE/IN/OUT/OTHER
+    // node counts from the pivot's bounded forward/backward reach
+    "web_bowtie" -> ((s, d) =>
+      graft.graph.GraphOps.bowTie(hostEdges(s, d), rounds = 3)),
     // per-host change rate between two crawl snapshots -> revisit schedule;
     // snapshot B mutates every third page deterministically so the digest
     // join sees real churn (WebGraph.changeRate)
@@ -1500,6 +1515,18 @@ object SparkEntry {
          |       SUM(n_obj - 1)::BIGINT AS n_extra_objects,
          |       CAST((SUM(CASE WHEN n_obj = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS func_scaled
          |FROM per_subj GROUP BY sent""".stripMargin,
+    "kg_inv_functionality" ->
+      s"""WITH $triplesCte,
+         |tk AS (SELECT pred AS sent, obj_type || '.' || obj AS source,
+         |              subj_type || '.' || subj AS target FROM triples),
+         |per_obj AS (SELECT sent, source, count(DISTINCT target)::BIGINT AS n_subj
+         |            FROM tk GROUP BY 1, 2)
+         |SELECT sent, count(*)::BIGINT AS n_objects,
+         |       SUM(CASE WHEN n_subj = 1 THEN 1 ELSE 0 END)::BIGINT AS n_inv_functional,
+         |       SUM(CASE WHEN n_subj > 1 THEN 1 ELSE 0 END)::BIGINT AS n_inv_violating,
+         |       SUM(n_subj - 1)::BIGINT AS n_extra_subjects,
+         |       CAST((SUM(CASE WHEN n_subj = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS inv_func_scaled
+         |FROM per_obj GROUP BY sent""".stripMargin,
     "text_zipf" ->
       s"""WITH $toksCte,
          |tf AS (SELECT unnest(terms) AS term FROM toks),
@@ -2111,6 +2138,12 @@ object SparkEntry {
          |SELECT source, target, sent, c / max(c) OVER () AS c FROM j WHERE c IS NOT NULL""".stripMargin,
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, count(*) AS cnt, min(doc_id) AS min_id FROM documents GROUP BY 1",
+    "er_sorted_neighborhood" ->
+      """WITH r AS (SELECT doc_id AS id, coalesce(substr(lower(trim(text)), 1, 12), '') AS k FROM documents),
+        |rk AS MATERIALIZED (SELECT id, k, row_number() OVER (ORDER BY k, id) - 1 AS rn FROM r)
+        |SELECT a.id AS a_id, b.id AS b_id, (b.rn - a.rn)::BIGINT AS gap,
+        |       a.k AS a_key, b.k AS b_key
+        |FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn <= a.rn + 3""".stripMargin,
     "dedup_spans" ->
       s"""WITH $toksCte,
          |g0 AS (SELECT doc_id, terms, unnest(range(0, greatest(len(terms) - 4, 0))) AS pos FROM toks),
@@ -2740,6 +2773,23 @@ object SparkEntry {
     "text_fingerprint" ->
       raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS terms FROM documents)
            |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(terms)), ' ')) AS fp FROM toks""".stripMargin,
+    "text_winnowing" ->
+      s"""WITH $toksCte,
+         |g AS MATERIALIZED (SELECT doc_id AS id,
+         |       unnest(range(0, greatest(len(terms) - 3, 0))) AS pos,
+         |       unnest(list_transform(range(0, greatest(len(terms) - 3, 0)),
+         |         i -> md5(terms[i+1] || ' ' || terms[i+2] || ' ' || terms[i+3] || ' ' || terms[i+4]))) AS h
+         |       FROM toks),
+         |gm AS (SELECT id, count(*)::BIGINT AS m FROM g GROUP BY id),
+         |ws AS (SELECT g.id, g.pos AS p FROM g JOIN gm USING (id)
+         |       WHERE g.pos <= gm.m - 4 OR g.pos = 0),
+         |wm AS MATERIALIZED (SELECT ws.id, ws.p, min(g.h) AS mh FROM ws
+         |       JOIN g ON g.id = ws.id AND g.pos BETWEEN ws.p AND ws.p + 3
+         |       GROUP BY 1, 2),
+         |sel AS (SELECT wm.id, max(g.pos)::BIGINT AS pos, wm.mh AS h FROM wm
+         |       JOIN g ON g.id = wm.id AND g.pos BETWEEN wm.p AND wm.p + 3 AND g.h = wm.mh
+         |       GROUP BY wm.id, wm.p, wm.mh)
+         |SELECT DISTINCT id, pos, h FROM sel""".stripMargin,
     "mm_binary_meta" ->
       "SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash FROM documents",
     "mm_frame_sample" ->
@@ -3033,6 +3083,32 @@ object SparkEntry {
          |SELECT s2.a, s2.b, CAST(COALESCE(x.s, 0) AS BIGINT) AS s1, s2.s2
          |FROM s2 LEFT JOIN s1s x ON s2.a = x.pa AND s2.b = x.pb
          |WHERE s2.s2 > 0""".stripMargin,
+    "web_bowtie" ->
+      s"""WITH $webLinksCtes,
+         |$webHostsCte,
+         |badj AS MATERIALIZED (SELECT DISTINCT src_host AS src, dst_host AS dst
+         |       FROM webhosts WHERE src_host <> dst_host),
+         |bnodes AS MATERIALIZED (SELECT src AS id FROM badj UNION SELECT dst FROM badj),
+         |bpv AS (SELECT min(id) AS p FROM bnodes),
+         |bf0 AS (SELECT p AS id FROM bpv),
+         |bb0 AS (SELECT p AS id FROM bpv),
+         |${(1 to 3).map(i =>
+              s"""bf$i AS MATERIALIZED (SELECT DISTINCT id FROM (
+                 |       SELECT id FROM bf${i - 1}
+                 |       UNION ALL
+                 |       SELECT a.dst AS id FROM bf${i - 1} f JOIN badj a ON a.src = f.id)),
+                 |bb$i AS MATERIALIZED (SELECT DISTINCT id FROM (
+                 |       SELECT id FROM bb${i - 1}
+                 |       UNION ALL
+                 |       SELECT a.src AS id FROM bb${i - 1} f JOIN badj a ON a.dst = f.id))""".stripMargin)
+              .mkString(",\n")},
+         |bcls AS (SELECT n.id,
+         |       CASE WHEN f.id IS NOT NULL AND b.id IS NOT NULL THEN 'CORE'
+         |            WHEN b.id IS NOT NULL THEN 'IN'
+         |            WHEN f.id IS NOT NULL THEN 'OUT'
+         |            ELSE 'OTHER' END AS cls
+         |       FROM bnodes n LEFT JOIN bf3 f ON n.id = f.id LEFT JOIN bb3 b ON n.id = b.id)
+         |SELECT cls, count(*)::BIGINT AS n_nodes FROM bcls GROUP BY cls""".stripMargin,
     "web_change_rate" ->
       """WITH c0 AS (SELECT doc_id, text,
         |  CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END AS text2

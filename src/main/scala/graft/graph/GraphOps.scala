@@ -1765,4 +1765,51 @@ object GraphOps {
       .select(col("a"), col("b"), coalesce(col("s1"), lit(0L)).as("s1"), col("s2"))
       .filter(col("s2") > 0L)
   }
+
+  /** Bow-tie decomposition of the directed graph (Broder et al. 2000, "Graph
+    * structure in the Web"): seed a pivot (the minimum node id — swap in the
+    * top-PageRank host on a real crawl), grow its bounded-radius forward
+    * reach F and backward reach B, and classify every node:
+    *
+    *  - CORE:  in F ∩ B (the pivot's strongly connected component, bounded)
+    *  - IN:    in B only — reaches the core but is not reached from it
+    *  - OUT:   in F only — reachable from the core, never returns
+    *  - OTHER: neither within `rounds` hops (tendrils/tubes/disconnected)
+    *
+    * Output: (cls, n_nodes) — the macro shape of the web/KG graph, the
+    * first diagnostic a crawl operator reads (a healthy crawl grows CORE;
+    * a trap-heavy one grows OUT). Like [[scc]], the radius is bounded and
+    * documented: classification is exact for nodes within `rounds` hops of
+    * the pivot, conservative (OTHER) beyond it.
+    *
+    * Scale shape: per round one key-join frontier expansion + distinct per
+    * direction (same shape as [[bfs]]), every frontier localCheckpointed to
+    * truncate lineage; the classify step is two left joins on the node id
+    * and one vocabulary-sized rollup. No driver-side data beyond the plan. */
+  def bowTie(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 9, s"rounds must be in [1,9]: $rounds")
+    val adj = edges.filter(col("source") =!= col("target"))
+      .select(col("source").as("src"), col("target").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = adj.select(col("src").as("id"))
+      .union(adj.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    var f = nodes.agg(min(col("id")).as("id"))
+    var b = f
+    for (_ <- 1 to rounds) {
+      f = f.union(adj.join(f.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id")))
+        .distinct().localCheckpoint(true)
+      b = b.union(adj.join(b.withColumnRenamed("id", "dst"), "dst")
+          .select(col("src").as("id")))
+        .distinct().localCheckpoint(true)
+    }
+    nodes
+      .join(f.withColumn("in_f", lit(1)), Seq("id"), "left")
+      .join(b.withColumn("in_b", lit(1)), Seq("id"), "left")
+      .select(when(col("in_f") === 1 && col("in_b") === 1, "CORE")
+        .when(col("in_b") === 1, "IN")
+        .when(col("in_f") === 1, "OUT")
+        .otherwise("OTHER").as("cls"))
+      .groupBy(col("cls")).agg(count(lit(1)).as("n_nodes"))
+  }
 }

@@ -398,6 +398,26 @@ object DocKg {
     functionalityFromRelation(
       GraphBuilder.withNodeKeys(relations(triples(spark, dir)), typeMapDf(spark)))
 
+  /** Per-relation INVERSE functionality profile — [[functionality]] with the
+    * subject/object roles swapped: how many distinct subjects point at each
+    * object under each predicate. High inverse functionality (objects mostly
+    * have ONE subject) marks a relation whose object values are near-unique
+    * keys — exactly the relations entity-resolution blocking should key on
+    * (PARIS-style ER uses inverse functionality to weight evidence that two
+    * subjects sharing an object are the same entity). Same exact scaled
+    * arithmetic and two-aggregation scale shape as [[functionality]]; engine
+    * extension (no reference counterpart in /root/reference/arelight). */
+  def inverseFunctionality(spark: SparkSession, dir: String): DataFrame = {
+    val rel = GraphBuilder.withNodeKeys(relations(triples(spark, dir)), typeMapDf(spark))
+    functionalityFromRelation(rel.select(col("sent"),
+        col("target").as("source"), col("source").as("target")))
+      .select(col("sent"), col("n_subjects").as("n_objects"),
+        col("n_functional").as("n_inv_functional"),
+        col("n_violating").as("n_inv_violating"),
+        col("n_extra_objects").as("n_extra_subjects"),
+        col("func_scaled").as("inv_func_scaled"))
+  }
+
   /** [[functionality]] over any (source, sent, target) relation. */
   def functionalityFromRelation(rel: DataFrame): DataFrame =
     rel.groupBy(col("sent"), col("source"))

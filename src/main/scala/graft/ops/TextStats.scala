@@ -379,4 +379,42 @@ object TextStats {
       .agg(sum(col("c_doc") * col("lr")).cast("long").as("dsir_w"),
         sum(col("c_doc")).cast("long").as("n_terms"))
   }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003, the
+    * MOSS algorithm): hash every `k`-token gram, slide a window of `w`
+    * consecutive gram hashes, and keep the minimum hash of each window
+    * (rightmost position on ties). Guarantees: any shared token run of
+    * length ≥ k + w − 1 between two documents yields at least one shared
+    * selected fingerprint, while storage drops to ~2/(w+1) of the gram
+    * count — the selective local-dedup / plagiarism sketch that [[Dedup]]'s
+    * whole-document minhash cannot provide (it detects SHARED PASSAGES, not
+    * near-identical documents). Output: one row per distinct selected
+    * (id, pos, hash); join on the hash to find cross-document shared spans.
+    *
+    * Documents with fewer than w grams contribute their single all-gram
+    * window (at least one fingerprint per non-empty document).
+    *
+    * Scale shape: gram hashing is map-side; the selection is ONE window pass
+    * partitioned by document (min over a w-row frame of (hash, −pos) structs
+    * — the struct min IS the rightmost-tie argmin, no second pass and no
+    * w-fold row blowup), then a distinct on the selected rows. Nothing
+    * shuffles except the per-document window partition and the final
+    * distinct, both keyed on the document id. Hashes are md5 hex strings —
+    * cross-engine exact vs the DuckDB oracle. */
+  def winnowing(df: DataFrame, text: Column, id: Column,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1: k=$k w=$w")
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(id.as("id"), posexplode(Dedup.shingles(tokens(text), k)))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        md5(col("col").cast("binary")).as("h"))
+    val frame = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1L)
+    val all = Window.partitionBy(col("id"))
+    g.withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(frame))
+      .withColumn("m", count(lit(1)).over(all))
+      .filter(col("pos") <= col("m") - w || col("pos") === 0L)
+      .select(col("id"), (-col("sel.np")).as("pos"), col("sel.h").as("h"))
+      .distinct()
+  }
 }
