@@ -52,6 +52,26 @@ object SparkEntry {
         .otherwise(lit("blog.co.jp")),
       lit("/p/"), did.cast("string"))
 
+  /** Spider-trap URL fixture for the trap-signal rollup: the six doc_id%6
+    * path classes exercise every signal — an adjacent-repeated segment
+    * (`/cal/cal/…`, the crawler-loop shape), a deep faceted path, normal
+    * pages, a query-exploding endpoint (unique `sess=` per URL), a short
+    * repeat, and the bare root; doc_id%4 varies parameter count 2/1/0. The
+    * oracle rebuilds the same strings and re-derives host/path/query with
+    * its own regexps, so UrlOps' URL parsing is independently checked. */
+  private def trapUrl(did: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("https://t"), (did % 8).cast("string"), lit(".example.test"),
+      when(did % 6 === 0, concat(lit("/cal/cal/"), (did % 5).cast("string")))
+        .when(did % 6 === 1, concat(lit("/a/b/c/d/e/"), (did % 3).cast("string")))
+        .when(did % 6 === 2, concat(lit("/p/"), (did % 11).cast("string")))
+        .when(did % 6 === 3, lit("/item"))
+        .when(did % 6 === 4, lit("/x/x"))
+        .otherwise(lit("/")),
+      when(did % 4 === 0,
+        concat(lit("?sess="), did.cast("string"), lit("&page="), (did % 9).cast("string")))
+        .when(did % 4 === 1, lit("?a=1"))
+        .otherwise(lit("")))
+
   /** Robots.txt fixture per synthetic host k (= doc_id % 40): the four k%4
     * classes exercise longest-prefix precedence in BOTH directions, the
     * non-* group filter, stacked user-agent lines, comments and crawl-delay.
@@ -914,6 +934,11 @@ object SparkEntry {
       graft.ops.UrlOps.hostOf(WebGraph.syntheticUrl(col("doc_id"))),
       md5(concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 3)).cast("binary")),
       minShared = 1L, maxHostsPerFp = 16L)),
+    // per-host spider-trap diagnostics: URL-vs-path explosion, max depth,
+    // adjacent-repeated segments, query-param volume — the crawl scheduler's
+    // budget-cut signals, all map-side string ops + one host rollup
+    "web_trap_signals" -> ((s, d) =>
+      UrlOps.trapSignals(docs(s, d), trapUrl(col("doc_id")))),
     // per-doc entity salience: mention count / first position / rank —
     // the node-weighting prior per page
     "kg_entity_salience" -> ((s, d) => DocKg.entitySalience(s, d)),
@@ -3180,6 +3205,40 @@ object SparkEntry {
         |SELECT p.host_a, p.host_b, p.n_shared, sa.n_fps AS n_a, sb.n_fps AS n_b
         |FROM mpairs p JOIN sizes sa ON p.host_a = sa.host
         |              JOIN sizes sb ON p.host_b = sb.host""".stripMargin,
+    "web_trap_signals" ->
+      raw"""WITH u AS (SELECT
+           |  'https://t' || (doc_id % 8) || '.example.test' ||
+           |  CASE WHEN doc_id % 6 = 0 THEN '/cal/cal/' || (doc_id % 5)
+           |       WHEN doc_id % 6 = 1 THEN '/a/b/c/d/e/' || (doc_id % 3)
+           |       WHEN doc_id % 6 = 2 THEN '/p/' || (doc_id % 11)
+           |       WHEN doc_id % 6 = 3 THEN '/item'
+           |       WHEN doc_id % 6 = 4 THEN '/x/x'
+           |       ELSE '/' END ||
+           |  CASE WHEN doc_id % 4 = 0 THEN '?sess=' || doc_id || '&page=' || (doc_id % 9)
+           |       WHEN doc_id % 4 = 1 THEN '?a=1'
+           |       ELSE '' END AS url
+           | FROM documents),
+           |pp AS (SELECT
+           |  regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+           |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p,
+           |  regexp_extract(url, '\?([^#]*)', 1) AS q
+           | FROM u),
+           |s AS (SELECT host, p,
+           |  list_filter(string_split(p, '/'), x -> x <> '') AS segs,
+           |  CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END::BIGINT AS np
+           | FROM pp),
+           |t AS (SELECT host, p, len(segs)::BIGINT AS depth, np,
+           |  CASE WHEN len(segs) >= 2 AND
+           |    len(list_filter(range(1, len(segs)), i -> segs[i] = segs[i+1])) > 0
+           |    THEN 1 ELSE 0 END::BIGINT AS rep
+           | FROM s)
+           |SELECT host, count(*)::BIGINT AS n_urls,
+           |  count(DISTINCT p)::BIGINT AS n_paths,
+           |  max(depth)::BIGINT AS max_depth,
+           |  CAST(sum(rep) AS BIGINT) AS n_repeat_seg,
+           |  CAST(sum(np) AS BIGINT) AS n_params,
+           |  (CAST(sum(np) AS BIGINT) * 1000000) // count(*) AS params_ppm
+           |FROM t GROUP BY host""".stripMargin,
     "kg_entity_salience" ->
       s"""WITH $mentionsCte,
          |pe AS (SELECT doc_id, value, type, count(*)::BIGINT AS n_mentions,

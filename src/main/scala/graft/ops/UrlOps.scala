@@ -107,4 +107,43 @@ object UrlOps {
     Sampling.groupCap(
       df.select(id.cast("long").as("id"), hostOf(url).as("host")),
       col("host"), col("id"), cap)
+
+  /** Per-host spider-trap signals — the URL-shape diagnostics a crawl
+    * scheduler reads before committing budget to a host (calendar loops,
+    * session-id explosions, infinitely-deep faceted navigation):
+    *
+    *  - n_urls / n_paths: URL count vs DISTINCT path count — a host with
+    *    many URLs but few paths is exploding on query params;
+    *  - max_depth: deepest path (segment count) seen on the host;
+    *  - n_repeat_seg: URLs with an IDENTICAL ADJACENT path-segment pair
+    *    (`/cal/cal/...` — the canonical crawler-trap loop shape);
+    *  - n_params / params_ppm: total query parameters and the exact
+    *    per-URL average in ppm (BIGINT truncating division, cross-engine).
+    *
+    * All signals are map-side string/array expressions (codegen'd
+    * built-ins); the only exchange is the host rollup, with partial
+    * aggregation. Pair with [[hostCap]] / the frontier scheduler: hosts
+    * with high n_repeat_seg or params_ppm get their budget cut. Engine
+    * extension (the reference never sees URLs). */
+  def trapSignals(df: DataFrame, url: Column): DataFrame = {
+    val path = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(url, raw"\?([^#]*)", 1)
+    val segs = filter(split(path, "/"), s => s =!= "")
+    val nparams = when(query === "", 0L)
+      .otherwise(size(split(query, "&")).cast("long"))
+    val repeatSeg = when(size(segs) >= 2,
+      exists(transform(sequence(lit(1), size(segs) - 1),
+        i => element_at(segs, i) === element_at(segs, i + 1)), x => x))
+      .otherwise(lit(false))
+    df.select(hostOf(url).as("host"), path.as("p"),
+        size(segs).cast("long").as("depth"), nparams.as("np"),
+        when(repeatSeg, 1L).otherwise(0L).as("rep"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("p")).as("n_paths"),
+        max(col("depth")).as("max_depth"),
+        sum(col("rep")).as("n_repeat_seg"),
+        sum(col("np")).as("n_params"))
+      .withColumn("params_ppm", expr("(n_params * 1000000L) div n_urls"))
+  }
 }

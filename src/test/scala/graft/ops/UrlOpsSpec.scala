@@ -84,4 +84,26 @@ class UrlOpsSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(again == kept.toSet)
   }
+
+  test("trapSignals: path explosion, depth, adjacent repeats, param volume") {
+    val urls = Seq(
+      // trap.com: same path under exploding session params + a /cal/cal loop
+      "https://trap.com/item?sess=1&page=1",
+      "https://trap.com/item?sess=2&page=1",
+      "https://trap.com/item?sess=3&page=2",
+      "https://trap.com/cal/cal/2024",
+      // clean.org: distinct shallow paths, no params
+      "https://clean.org/a",
+      "https://clean.org/b/c",
+      "https://clean.org/")
+      .toDF("url")
+    val got = UrlOps.trapSignals(urls, col("url")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // 4 urls but only 2 distinct paths; max depth 3 (/cal/cal/2024); one
+    // repeat-segment url; 6 params over 4 urls -> 1_500_000 ppm
+    assert(got("trap.com") == ((4L, 2L, 3L, 1L, 6L, 1500000L)))
+    // 3 urls, 3 paths (root is "/"), depth 2, no repeats, no params
+    assert(got("clean.org") == ((3L, 3L, 2L, 0L, 0L, 0L)))
+  }
 }
