@@ -1010,6 +1010,35 @@ object SparkEntry {
       graft.ops.ComponentStore.merge(
         hostEdgesOf(docs(s, d).filter(col("doc_id") % 2 === 1)), dir, "b1")
       graft.ops.ComponentStore.state(s, dir)
+    }),
+    // best-evidence provenance per KG edge: the doc that asserts it most
+    // (argmax by mentions DESC, doc_id ASC) + per-edge totals — the
+    // "show me why this edge exists" curation sample
+    "kg_edge_provenance" -> ((s, d) => DocKg.edgeProvenance(s, d)),
+    // host-vs-host content overlap from constant-size bottom-k sketches
+    // (KMV estimator over 3-token-lead fingerprints): candidate pairs only
+    // where sketches provably intersect — never all host pairs
+    "web_host_sketch_sim" -> ((s, d) => graft.ops.Sketches.bottomKJaccard(
+      docs(s, d),
+      graft.ops.UrlOps.hostOf(graft.ops.WebGraph.syntheticUrl(col("doc_id"))),
+      concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 3)), k = 8)),
+    // exact-integer Flesch-style readability profile (vowel-group syllable
+    // proxy, terminal-punctuation sentences) — map-side only
+    "text_readability" -> ((s, d) => graft.ops.TextStats.readability(
+      docs(s, d), col("text"), col("doc_id"))),
+    // aspect-preserving resize plan over formula-derived media metadata
+    // (width/height from md5 nibbles of the payload — the decode seam's
+    // deterministic stand-in), maxEdge=256: pure column arithmetic
+    "mm_resize_plan" -> ((s, d) => {
+      val w = (lit(64L) + conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 1024L).cast("int")
+      val h = (lit(64L) + conv(substring(md5(col("text").cast("binary")), 5, 4), 16, 10)
+        .cast("long") % 1024L).cast("int")
+      val withMeta = docs(s, d).select(col("doc_id").as("id"),
+        struct(w.as("width"), h.as("height")).as("meta"))
+      graft.ops.Multimodal.resizePlan(withMeta, "meta", maxEdge = 256)
+        .select(col("id"), col("meta.width").as("width"), col("meta.height").as("height"),
+          col("target_width"), col("target_height"))
     })
   )
 
@@ -3481,6 +3510,58 @@ object SparkEntry {
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src
          |)
-         |SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src""".stripMargin
+         |SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src""".stripMargin,
+    "kg_edge_provenance" ->
+      s"""WITH $triplesCte,
+         |ed AS (SELECT subj_type || '.' || subj AS source, obj_type || '.' || obj AS target,
+         |              pred AS sent, doc_id, count(*)::BIGINT AS n
+         |       FROM triples GROUP BY 1, 2, 3, 4),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY source, target, sent ORDER BY n DESC, doc_id) AS rn,
+         |        sum(n) OVER (PARTITION BY source, target, sent)::BIGINT AS n_mentions,
+         |        count(*) OVER (PARTITION BY source, target, sent)::BIGINT AS n_docs
+         |      FROM ed)
+         |SELECT source, target, sent, doc_id AS top_doc, n AS top_doc_mentions,
+         |       n_mentions, n_docs
+         |FROM r WHERE rn = 1""".stripMargin,
+    "web_host_sketch_sim" ->
+      raw"""WITH hf AS (SELECT DISTINCT 'h' || (doc_id % 40) || '.example.test' AS g,
+           |        ('0x' || substr(md5(array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:3], ' ')), 1, 15))::BIGINT AS fp
+           |      FROM documents),
+           |sk AS (SELECT g, fp FROM
+           |        (SELECT g, fp, row_number() OVER (PARTITION BY g ORDER BY fp) AS rn FROM hf)
+           |       WHERE rn <= 8),
+           |ske AS (SELECT g, list_sort(list(fp)) AS sketch FROM sk GROUP BY g),
+           |cand AS (SELECT DISTINCT a.g AS a, b.g AS b
+           |         FROM sk a JOIN sk b ON a.fp = b.fp AND a.g < b.g),
+           |est AS (SELECT c.a, c.b, sa.sketch AS ask, sb.sketch AS bsk
+           |        FROM cand c JOIN ske sa ON c.a = sa.g JOIN ske sb ON c.b = sb.g),
+           |comp AS (SELECT a, b,
+           |    len(list_filter(list_sort(list_distinct(ask || bsk))[1:8],
+           |        x -> list_contains(ask, x) AND list_contains(bsk, x)))::BIGINT AS n_shared,
+           |    len(list_sort(list_distinct(ask || bsk))[1:8])::BIGINT AS n_union
+           |  FROM est)
+           |SELECT a, b, (n_shared * 1000) // n_union AS est_jaccard_permille, n_shared
+           |FROM comp""".stripMargin,
+    "text_readability" ->
+      raw"""WITH t AS (SELECT doc_id AS id,
+           |        regexp_split_to_array(trim(text), '\s+') AS toks,
+           |        len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syllables,
+           |        (1 + len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS n_sents
+           |      FROM documents)
+           |SELECT id, len(toks)::BIGINT AS n_words, n_sents, n_syllables,
+           |       len(list_filter(toks, x -> length(x) >= 7))::BIGINT AS n_long_words,
+           |       206835 - (1015 * len(toks)) // n_sents - (84600 * n_syllables) // len(toks) AS flesch_x1000,
+           |       (len(list_filter(toks, x -> length(x) >= 7)) * 1000) // len(toks) AS long_word_permille
+           |FROM t WHERE len(toks) >= 1""".stripMargin,
+    "mm_resize_plan" ->
+      """WITH m AS (SELECT doc_id AS id,
+        |        (64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024)::INT AS width,
+        |        (64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024)::INT AS height
+        |      FROM documents)
+        |SELECT id, width, height,
+        |       ceil(width * least(1.0, 256.0 / greatest(width, height)))::INT AS target_width,
+        |       ceil(height * least(1.0, 256.0 / greatest(width, height)))::INT AS target_height
+        |FROM m""".stripMargin
   )
 }

@@ -90,6 +90,38 @@ object GraphBuilder {
         count_distinct(col("doc_id")).as("n_docs"),
         count_distinct(col("host")).as("n_hosts"))
 
+  /** Best-evidence provenance per edge: for each (source, target, sent),
+    * the document that asserts it most often — the "show me why this edge
+    * exists" sample a KG curation UI needs per published edge (the
+    * reference keeps doc_id per sample row, infer.py:158-160, but never
+    * rolls provenance up to the graph; this closes that gap as a
+    * first-class relation). Output: (source, target, sent, top_doc,
+    * top_doc_mentions, n_mentions, n_docs); top_doc is the argmax by
+    * (mentions DESC, doc_id ASC) — deterministic under ties.
+    *
+    * Scale shape: one groupBy on (edge, doc) collapses mentions map-side;
+    * the argmax + totals ride ONE window over the (edge)-partitioned
+    * per-doc counts — Spark's WindowGroupLimit pushes the rank<=1 filter
+    * into the window operator, so each partition keeps one row per edge
+    * before any sort materializes (the same 100 TB argmax shape as
+    * [[graft.ops.Dedup.keepBest]]). */
+  def edgeProvenance(mentions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = mentions
+      .na.drop(Seq("source", "target", "sent"))
+      .groupBy(col("source"), col("target"), col("sent"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source"), col("target"), col("sent"))
+    perDoc
+      .withColumn("rn", row_number().over(w.orderBy(col("n").desc, col("doc_id").asc)))
+      .withColumn("n_mentions", sum(col("n")).over(w))
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("target"), col("sent"),
+        col("doc_id").as("top_doc"), col("n").as("top_doc_mentions"),
+        col("n_mentions"), col("n_docs"))
+  }
+
   /** Temporal rollup per edge over the observation timestamp (epoch
     * seconds, e.g. the BASELINE input shape's warc_ts): when was the edge
     * first and last asserted, and on how many distinct UTC days — the

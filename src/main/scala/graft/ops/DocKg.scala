@@ -226,6 +226,11 @@ object DocKg {
   def edgeHistory(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.edgeHistory(tripleObservations(spark, dir))
 
+  /** Best-evidence provenance per edge — see
+    * [[graft.graph.GraphBuilder.edgeProvenance]]. */
+  def edgeProvenance(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.edgeProvenance(tripleObservations(spark, dir))
+
   /** Reference "now" for the decay query: two weeks past the synthetic
     * warc_ts base, so the 14-day doc spread exercises several half-lives. */
   val DecayNowEpoch: Long = 1700000000L + 14L * 86400L

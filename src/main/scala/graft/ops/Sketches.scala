@@ -166,6 +166,55 @@ object Sketches {
     bloomCells(df.select(key.cast("string").as("bk"), lit(0L).as("probe_id")), m, k)
       .select(col("pos")).distinct()
 
+  /** Bottom-k similarity sketches (one-permutation MinHash / KMV): per
+    * group, the k smallest md5-derived integer fingerprints of its members'
+    * `key` values; then for every group pair that shares at least one
+    * sketched fingerprint, the standard bottom-k Jaccard estimate
+    *
+    *   J ≈ |{x ∈ bottom_k(A ∪ B)} ∩ A ∩ B| / |bottom_k(A ∪ B)|
+    *
+    * (Bar-Yossef et al. 2002's KMV estimator, built from the public
+    * algorithm statement). Where [[hllRegisters]] gauges one set's
+    * cardinality, this compares SETS PAIRWISE from constant-size state —
+    * the host-vs-host content-overlap triage that scales to 10^9 hosts
+    * because each host is reduced to k longs before any pair forms.
+    *
+    * Scale shape: fingerprints are map-side md5 arithmetic; the bottom-k
+    * cut is a (group)-partitioned rank window (WindowGroupLimit keeps k
+    * rows per group pre-sort); candidate pairs come from an equi-join on
+    * the sketched fingerprint (never all host pairs — only hosts that
+    * PROVABLY share a bottom-k element meet); the estimator is array math
+    * over two ≤k arrays. All integer/md5 arithmetic, hash-exact
+    * cross-engine. Output: (a, b, est_jaccard_permille, n_shared) for
+    * candidate pairs, a < b. */
+  def bottomKJaccard(df: DataFrame, group: Column, key: Column, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 64, s"k must be in [1,64]: $k")
+    val fp = conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val gf = df.select(group.as("g"), fp.as("fp")).distinct()
+    val w = Window.partitionBy(col("g")).orderBy(col("fp").asc)
+    val sk = gf.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("g"), col("fp"))
+    val sketches = sk.groupBy(col("g")).agg(array_sort(collect_list(col("fp"))).as("sketch"))
+    val cand = sk.select(col("fp"), col("g").as("a"))
+      .join(sk.select(col("fp"), col("g").as("b")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val unionK = slice(array_sort(array_union(col("a_sk"), col("b_sk"))), 1, k)
+    val inBoth = size(filter(unionK,
+      x => array_contains(col("a_sk"), x) && array_contains(col("b_sk"), x)))
+    cand
+      .join(sketches.select(col("g").as("a"), col("sketch").as("a_sk")), "a")
+      .join(sketches.select(col("g").as("b"), col("sketch").as("b_sk")), "b")
+      .select(col("a"), col("b"),
+        inBoth.cast("long").as("n_shared"),
+        size(unionK).cast("long").as("n_union"))
+      .select(col("a"), col("b"),
+        expr("(n_shared * 1000L) div n_union").as("est_jaccard_permille"),
+        col("n_shared"))
+  }
+
   /** Probe the filter for each key row: member = every one of the key's k
     * positions is set (1) or at least one misses (0 — definitely NOT in the
     * build set; 1 may be a false positive, the Bloom contract). One broadcast

@@ -55,6 +55,38 @@ object TextStats {
         .as("punct_token_ratio"))
   }
 
+  /** Readability profile in exact integer arithmetic: word / sentence /
+    * syllable-proxy counts and a Flesch-reading-ease-style score. The
+    * syllable proxy is the classic vowel-group count (maximal [aeiouy]+
+    * runs in the lowercased text); sentences are 1 + terminal-punctuation
+    * runs (a text with no terminators is one sentence). The score is the
+    * published Flesch formula ×1000 with each term integer-divided —
+    * deterministic and hash-exact cross-engine, unlike the float original:
+    *
+    *   flesch_x1000 = 206835 − (1015·words) div sents − (84600·syll) div words
+    *
+    * plus `long_word_permille` (tokens ≥ 7 chars — the LIX-family length
+    * signal). Map-side built-ins only, one projection, no shuffle; at
+    * 100 TB this rides the same scan as [[quality]]/[[gopherRules]].
+    * Output: (id, n_words, n_sents, n_syllables, n_long_words,
+    * flesch_x1000, long_word_permille); rows with zero words are dropped
+    * (no readability without words). */
+  def readability(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val base = df.select(id.as("id"), tokens(text).as("toks"),
+      size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))).cast("long").as("n_syllables"),
+      (lit(1L) + size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))).cast("long").as("n_sents"))
+    base.select(col("id"),
+        size(col("toks")).cast("long").as("n_words"),
+        col("n_sents"), col("n_syllables"),
+        size(filter(col("toks"), t => length(t) >= 7)).cast("long").as("n_long_words"))
+      .filter(col("n_words") >= 1L)
+      .select(col("id"), col("n_words"), col("n_sents"), col("n_syllables"),
+        col("n_long_words"),
+        expr("206835L - (1015L * n_words) div n_sents - (84600L * n_syllables) div n_words")
+          .as("flesch_x1000"),
+        expr("(n_long_words * 1000L) div n_words").as("long_word_permille"))
+  }
+
   /** Repetition signals (the Gopher-rules family): duplicate-line fraction
     * and the share of bigram occurrences taken by the single most frequent
     * bigram — the two cheap detectors for boilerplate/looping text. Map-side
