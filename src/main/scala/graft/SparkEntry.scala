@@ -1039,7 +1039,17 @@ object SparkEntry {
       graft.ops.Multimodal.resizePlan(withMeta, "meta", maxEdge = 256)
         .select(col("id"), col("meta.width").as("width"), col("meta.height").as("height"),
           col("target_width"), col("target_height"))
-    })
+    }),
+    // trending-entity detection: mentions per (entity, UTC day) vs the
+    // entity's own mean-per-active-day, exact integer permille
+    "kg_mention_bursts" -> ((s, d) => DocKg.mentionBursts(s, d)),
+    // one-number degree-skew gauge: Gini of the weighted total-degree
+    // distribution in exact permille (Lorenz rank form)
+    "kg_degree_gini" -> ((s, d) => graft.graph.GraphOps.degreeGini(
+      DocKg.edges(s, d))),
+    // hubs/authorities over the EXTRACTED host graph — completes the
+    // link-analysis trio (PageRank / TrustRank / HITS) on the web side
+    "web_hits" -> ((s, d) => graft.graph.GraphOps.hits(hostEdges(s, d), iters = 2))
   )
 
   // ------------------------------------------------------------------ oracles
@@ -3562,6 +3572,53 @@ object SparkEntry {
         |SELECT id, width, height,
         |       ceil(width * least(1.0, 256.0 / greatest(width, height)))::INT AS target_width,
         |       ceil(height * least(1.0, 256.0 / greatest(width, height)))::INT AS target_height
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "kg_mention_bursts" ->
+      s"""WITH $mentionsCte,
+         |md AS (SELECT type || '.' || value AS entity,
+         |         (1700000000 + (doc_id % 14) * 86400 + (doc_id % 7) * 3600) // 86400 AS day
+         |       FROM mentions),
+         |pd AS (SELECT entity, day, count(*)::BIGINT AS n FROM md GROUP BY 1, 2),
+         |t AS (SELECT *, sum(n) OVER (PARTITION BY entity)::BIGINT AS total,
+         |        count(*) OVER (PARTITION BY entity)::BIGINT AS n_days FROM pd)
+         |SELECT entity, day::BIGINT AS day, n, total, n_days,
+         |       ((1000 * n * n_days) // total)::BIGINT AS burst_permille FROM t""".stripMargin,
+    "kg_degree_gini" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |deg AS (SELECT id, sum(c::BIGINT)::BIGINT AS deg FROM
+         |          (SELECT source AS id, c FROM edges
+         |           UNION ALL SELECT target, c FROM edges) GROUP BY id),
+         |r AS (SELECT *, row_number() OVER (ORDER BY deg, id) AS rank FROM deg),
+         |a AS (SELECT count(*)::BIGINT AS n_nodes, sum(deg)::BIGINT AS total_degree,
+         |        sum(rank * deg)::BIGINT AS s FROM r)
+         |SELECT n_nodes, total_degree,
+         |       ((2000 * s) // (n_nodes * total_degree)
+         |         - (1000 * (n_nodes + 1)) // n_nodes)::BIGINT AS gini_permille FROM a""".stripMargin,
+    "web_hits" ->
+      s"""WITH $webLinksCtes,
+         |$webHostsCte,
+         |ew AS MATERIALIZED (SELECT src_host AS source, dst_host AS target,
+         |      count(*)::BIGINT AS w FROM webhosts GROUP BY 1, 2),
+         |pn AS MATERIALIZED (SELECT DISTINCT id FROM
+         |      (SELECT source AS id FROM ew UNION ALL SELECT target FROM ew)),
+         |s0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS hub,
+         |      CAST(1000000 AS BIGINT) AS auth FROM pn),
+         |${(1 to 2).map(i =>
+             s"""ar$i AS (SELECT e.target, CAST(sum(s.hub * e.w) AS BIGINT) AS a_raw
+                |      FROM ew e JOIN s${i - 1} s ON e.source = s.id GROUP BY 1),
+                |an$i AS (SELECT CAST(sum(a_raw) AS BIGINT) AS asum FROM ar$i),
+                |au$i AS MATERIALIZED (SELECT pn.id,
+                |      CAST(coalesce(a.a_raw, 0) // greatest(1, (SELECT asum FROM an$i) // 1000000) AS BIGINT) AS auth
+                |      FROM pn LEFT JOIN ar$i a ON pn.id = a.target),
+                |hr$i AS (SELECT e.source, CAST(sum(a.auth * e.w) AS BIGINT) AS h_raw
+                |      FROM ew e JOIN au$i a ON e.target = a.id GROUP BY 1),
+                |hn$i AS (SELECT CAST(sum(h_raw) AS BIGINT) AS hsum FROM hr$i),
+                |s$i AS MATERIALIZED (SELECT pn.id,
+                |      CAST(coalesce(h.h_raw, 0) // greatest(1, (SELECT hsum FROM hn$i) // 1000000) AS BIGINT) AS hub,
+                |      a.auth AS auth
+                |      FROM pn LEFT JOIN hr$i h ON pn.id = h.source JOIN au$i a ON pn.id = a.id)""".stripMargin)
+           .mkString(",\n")}
+         |SELECT id, hub, auth FROM s2""".stripMargin
   )
 }

@@ -1556,6 +1556,35 @@ object GraphOps {
     dist
   }
 
+  /** Degree-inequality profile of the graph: the Gini coefficient of the
+    * weighted total-degree distribution in exact integer permille, from the
+    * mean-difference identity G = 2·Σ(i·dᵢ)/(n·Σd) − (n+1)/n over degrees
+    * sorted ascending (Lorenz-curve form, public formula). 0 = perfectly
+    * even, →1000 = one hub holds all mass — the one-number skew gauge that
+    * says whether the KG (or host graph) needs salted aggregation before
+    * the heavy joins. Output: one row (n_nodes, total_degree,
+    * gini_permille), each div truncating exactly as written. */
+  def degreeGini(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deg = edges.select(col("source").as("id"), col("c"))
+      .unionAll(edges.select(col("target").as("id"), col("c")))
+      .groupBy(col("id")).agg(sum(col("c").cast("long")).as("deg"))
+    // global ascending rank: the degree relation is post-aggregation and
+    // node-bounded (the same size class as the rank/label relations the
+    // iterative operators materialize per round), so one unpartitioned
+    // window is fine here; at 10^9+ nodes swap in the range-sort +
+    // zipWithIndex ranking Dedup.sortedNeighborhood uses — the formula is
+    // rank-based precisely so that machinery drops in unchanged
+    val ranked = deg.withColumn("rank",
+      row_number().over(Window.orderBy(col("deg").asc, col("id").asc)))
+    ranked.agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg")).as("total_degree"),
+        sum(col("rank") * col("deg")).as("s"))
+      .select(col("n_nodes"), col("total_degree"),
+        expr("(2000L * s) div (n_nodes * total_degree) - (1000L * (n_nodes + 1)) div n_nodes")
+          .as("gini_permille"))
+  }
+
   /** Partition-quality report for the two canonical edge-placement schemes
     * at a given partition count — the numbers that decide a 100 TB physical
     * layout (bucket-by-source vs 2D edge hashing):

@@ -231,6 +231,34 @@ object DocKg {
   def edgeProvenance(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.edgeProvenance(tripleObservations(spark, dir))
 
+  /** Temporal burst profile per entity: mentions per UTC day vs the
+    * entity's own mean-per-active-day, in exact integer permille —
+    * `burst_permille = (1000·n·n_days) div total`, so 1000 = the entity's
+    * average day and 3000 = a 3x spike. The trending-entity detector a
+    * continuously-crawling KG runs per batch (which entities surged today);
+    * the observation day comes from the same deterministic warc_ts formula
+    * as [[tripleObservations]].
+    *
+    * Scale shape: one groupBy on (entity, day) with map-side partials, then
+    * the per-entity totals ride a window partitioned by entity over the
+    * already-day-collapsed relation (rows = entities × active days, far
+    * smaller than mentions). Output: (entity, day, n, total, n_days,
+    * burst_permille). */
+  def mentionBursts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = mentions(spark, dir).select(
+      concat(col("type"), lit("."), col("value")).as("entity"),
+      expr("(1700000000L + (doc_id % 14) * 86400L + (doc_id % 7) * 3600L) div 86400L")
+        .as("day"))
+    val perDay = m.groupBy(col("entity"), col("day")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("entity"))
+    perDay
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("n_days", count(lit(1)).over(w))
+      .select(col("entity"), col("day"), col("n"), col("total"), col("n_days"),
+        expr("(1000L * n * n_days) div total").as("burst_permille"))
+  }
+
   /** Reference "now" for the decay query: two weeks past the synthetic
     * warc_ts base, so the 14-day doc spread exercises several half-lives. */
   val DecayNowEpoch: Long = 1700000000L + 14L * 86400L

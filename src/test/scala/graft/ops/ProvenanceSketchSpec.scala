@@ -78,6 +78,18 @@ class ProvenanceSketchSpec extends AnyFunSuite with SparkTestSession {
     assert(TextStats.readability(df, col("text"), col("doc_id")).count() == 2L)
   }
 
+  test("degreeGini: even degrees score 0, a hub raises the coefficient") {
+    val even = Seq(("a", "b", 1.0)).toDF("source", "target", "c")
+    val e = graft.graph.GraphOps.degreeGini(even).collect()(0)
+    assert(e.getAs[Long]("gini_permille") == 0L)
+    // degrees a=4, b=3, c=1 -> s = 1*1 + 2*3 + 3*4 = 19;
+    // (2000*19) div (3*8) = 1583; (1000*4) div 3 = 1333 -> 250
+    val skew = Seq(("a", "b", 3.0), ("a", "c", 1.0)).toDF("source", "target", "c")
+    val s = graft.graph.GraphOps.degreeGini(skew).collect()(0)
+    assert(s.getAs[Long]("n_nodes") == 3L && s.getAs[Long]("total_degree") == 8L)
+    assert(s.getAs[Long]("gini_permille") == 250L)
+  }
+
   test("resizePlan: max edge bounded, aspect ratio preserved, no upscale") {
     val df = Seq((1, 1024, 512), (2, 100, 50)).toDF("id", "w", "h")
       .select(col("id"), struct(col("w").as("width"), col("h").as("height")).as("meta"))
