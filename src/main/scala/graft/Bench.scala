@@ -142,6 +142,11 @@ object Bench {
       "web_links", "web_host_graph", "web_pagerank", "web_frontier",
       "web_robots", "text_tfidf_retrieve",
       "kg_betweenness", "curate_mixture",
+      "kg_bgp", "kg_sssp", "kg_conflicts", "kg_doc_stance", "web_trustrank",
+      "web_simrank", "web_bowtie", "er_sorted_neighborhood", "text_winnowing",
+      "text_keywords", "web_trap_signals", "curate_dsir_select",
+      "kg_edge_provenance", "web_host_sketch_sim", "text_readability",
+      "kg_mention_bursts", "kg_degree_gini", "web_hits",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
     val spark = SparkSession.builder()
