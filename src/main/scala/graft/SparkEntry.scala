@@ -444,6 +444,15 @@ object SparkEntry {
         graft.ops.Bgp.Pat("?x", "pos", "?y"),
         graft.ops.Bgp.Pat("?y", "neg", "?z")))
     }),
+    // bounded-repetition property path (SPARQL (pos|neg){1,3}): endpoint
+    // pairs per reachable length — a fixed hash-join chain, no recursion
+    "kg_path_bounded" -> ((s, d) => {
+      val rel = DocKg.triples(s, d).select(
+        concat(col("subj_type"), lit("."), col("subj")).as("s"),
+        col("pred").as("p"),
+        concat(col("obj_type"), lit("."), col("obj")).as("o"))
+      graft.ops.Bgp.boundedPath(rel, Seq("pos", "neg"), maxLen = 3)
+    }),
     // tokenizer-training loop: k rounds of distributed pair counting, one
     // merge per round (count DESC, pair ASC) — the trained merge table
     "text_phrase_merges" -> ((s, d) =>
@@ -1616,6 +1625,17 @@ object SparkEntry {
          |p1 AS (SELECT DISTINCT s AS x, o AS y FROM rel WHERE p = 'pos'),
          |p2 AS (SELECT DISTINCT s AS y, o AS z FROM rel WHERE p = 'neg')
          |SELECT p1.x, p1.y, p2.z FROM p1 JOIN p2 ON p1.y = p2.y""".stripMargin,
+    "kg_path_bounded" ->
+      s"""WITH $triplesCte,
+         |rel AS (SELECT DISTINCT subj_type || '.' || subj AS s, pred AS p,
+         |               obj_type || '.' || obj AS o FROM triples),
+         |step AS (SELECT DISTINCT s AS hs, o AS ho FROM rel WHERE p IN ('pos', 'neg')),
+         |l1 AS (SELECT hs AS x, ho AS z FROM step),
+         |l2 AS (SELECT DISTINCT l1.x, st.ho AS z FROM l1 JOIN step st ON l1.z = st.hs),
+         |l3 AS (SELECT DISTINCT l2.x, st.ho AS z FROM l2 JOIN step st ON l2.z = st.hs)
+         |SELECT x, z, CAST(1 AS BIGINT) AS len FROM l1
+         |UNION ALL SELECT x, z, CAST(2 AS BIGINT) AS len FROM l2
+         |UNION ALL SELECT x, z, CAST(3 AS BIGINT) AS len FROM l3""".stripMargin,
     "text_phrase_merges" ->
       s"""WITH ${phraseCtes(5)}
          |${(1 to 5).map(i =>

@@ -48,6 +48,40 @@ object Bgp {
       ordered.map(_._1.drop(1)))
   }
 
+  /** Bounded-repetition property path (SPARQL `(p1|p2){1,maxLen}`) over the
+    * triple relation — the second SPARQL query primitive after conjunctive
+    * [[matchPatterns]]: endpoint pairs (x, z) connected by a DIRECTED path of
+    * 1..`maxLen` hops whose every edge label is in `preds` (alternation).
+    * Output (x, z, len) under set semantics PER LENGTH: one row per distinct
+    * endpoint pair per path length at which it is reachable (a pair reachable
+    * at lengths 1 and 3 yields two rows) — the unbounded SPARQL `+` is
+    * approximated by a fixed hop budget exactly as production RPQ engines do
+    * at web scale, because an unbounded closure over a 10^12-page KG is a
+    * full transitive closure.
+    *
+    * Plan shape: the single-hop relation is the label-filtered scan (an IN
+    * predicate pushed to the columnar store) deduplicated once and
+    * checkpointed (each hop reuses it); every further hop is ONE equi-join of
+    * the previous frontier against it, frontier deduplicated per hop so path
+    * multiplicity never multiplies rows. `maxLen` is static, so the whole
+    * query is a fixed left-deep hash-join chain — no recursion, no
+    * driver-side iteration. Engine extension, no reference counterpart. */
+  def boundedPath(rel: DataFrame, preds: Seq[String], maxLen: Int): DataFrame = {
+    require(preds.nonEmpty, "empty predicate alternation")
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    val step = rel.filter(col("p").isin(preds: _*))
+      .select(col("s").as("hs"), col("o").as("ho")).distinct()
+      .localCheckpoint()
+    var frontier = step.select(col("hs").as("x"), col("ho").as("z"))
+    val perLen = collection.mutable.Buffer(frontier.withColumn("len", lit(1L)))
+    for (k <- 2 to maxLen) {
+      frontier = frontier.join(step, col("z") === col("hs"))
+        .select(col("x"), col("ho").as("z")).distinct()
+      perLen += frontier.withColumn("len", lit(k.toLong))
+    }
+    perLen.reduce(_ unionByName _)
+  }
+
   /** Match `patterns` conjunctively against `rel` (columns `s`, `p`, `o`).
     * Output: one column per distinct variable (name without the '?'), one
     * row per solution under set semantics (duplicate triples in `rel` do

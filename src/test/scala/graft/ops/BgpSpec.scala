@@ -64,6 +64,30 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     assert(got.length == 1)
   }
 
+  test("boundedPath: per-length distinct endpoint pairs under alternation") {
+    val got = Bgp.boundedPath(rel, Seq("pos", "neg"), maxLen = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // len 1: every pos/neg edge; len 2: a->b->{c,d} (pos.neg and neg.neg),
+    // x->b->{c,d}, plus nothing out of c/d (their edges are 'likes')
+    val len1 = Set(("a", "b"), ("b", "c"), ("b", "d"), ("x", "b"))
+    val len2 = Set(("a", "c"), ("a", "d"), ("x", "c"), ("x", "d"))
+    assert(got == len1.map { case (x, z) => (x, z, 1L) } ++
+      len2.map { case (x, z) => (x, z, 2L) })
+  }
+
+  test("boundedPath: duplicate edges never multiply pairs; a pair reachable at two lengths keeps both rows") {
+    import spark.implicits._
+    // diamond a->b->d and a->c->d plus a direct a->d: (a,d) at len 1 AND 2, once each
+    val r = Seq(("a", "p", "b"), ("b", "p", "d"), ("a", "p", "c"), ("c", "p", "d"),
+      ("a", "p", "d"), ("a", "p", "d")).toDF("s", "p", "o")
+    val got = Bgp.boundedPath(r, Seq("p"), maxLen = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.length == got.distinct.length) // set semantics per length
+    assert(got.count { case (x, z, _) => x == "a" && z == "d" } == 2)
+    val ex = intercept[IllegalArgumentException] { Bgp.boundedPath(r, Seq(), 2) }
+    assert(ex.getMessage.contains("empty"))
+  }
+
   test("textRankKeywords: symmetric graph ranks symmetric terms equally; self-pairs dropped") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
