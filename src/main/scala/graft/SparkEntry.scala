@@ -185,6 +185,9 @@ object SparkEntry {
     // label-propagation communities: (weight DESC, label ASC) adoption rule,
     // fixed synchronous rounds — rng-free, unrolled in the oracle
     "kg_lpa" -> ((s, d) => DocKg.lpa(s, d)),
+    // synchronous Louvain local moves: argmax exact-integer modularity gain
+    // per node per round (ties label ASC), unrolled in the oracle
+    "kg_louvain" -> ((s, d) => DocKg.louvain(s, d)),
     // frontier BFS hop distances from the hub entity — each node expanded
     // exactly once over the run (Pregel shape), fixed rounds for the oracle
     "kg_bfs" -> ((s, d) => DocKg.bfs(s, d)),
@@ -966,6 +969,17 @@ object SparkEntry {
     // contradictory-evidence triage: pairs asserted with >= 2 distinct
     // predicates, per-polarity counts + dominant label + conflict permille
     "kg_conflicts" -> ((s, d) => DocKg.conflicts(s, d)),
+    // truth discovery: joint provider-trust / claim-belief fixed point over
+    // the conflicting extractions (provider = the document's source feed)
+    "kg_truth_discovery" -> ((s, d) => {
+      val t = DocKg.triples(s, d).select(
+        concat(col("subj_type"), lit("."), col("subj")).as("source"),
+        concat(col("obj_type"), lit("."), col("obj")).as("target"),
+        col("pred"), col("doc_id"))
+      val votes = t.join(
+        docs(s, d).select(col("doc_id"), col("source").as("src")), "doc_id")
+      graft.graph.GraphBuilder.truthDiscovery(votes, rounds = 2)
+    }),
     // time-respecting 2-hop paths: first_seen(a->b) <= last_seen(b->c)
     "kg_temporal_paths" -> ((s, d) => DocKg.temporalPaths2(s, d)),
     // TrustRank over the extracted host graph: teleport mass split over the
@@ -1774,6 +1788,40 @@ object SparkEntry {
                  |l$i AS MATERIALIZED (SELECT x AS id, label FROM r$i WHERE rn = 1)""".stripMargin)
             .mkString(",\n")}
          |SELECT id, label FROM l3""".stripMargin,
+    "kg_louvain" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |und AS (SELECT least(source, target) AS a, greatest(source, target) AS b,
+         |               CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS w
+         |        FROM edges WHERE source <> target GROUP BY 1, 2),
+         |adj AS MATERIALIZED (SELECT a AS x, b AS n, w FROM und UNION ALL SELECT b, a, w FROM und),
+         |deg AS MATERIALIZED (SELECT x, CAST(sum(w) AS BIGINT) AS ki FROM adj GROUP BY 1),
+         |mm AS (SELECT CAST(sum(ki) AS BIGINT) AS m2 FROM deg),
+         |nds AS MATERIALIZED (SELECT x AS id, ('0x' || substr(md5(x), 1, 15))::BIGINT % 4 AS clr FROM deg),
+         |l0 AS MATERIALIZED (SELECT id, id AS label FROM nds),
+         |${(1 to 4).map { i => val rc = i % 4
+              s"""c$i AS (SELECT l.label, CAST(sum(d.ki) AS BIGINT) AS tot, count(*)::BIGINT AS csize
+                 |      FROM l${i - 1} l JOIN deg d ON l.id = d.x GROUP BY 1),
+                 |v$i AS (SELECT adj.x, o.label AS own, l.label, CAST(sum(adj.w) AS BIGINT) AS kxc
+                 |      FROM adj JOIN l${i - 1} o ON adj.x = o.id
+                 |           JOIN nds nd ON adj.x = nd.id AND nd.clr = $rc
+                 |           JOIN l${i - 1} l ON adj.n = l.id
+                 |      GROUP BY 1, 2, 3),
+                 |cd$i AS (SELECT * FROM v$i UNION ALL
+                 |      SELECT o.id AS x, o.label AS own, o.label AS label, CAST(0 AS BIGINT) AS kxc
+                 |      FROM l${i - 1} o JOIN nds nd ON o.id = nd.id AND nd.clr = $rc
+                 |      WHERE NOT EXISTS (SELECT 1 FROM v$i v WHERE v.x = o.id AND v.label = o.label)),
+                 |s$i AS (SELECT cd.x, cd.label,
+                 |             CAST(cd.kxc * mm.m2 - d.ki * (c.tot - CASE WHEN cd.label = cd.own THEN d.ki ELSE 0 END) AS BIGINT) AS score
+                 |      FROM cd$i cd JOIN c$i c ON cd.label = c.label JOIN c$i co ON cd.own = co.label
+                 |           JOIN deg d ON cd.x = d.x CROSS JOIN mm
+                 |      WHERE NOT (co.csize = 1 AND c.csize = 1 AND cd.label > cd.own)),
+                 |r$i AS (SELECT x, label, row_number() OVER (PARTITION BY x ORDER BY score DESC, label ASC) AS rn FROM s$i),
+                 |l$i AS MATERIALIZED (SELECT x AS id, label FROM r$i WHERE rn = 1
+                 |      UNION ALL
+                 |      SELECT l.id, l.label FROM l${i - 1} l JOIN nds nd ON l.id = nd.id AND nd.clr <> $rc)""".stripMargin }
+            .mkString(",\n")}
+         |SELECT id, label FROM l4""".stripMargin,
     "kg_modularity" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},
@@ -3343,6 +3391,26 @@ object SparkEntry {
          |       min(ts)::BIGINT AS first_seen, max(ts)::BIGINT AS last_seen,
          |       count(DISTINCT ts // 86400)::BIGINT AS n_days
          |FROM obs GROUP BY 1, 2, 3""".stripMargin,
+    "kg_truth_discovery" ->
+      s"""WITH $triplesCte,
+         |vt AS MATERIALIZED (SELECT dd.source AS src, t.subj_type || '.' || t.subj AS source,
+         |             t.obj_type || '.' || t.obj AS target, t.pred, count(*)::BIGINT AS n
+         |      FROM triples t JOIN documents dd ON t.doc_id = dd.doc_id
+         |      GROUP BY 1, 2, 3, 4),
+         |t0 AS (SELECT DISTINCT src, CAST(500000 AS BIGINT) AS trust FROM vt),
+         |${(1 to 2).map(i =>
+              s"""sp$i AS (SELECT v.source, v.target, v.pred, CAST(sum(t.trust * v.n) AS BIGINT) AS support
+                 |      FROM vt v JOIN t${i - 1} t ON v.src = t.src GROUP BY 1, 2, 3),
+                 |bl$i AS (SELECT source, target, pred,
+                 |             CAST(support * 1000000 // CAST(sum(support) OVER (PARTITION BY source, target) AS BIGINT) AS BIGINT) AS belief
+                 |      FROM sp$i),
+                 |t$i AS MATERIALIZED (SELECT v.src, CAST(CAST(sum(b.belief * v.n) AS BIGINT) // CAST(sum(v.n) AS BIGINT) AS BIGINT) AS trust
+                 |      FROM vt v JOIN bl$i b ON v.source = b.source AND v.target = b.target AND v.pred = b.pred
+                 |      GROUP BY 1)""".stripMargin)
+            .mkString(",\n")}
+         |SELECT t.src, t.trust, a.n_votes, a.n_claims
+         |FROM t2 t JOIN (SELECT src, CAST(sum(n) AS BIGINT) AS n_votes, count(*)::BIGINT AS n_claims
+         |                FROM vt GROUP BY 1) a ON t.src = a.src""".stripMargin,
     "kg_conflicts" ->
       s"""WITH $triplesCte,
          |ag AS (SELECT subj_type || '.' || subj AS source, obj_type || '.' || obj AS target,

@@ -151,6 +151,50 @@ object GraphBuilder {
     * permille (1000 * (n_obs - max_count) div n_obs). One shuffle on the
     * pair key with map-side partial aggregation; the conflict filter and
     * permille math are post-aggregation row-local. */
+  /** Truth discovery over conflicting extractions (TruthFinder / Knowledge
+    * Vault lineage): jointly estimate per-PROVIDER reliability and per-CLAIM
+    * belief by fixed-point iteration. A claim is one asserted edge label
+    * (source, target, pred); a provider (`src` — the document's host/feed)
+    * VOTES for a claim once per observation. Round i:
+    * `support(claim) = Σ_src trust(src)·n(src,claim)`,
+    * `belief(claim)  = support·1e6 div Σ_{preds of the pair} support`
+    * (beliefs over one pair's competing labels sum to ~1e6), then
+    * `trust(src) = Σ belief·n div Σ n` (vote-weighted mean belief of its
+    * claims — reliable providers are those that assert what the weighted
+    * majority asserts). All arithmetic is scaled BIGINT with truncating
+    * division, trust seeded at 500000, a FIXED `rounds` budget unrolled in
+    * the oracle ([[conflicts]] reports the disagreements; this op resolves
+    * them). Per round: two shuffles (claim key, provider key), both
+    * post-aggregation small. Why it scales: claims and providers are both
+    * aggregates — corpus size only enters through the one upstream
+    * triple-extraction pass. Engine extension, no reference counterpart.
+    * Input `votes`: (src, source, target, pred) observation rows.
+    * Output: (src, trust, n_votes, n_claims). */
+  def truthDiscovery(votes: DataFrame, rounds: Int = 2): DataFrame = {
+    val v = votes.groupBy(col("src"), col("source"), col("target"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    var trust = v.select(col("src")).distinct()
+      .select(col("src"), lit(500000L).as("trust"))
+    for (_ <- 1 to rounds) {
+      val support = v.join(trust, "src")
+        .groupBy(col("source"), col("target"), col("pred"))
+        .agg(sum(col("trust") * col("n")).as("support"))
+      val belief = support
+        .withColumn("pairtot",
+          sum(col("support")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"), col("target"))))
+        .select(col("source"), col("target"), col("pred"),
+          expr("(support * 1000000L) div pairtot").as("belief"))
+      trust = v.join(belief, Seq("source", "target", "pred"))
+        .groupBy(col("src"))
+        .agg(expr("sum(belief * n) div sum(n)").as("trust"))
+    }
+    trust.join(
+      v.groupBy(col("src")).agg(sum(col("n")).as("n_votes"),
+        count(lit(1)).as("n_claims")), "src")
+  }
+
   def conflicts(triples: DataFrame): DataFrame =
     triples
       .groupBy(concat(col("subj_type"), lit("."), col("subj")).as("source"),

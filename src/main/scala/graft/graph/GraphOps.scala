@@ -598,6 +598,91 @@ object GraphOps {
     labels
   }
 
+  /** Deterministic distributed Louvain-style local moves (phase 1 of the
+    * Louvain method) over the undirected weighted graph. Classic Louvain
+    * moves nodes one-at-a-time in visit order — inherently sequential — so
+    * the distributed relaxation schedules moves by a deterministic hash
+    * COLORING: round r lets only nodes with `md5(id) % colors == r % colors`
+    * move, everyone else keeps their label. Coloring is how production
+    * parallel Louvain serializes conflicting moves (Lu, Halappanavar,
+    * Kalyanaraman 2015); pure synchronous argmax oscillates (two singletons
+    * sharing an edge swap labels forever), which a fixed budget alone cannot
+    * repair. A mover adopts the candidate community (its neighbors' current
+    * communities plus its own) with the LARGEST exact integer modularity
+    * gain, ties by smallest label; the same paper's minimum-label heuristic
+    * guards the residual same-color conflict — a singleton may enter another
+    * SINGLETON's community only when the target label is smaller. The gain
+    * of joining C is ΔQ ∝ k_{x,C}/m − ki·Σtot_C/(2m²); both engines compare
+    * the common-denominator integer numerator
+    * `k_{x,C}·2m − ki·(Σtot_C − ki·[x∈C])` (self-mass excluded when scoring
+    * the node's own community) — rng-free and division-free, so the move
+    * sequence is bit-identical cross-engine. `rounds` is fixed and unrolled
+    * in the oracle like [[labelPropagation]]; the default is one full color
+    * sweep. Per round: one co-partitioned neighbor-label join + two
+    * aggregations + one argmax window over the MOVING color class only,
+    * lineage truncated. Integer range: scores reach k_{x,C}·2m ≲ (2m)²,
+    * exact in BIGINT up to 2m ≈ 3e9 total edge weight — beyond that, bucket
+    * the graph first (the same envelope as kg_modularity's q_num).
+    * Output: (id, label). Engine extension, no reference counterpart. */
+  def louvainMoves(edges: DataFrame, rounds: Int = 4, colors: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(colors >= 2, s"need >= 2 colors, got $colors")
+    val und = edges.filter(col("source") =!= col("target"))
+      .groupBy(least(col("source"), col("target")).as("a"),
+        greatest(col("source"), col("target")).as("b"))
+      .agg(sum(col("c").cast("long")).as("w"))
+    val adj = und.select(col("a").as("x"), col("b").as("n"), col("w"))
+      .union(und.select(col("b"), col("a"), col("w")))
+      .localCheckpoint()
+    val deg = adj.groupBy(col("x")).agg(sum(col("w")).as("ki")).localCheckpoint()
+    val m2 = deg.agg(sum(col("ki")).as("m2"))
+    val nodes = deg.select(col("x").as("id"),
+      (conv(substring(md5(col("x").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % colors).as("clr"))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    // labels feeds FIVE consumers per round (movers, keepers, comm, the
+    // neighbor-label join, stay) — a ~5x lazy-plan blowup per round, so
+    // truncate every round rather than budgeting like the 2x-growth loops
+    val ck = roundCkpt(rounds, maxLazy = 1) _
+    for (r <- 1 to rounds) {
+      val rc = r % colors
+      val lblc = labels.join(nodes, "id")
+      val movers = lblc.filter(col("clr") === rc).select(col("id"), col("label"))
+      val keepers = lblc.filter(col("clr") =!= rc).select(col("id"), col("label"))
+      val comm = labels.join(deg.select(col("x").as("id"), col("ki")), "id")
+        .groupBy(col("label")).agg(sum(col("ki")).as("tot"),
+          count(lit(1)).as("csize"))
+      val votes = adj.join(movers.select(col("id").as("x"), col("label").as("own")), "x")
+        .join(labels.select(col("id").as("n"), col("label")), "n")
+        .groupBy(col("x"), col("own"), col("label")).agg(sum(col("w")).as("kxc"))
+      // the stay-home candidate: a row for the mover's own community even
+      // when no neighbor is currently in it (kxc = 0), so move-vs-stay is
+      // always a comparison between present rows
+      val stay = movers.select(col("id").as("x"), col("label").as("own"),
+          col("label"))
+        .join(votes.select("x", "label"), Seq("x", "label"), "left_anti")
+        .withColumn("kxc", lit(0L))
+      val scored = votes.unionByName(stay)
+        .join(comm, "label")
+        .join(comm.select(col("label").as("own"), col("csize").as("ocsize")), "own")
+        .join(deg, "x")
+        .crossJoin(broadcast(m2))
+        .filter(!(col("ocsize") === 1 && col("csize") === 1 &&
+          col("label") > col("own")))
+        .withColumn("score", col("kxc") * col("m2") -
+          col("ki") * (col("tot") -
+            when(col("label") === col("own"), col("ki")).otherwise(lit(0L))))
+      val moved = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("x")).orderBy(col("score").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("x").as("id"), col("label"))
+      labels = ck(moved.unionByName(keepers))
+    }
+    labels
+  }
+
   /** Shared wedge prep for the neighbor-overlap family: the undirected simple
     * adjacency (checkpointed once — degrees and both wedge sides consume it),
     * node degrees, and the hub-capped adjacency `small` whose `deg` column is

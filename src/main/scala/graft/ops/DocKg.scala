@@ -507,6 +507,10 @@ object DocKg {
   def lpa(spark: SparkSession, dir: String): DataFrame =
     GraphOps.labelPropagation(edges(spark, dir), rounds = 3)
 
+  /** Color-scheduled Louvain modularity moves (GraphOps.louvainMoves). */
+  def louvain(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.louvainMoves(edges(spark, dir), rounds = 4, colors = 4)
+
   /** Hop distances from the hub entity by frontier BFS (GraphOps.bfs). */
   def bfs(spark: SparkSession, dir: String): DataFrame =
     GraphOps.bfs(edges(spark, dir), "ORG.spark", rounds = 3)

@@ -268,6 +268,33 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(GraphOps.connectedComponents(e).select("cluster").distinct().count() == 1)
   }
 
+  test("louvainMoves: one color sweep splits the weakly-bridged barbell into its triangles") {
+    // same barbell as the LPA case: two weight-2 triangles, weight-1 bridge.
+    // Expectations hand-derived (and pinned against an independent python
+    // simulation of the integer-gain + color-schedule semantics).
+    val e = edges(("A", "B", 2), ("B", "C", 2), ("A", "C", 2),
+      ("D", "E", 2), ("E", "F", 2), ("D", "F", 2), ("C", "D", 1))
+    val got = GraphOps.louvainMoves(e, rounds = 4).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    // each triangle collapses; D (bridge end) joins its own triangle, not
+    // C's, because 2·w internal beats the weight-1 bridge
+    assert(got == Map("A" -> "A", "B" -> "A", "C" -> "A",
+      "D" -> "E", "E" -> "E", "F" -> "E"))
+  }
+
+  test("louvainMoves: dyads merge (no synchronous label swap); star collapses to the hub") {
+    // two disconnected edges — pure synchronous argmax would swap labels
+    // forever; color scheduling + the singleton min-label guard converge
+    val e = edges(("A", "B", 1), ("C", "D", 1))
+    val got = GraphOps.louvainMoves(e, rounds = 4).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("A" -> "A", "B" -> "A", "C" -> "C", "D" -> "C"))
+    val star = edges(("H", "S1", 1), ("H", "S2", 1), ("H", "S3", 1), ("H", "S4", 1))
+    val gs = GraphOps.louvainMoves(star, rounds = 4).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(gs.values.toSet == Set("H"))
+  }
+
   test("adamicAdar: shared neighbors weighted by 1e6 div ilog2(degree), exactly") {
     // square A-B-C-D-A + diagonal A-C + pendant A-E:
     // deg A=4 (ilog2=2 -> 500000 per share), deg C=3 (ilog2=1 -> 1000000),

@@ -14,6 +14,35 @@ class TrustConflictSpec extends AnyFunSuite with SparkTestSession {
       .toDF("source", "target", "sent", "c")
   }
 
+  test("truthDiscovery: majority-aligned providers gain trust, the dissenter loses it") {
+    import spark.implicits._
+    // claim P->Q: pos by h1,h2, neg by h3; claim P->R: pos by h1,h3.
+    // Hand-derived fixed point (scale 1e6, truncating div), 2 rounds:
+    // r1 beliefs pos/neg = 666666/333333 -> trust 833333/666666/666666
+    // r2 beliefs        = 692307/307692 -> trust 846153/692307/653846
+    val votes = Seq(
+      ("h1", "P", "Q", "pos"), ("h2", "P", "Q", "pos"), ("h3", "P", "Q", "neg"),
+      ("h1", "P", "R", "pos"), ("h3", "P", "R", "pos"))
+      .toDF("src", "source", "target", "pred")
+    val got = GraphBuilder.truthDiscovery(votes, rounds = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      "h1" -> (846153L, 2L, 2L),
+      "h2" -> (692307L, 1L, 1L),
+      "h3" -> (653846L, 2L, 2L)))
+    // trust ranking: the provider agreeing with every weighted majority tops
+    assert(got("h1")._1 > got("h2")._1 && got("h2")._1 > got("h3")._1)
+  }
+
+  test("truthDiscovery: unanimous providers all converge to full belief") {
+    import spark.implicits._
+    val votes = Seq(("a", "X", "Y", "pos"), ("b", "X", "Y", "pos"))
+      .toDF("src", "source", "target", "pred")
+    val got = GraphBuilder.truthDiscovery(votes, rounds = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1000000L, "b" -> 1000000L))
+  }
+
   test("trustRank demotes a spam farm unreachable from the seeds") {
     // honest chain s -> a -> b; spam farm f1,f2,f3 all endorse z heavily.
     // z has the highest in-degree in the graph but no path from the seed.
