@@ -147,6 +147,7 @@ object Bench {
       "text_keywords", "web_trap_signals", "curate_dsir_select",
       "kg_edge_provenance", "web_host_sketch_sim", "text_readability",
       "kg_mention_bursts", "kg_degree_gini", "web_hits",
+      "kg_louvain", "kg_truth_discovery", "kg_rule_mining", "kg_path_bounded",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
     val spark = SparkSession.builder()

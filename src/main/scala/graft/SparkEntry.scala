@@ -447,6 +447,27 @@ object SparkEntry {
         graft.ops.Bgp.Pat("?x", "pos", "?y"),
         graft.ops.Bgp.Pat("?y", "neg", "?z")))
     }),
+    // AMIE-style chain rules p1(x,y) ∧ p2(y,z) ⇒ p3(x,z): support /
+    // confidence / head coverage in exact permille over the distinct KG
+    "kg_rule_mining" -> ((s, d) => {
+      val rel = DocKg.triples(s, d).select(
+        concat(col("subj_type"), lit("."), col("subj")).as("s"),
+        col("pred").as("p"),
+        concat(col("obj_type"), lit("."), col("obj")).as("o"))
+      graft.ops.Bgp.mineChainRules(rel)
+    }),
+    // rule-based KG completion: mine rules on the CONFIDENT sub-KG (edge
+    // evidence >= 180 mentions) and let them re-predict the pruned weak
+    // edges — anti-join vs the sub-KG, best rule wins per predicted edge.
+    // (On the raw triple relation the sf0.01 lexicon KG is complete, so
+    // there is nothing to predict; the evidence prune creates the
+    // missing-edge regime completion actually runs in.)
+    "kg_rule_predictions" -> ((s, d) => {
+      val rel = DocKg.edges(s, d).filter(col("c") >= 180)
+        .select(col("source").as("s"), col("sent").as("p"),
+          col("target").as("o"))
+      graft.ops.Bgp.ruleCompletions(rel, minConfPermille = 300L)
+    }),
     // bounded-repetition property path (SPARQL (pos|neg){1,3}): endpoint
     // pairs per reachable length — a fixed hash-join chain, no recursion
     "kg_path_bounded" -> ((s, d) => {
@@ -1639,6 +1660,41 @@ object SparkEntry {
          |p1 AS (SELECT DISTINCT s AS x, o AS y FROM rel WHERE p = 'pos'),
          |p2 AS (SELECT DISTINCT s AS y, o AS z FROM rel WHERE p = 'neg')
          |SELECT p1.x, p1.y, p2.z FROM p1 JOIN p2 ON p1.y = p2.y""".stripMargin,
+    "kg_rule_mining" ->
+      s"""WITH $triplesCte,
+         |rel AS MATERIALIZED (SELECT DISTINCT subj_type || '.' || subj AS s, pred AS p,
+         |               obj_type || '.' || obj AS o FROM triples),
+         |body0 AS MATERIALIZED (SELECT DISTINCT a.p AS p1, b.p AS p2, a.s AS x, b.o AS z
+         |      FROM rel a JOIN rel b ON a.o = b.s WHERE a.s <> b.o),
+         |bc AS (SELECT p1, p2, count(*)::BIGINT AS body_pairs FROM body0 GROUP BY 1, 2),
+         |sup AS (SELECT body0.p1, body0.p2, h.p AS p3, count(*)::BIGINT AS support
+         |      FROM body0 JOIN rel h ON body0.x = h.s AND body0.z = h.o GROUP BY 1, 2, 3),
+         |hc AS (SELECT p AS p3, count(*)::BIGINT AS head_pairs FROM rel GROUP BY 1)
+         |SELECT s.p1, s.p2, s.p3, s.support, bc.body_pairs, hc.head_pairs,
+         |       (1000 * s.support) // bc.body_pairs AS conf_permille,
+         |       (1000 * s.support) // hc.head_pairs AS head_cov_permille
+         |FROM sup s JOIN bc USING (p1, p2) JOIN hc USING (p3)""".stripMargin,
+    "kg_rule_predictions" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |rel AS MATERIALIZED (SELECT DISTINCT source AS s, sent AS p, target AS o
+         |      FROM edges WHERE c >= 180),
+         |body0 AS MATERIALIZED (SELECT DISTINCT a.p AS p1, b.p AS p2, a.s AS x, b.o AS z
+         |      FROM rel a JOIN rel b ON a.o = b.s WHERE a.s <> b.o),
+         |bc AS (SELECT p1, p2, count(*)::BIGINT AS body_pairs FROM body0 GROUP BY 1, 2),
+         |sup AS (SELECT body0.p1, body0.p2, h.p AS p3, count(*)::BIGINT AS support
+         |      FROM body0 JOIN rel h ON body0.x = h.s AND body0.z = h.o GROUP BY 1, 2, 3),
+         |rules AS (SELECT s.p1, s.p2, s.p3,
+         |                 (1000 * s.support) // bc.body_pairs AS conf_permille
+         |          FROM sup s JOIN bc USING (p1, p2)
+         |          WHERE (1000 * s.support) // bc.body_pairs >= 300),
+         |pred0 AS (SELECT b.x AS s, r.p3 AS p, b.z AS o, r.conf_permille
+         |          FROM body0 b JOIN rules r ON b.p1 = r.p1 AND b.p2 = r.p2),
+         |novel AS (SELECT p0.* FROM pred0 p0
+         |          WHERE NOT EXISTS (SELECT 1 FROM rel e
+         |                            WHERE e.s = p0.s AND e.p = p0.p AND e.o = p0.o))
+         |SELECT s, p, o, CAST(max(conf_permille) AS BIGINT) AS conf_permille
+         |FROM novel GROUP BY 1, 2, 3""".stripMargin,
     "kg_path_bounded" ->
       s"""WITH $triplesCte,
          |rel AS (SELECT DISTINCT subj_type || '.' || subj AS s, pred AS p,

@@ -82,6 +82,83 @@ object Bgp {
     perLen.reduce(_ unionByName _)
   }
 
+  /** AMIE-style chain-rule mining over the triple relation: score every
+    * horn rule of shape `p1(x,y) ∧ p2(y,z) ⇒ p3(x,z)` by the standard KG
+    * rule-mining metrics (Galárraga et al., AMIE) — the KG-COMPLETION step
+    * that turns an extracted graph into a predictor of its own missing
+    * edges. Per rule: `support` = distinct (x,z) endpoint pairs that have
+    * BOTH a p1.p2 path and the p3 head edge; `body_pairs` = distinct pairs
+    * with the path at all; `head_pairs` = size of the p3 relation;
+    * std confidence and head coverage in exact integer permille.
+    * Set semantics throughout (the triple relation is deduplicated once,
+    * the body is deduplicated per endpoint pair — witness multiplicity
+    * never inflates a metric), x ≠ z as in [[Bgp.boundedPath]].
+    * Plan shape: one self-join of the distinct edge relation on the chain
+    * variable, one distinct, one (x,z) join against the head relation,
+    * three aggregations — all on POST-AGGREGATION graph-sized relations,
+    * never on raw observations. At web scale the body closure is the
+    * expensive relation; it is grouped by predicate pair immediately and
+    * the same capped-expansion discipline as the dedup band joins applies
+    * upstream (cap degenerate chain nodes before mining). Output:
+    * (p1, p2, p3, support, body_pairs, head_pairs, conf_permille,
+    * head_cov_permille). Engine extension, no reference counterpart. */
+  def mineChainRules(rel: DataFrame): DataFrame = {
+    val (d, body) = chainPrep(rel)
+    rulesFrom(d, body)
+  }
+
+  private def rulesFrom(d: DataFrame, body: DataFrame): DataFrame = {
+    val bodyCnt = body.groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("body_pairs"))
+    val supp = body
+      .join(d.select(col("s").as("x"), col("p").as("p3"), col("o").as("z")),
+        Seq("x", "z"))
+      .groupBy(col("p1"), col("p2"), col("p3")).agg(count(lit(1)).as("support"))
+    val headCnt = d.groupBy(col("p").as("p3")).agg(count(lit(1)).as("head_pairs"))
+    supp.join(bodyCnt, Seq("p1", "p2")).join(headCnt, "p3")
+      .select(col("p1"), col("p2"), col("p3"), col("support"),
+        col("body_pairs"), col("head_pairs"),
+        expr("(1000 * support) div body_pairs").as("conf_permille"),
+        expr("(1000 * support) div head_pairs").as("head_cov_permille"))
+  }
+
+  /** Shared prep for the rule-mining family: the deduplicated triple
+    * relation and the distinct chain-body endpoint pairs (p1, p2, x, z),
+    * both checkpointed — [[mineChainRules]] consumes the body three ways and
+    * [[ruleCompletions]] joins it back against the mined rules. */
+  private def chainPrep(rel: DataFrame): (DataFrame, DataFrame) = {
+    val d = rel.select(col("s"), col("p"), col("o")).distinct().localCheckpoint()
+    val body = d.select(col("s").as("x"), col("p").as("p1"), col("o").as("y"))
+      .join(d.select(col("s").as("y"), col("p").as("p2"), col("o").as("z")), "y")
+      .filter(col("x") =!= col("z"))
+      .select(col("p1"), col("p2"), col("x"), col("z")).distinct()
+      .localCheckpoint()
+    (d, body)
+  }
+
+  /** KG completion by the mined chain rules: every body pair (x, z) of a
+    * rule whose standard confidence clears `minConfPermille` predicts the
+    * head edge (x, p3, z); edges ALREADY in the KG are dropped (anti-join)
+    * and an edge predicted by several rules keeps the single best
+    * confidence. This is the step that turns [[mineChainRules]]'s scores
+    * into candidate facts — the link-prediction output a KG builder feeds
+    * to human review or a downstream ranker. Same join shapes as the miner
+    * (body ⨝ rules is a broadcast of the tiny rule table; the anti-join
+    * shuffles on the edge key). Output: (s, p, o, conf_permille).
+    * Engine extension, no reference counterpart. */
+  def ruleCompletions(rel: DataFrame, minConfPermille: Long = 300L): DataFrame = {
+    val (d, body) = chainPrep(rel)
+    val rules = rulesFrom(d, body)
+      .filter(col("conf_permille") >= minConfPermille)
+      .select(col("p1"), col("p2"), col("p3"), col("conf_permille"))
+    body.join(broadcast(rules), Seq("p1", "p2"))
+      .select(col("x").as("s"), col("p3").as("p"), col("z").as("o"),
+        col("conf_permille"))
+      .join(d, Seq("s", "p", "o"), "left_anti")
+      .groupBy(col("s"), col("p"), col("o"))
+      .agg(max(col("conf_permille")).as("conf_permille"))
+  }
+
   /** Match `patterns` conjunctively against `rel` (columns `s`, `p`, `o`).
     * Output: one column per distinct variable (name without the '?'), one
     * row per solution under set semantics (duplicate triples in `rel` do

@@ -88,6 +88,51 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     assert(ex.getMessage.contains("empty"))
   }
 
+  test("mineChainRules: AMIE metrics computed exactly; witnesses never inflate support") {
+    import spark.implicits._
+    // body p.q reaches (a,c) and (d,f); head r holds only (a,c):
+    // rule p∧q⇒r has support 1 of body 2 (conf 500‰), head 1 (coverage 1000‰)
+    val rel = Seq(
+      ("a", "p", "b"), ("b", "q", "c"), ("a", "r", "c"),
+      ("d", "p", "e"), ("e", "q", "f"),
+      ("a", "p", "b")) // duplicate triple must not change any metric
+      .toDF("s", "p", "o")
+    val got = Bgp.mineChainRules(rel).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(got == Map(("p", "q", "r") -> (1L, 2L, 1L, 500L, 1000L)))
+  }
+
+  test("mineChainRules: two-witness path counts one body pair (set semantics)") {
+    import spark.implicits._
+    // a->b1->c and a->b2->c: one distinct (a,c) body pair for p.p
+    val rel = Seq(("a", "p", "b1"), ("b1", "p", "c"),
+      ("a", "p", "b2"), ("b2", "p", "c"), ("a", "p", "c")).toDF("s", "p", "o")
+    val got = Bgp.mineChainRules(rel).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // body pairs: (a,c), (a,b1)? no—b1 reached only via a->b1 (len 1).
+    // chains: a->b1->c, a->b2->c, a->c->? none => body = {(a,c)}; head p
+    // holds (a,c) so support 1; head_pairs = 5 distinct triples
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == (1L, 1L, 5L))
+  }
+
+  test("ruleCompletions: confident rules predict missing heads; known edges anti-joined away") {
+    import spark.implicits._
+    // rule p∧q⇒r with conf 500‰ (support (a,c) of body {(a,c),(d,f)}):
+    // it predicts r(d,f) — the body pair WITHOUT the head edge; r(a,c)
+    // already exists so it must not be re-predicted
+    val rel = Seq(
+      ("a", "p", "b"), ("b", "q", "c"), ("a", "r", "c"),
+      ("d", "p", "e"), ("e", "q", "f")).toDF("s", "p", "o")
+    val got = Bgp.ruleCompletions(rel, minConfPermille = 500L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSet == Set(("d", "r", "f", 500L)))
+    // raising the bar above the rule's confidence yields nothing
+    assert(Bgp.ruleCompletions(rel, minConfPermille = 501L).isEmpty)
+  }
+
   test("textRankKeywords: symmetric graph ranks symmetric terms equally; self-pairs dropped") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
