@@ -429,6 +429,10 @@ object SparkEntry {
           MixtureCells)
         .select(col("doc_id"), col("source"), col("n_tokens"))
     }),
+    // hashed linear quality-classifier inference (fastText shape): unigram
+    // + bigram features, md5 buckets, deterministic weight seam, keep>=0
+    "text_classifier_score" -> ((s, d) => TextStats.linearClassifier(
+      docs(s, d), col("text"), col("doc_id"))),
     // Zipf rank-frequency head: the corpus-health power-law diagnostic
     "text_zipf" -> ((s, d) =>
       TextStats.zipf(docs(s, d), col("text"), k = 100)),
@@ -1012,6 +1016,19 @@ object SparkEntry {
       val kcol = when(col("id").rlike("^h[0-9]+\\."),
         regexp_extract(col("id"), "^h([0-9]+)\\.", 1).cast("long")).otherwise(lit(-1L))
       graft.graph.GraphOps.trustRank(WebGraph.hostGraph(links)
+        .select(col("src_host").as("source"), col("dst_host").as("target"),
+          col("n_links").cast("double").as("c")),
+        pmod(kcol, lit(10L)) === 1L, iters = 3)
+    }),
+    // spam-mass estimation over the extracted host graph: the permille of
+    // each host's PageRank NOT covered by TrustRank authority (same seeds)
+    "web_spam_mass" -> ((s, d) => {
+      val links = WebGraph.extractLinks(
+        WebGraph.syntheticLinkedPages(docs(s, d), col("doc_id"), col("text")),
+        col("html"), col("url"))
+      val kcol = when(col("id").rlike("^h[0-9]+\\."),
+        regexp_extract(col("id"), "^h([0-9]+)\\.", 1).cast("long")).otherwise(lit(-1L))
+      graft.graph.GraphOps.spamMass(WebGraph.hostGraph(links)
         .select(col("src_host").as("source"), col("dst_host").as("target"),
           col("n_links").cast("double").as("c")),
         pmod(kcol, lit(10L)) === 1L, iters = 3)
@@ -1635,6 +1652,18 @@ object SparkEntry {
          |       SUM(n_subj - 1)::BIGINT AS n_extra_subjects,
          |       CAST((SUM(CASE WHEN n_subj = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS inv_func_scaled
          |FROM per_obj GROUP BY sent""".stripMargin,
+    "text_classifier_score" ->
+      s"""WITH $toksCte,
+         |fe AS (SELECT doc_id, unnest(terms) AS f FROM toks
+         |       UNION ALL
+         |       SELECT doc_id, unnest(list_transform(range(0, greatest(len(terms) - 1, 0)),
+         |                             i -> terms[i+1] || ' ' || terms[i+2])) AS f FROM toks),
+         |wt AS (SELECT doc_id,
+         |              (('0x' || substr(md5(f), 1, 15))::BIGINT % 1024) * 2654435761 % 2001 - 1000 AS w
+         |       FROM fe)
+         |SELECT doc_id, count(*)::BIGINT AS n_feats, CAST(sum(w) AS BIGINT) AS score,
+         |       CAST(CASE WHEN sum(w) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM wt GROUP BY 1""".stripMargin,
     "text_zipf" ->
       s"""WITH $toksCte,
          |tf AS (SELECT unnest(terms) AS term FROM toks),
@@ -3521,6 +3550,36 @@ object SparkEntry {
                  |      FROM pn LEFT JOIN sd ON pn.id = sd.id LEFT JOIN c$i c ON pn.id = c.target)""".stripMargin)
             .mkString(",\n")}
          |SELECT id, r FROM r3""".stripMargin,
+    "web_spam_mass" ->
+      s"""WITH $webLinksCtes,
+         |$webHostsCte,
+         |edges AS (SELECT src_host AS source, dst_host AS target, count(*)::DOUBLE AS c
+         |          FROM webhosts GROUP BY 1, 2),
+         |${pageRankChainCtes(3)},
+         |sd AS MATERIALIZED (SELECT id FROM pn
+         |      WHERE CASE WHEN regexp_matches(id, '^h\\d+\\.')
+         |                 THEN regexp_extract(id, '^h(\\d+)\\.', 1)::BIGINT % 10 ELSE -1 END = 1),
+         |sm AS MATERIALIZED (SELECT count(*)::BIGINT AS k FROM sd),
+         |t0 AS MATERIALIZED (SELECT pn.id,
+         |      CAST(CASE WHEN sd.id IS NOT NULL THEN 1000000000000 // (SELECT k FROM sm) ELSE 0 END AS BIGINT) AS r
+         |      FROM pn LEFT JOIN sd ON pn.id = sd.id),
+         |${(1 to 3).map(i =>
+              s"""tc$i AS (SELECT e.target, CAST(sum((85 * r.r * e.w) // (100 * e.ow)) AS BIGINT) AS cin
+                 |      FROM ewj e JOIN t${i - 1} r ON e.source = r.id GROUP BY 1),
+                 |t$i AS MATERIALIZED (SELECT pn.id,
+                 |      CAST(CASE WHEN sd.id IS NOT NULL THEN ((15 * 1000000000000) // 100) // (SELECT k FROM sm) ELSE 0 END
+                 |           + coalesce(c.cin, 0) AS BIGINT) AS r
+                 |      FROM pn LEFT JOIN sd ON pn.id = sd.id LEFT JOIN tc$i c ON pn.id = c.target)""".stripMargin)
+            .mkString(",\n")},
+         |tots AS (SELECT (SELECT CAST(sum(r) AS BIGINT) FROM r3) AS prt,
+         |                (SELECT CAST(sum(r) AS BIGINT) FROM t3) AS trt),
+         |pm AS (SELECT p.id,
+         |              CAST((p.r * 1000) // tots.prt AS BIGINT) AS pr_permille,
+         |              CAST((t.r * 1000) // greatest(tots.trt, 1) AS BIGINT) AS tr_permille
+         |       FROM r3 p JOIN t3 t ON p.id = t.id CROSS JOIN tots)
+         |SELECT id, pr_permille, tr_permille,
+         |       CAST((1000 * greatest(pr_permille - tr_permille, 0)) // greatest(pr_permille, 1) AS BIGINT) AS spam_mass_permille
+         |FROM pm""".stripMargin,
     // deterministic bucket-ranked vocabulary draw + filtered anti-join,
     // replayed symbolically (md5 mod arithmetic identical cross-engine)
     "kg_negative_samples" ->

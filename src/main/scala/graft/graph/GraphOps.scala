@@ -435,6 +435,34 @@ object GraphOps {
     ranks
   }
 
+  /** Spam-mass estimation (Gyöngyi, Garcia-Molina, Pedersen — "Link Spam
+    * Detection Based on Mass Estimation"): the share of a node's PageRank
+    * NOT backed by trusted-seed authority. Runs [[pageRank]] and
+    * [[trustRank]] over the same edges, normalizes each vector to exact
+    * integer permille OF ITS OWN TOTAL (the two iterations use different
+    * absolute scales by construction), and reports
+    * `spam_mass_permille = 1000·max(pr − tr, 0) div max(pr, 1)` — 1000 =
+    * all of the node's rank is unaccounted for by trust (spam shape), 0 =
+    * trust covers its full share. The inner difference clamps at zero
+    * BEFORE the division: Spark `div` truncates toward zero while DuckDB
+    * `//` floors, so a negative intermediate would diverge cross-engine —
+    * on non-negatives they agree. Both rank joins are post-aggregation
+    * node-sized; the totals broadcast. Output: (id, pr_permille,
+    * tr_permille, spam_mass_permille). */
+  def spamMass(edges: DataFrame, seedPred: Column, iters: Int = 3): DataFrame = {
+    val pr = pageRank(edges, iters).select(col("id"), col("r").as("pr"))
+    val tr = trustRank(edges, seedPred, iters).select(col("id"), col("r").as("tr"))
+    val prt = pr.agg(sum(col("pr")).as("prt"))
+    val trt = tr.agg(sum(col("tr")).as("trt"))
+    pr.join(tr, "id")
+      .crossJoin(broadcast(prt)).crossJoin(broadcast(trt))
+      .select(col("id"),
+        expr("(pr * 1000) div prt").as("pr_permille"),
+        expr("(tr * 1000) div greatest(trt, 1L)").as("tr_permille"))
+      .withColumn("spam_mass_permille",
+        expr("(1000 * greatest(pr_permille - tr_permille, 0L)) div greatest(pr_permille, 1L)"))
+  }
+
   /** Weakly-connected components of the edge relation: (id, cluster) with
     * cluster = the lexicographically smallest node key reachable from id.
     * Delegates to the distributed min-label propagation in

@@ -412,6 +412,45 @@ object TextStats {
         sum(col("c_doc")).cast("long").as("n_terms"))
   }
 
+  /** Hashed linear quality-classifier INFERENCE (fastText shape, Joulin et
+    * al. 2016 — the model-based filter stage of DCLM / FineWeb-Edu style
+    * pipelines): unigram + bigram features hashed to `buckets` via the
+    * cross-engine md5 idiom, summed against a weight vector, keep when the
+    * score is non-negative. The WEIGHTS are the pluggable model seam —
+    * production passes trained weights as a broadcast (b, w) relation; the
+    * default derives a deterministic pseudo-weight per bucket
+    * (`(b·2654435761) % 2001 − 1000`, Knuth's multiplicative constant) so
+    * the whole inference plumbing (feature hashing, weight lookup, per-doc
+    * reduction) is real and oracle-checkable without shipping a model.
+    * Scale shape: tokenize/hash/weigh are map-side; the only shuffle is the
+    * per-doc aggregation, and a passed weight table broadcasts (a fastText
+    * bucket table is ~2M rows — always broadcastable). All integer.
+    * Output: (doc_id, n_feats, score, keep). */
+  def linearClassifier(df: DataFrame, text: Column, id: Column,
+      buckets: Int = 1024, weights: Option[DataFrame] = None): DataFrame = {
+    val toks = df.select(id.as("doc_id"), tokens(text).as("ts"))
+    // unigrams ++ bigrams off the MATERIALIZED token array (HOF lambdas
+    // must not re-evaluate the split — the phrase-mining lesson)
+    val feats = toks.select(col("doc_id"), explode(concat(col("ts"),
+      when(size(col("ts")) >= 2,
+        transform(sequence(lit(0), size(col("ts")) - 2),
+          i => array_join(slice(col("ts"), i + 1, lit(2)), " ")))
+        .otherwise(array().cast("array<string>")))).as("f"))
+    val hashed = feats.select(col("doc_id"),
+      (conv(substring(md5(col("f").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % buckets).as("b"))
+    val weighted = weights match {
+      case Some(w) => hashed
+        .join(broadcast(w.select(col("b"), col("w"))), Seq("b"), "left")
+        .select(col("doc_id"), coalesce(col("w"), lit(0L)).as("w"))
+      case None => hashed.select(col("doc_id"),
+        ((col("b") * lit(2654435761L)) % 2001L - 1000L).as("w"))
+    }
+    weighted.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).cast("long").as("score"))
+      .withColumn("keep", (col("score") >= 0L).cast("long"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003, the
     * MOSS algorithm): hash every `k`-token gram, slide a window of `w`
     * consecutive gram hashes, and keep the minimum hash of each window

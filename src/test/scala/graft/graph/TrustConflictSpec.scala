@@ -43,6 +43,21 @@ class TrustConflictSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Map("a" -> 1000000L, "b" -> 1000000L))
   }
 
+  test("spamMass: the farm target carries full spam mass, the seeded chain none") {
+    // same graph as the trustRank case: honest chain s->a->b, farm f*->z
+    val e = edgesDf(Seq(
+      ("s", "a", 1L), ("a", "b", 1L),
+      ("f1", "z", 9L), ("f2", "z", 9L), ("f3", "z", 9L)))
+    val got = GraphOps.spamMass(e, col("id") === "s", iters = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // z: big PageRank, zero trust -> spam mass 1000‰
+    assert(got("z")._3 == 1000L && got("z")._1 > 0L && got("z")._2 == 0L)
+    // the seed holds MORE trust share than rank share -> clamped to 0
+    assert(got("s")._3 == 0L && got("s")._2 > got("s")._1)
+    // permille vectors are normalized: totals within rounding of 1000
+    assert(got.values.map(_._1).sum <= 1000L && got.values.map(_._1).sum >= 990L)
+  }
+
   test("trustRank demotes a spam farm unreachable from the seeds") {
     // honest chain s -> a -> b; spam farm f1,f2,f3 all endorse z heavily.
     // z has the highest in-degree in the graph but no path from the seed.

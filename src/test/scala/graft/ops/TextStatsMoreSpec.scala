@@ -8,6 +8,27 @@ import org.apache.spark.sql.functions._
 /** tfIdfTopK, histogramQuantiles, and the mergeable edge-state family. */
 class TextStatsMoreSpec extends AnyFunSuite with SparkTestSession {
 
+  test("linearClassifier: default weight seam scores hashed unigrams+bigrams exactly") {
+    import spark.implicits._
+    // md5-bucket weights, hand-derived: x->620, y->815, "x y"->-630 (sum
+    // 805, keep); z->-990 (drop)
+    val df = Seq((1L, "x y"), (2L, "z")).toDF("doc_id", "text")
+    val got = TextStats.linearClassifier(df, col("text"), col("doc_id")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(1L -> (3L, 805L, 1L), 2L -> (1L, -990L, 0L)))
+  }
+
+  test("linearClassifier: a passed weight table overrides the seam; unseen buckets weigh 0") {
+    import spark.implicits._
+    val df = Seq((1L, "x y"), (2L, "z")).toDF("doc_id", "text")
+    // weight only x's bucket (3); y (96), "x y" (433), z (877) fall to 0
+    val w = Seq((3L, 7L)).toDF("b", "w")
+    val got = TextStats.linearClassifier(df, col("text"), col("doc_id"),
+        weights = Some(w)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(1L -> (7L, 1L), 2L -> (0L, 1L)))
+  }
+
   test("tfIdfTopK: hand-computed integer idf and deterministic ranks") {
     import spark.implicits._
     val df = Seq((1L, "apple banana apple"), (2L, "banana cherry")).toDF("doc_id", "text")
