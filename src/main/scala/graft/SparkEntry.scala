@@ -175,6 +175,10 @@ object SparkEntry {
     // neighbor-set Jaccard node similarity (wedge join + degree joins) —
     // surface-form/entity-resolution signal over the KG
     "kg_node_jaccard" -> ((s, d) => DocKg.nodeJaccard(s, d)),
+    // Weisfeiler-Lehman color refinement: degree-seeded md5 relabeling,
+    // 2 rounds — identity-free structural-equivalence keys per node
+    "kg_wl_labels" -> ((s, d) =>
+      graft.graph.GraphOps.wlLabels(DocKg.edges(s, d), rounds = 2)),
     // k-core by fixed-round peeling (rounds pinned so the oracle unrolls)
     "kg_kcore" -> ((s, d) => DocKg.kCore(s, d)),
     // Adamic-Adar link prediction, scaled integer log2 space (exact)
@@ -188,6 +192,10 @@ object SparkEntry {
     // synchronous Louvain local moves: argmax exact-integer modularity gain
     // per node per round (ties label ASC), unrolled in the oracle
     "kg_louvain" -> ((s, d) => DocKg.louvain(s, d)),
+    // KG summarization: one row per Louvain community — size, weighted
+    // degree mass, internal weight, max-degree representative member
+    "kg_community_profile" -> ((s, d) =>
+      graft.graph.GraphOps.communityProfile(DocKg.edges(s, d))),
     // frontier BFS hop distances from the hub entity — each node expanded
     // exactly once over the run (Pregel shape), fixed rounds for the oracle
     "kg_bfs" -> ((s, d) => DocKg.bfs(s, d)),
@@ -1347,6 +1355,43 @@ object SparkEntry {
        |                   lab.pred, p.t_value AS obj, ${lexCase.format("p.t_value")} AS obj_type
        |            FROM pairs p JOIN lab ON p.doc_id = lab.doc_id)""".stripMargin
 
+  /** The color-scheduled Louvain refinement chain (GraphOps.louvainMoves
+    * semantics, 4 rounds / 4 md5 colors): ends at `l4(id, label)` with
+    * `und`, `deg`, `mm` in scope for downstream rollups. */
+  private lazy val louvainCtes =
+    s"""$triplesCte,
+       |${edgesCte("edges", "triples", 2)},
+       |und AS MATERIALIZED (SELECT least(source, target) AS a, greatest(source, target) AS b,
+       |               CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS w
+       |        FROM edges WHERE source <> target GROUP BY 1, 2),
+       |adj AS MATERIALIZED (SELECT a AS x, b AS n, w FROM und UNION ALL SELECT b, a, w FROM und),
+       |deg AS MATERIALIZED (SELECT x, CAST(sum(w) AS BIGINT) AS ki FROM adj GROUP BY 1),
+       |mm AS (SELECT CAST(sum(ki) AS BIGINT) AS m2 FROM deg),
+       |nds AS MATERIALIZED (SELECT x AS id, ('0x' || substr(md5(x), 1, 15))::BIGINT % 4 AS clr FROM deg),
+       |l0 AS MATERIALIZED (SELECT id, id AS label FROM nds),
+       |${(1 to 4).map { i => val rc = i % 4
+            s"""c$i AS (SELECT l.label, CAST(sum(d.ki) AS BIGINT) AS tot, count(*)::BIGINT AS csize
+               |      FROM l${i - 1} l JOIN deg d ON l.id = d.x GROUP BY 1),
+               |v$i AS (SELECT adj.x, o.label AS own, l.label, CAST(sum(adj.w) AS BIGINT) AS kxc
+               |      FROM adj JOIN l${i - 1} o ON adj.x = o.id
+               |           JOIN nds nd ON adj.x = nd.id AND nd.clr = $rc
+               |           JOIN l${i - 1} l ON adj.n = l.id
+               |      GROUP BY 1, 2, 3),
+               |cd$i AS (SELECT * FROM v$i UNION ALL
+               |      SELECT o.id AS x, o.label AS own, o.label AS label, CAST(0 AS BIGINT) AS kxc
+               |      FROM l${i - 1} o JOIN nds nd ON o.id = nd.id AND nd.clr = $rc
+               |      WHERE NOT EXISTS (SELECT 1 FROM v$i v WHERE v.x = o.id AND v.label = o.label)),
+               |s$i AS (SELECT cd.x, cd.label,
+               |             CAST(cd.kxc * mm.m2 - d.ki * (c.tot - CASE WHEN cd.label = cd.own THEN d.ki ELSE 0 END) AS BIGINT) AS score
+               |      FROM cd$i cd JOIN c$i c ON cd.label = c.label JOIN c$i co ON cd.own = co.label
+               |           JOIN deg d ON cd.x = d.x CROSS JOIN mm
+               |      WHERE NOT (co.csize = 1 AND c.csize = 1 AND cd.label > cd.own)),
+               |r$i AS (SELECT x, label, row_number() OVER (PARTITION BY x ORDER BY score DESC, label ASC) AS rn FROM s$i),
+               |l$i AS MATERIALIZED (SELECT x AS id, label FROM r$i WHERE rn = 1
+               |      UNION ALL
+               |      SELECT l.id, l.label FROM l${i - 1} l JOIN nds nd ON l.id = nd.id AND nd.clr <> $rc)""".stripMargin }
+          .mkString(",\n")}""".stripMargin
+
   private def edgesCte(name: String, src: String, minLinks: Int): String =
     s"""$name AS (SELECT subj_type || '.' || subj AS source, obj_type || '.' || obj AS target,
        |                 pred AS sent, count(*)::DOUBLE AS c
@@ -1845,6 +1890,20 @@ object SparkEntry {
          |  SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src
          |)
          |SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src""".stripMargin,
+    "kg_wl_labels" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |und AS (SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+         |        FROM edges WHERE source <> target),
+         |adj AS MATERIALIZED (SELECT a AS x, b AS n FROM und UNION ALL SELECT b, a FROM und),
+         |l0 AS MATERIALIZED (SELECT x AS id, CAST(count(*) AS VARCHAR) AS lbl FROM adj GROUP BY x),
+         |${(1 to 2).map(i =>
+              s"""nb$i AS (SELECT adj.x, list_sort(list(l.lbl)) AS nl
+                 |      FROM adj JOIN l${i - 1} l ON adj.n = l.id GROUP BY adj.x),
+                 |l$i AS MATERIALIZED (SELECT n.x AS id, md5(l.lbl || '|' || array_to_string(n.nl, ',')) AS lbl
+                 |      FROM nb$i n JOIN l${i - 1} l ON n.x = l.id)""".stripMargin)
+            .mkString(",\n")}
+         |SELECT id, lbl AS wl FROM l2""".stripMargin,
     "kg_node_jaccard" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},
@@ -1874,39 +1933,20 @@ object SparkEntry {
             .mkString(",\n")}
          |SELECT id, label FROM l3""".stripMargin,
     "kg_louvain" ->
-      s"""WITH $triplesCte,
-         |${edgesCte("edges", "triples", 2)},
-         |und AS (SELECT least(source, target) AS a, greatest(source, target) AS b,
-         |               CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS w
-         |        FROM edges WHERE source <> target GROUP BY 1, 2),
-         |adj AS MATERIALIZED (SELECT a AS x, b AS n, w FROM und UNION ALL SELECT b, a, w FROM und),
-         |deg AS MATERIALIZED (SELECT x, CAST(sum(w) AS BIGINT) AS ki FROM adj GROUP BY 1),
-         |mm AS (SELECT CAST(sum(ki) AS BIGINT) AS m2 FROM deg),
-         |nds AS MATERIALIZED (SELECT x AS id, ('0x' || substr(md5(x), 1, 15))::BIGINT % 4 AS clr FROM deg),
-         |l0 AS MATERIALIZED (SELECT id, id AS label FROM nds),
-         |${(1 to 4).map { i => val rc = i % 4
-              s"""c$i AS (SELECT l.label, CAST(sum(d.ki) AS BIGINT) AS tot, count(*)::BIGINT AS csize
-                 |      FROM l${i - 1} l JOIN deg d ON l.id = d.x GROUP BY 1),
-                 |v$i AS (SELECT adj.x, o.label AS own, l.label, CAST(sum(adj.w) AS BIGINT) AS kxc
-                 |      FROM adj JOIN l${i - 1} o ON adj.x = o.id
-                 |           JOIN nds nd ON adj.x = nd.id AND nd.clr = $rc
-                 |           JOIN l${i - 1} l ON adj.n = l.id
-                 |      GROUP BY 1, 2, 3),
-                 |cd$i AS (SELECT * FROM v$i UNION ALL
-                 |      SELECT o.id AS x, o.label AS own, o.label AS label, CAST(0 AS BIGINT) AS kxc
-                 |      FROM l${i - 1} o JOIN nds nd ON o.id = nd.id AND nd.clr = $rc
-                 |      WHERE NOT EXISTS (SELECT 1 FROM v$i v WHERE v.x = o.id AND v.label = o.label)),
-                 |s$i AS (SELECT cd.x, cd.label,
-                 |             CAST(cd.kxc * mm.m2 - d.ki * (c.tot - CASE WHEN cd.label = cd.own THEN d.ki ELSE 0 END) AS BIGINT) AS score
-                 |      FROM cd$i cd JOIN c$i c ON cd.label = c.label JOIN c$i co ON cd.own = co.label
-                 |           JOIN deg d ON cd.x = d.x CROSS JOIN mm
-                 |      WHERE NOT (co.csize = 1 AND c.csize = 1 AND cd.label > cd.own)),
-                 |r$i AS (SELECT x, label, row_number() OVER (PARTITION BY x ORDER BY score DESC, label ASC) AS rn FROM s$i),
-                 |l$i AS MATERIALIZED (SELECT x AS id, label FROM r$i WHERE rn = 1
-                 |      UNION ALL
-                 |      SELECT l.id, l.label FROM l${i - 1} l JOIN nds nd ON l.id = nd.id AND nd.clr <> $rc)""".stripMargin }
-            .mkString(",\n")}
+      s"""WITH $louvainCtes
          |SELECT id, label FROM l4""".stripMargin,
+    "kg_community_profile" ->
+      s"""WITH $louvainCtes,
+         |wk AS MATERIALIZED (SELECT l.id, l.label, d.ki FROM l4 l JOIN deg d ON l.id = d.x),
+         |sz AS (SELECT label, count(*)::BIGINT AS csize, CAST(sum(ki) AS BIGINT) AS tot_ki FROM wk GROUP BY 1),
+         |iw AS (SELECT la.label, CAST(2 * sum(u.w) AS BIGINT) AS in2_w
+         |       FROM und u JOIN l4 la ON u.a = la.id JOIN l4 lb ON u.b = lb.id
+         |       WHERE la.label = lb.label GROUP BY 1),
+         |tp AS (SELECT label, id AS top_member,
+         |              row_number() OVER (PARTITION BY label ORDER BY ki DESC, id ASC) AS rn FROM wk)
+         |SELECT s.label, s.csize, s.tot_ki, coalesce(iw.in2_w, 0)::BIGINT AS in2_w, t.top_member
+         |FROM sz s LEFT JOIN iw ON s.label = iw.label
+         |     JOIN tp t ON s.label = t.label AND t.rn = 1""".stripMargin,
     "kg_modularity" ->
       s"""WITH $triplesCte,
          |${edgesCte("edges", "triples", 2)},

@@ -652,9 +652,11 @@ object GraphOps {
     * exact in BIGINT up to 2m ≈ 3e9 total edge weight — beyond that, bucket
     * the graph first (the same envelope as kg_modularity's q_num).
     * Output: (id, label). Engine extension, no reference counterpart. */
-  def louvainMoves(edges: DataFrame, rounds: Int = 4, colors: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(colors >= 2, s"need >= 2 colors, got $colors")
+  /** Shared prep for the community family: the undirected weighted collapse
+    * (a < b, self-loops dropped, BIGINT weights), its doubled adjacency,
+    * and the weighted degrees — adjacency and degrees checkpointed (every
+    * consumer reads them per round). */
+  private def communityPrep(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val und = edges.filter(col("source") =!= col("target"))
       .groupBy(least(col("source"), col("target")).as("a"),
         greatest(col("source"), col("target")).as("b"))
@@ -663,6 +665,13 @@ object GraphOps {
       .union(und.select(col("b"), col("a"), col("w")))
       .localCheckpoint()
     val deg = adj.groupBy(col("x")).agg(sum(col("w")).as("ki")).localCheckpoint()
+    (und, adj, deg)
+  }
+
+  def louvainMoves(edges: DataFrame, rounds: Int = 4, colors: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(colors >= 2, s"need >= 2 colors, got $colors")
+    val (_, adj, deg) = communityPrep(edges)
     val m2 = deg.agg(sum(col("ki")).as("m2"))
     val nodes = deg.select(col("x").as("id"),
       (conv(substring(md5(col("x").cast("binary")), 1, 15), 16, 10)
@@ -709,6 +718,72 @@ object GraphOps {
       labels = ck(moved.unionByName(keepers))
     }
     labels
+  }
+
+  /** KG summarization over the [[louvainMoves]] partition: one row per
+    * community with its size, total weighted degree, twice the internal
+    * edge weight (the modularity numerator's within term), and the
+    * REPRESENTATIVE member — the max-weighted-degree node, ties to the
+    * smallest id — i.e. the entity a reader would label the community
+    * with. All rollups are post-partition aggregates over node- and
+    * edge-sized relations; the labels relation is checkpointed once and
+    * consumed three ways. Output: (label, csize, tot_ki, in2_w,
+    * top_member). Engine extension, no reference counterpart. */
+  def communityProfile(edges: DataFrame, rounds: Int = 4, colors: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = louvainMoves(edges, rounds, colors).localCheckpoint()
+    val (und, _, deg) = communityPrep(edges)
+    val withKi = labels.join(deg.select(col("x").as("id"), col("ki")), "id")
+      .localCheckpoint()
+    val sz = withKi.groupBy(col("label"))
+      .agg(count(lit(1)).as("csize"), sum(col("ki")).as("tot_ki"))
+    val inw = und
+      .join(labels.select(col("id").as("a"), col("label").as("la")), "a")
+      .join(labels.select(col("id").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg((sum(col("w")) * 2L).as("in2_w"))
+    val top = withKi
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("ki").desc, col("id").asc)))
+      .filter(col("rn") === 1).select(col("label"), col("id").as("top_member"))
+    sz.join(inw, Seq("label"), "left")
+      .select(col("label"), col("csize"), col("tot_ki"),
+        coalesce(col("in2_w"), lit(0L)).as("in2_w"))
+      .join(top, "label")
+  }
+
+  /** Weisfeiler-Lehman structural relabeling (the 1-WL color refinement
+    * behind WL graph kernels and GIN expressiveness): nodes start from
+    * their DEGREE (identity-free — two nodes in isomorphic neighborhoods
+    * get equal colors regardless of names) and each round rehashes
+    * `own color | sorted multiset of neighbor colors` with md5. After r
+    * rounds two nodes share a label iff 1-WL cannot distinguish their
+    * r-hop neighborhoods — the structural-equivalence key used for
+    * cross-graph entity matching and graph dedup at scale. Colors are md5
+    * hex strings and the multiset is canonicalized by sort, so both
+    * engines refine identically. Per round: one co-partitioned
+    * adjacency⨝labels join + one per-node sorted collect (bounded by
+    * degree), lineage truncated. Output: (id, wl). Engine extension, no
+    * reference counterpart. */
+  def wlLabels(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    val und = edges.filter(col("source") =!= col("target"))
+      .select(least(col("source"), col("target")).as("a"),
+        greatest(col("source"), col("target")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("x"), col("b").as("n"))
+      .union(und.select(col("b"), col("a")))
+      .localCheckpoint()
+    var labels = adj.groupBy(col("x").as("id"))
+      .agg(count(lit(1)).cast("string").as("lbl"))
+    val ck = roundCkpt(rounds, maxLazy = 4) _
+    for (_ <- 1 to rounds) {
+      val nb = adj.join(labels.select(col("id").as("n"), col("lbl")), "n")
+        .groupBy(col("x")).agg(sort_array(collect_list(col("lbl"))).as("nl"))
+      labels = ck(labels.join(nb, col("id") === nb("x"))
+        .select(col("id"), md5(concat(col("lbl"), lit("|"),
+          array_join(col("nl"), ",")).cast("binary")).as("lbl")))
+    }
+    labels.select(col("id"), col("lbl").as("wl"))
   }
 
   /** Shared wedge prep for the neighbor-overlap family: the undirected simple

@@ -295,6 +295,38 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(gs.values.toSet == Set("H"))
   }
 
+  test("communityProfile: barbell rollup — sizes, degree mass, internal weight, representative") {
+    // barbell communities {A,B,C} (label A) and {D,E,F} (label E); internal
+    // weight 6 each (3 edges × w2 -> in2_w 12); C and D carry the bridge
+    // (ki 5), so they are the max-ki representatives (ties impossible here:
+    // C in A's community, D in E's)
+    val e = edges(("A", "B", 2), ("B", "C", 2), ("A", "C", 2),
+      ("D", "E", 2), ("E", "F", 2), ("D", "F", 2), ("C", "D", 1))
+    val got = GraphOps.communityProfile(e).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got == Map(
+      "A" -> (3L, 13L, 12L, "C"),
+      "E" -> (3L, 13L, 12L, "D")))
+  }
+
+  test("wlLabels: isomorphic components share colors; refinement separates path ends from middle") {
+    // two disjoint triangles (isomorphic) + a 3-path: triangle nodes all
+    // one color; path endpoints one color, the middle another — and no
+    // triangle color equals any path color (degree-2 middle differs by
+    // neighborhood structure after round 2... actually the middle of the
+    // path has degree 2 like triangle nodes but degree-1 neighbors)
+    val e = edges(("A", "B", 1), ("B", "C", 1), ("A", "C", 1),
+      ("P", "Q", 1), ("Q", "R", 1), ("P", "R", 1),
+      ("X", "Y", 1), ("Y", "Z", 1))
+    val got = GraphOps.wlLabels(e, rounds = 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val tri = Set("A", "B", "C", "P", "Q", "R").map(got)
+    assert(tri.size == 1) // all six triangle nodes structurally equivalent
+    assert(got("X") == got("Z") && got("X") != got("Y"))
+    assert(!tri.contains(got("Y")) && !tri.contains(got("X")))
+  }
+
   test("adamicAdar: shared neighbors weighted by 1e6 div ilog2(degree), exactly") {
     // square A-B-C-D-A + diagonal A-C + pendant A-E:
     // deg A=4 (ilog2=2 -> 500000 per share), deg C=3 (ilog2=1 -> 1000000),
