@@ -1002,6 +1002,10 @@ object SparkEntry {
     // contradictory-evidence triage: pairs asserted with >= 2 distinct
     // predicates, per-polarity counts + dominant label + conflict permille
     "kg_conflicts" -> ((s, d) => DocKg.conflicts(s, d)),
+    // stance drift: pairs whose most-recent assertion disagrees with the
+    // historical dominant label (argmax windows over the temporal rollup)
+    "kg_stance_drift" -> ((s, d) =>
+      graft.graph.GraphBuilder.stanceDrift(DocKg.tripleObservations(s, d))),
     // truth discovery: joint provider-trust / claim-belief fixed point over
     // the conflicting extractions (provider = the document's source feed)
     "kg_truth_discovery" -> ((s, d) => {
@@ -3516,6 +3520,26 @@ object SparkEntry {
          |       min(ts)::BIGINT AS first_seen, max(ts)::BIGINT AS last_seen,
          |       count(DISTINCT ts // 86400)::BIGINT AS n_days
          |FROM obs GROUP BY 1, 2, 3""".stripMargin,
+    "kg_stance_drift" ->
+      s"""WITH $triplesCte,
+         |obs AS (SELECT subj_type || '.' || subj AS source, obj_type || '.' || obj AS target,
+         |        pred AS sent,
+         |        1700000000 + (doc_id % 14) * 86400 + (doc_id % 7) * 3600 AS ts
+         |        FROM triples),
+         |cnt AS MATERIALIZED (SELECT source, target, sent, count(*)::BIGINT AS n,
+         |               max(ts)::BIGINT AS last_ts,
+         |               CAST(sum(count(*)) OVER (PARTITION BY source, target) AS BIGINT) AS n_obs
+         |        FROM obs GROUP BY 1, 2, 3),
+         |dm AS (SELECT source, target, n_obs, sent AS dominant,
+         |              row_number() OVER (PARTITION BY source, target ORDER BY n DESC, sent ASC) AS rn
+         |       FROM cnt),
+         |lt AS (SELECT source, target, sent AS latest_label, last_ts AS last_seen,
+         |              row_number() OVER (PARTITION BY source, target ORDER BY last_ts DESC, sent ASC) AS rn
+         |       FROM cnt)
+         |SELECT d.source, d.target, d.n_obs, d.dominant, l.latest_label, l.last_seen,
+         |       CAST(CASE WHEN d.dominant <> l.latest_label THEN 1 ELSE 0 END AS BIGINT) AS drift
+         |FROM dm d JOIN lt l ON d.source = l.source AND d.target = l.target
+         |WHERE d.rn = 1 AND l.rn = 1""".stripMargin,
     "kg_truth_discovery" ->
       s"""WITH $triplesCte,
          |vt AS MATERIALIZED (SELECT dd.source AS src, t.subj_type || '.' || t.subj AS source,

@@ -151,6 +151,42 @@ object GraphBuilder {
     * permille (1000 * (n_obs - max_count) div n_obs). One shuffle on the
     * pair key with map-side partial aggregation; the conflict filter and
     * permille math are post-aggregation row-local. */
+  /** Stance-drift detection over the timestamped observation stream: per
+    * entity pair, does the MOST RECENT assertion disagree with the
+    * historical consensus? `dominant` = argmax label by observation count
+    * (ties → smallest label, the [[conflicts]] convention); `latest_label`
+    * = the label of the max-timestamp observation (timestamp ties → the
+    * smallest label among those at the max); `drift` = 1 when they differ —
+    * the narrative-shift signal a continuously-crawling KG flags before
+    * overwriting an edge (freshness-decay reweights quietly; this SURFACES
+    * the flip). One shuffle on (pair, label) with map-side partials, then
+    * two tiny per-pair argmax windows over the label-level rollup.
+    * Output: (source, target, n_obs, dominant, latest_label, last_seen,
+    * drift). Engine extension, no reference counterpart. */
+  def stanceDrift(observations: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = observations.na.drop(Seq("source", "target", "sent"))
+      .groupBy(col("source"), col("target"), col("sent"))
+      .agg(count(lit(1)).as("n"), max(col("ts_epoch")).as("last_ts"))
+      .withColumn("n_obs", sum(col("n")).over(
+        Window.partitionBy(col("source"), col("target"))))
+      .localCheckpoint()
+    val dom = counts.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"), col("target"))
+          .orderBy(col("n").desc, col("sent").asc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("target"), col("n_obs"),
+        col("sent").as("dominant"))
+    val latest = counts.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"), col("target"))
+          .orderBy(col("last_ts").desc, col("sent").asc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("target"), col("sent").as("latest_label"),
+        col("last_ts").as("last_seen"))
+    dom.join(latest, Seq("source", "target"))
+      .withColumn("drift", (col("dominant") =!= col("latest_label")).cast("long"))
+  }
+
   /** Truth discovery over conflicting extractions (TruthFinder / Knowledge
     * Vault lineage): jointly estimate per-PROVIDER reliability and per-CLAIM
     * belief by fixed-point iteration. A claim is one asserted edge label

@@ -14,6 +14,27 @@ class TrustConflictSpec extends AnyFunSuite with SparkTestSession {
       .toDF("source", "target", "sent", "c")
   }
 
+  test("stanceDrift: a late polarity flip is flagged; stable pairs and ts-ties are not") {
+    import spark.implicits._
+    // P->Q: two early pos, one late neg -> dominant pos, latest neg, DRIFT.
+    // P->R: pos twice, later pos again -> stable. X->Y: pos and neg at the
+    // SAME max ts -> latest = min label 'neg', dominant (tie 1-1) = 'neg'
+    // too -> no drift (both tie-breaks align on the smallest label).
+    val obs = Seq(
+      ("P", "Q", "pos", 100L), ("P", "Q", "pos", 200L), ("P", "Q", "neg", 300L),
+      ("P", "R", "pos", 100L), ("P", "R", "pos", 400L),
+      ("X", "Y", "pos", 500L), ("X", "Y", "neg", 500L))
+      .toDF("source", "target", "sent", "ts_epoch")
+    val got = GraphBuilder.stanceDrift(obs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getString(3), r.getString(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got == Map(
+      ("P", "Q") -> (3L, "pos", "neg", 300L, 1L),
+      ("P", "R") -> (2L, "pos", "pos", 400L, 0L),
+      ("X", "Y") -> (2L, "neg", "neg", 500L, 0L)))
+  }
+
   test("truthDiscovery: majority-aligned providers gain trust, the dissenter loses it") {
     import spark.implicits._
     // claim P->Q: pos by h1,h2, neg by h3; claim P->R: pos by h1,h3.
