@@ -13,9 +13,11 @@ import graft.graph.{D3Json, GraphOps}
   *
   * Analytics (read --a only, write <out>/analytics.csv + summary JSON line):
   *   --operation PAGERANK|PPR|HITS|COMPONENTS|LPA|KCORE|BFS|CLUSTCOEFF|KTRUSS|
-  *               WALKS|NODE2VEC|DEGHIST|ASSORT|HARMONIC|HYPERBALL|NTRIPLES
+  *               WALKS|NODE2VEC|DEGHIST|ASSORT|HARMONIC|HYPERBALL|NTRIPLES|
+  *               LOUVAIN|COMMUNITIES|WL|TRUSTRANK|SPAMMASS
   *   [--iters N] [--source NODE (PPR/BFS)] [--k N (KCORE/KTRUSS)]
-  *   [--rounds N (KTRUSS peeling depth, default 8)] [--seed S (WALKS/NODE2VEC)]
+  *   [--rounds N (KTRUSS peeling depth, default 8; LOUVAIN/WL refinement)]
+  *   [--seed S (WALKS/NODE2VEC)] [--seeds a,b (TRUSTRANK/SPAMMASS whitelist)]
   *   [--master local[N]]
   * Analytics can also run straight over an `Infer --links` output instead of
   * a force JSON: `--links-parquet DIR` loads DIR/links, host-coarsens and
@@ -44,7 +46,12 @@ object Operations {
     Set("PAGERANK", "PPR", "HITS", "COMPONENTS", "LPA", "KCORE", "BFS", "CLUSTCOEFF",
       "KTRUSS", "WALKS", "NODE2VEC", "DEGHIST", "ASSORT", "HARMONIC", "HYPERBALL",
       "NTRIPLES", "MIS", "KATZ", "MODULARITY", "SCC", "NEIGHBORHOOD", "CLOSENESS",
-      "FRONTIER", "MIRRORS", "SSSP", "PARTSTATS", "LPEVAL")
+      "FRONTIER", "MIRRORS", "SSSP", "PARTSTATS", "LPEVAL",
+      "LOUVAIN", "COMMUNITIES", "WL", "TRUSTRANK", "SPAMMASS")
+
+  private def seedList(opts: Map[String, String]): Seq[String] =
+    opts.getOrElse("--seeds", sys.error(s"this operation requires --seeds a,b,..."))
+      .split(",").toSeq.filter(_.nonEmpty)
 
   private def runAnalytics(a: Option[Graph], b: Option[Graph], op: String,
       opts: Map[String, String], out: String): Unit = {
@@ -153,6 +160,17 @@ object Operations {
         val be = b.get.links.map(l => (l.source, l.target, l.sent, l.c))
           .toDF("source", "target", "sent", "c")
         GraphOps.edgeDelta(edges, be)
+      case "LOUVAIN"     => GraphOps.louvainMoves(edges,
+        opts.getOrElse("--rounds", "4").toInt)
+      case "COMMUNITIES" => GraphOps.communityProfile(edges,
+        opts.getOrElse("--rounds", "4").toInt)
+      case "WL"          => GraphOps.wlLabels(edges,
+        opts.getOrElse("--rounds", "2").toInt)
+      // --seeds a,b,c: the trusted whitelist (node ids / hosts)
+      case "TRUSTRANK"   => GraphOps.trustRank(edges,
+        col("id").isin(seedList(opts): _*), iters)
+      case "SPAMMASS"    => GraphOps.spamMass(edges,
+        col("id").isin(seedList(opts): _*), iters)
     }
     val cols = result.columns
     val rows = result.orderBy(cols.head, cols.tail: _*).collect() // graph-sized
