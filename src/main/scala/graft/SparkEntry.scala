@@ -1002,6 +1002,9 @@ object SparkEntry {
     // contradictory-evidence triage: pairs asserted with >= 2 distinct
     // predicates, per-polarity counts + dominant label + conflict permille
     "kg_conflicts" -> ((s, d) => DocKg.conflicts(s, d)),
+    // entity cards: per-entity dossier (mention/doc counts, degree, top
+    // co-mentioned neighbor) — zero-degree entities keep a card
+    "kg_entity_cards" -> ((s, d) => DocKg.entityCards(s, d)),
     // stance drift: pairs whose most-recent assertion disagrees with the
     // historical dominant label (argmax windows over the temporal rollup)
     "kg_stance_drift" -> ((s, d) =>
@@ -3520,6 +3523,27 @@ object SparkEntry {
          |       min(ts)::BIGINT AS first_seen, max(ts)::BIGINT AS last_seen,
          |       count(DISTINCT ts // 86400)::BIGINT AS n_days
          |FROM obs GROUP BY 1, 2, 3""".stripMargin,
+    "kg_entity_cards" ->
+      s"""WITH $triplesCte,
+         |mm2 AS (SELECT type || '.' || value AS node, count(*)::BIGINT AS n_mentions,
+         |               count(DISTINCT doc_id)::BIGINT AS n_docs
+         |        FROM mentions GROUP BY 1),
+         |${edgesCte("edges", "triples", 2)},
+         |adj AS MATERIALIZED (SELECT node, nbr, sum(c) AS w FROM
+         |        (SELECT source AS node, target AS nbr, c FROM edges
+         |         UNION ALL SELECT target, source, c FROM edges)
+         |        GROUP BY 1, 2),
+         |dg AS (SELECT node, count(*)::BIGINT AS degree, CAST(sum(w) AS BIGINT) AS w_degree
+         |       FROM adj GROUP BY 1),
+         |tp AS (SELECT node, nbr AS top_co,
+         |              row_number() OVER (PARTITION BY node ORDER BY w DESC, nbr ASC) AS rn
+         |       FROM adj)
+         |SELECT m.node, m.n_mentions, m.n_docs,
+         |       coalesce(dg.degree, 0)::BIGINT AS degree,
+         |       coalesce(dg.w_degree, 0)::BIGINT AS w_degree,
+         |       coalesce(t.top_co, '') AS top_co
+         |FROM mm2 m LEFT JOIN dg ON m.node = dg.node
+         |     LEFT JOIN tp t ON m.node = t.node AND t.rn = 1""".stripMargin,
     "kg_stance_drift" ->
       s"""WITH $triplesCte,
          |obs AS (SELECT subj_type || '.' || subj AS source, obj_type || '.' || obj AS target,

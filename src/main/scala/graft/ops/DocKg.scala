@@ -169,6 +169,41 @@ object DocKg {
         (col("c1") * col("c2")).as("w"))
   }
 
+  /** Entity cards: the per-entity dossier a KG product surfaces — global
+    * mention and document counts off the mention relation, simple degree,
+    * weighted degree, and the top co-mentioned entity (max summed edge
+    * weight, ties to the smallest neighbor key) off the aggregated edge
+    * relation. Entities below the edge min-links bar keep a card with zero
+    * degree and an empty top_co (left joins + coalesce). One shuffle per
+    * rollup, all post-aggregation node/edge-sized. Output: (node,
+    * n_mentions, n_docs, degree, w_degree, top_co). */
+  def entityCards(spark: SparkSession, dir: String): DataFrame =
+    cardsFromRelations(mentions(spark, dir), edges(spark, dir))
+
+  /** [[entityCards]] over any (doc_id, term_index, value, type) mention
+    * relation and (source, target, sent, c) edge relation. */
+  def cardsFromRelations(mentionsDf: DataFrame, e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = mentionsDf
+      .groupBy(concat(col("type"), lit("."), col("value")).as("node"))
+      .agg(count(lit(1)).as("n_mentions"),
+        count_distinct(col("doc_id")).as("n_docs"))
+    val adj = e.select(col("source").as("node"), col("target").as("nbr"), col("c"))
+      .union(e.select(col("target"), col("source"), col("c")))
+      .groupBy(col("node"), col("nbr")).agg(sum(col("c")).as("w"))
+      .localCheckpoint()
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("degree"),
+      sum(col("w")).cast("long").as("w_degree"))
+    val top = adj.withColumn("rn", row_number().over(
+        Window.partitionBy(col("node")).orderBy(col("w").desc, col("nbr").asc)))
+      .filter(col("rn") === 1).select(col("node"), col("nbr").as("top_co"))
+    m.join(deg, Seq("node"), "left").join(top, Seq("node"), "left")
+      .select(col("node"), col("n_mentions"), col("n_docs"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("w_degree"), lit(0L)).as("w_degree"),
+        coalesce(col("top_co"), lit("")).as("top_co"))
+  }
+
   /** Per-document entity salience from the mention relation: how IMPORTANT
     * is each entity to each page — mention count, first/last mention
     * position, positional spread, and a deterministic per-doc salience rank

@@ -25,6 +25,17 @@ final case class UserSession(user_id: Long, start_ts: Long, end_ts: Long,
 /** Per-user session state — constant size, no event buffer. */
 final case class SessState(startS: Long, lastS: Long, nEv: Long, sumV: Double)
 
+/** A pair ENTERING stance drift: its latest assertion just started
+  * contradicting the count-dominant label (see GraphBuilder.stanceDrift for
+  * the batch form). Top-level for the same Janino reason as UserSession. */
+final case class DriftEvent(source: String, target: String, ts_epoch: Long,
+    dominant: String, latest_label: String, n_obs: Long)
+
+/** Per-pair drift state — label counts (bounded by the label alphabet) plus
+  * the latest observation; no event buffer. */
+final case class DriftState(counts: Map[String, Long], lastTs: Long,
+    lastLabel: String, drifted: Boolean)
+
 object StreamOps {
 
   /** Streaming KG: pages stream -> triples stream. Stateless row-local maps;
@@ -398,6 +409,50 @@ object StreamOps {
           graft.ops.Sketches.hllRegisters(batch, col(textCol), p), store, p)
       }
       .start()
+
+  /** Streaming stance-drift monitor — the continuous form of
+    * GraphBuilder.stanceDrift: per entity pair, maintain the per-label
+    * observation counts and the latest observation, and emit ONE
+    * [[DriftEvent]] each time the pair ENTERS drift (its latest label
+    * starts contradicting the count-dominant label; it must re-align
+    * before it can fire again — an edge-triggered alert, not a level).
+    * State is constant per pair (a label-alphabet-bounded count map plus
+    * the latest observation), so state size is #active-pairs, not
+    * #observations. Within a micro-batch rows sort by (ts, label) so
+    * emissions are deterministic for a given batch decomposition, and the
+    * latest-tie rule (same max ts → smallest label) matches the batch op.
+    * Input columns: source, target, sent, ts_epoch. */
+  def stanceDriftStream(obs: DataFrame)(
+      implicit spark: SparkSession): Dataset[DriftEvent] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = obs.select(col("source").cast("string"), col("target").cast("string"),
+        col("sent").cast("string"), col("ts_epoch").cast("long"))
+      .as[(String, String, String, Long)]
+    typed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[DriftState, DriftEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { case ((src, tgt), rows, state) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[DriftEvent]
+        var s = state.getOption.getOrElse(
+          DriftState(Map.empty, Long.MinValue, "", drifted = false))
+        for (r <- rows.toArray.sortBy(r => (r._4, r._3))) {
+          val (lbl, ts) = (r._3, r._4)
+          val counts = s.counts.updated(lbl, s.counts.getOrElse(lbl, 0L) + 1L)
+          val (latestTs, latestLbl) =
+            if (ts > s.lastTs || s.lastLabel.isEmpty) (ts, lbl)
+            else if (ts == s.lastTs && lbl < s.lastLabel) (ts, lbl)
+            else (s.lastTs, s.lastLabel)
+          val dominant = counts.minBy { case (l, n) => (-n, l) }._1
+          val drift = dominant != latestLbl
+          if (drift && !s.drifted)
+            out += DriftEvent(src, tgt, latestTs, dominant, latestLbl,
+              counts.valuesIterator.sum)
+          s = DriftState(counts, latestTs, latestLbl, drift)
+        }
+        state.update(s)
+        out.iterator
+      }
+  }
 
   /** 30-minute-gap sessions per user via the native session_window operator
     * (the streaming counterpart of Relational.eventsSessions). */

@@ -25,6 +25,31 @@ class EdgeRollupSpec extends AnyFunSuite with SparkTestSession {
       ("GPE.stream", "LOC.table", "neg", 1L, 1L, 1L)))
   }
 
+  test("cardsFromRelations: counts, degree, top co-mention; zero-degree entities keep a card") {
+    import org.apache.spark.sql.functions.col
+    val m = Seq(
+      (1L, 0, "spark", "ORG"), (1L, 3, "spark", "ORG"), (2L, 1, "spark", "ORG"),
+      (1L, 5, "table", "LOC"), (2L, 7, "stream", "GPE"))
+      .toDF("doc_id", "term_index", "value", "type")
+    // edges: spark->table twice the weight of spark->stream; stream isolated
+    // from table so GPE.stream's only neighbor is spark
+    val e = Seq(
+      ("ORG.spark", "LOC.table", "pos", 4.0), ("ORG.spark", "GPE.stream", "neg", 2.0))
+      .toDF("source", "target", "sent", "c")
+    val got = graft.ops.DocKg.cardsFromRelations(m, e).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(got == Map(
+      "ORG.spark" -> (3L, 2L, 2L, 6L, "LOC.table"), // top co = heavier edge
+      "LOC.table" -> (1L, 1L, 1L, 4L, "ORG.spark"),
+      "GPE.stream" -> (1L, 1L, 1L, 2L, "ORG.spark")))
+    // a mentioned entity with no qualifying edge keeps a zero-degree card
+    val m2 = m.union(Seq((3L, 0, "customer", "PERSON")).toDF("doc_id", "term_index", "value", "type"))
+    val g2 = graft.ops.DocKg.cardsFromRelations(m2, e).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getString(5))).toMap
+    assert(g2("PERSON.customer") == (0L, ""))
+  }
+
   test("salienceFromMentions: rank by mentions desc, then earliest, then value") {
     import org.apache.spark.sql.functions.col
     val m = Seq(

@@ -432,6 +432,30 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(ledger.count(_.startsWith("v-")) == 2, s"ledger $ledger")
   }
 
+  test("stanceDriftStream: edge-triggered flip alerts across micro-batches") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, Long)]
+    val q = StreamOps.stanceDriftStream(
+      mem.toDF().toDF("source", "target", "sent", "ts_epoch"))(spark)
+      .writeStream.format("memory").queryName("drift_stream").outputMode("append").start()
+    // batch 1: two pos observations -> aligned, no event
+    mem.addData(Seq(("P", "Q", "pos", 100L), ("P", "Q", "pos", 200L)))
+    q.processAllAvailable()
+    assert(spark.table("drift_stream").count() == 0)
+    // batch 2: a late neg -> ENTERS drift (dominant pos, latest neg): 1 event;
+    // a second neg in the same batch re-aligns (2-2 tie -> dominant neg =
+    // latest neg), so still exactly one event for the pair
+    mem.addData(Seq(("P", "Q", "neg", 300L), ("P", "Q", "neg", 400L)))
+    q.processAllAvailable()
+    // batch 3: stable pair X->Y never fires
+    mem.addData(Seq(("X", "Y", "pos", 10L), ("X", "Y", "pos", 20L)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("drift_stream").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3), r.getString(4), r.getLong(5)))
+    assert(got.toSeq == Seq(("P", "Q", 300L, "pos", "neg", 3L)))
+  }
+
   test("sessionsWithState: gap closes a session, cap closes a session, state stays bounded") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
