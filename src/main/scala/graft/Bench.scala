@@ -148,6 +148,9 @@ object Bench {
       "kg_edge_provenance", "web_host_sketch_sim", "text_readability",
       "kg_mention_bursts", "kg_degree_gini", "web_hits",
       "kg_louvain", "kg_truth_discovery", "kg_rule_mining", "kg_path_bounded",
+      "kg_rule_predictions", "kg_wl_labels", "kg_community_profile",
+      "kg_louvain_coarse", "kg_stance_drift", "kg_entity_cards",
+      "text_classifier_score", "web_spam_mass",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
     val spark = SparkSession.builder()

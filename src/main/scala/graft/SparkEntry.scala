@@ -196,6 +196,10 @@ object SparkEntry {
     // degree mass, internal weight, max-degree representative member
     "kg_community_profile" -> ((s, d) =>
       graft.graph.GraphOps.communityProfile(DocKg.edges(s, d))),
+    // Louvain phase-2 input: the coarsened community graph (supernodes,
+    // summed inter-community weights, 2x-internal self-loops)
+    "kg_louvain_coarse" -> ((s, d) =>
+      graft.graph.GraphOps.louvainCoarsen(DocKg.edges(s, d))),
     // frontier BFS hop distances from the hub entity — each node expanded
     // exactly once over the run (Pregel shape), fixed rounds for the oracle
     "kg_bfs" -> ((s, d) => DocKg.bfs(s, d)),
@@ -3523,6 +3527,12 @@ object SparkEntry {
          |       min(ts)::BIGINT AS first_seen, max(ts)::BIGINT AS last_seen,
          |       count(DISTINCT ts // 86400)::BIGINT AS n_days
          |FROM obs GROUP BY 1, 2, 3""".stripMargin,
+    "kg_louvain_coarse" ->
+      s"""WITH $louvainCtes,
+         |lw AS (SELECT least(la.label, lb.label) AS ca, greatest(la.label, lb.label) AS cb,
+         |              CASE WHEN la.label = lb.label THEN u.w * 2 ELSE u.w END AS w0
+         |       FROM und u JOIN l4 la ON u.a = la.id JOIN l4 lb ON u.b = lb.id)
+         |SELECT ca, cb, CAST(sum(w0) AS BIGINT) AS w FROM lw GROUP BY 1, 2""".stripMargin,
     "kg_entity_cards" ->
       s"""WITH $triplesCte,
          |mm2 AS (SELECT type || '.' || value AS node, count(*)::BIGINT AS n_mentions,

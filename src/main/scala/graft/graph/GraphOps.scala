@@ -720,6 +720,28 @@ object GraphOps {
     labels
   }
 
+  /** Louvain phase-2 coarsening: collapse the [[louvainMoves]] partition
+    * into the COMMUNITY GRAPH — one supernode per community, inter-community
+    * edges with summed weights, and a self-loop per community carrying
+    * 2× its internal edge weight (the standard convention that preserves
+    * the modularity of any further partition). Feeding this relation back
+    * through [[louvainMoves]] IS the next level of the multilevel method —
+    * each level shrinks the graph by the community count, which is why
+    * Louvain scales to web graphs. One labels join per endpoint + one
+    * groupBy on the (community, community) key. Output: (ca, cb, w) with
+    * ca <= cb. Engine extension, no reference counterpart. */
+  def louvainCoarsen(edges: DataFrame, rounds: Int = 4, colors: Int = 4): DataFrame = {
+    val labels = louvainMoves(edges, rounds, colors).localCheckpoint()
+    val (und, _, _) = communityPrep(edges)
+    und
+      .join(labels.select(col("id").as("a"), col("label").as("la")), "a")
+      .join(labels.select(col("id").as("b"), col("label").as("lb")), "b")
+      .select(least(col("la"), col("lb")).as("ca"),
+        greatest(col("la"), col("lb")).as("cb"),
+        when(col("la") === col("lb"), col("w") * 2L).otherwise(col("w")).as("w0"))
+      .groupBy(col("ca"), col("cb")).agg(sum(col("w0")).as("w"))
+  }
+
   /** KG summarization over the [[louvainMoves]] partition: one row per
     * community with its size, total weighted degree, twice the internal
     * edge weight (the modularity numerator's within term), and the

@@ -310,6 +310,24 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
       "E" -> (3L, 13L, 12L, "D")))
   }
 
+  test("louvainCoarsen: barbell collapses to 2 supernodes; level-2 moves merge them") {
+    val e = edges(("A", "B", 2), ("B", "C", 2), ("A", "C", 2),
+      ("D", "E", 2), ("E", "F", 2), ("D", "F", 2), ("C", "D", 1))
+    val got = GraphOps.louvainCoarsen(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // communities A={A,B,C}, E={D,E,F}: self-loops 2*(2+2+2)=12, bridge 1
+    assert(got == Map(("A", "A") -> 12L, ("E", "E") -> 12L, ("A", "E") -> 1L))
+    // phase-2: the coarse relation feeds straight back through the mover —
+    // two supernodes joined by the bridge merge at the next level
+    import spark.implicits._
+    val coarse = GraphOps.louvainCoarsen(e).collect()
+      .map(r => (r.getString(0), r.getString(1), "c", r.getLong(2).toDouble)).toSeq
+      .toDF("source", "target", "sent", "c")
+    val l2 = GraphOps.louvainMoves(coarse, rounds = 4).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(l2.values.toSet.size == 1) // one community at level 2
+  }
+
   test("wlLabels: isomorphic components share colors; refinement separates path ends from middle") {
     // two disjoint triangles (isomorphic) + a 3-path: triangle nodes all
     // one color; path endpoints one color, the middle another — and no
