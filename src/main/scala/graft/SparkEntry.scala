@@ -118,6 +118,14 @@ object SparkEntry {
           lit("  </loc><lastmod>2026-01-01</lastmod></url>"))), ""),
       lit("</urlset>"))
 
+  /** The entity KG as an (s, p, o) relation with typed node keys — the BGP
+    * query family's input. */
+  private def bgpRel(s: SparkSession, d: String): DataFrame =
+    DocKg.triples(s, d).select(
+      concat(col("subj_type"), lit("."), col("subj")).as("s"),
+      col("pred").as("p"),
+      concat(col("obj_type"), lit("."), col("obj")).as("o"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- KG pipeline over documents (SURVEY §2.3/2.4/2.5: P2/P3/P5, J1/F1, A1-A5)
     "kg_mentions" -> ((s, d) => DocKg.mentions(s, d)
@@ -463,6 +471,56 @@ object SparkEntry {
         graft.ops.Bgp.Pat("?x", "pos", "?y"),
         graft.ops.Bgp.Pat("?y", "neg", "?z")))
     }),
+    // SPARQL OPTIONAL: left-outer BGP extension, NULL-padded where the
+    // optional group finds no match
+    "kg_bgp_optional" -> ((s, d) => {
+      graft.ops.Bgp.matchOptional(bgpRel(s, d),
+        Seq(graft.ops.Bgp.Pat("?x", "pos", "?y")),
+        Seq(graft.ops.Bgp.Pat("?y", "neg", "?z")))
+    }),
+    // SPARQL FILTER NOT EXISTS: anti join of two BGP groups on shared vars —
+    // over the supply KG (the entity KG at sf0.01 is too dense for a
+    // non-empty anti set): nodes located in a nation that never placed an
+    // order, i.e. every supplier plus the order-less customers
+    "kg_bgp_not_exists" -> ((s, d) => {
+      graft.ops.Bgp.matchNotExists(
+        DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
+        Seq(graft.ops.Bgp.Pat("?x", "located_in", "?y")),
+        Seq(graft.ops.Bgp.Pat("?x", "placed", "?z")))
+    }),
+    // SPARQL CONSTRUCT: solutions rewritten through a triple template into a
+    // new deduplicated (s, p, o) relation — materialized inference
+    "kg_bgp_construct" -> ((s, d) => {
+      graft.ops.Bgp.construct(bgpRel(s, d),
+        Seq(graft.ops.Bgp.Pat("?x", "pos", "?y"),
+          graft.ops.Bgp.Pat("?y", "neg", "?z")),
+        Seq(graft.ops.Bgp.Pat("?x", "ally_of_enemy", "?z"),
+          graft.ops.Bgp.Pat("?z", "enemy_of_ally", "?x")))
+    }),
+    // SHACL-style cardinality shapes over the typed supply-chain KG: orders
+    // carry 2..5 contains edges, suppliers exactly one nation, customers at
+    // least one and at most 15 placed orders — violations only
+    "kg_shape_cardinality" -> ((s, d) => graft.ops.Shapes.cardinalityViolations(
+      DocKg.typedSupplyTriples(s, d), Seq(
+        graft.ops.Shapes.CardShape("ORDER", "contains", 2L, 5L),
+        graft.ops.Shapes.CardShape("SUPPLIER", "located_in", 1L, 1L),
+        graft.ops.Shapes.CardShape("CUSTOMER", "placed", 1L, 15L)))),
+    // SHACL-style range shape over the entity KG: pos attitudes must point
+    // at ORG/PERSON objects — broadcast-join filter, violations only
+    "kg_shape_range" -> ((s, d) => {
+      val rel = DocKg.triples(s, d).select(
+        concat(col("subj_type"), lit("."), col("subj")).as("s"),
+        col("subj_type").as("s_type"), col("pred").as("p"),
+        concat(col("obj_type"), lit("."), col("obj")).as("o"),
+        col("obj_type").as("o_type"))
+      graft.ops.Shapes.rangeViolations(rel,
+        Seq(graft.ops.Shapes.RangeShape("pos", Seq("ORG", "PERSON"))))
+    }),
+    // schema domain/range profile: per (pred, slot, class) counts + the
+    // slot's modal class — minority rows flag heterogeneous relation slots
+    // (located_in's subject mixes SUPPLIER and CUSTOMER by construction)
+    "kg_schema_domains" -> ((s, d) =>
+      graft.ops.Shapes.slotProfile(DocKg.typedSupplyTriples(s, d))),
     // AMIE-style chain rules p1(x,y) ∧ p2(y,z) ⇒ p3(x,z): support /
     // confidence / head coverage in exact permille over the distinct KG
     "kg_rule_mining" -> ((s, d) => {
@@ -1366,6 +1424,29 @@ object SparkEntry {
        |                   lab.pred, p.t_value AS obj, ${lexCase.format("p.t_value")} AS obj_type
        |            FROM pairs p JOIN lab ON p.doc_id = lab.doc_id)""".stripMargin
 
+  /** Typed supply-chain triple relation (DocKg.typedSupplyTriples mirror):
+    * branches deduplicated per relation, pairwise disjoint by (s_type, p). */
+  private val supplyTriplesCte =
+    """sup_t AS MATERIALIZED (
+      |  SELECT DISTINCT 'C' || o_custkey AS s, 'CUSTOMER' AS s_type, 'placed' AS p,
+      |                  'O' || o_orderkey AS o, 'ORDER' AS o_type FROM orders
+      |  UNION ALL
+      |  SELECT DISTINCT 'O' || l_orderkey, 'ORDER', 'contains', 'P' || l_partkey, 'PART' FROM lineitem
+      |  UNION ALL
+      |  SELECT DISTINCT 'P' || l_partkey, 'PART', 'supplied_by', 'S' || l_suppkey, 'SUPPLIER' FROM lineitem
+      |  UNION ALL
+      |  SELECT DISTINCT 'S' || s_suppkey, 'SUPPLIER', 'located_in', 'N' || s_nationkey, 'NATION' FROM supplier
+      |  UNION ALL
+      |  SELECT DISTINCT 'C' || c_custkey, 'CUSTOMER', 'located_in', 'N' || c_nationkey, 'NATION' FROM customer)""".stripMargin
+
+  /** The BGP family's typed-key relation + the two single-pattern bindings
+    * every kg_bgp_* oracle reuses. */
+  private val bgpCtes =
+    """rel AS (SELECT DISTINCT subj_type || '.' || subj AS s, pred AS p,
+      |               obj_type || '.' || obj AS o FROM triples),
+      |bp1 AS (SELECT DISTINCT s AS x, o AS y FROM rel WHERE p = 'pos'),
+      |bp2 AS (SELECT DISTINCT s AS y, o AS z FROM rel WHERE p = 'neg')""".stripMargin
+
   /** The color-scheduled Louvain refinement chain (GraphOps.louvainMoves
     * semantics, 4 rounds / 4 md5 colors): ends at `l4(id, label)` with
     * `und`, `deg`, `mm` in scope for downstream rollups. */
@@ -1745,6 +1826,60 @@ object SparkEntry {
          |p1 AS (SELECT DISTINCT s AS x, o AS y FROM rel WHERE p = 'pos'),
          |p2 AS (SELECT DISTINCT s AS y, o AS z FROM rel WHERE p = 'neg')
          |SELECT p1.x, p1.y, p2.z FROM p1 JOIN p2 ON p1.y = p2.y""".stripMargin,
+    "kg_bgp_optional" ->
+      s"""WITH $triplesCte,
+         |$bgpCtes
+         |SELECT bp1.y, bp1.x, bp2.z FROM bp1 LEFT JOIN bp2 ON bp1.y = bp2.y""".stripMargin,
+    "kg_bgp_not_exists" ->
+      s"""WITH $supplyTriplesCte,
+         |nb1 AS (SELECT DISTINCT s AS x, o AS y FROM sup_t WHERE p = 'located_in'),
+         |nb2 AS (SELECT DISTINCT s AS x, o AS z FROM sup_t WHERE p = 'placed')
+         |SELECT nb1.x, nb1.y FROM nb1
+         |WHERE NOT EXISTS (SELECT 1 FROM nb2 WHERE nb2.x = nb1.x)""".stripMargin,
+    "kg_bgp_construct" ->
+      s"""WITH $triplesCte,
+         |$bgpCtes,
+         |sol AS (SELECT bp1.x, bp1.y, bp2.z FROM bp1 JOIN bp2 ON bp1.y = bp2.y)
+         |SELECT x AS s, 'ally_of_enemy' AS p, z AS o FROM sol
+         |UNION
+         |SELECT z, 'enemy_of_ally', x FROM sol""".stripMargin,
+    "kg_shape_cardinality" ->
+      s"""WITH $supplyTriplesCte,
+         |shnodes AS (SELECT DISTINCT s AS focus, s_type AS ftype FROM sup_t
+         |            UNION SELECT DISTINCT o, o_type FROM sup_t),
+         |shapes(ftype, pred, min_c, max_c) AS (VALUES
+         |  ('ORDER', 'contains', 2, 5),
+         |  ('SUPPLIER', 'located_in', 1, 1),
+         |  ('CUSTOMER', 'placed', 1, 15)),
+         |shcnt AS (SELECT s AS focus, p, count(*)::BIGINT AS cnt FROM sup_t GROUP BY 1, 2),
+         |shj AS (SELECT n.focus, sh.pred, coalesce(c.cnt, 0)::BIGINT AS observed,
+         |               sh.min_c, sh.max_c
+         |        FROM shnodes n JOIN shapes sh ON n.ftype = sh.ftype
+         |        LEFT JOIN shcnt c ON n.focus = c.focus AND sh.pred = c.p)
+         |SELECT focus, pred,
+         |       CASE WHEN observed < min_c THEN 'min_count' ELSE 'max_count' END AS kind,
+         |       observed,
+         |       (CASE WHEN observed < min_c THEN min_c ELSE max_c END)::BIGINT AS bound
+         |FROM shj WHERE observed < min_c OR observed > max_c""".stripMargin,
+    "kg_shape_range" ->
+      s"""WITH $triplesCte,
+         |rngrel AS (SELECT DISTINCT subj_type || '.' || subj AS s, pred AS p,
+         |                  obj_type || '.' || obj AS o, obj_type FROM triples)
+         |SELECT s AS focus, p AS pred, o AS obj, obj_type
+         |FROM rngrel WHERE p = 'pos' AND obj_type NOT IN ('ORG', 'PERSON')""".stripMargin,
+    "kg_schema_domains" ->
+      s"""WITH $supplyTriplesCte,
+         |occ AS (SELECT p AS pred, 's' AS slot, s_type AS tpe, count(*)::BIGINT AS cnt
+         |        FROM sup_t GROUP BY 1, 3
+         |        UNION ALL
+         |        SELECT p, 'o', o_type, count(*)::BIGINT FROM sup_t GROUP BY 1, 3),
+         |modal AS (SELECT pred, slot, tpe AS modal_type,
+         |                 row_number() OVER (PARTITION BY pred, slot
+         |                                    ORDER BY cnt DESC, tpe ASC) AS rn
+         |          FROM occ)
+         |SELECT o.pred, o.slot, o.tpe, o.cnt, m.modal_type,
+         |       (CASE WHEN o.tpe = m.modal_type THEN 1 ELSE 0 END)::BIGINT AS is_modal
+         |FROM occ o JOIN modal m ON o.pred = m.pred AND o.slot = m.slot AND m.rn = 1""".stripMargin,
     "kg_rule_mining" ->
       s"""WITH $triplesCte,
          |rel AS MATERIALIZED (SELECT DISTINCT subj_type || '.' || subj AS s, pred AS p,

@@ -180,4 +180,54 @@ object Bgp {
     }
     acc
   }
+
+  /** SPARQL `OPTIONAL`: every solution of `required`, extended by the
+    * `optional` group's bindings where it matches and NULL-padded where it
+    * does not — a LEFT OUTER join of the two independently compiled BGP
+    * chains on their shared variables. The optional group must share at
+    * least one variable with the required group (a disconnected OPTIONAL is
+    * a cartesian extension — rejected, like [[matchPatterns]] does). Plan
+    * shape: both groups push their constants to the scan; the outer join is
+    * the only extra operator, hashed on the shared binding columns. */
+  def matchOptional(rel: DataFrame, required: Seq[Pat], optional: Seq[Pat]): DataFrame = {
+    val base = matchPatterns(rel, required)
+    val opt = matchPatterns(rel, optional)
+    val shared = base.columns.filter(opt.columns.toSet)
+    require(shared.nonEmpty,
+      "OPTIONAL group shares no variable with the required group — rejected")
+    base.join(opt, shared.toIndexedSeq, "left_outer")
+  }
+
+  /** SPARQL `FILTER NOT EXISTS`: solutions of `required` for which the
+    * `absent` group has NO match under the shared-variable bindings — a
+    * LEFT ANTI join, so the negative group never materializes into the
+    * output and Catalyst can plan it as a broadcast anti join when the
+    * negative pattern is selective (the usual case: a constant predicate). */
+  def matchNotExists(rel: DataFrame, required: Seq[Pat], absent: Seq[Pat]): DataFrame = {
+    val base = matchPatterns(rel, required)
+    val neg = matchPatterns(rel, absent)
+    val shared = base.columns.filter(neg.columns.toSet)
+    require(shared.nonEmpty,
+      "NOT EXISTS group shares no variable with the required group — rejected")
+    base.join(neg, shared.toIndexedSeq, "left_anti")
+  }
+
+  /** SPARQL `CONSTRUCT`: rewrite every solution of `patterns` through the
+    * `template` triples (positions are '?var' bound by the patterns, or
+    * constants) into a NEW deduplicated (s, p, o) relation — the KG-derivation
+    * primitive (materialized inference rules, view KGs). One projection per
+    * template triple off the SAME solution relation + a union + one distinct;
+    * an unbound template variable is a caller bug and fails fast. */
+  def construct(rel: DataFrame, patterns: Seq[Pat], template: Seq[Pat]): DataFrame = {
+    require(template.nonEmpty, "empty CONSTRUCT template")
+    val sol = matchPatterns(rel, patterns)
+    val bound = sol.columns.toSet
+    def term(t: String) =
+      if (isVar(t)) {
+        require(bound.contains(t.drop(1)), s"unbound template variable $t")
+        col(t.drop(1))
+      } else lit(t)
+    template.map(t => sol.select(term(t.s).as("s"), term(t.p).as("p"), term(t.o).as("o")))
+      .reduce(_.union(_)).distinct()
+  }
 }

@@ -632,6 +632,33 @@ object DocKg {
       .distinct()
   }
 
+  /** [[supplyEdges]] as a TYPED triple relation (s, s_type, p, o, o_type) —
+    * the fixture for shape validation and schema profiling (ops/Shapes):
+    * CUSTOMER placed ORDER contains PART supplied_by SUPPLIER located_in
+    * NATION, plus CUSTOMER located_in NATION (the class-heterogeneous slot:
+    * located_in's subject mixes SUPPLIER and CUSTOMER on purpose). Branches
+    * are deduplicated per relation; they are pairwise disjoint by (s_type, p)
+    * so no global distinct is needed. */
+  def typedSupplyTriples(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    def typed(src: DataFrame, s: Column, sT: String, p: String, o: Column, oT: String) =
+      src.select(s.as("s"), lit(sT).as("s_type"), lit(p).as("p"),
+        o.as("o"), lit(oT).as("o_type")).distinct()
+    typed(spark.read.parquet(s"$dir/orders.parquet"),
+        concat(lit("C"), col("o_custkey")), "CUSTOMER", "placed",
+        concat(lit("O"), col("o_orderkey")), "ORDER")
+      .union(typed(li, concat(lit("O"), col("l_orderkey")), "ORDER", "contains",
+        concat(lit("P"), col("l_partkey")), "PART"))
+      .union(typed(li, concat(lit("P"), col("l_partkey")), "PART", "supplied_by",
+        concat(lit("S"), col("l_suppkey")), "SUPPLIER"))
+      .union(typed(spark.read.parquet(s"$dir/supplier.parquet"),
+        concat(lit("S"), col("s_suppkey")), "SUPPLIER", "located_in",
+        concat(lit("N"), col("s_nationkey")), "NATION"))
+      .union(typed(spark.read.parquet(s"$dir/customer.parquet"),
+        concat(lit("C"), col("c_custkey")), "CUSTOMER", "located_in",
+        concat(lit("N"), col("c_nationkey")), "NATION"))
+  }
+
   /** Bounded-radius Brandes betweenness centrality in exact scaled
     * integers over the supply-chain graph (GraphOps.betweenness), with the
     * Brandes–Pich deterministic 5% source sample — the web-scale estimator

@@ -148,4 +148,62 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     // recurrence (each node's single out-edge carries its full rank)
     assert(got("a") == got("c"))
   }
+
+  test("OPTIONAL extends matched solutions and NULL-pads the rest") {
+    val got = Bgp.matchOptional(rel,
+        Seq(Pat("?x", "pos", "?y")), Seq(Pat("?y", "neg", "?z")))
+      .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("y"),
+        Option(r.getAs[String]("z")))).toSet
+    // pos solutions (a,b) and (x,b) both extend through b's neg edges to c,d
+    assert(got == Set(("a", "b", Some("c")), ("a", "b", Some("d")),
+      ("x", "b", Some("c")), ("x", "b", Some("d"))))
+    // a solution whose optional group finds nothing survives with NULL z
+    val pad = Bgp.matchOptional(rel,
+        Seq(Pat("?x", "likes", "?y")), Seq(Pat("?y", "neg", "?z")))
+      .collect().map(r => (r.getAs[String]("x"), Option(r.getAs[String]("z")))).toSet
+    assert(pad == Set(("c", None), ("d", None))) // c,e have no neg out-edges
+  }
+
+  test("OPTIONAL with no shared variable is rejected") {
+    val ex = intercept[IllegalArgumentException] {
+      Bgp.matchOptional(rel, Seq(Pat("?x", "pos", "?y")), Seq(Pat("?u", "likes", "?v")))
+    }
+    assert(ex.getMessage.contains("OPTIONAL"))
+  }
+
+  test("NOT EXISTS drops solutions the negative group matches") {
+    val got = Bgp.matchNotExists(rel,
+        Seq(Pat("?x", "pos", "?y")), Seq(Pat("?x", "neg", "?y")))
+      .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("y"))).toSet
+    // pos pairs: (a,b),(x,b); (a,b) also holds under neg — only (x,b) survives
+    assert(got == Set(("x", "b")))
+    // duplicate triples in the negative group do not over-remove or duplicate
+    val dup = Bgp.matchNotExists(rel.union(rel),
+        Seq(Pat("?x", "pos", "?y")), Seq(Pat("?x", "neg", "?y"))).count()
+    assert(dup == 1L)
+  }
+
+  test("CONSTRUCT rewrites solutions through the template, deduplicated") {
+    val got = Bgp.construct(rel,
+        Seq(Pat("?x", "pos", "?y"), Pat("?y", "neg", "?z")),
+        Seq(Pat("?x", "reaches", "?z"), Pat("?z", "reached_by", "?x")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("a", "reaches", "c"), ("a", "reaches", "d"),
+      ("x", "reaches", "c"), ("x", "reaches", "d"),
+      ("c", "reached_by", "a"), ("d", "reached_by", "a"),
+      ("c", "reached_by", "x"), ("d", "reached_by", "x")))
+    // constant template positions and dedup: two solutions binding the same
+    // template terms collapse to one constructed triple
+    val one = Bgp.construct(rel, Seq(Pat("?x", "pos", "b")),
+      Seq(Pat("likes_b", "marker", "seen"))).collect()
+    assert(one.length == 1 && one.head.getString(0) == "likes_b")
+  }
+
+  test("CONSTRUCT with an unbound template variable fails fast") {
+    val ex = intercept[IllegalArgumentException] {
+      Bgp.construct(rel, Seq(Pat("?x", "pos", "?y")), Seq(Pat("?x", "p", "?missing")))
+    }
+    assert(ex.getMessage.contains("unbound"))
+  }
 }
