@@ -488,6 +488,31 @@ object SparkEntry {
         Seq(graft.ops.Bgp.Pat("?x", "located_in", "?y")),
         Seq(graft.ops.Bgp.Pat("?x", "placed", "?z")))
     }),
+    // SPARQL UNION: solutions of either group, variables absent from a group
+    // NULL-padded (the SPARQL unbound convention)
+    "kg_bgp_union" -> ((s, d) => {
+      graft.ops.Bgp.matchUnion(bgpRel(s, d), Seq(
+        Seq(graft.ops.Bgp.Pat("?x", "pos", "?y")),
+        Seq(graft.ops.Bgp.Pat("?x", "neg", "?z"))))
+    }),
+    // SPARQL MINUS: required solutions minus those compatible on shared
+    // vars — suppliers that supply a part are removed from the located_in
+    // bindings; customers (never a supplied_by object) all survive
+    "kg_bgp_minus" -> ((s, d) => {
+      graft.ops.Bgp.matchMinus(
+        DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
+        Seq(graft.ops.Bgp.Pat("?w", "located_in", "?n")),
+        Seq(graft.ops.Bgp.Pat("?q", "supplied_by", "?w")))
+    }),
+    // unbounded property path (p1|p2|p3)+ to the exact fixpoint, seeded at
+    // three orders — semi-naive datalog over the supply KG (full closure
+    // stays behind boundedPath's hop budget at web scale)
+    "kg_reachability" -> ((s, d) => {
+      graft.ops.Bgp.reachability(
+        DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
+        Seq("contains", "supplied_by", "located_in"),
+        seeds = Seq("O0", "O1", "O2"))
+    }),
     // SPARQL CONSTRUCT: solutions rewritten through a triple template into a
     // new deduplicated (s, p, o) relation — materialized inference
     "kg_bgp_construct" -> ((s, d) => {
@@ -1836,6 +1861,28 @@ object SparkEntry {
          |nb2 AS (SELECT DISTINCT s AS x, o AS z FROM sup_t WHERE p = 'placed')
          |SELECT nb1.x, nb1.y FROM nb1
          |WHERE NOT EXISTS (SELECT 1 FROM nb2 WHERE nb2.x = nb1.x)""".stripMargin,
+    "kg_bgp_union" ->
+      s"""WITH $triplesCte,
+         |$bgpCtes,
+         |nbu AS (SELECT DISTINCT s AS x, o AS z FROM rel WHERE p = 'neg')
+         |SELECT x, y, NULL AS z FROM bp1
+         |UNION
+         |SELECT x, NULL, z FROM nbu""".stripMargin,
+    "kg_bgp_minus" ->
+      s"""WITH $supplyTriplesCte,
+         |mb1 AS (SELECT DISTINCT s AS w, o AS n FROM sup_t WHERE p = 'located_in'),
+         |mb2 AS (SELECT DISTINCT s AS q, o AS w FROM sup_t WHERE p = 'supplied_by')
+         |SELECT mb1.w, mb1.n FROM mb1
+         |WHERE NOT EXISTS (SELECT 1 FROM mb2 WHERE mb2.w = mb1.w)""".stripMargin,
+    "kg_reachability" ->
+      s"""WITH RECURSIVE $supplyTriplesCte,
+         |rstep AS (SELECT DISTINCT s, o FROM sup_t
+         |          WHERE p IN ('contains', 'supplied_by', 'located_in')),
+         |reach(x, z) AS (
+         |  SELECT s, o FROM rstep WHERE s IN ('O0', 'O1', 'O2')
+         |  UNION
+         |  SELECT r.x, st.o FROM reach r JOIN rstep st ON r.z = st.s)
+         |SELECT x, z FROM reach""".stripMargin,
     "kg_bgp_construct" ->
       s"""WITH $triplesCte,
          |$bgpCtes,

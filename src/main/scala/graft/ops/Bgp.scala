@@ -230,4 +230,86 @@ object Bgp {
     template.map(t => sol.select(term(t.s).as("s"), term(t.p).as("p"), term(t.o).as("o")))
       .reduce(_.union(_)).distinct()
   }
+
+  /** SPARQL `UNION`: the solutions of ANY group, under the engine's set
+    * semantics. Groups may bind different variable sets — a variable absent
+    * from a group is NULL-padded in that group's rows, exactly the SPARQL
+    * unbound convention. Column order: the first group's variables, then
+    * each later group's new variables in group order. Plan shape: each group
+    * compiles independently (constants pushed to its scans); the union is a
+    * no-shuffle concatenation with one distinct on top. */
+  def matchUnion(rel: DataFrame, groups: Seq[Seq[Pat]]): DataFrame = {
+    require(groups.lengthCompare(2) >= 0, "UNION needs at least two groups")
+    groups.map(matchPatterns(rel, _))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .distinct()
+  }
+
+  /** SPARQL `MINUS`: solutions of `required` minus those compatible with a
+    * `minus`-group solution on their shared variables — a LEFT ANTI join.
+    * The SPARQL-spec quirk is preserved: when the groups share NO variable,
+    * MINUS removes NOTHING (every solution pair has disjoint domains, hence
+    * is trivially compatible-on-nothing and the spec keeps it) — unlike
+    * [[matchNotExists]], which rejects that shape as a caller bug. */
+  def matchMinus(rel: DataFrame, required: Seq[Pat], minus: Seq[Pat]): DataFrame = {
+    val base = matchPatterns(rel, required)
+    val neg = matchPatterns(rel, minus)
+    val shared = base.columns.filter(neg.columns.toSet)
+    if (shared.isEmpty) base
+    else base.join(neg, shared.toIndexedSeq, "left_anti")
+  }
+
+  /** Unbounded property path `(p1|p2|…)+` to the EXACT fixpoint: distinct
+    * endpoint pairs (x, z) connected by a directed path of >= 1 edges whose
+    * labels are all in `preds`, optionally restricted to paths STARTING at
+    * one of `seeds` (the production shape — a full transitive closure over a
+    * 10^12-page KG is quadratic output and stays behind [[boundedPath]]'s
+    * hop budget; seeded closure is how RPQ `+` is actually answered at web
+    * scale). Semi-naive datalog evaluation: each round expands only the
+    * LAST round's novel pairs (delta join step), anti-joins the accumulated
+    * closure so cycles terminate, and detects convergence with an observe()
+    * metric collected by the SAME action that materializes the round — one
+    * Spark job per round (the Dedup.clusters discipline), lineage truncated
+    * per round so plans stay bounded. Round count = graph diameter along
+    * the selected predicates; a diameter beyond `maxIter` fails fast rather
+    * than returning a silent partial closure. Output: (x, z).
+    * Engine extension, no reference counterpart. */
+  def reachability(rel: DataFrame, preds: Seq[String], seeds: Seq[String] = Nil,
+      maxIter: Int = 30): DataFrame = {
+    require(preds.nonEmpty, "empty predicate alternation")
+    val step = rel.filter(col("p").isin(preds: _*))
+      .select(col("s").as("hs"), col("o").as("ho")).distinct()
+      .localCheckpoint()
+    val start =
+      if (seeds.isEmpty) step else step.filter(col("hs").isin(seeds: _*))
+    var closure = start.select(col("hs").as("x"), col("ho").as("z")).localCheckpoint()
+    var delta = closure
+    var growing = true
+    var it = 0
+    val metricBase = s"graft_tc_${java.util.UUID.randomUUID().toString.take(8)}_"
+    while (growing && it < maxIter) {
+      val metricName = metricBase + it
+      val fresh = delta.join(step, col("z") === col("hs"))
+        .select(col("x"), col("ho").as("z")).distinct()
+        .join(closure, Seq("x", "z"), "left_anti")
+        .observe(metricName, count(lit(1)).as("novel"))
+      val materialized = fresh.localCheckpoint()
+      val novel = fresh.queryExecution.observedMetrics.get(metricName) match {
+        case Some(row) => row.getLong(0)
+        case None => throw new IllegalStateException(
+          s"observe metric $metricName not collected during checkpoint — " +
+            "convergence detection would silently stall")
+      }
+      if (novel == 0L) growing = false
+      else {
+        closure = closure.union(materialized).localCheckpoint()
+        delta = materialized
+      }
+      it += 1
+    }
+    if (growing) throw new IllegalStateException(
+      s"Bgp.reachability did not converge in $maxIter rounds — path diameter " +
+        s"exceeds the budget; raise maxIter or use boundedPath")
+    closure
+  }
 }

@@ -206,4 +206,68 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(ex.getMessage.contains("unbound"))
   }
+
+  test("UNION pads variables absent from a group with NULL") {
+    val got = Bgp.matchUnion(rel, Seq(
+        Seq(Pat("?x", "pos", "?y")), Seq(Pat("?x", "likes", "?z"))))
+      .collect().map(r => (r.getAs[String]("x"),
+        Option(r.getAs[String]("y")), Option(r.getAs[String]("z")))).toSet
+    assert(got == Set(
+      ("a", Some("b"), None), ("x", Some("b"), None),
+      ("c", None, Some("c")), ("d", None, Some("e"))))
+  }
+
+  test("MINUS removes compatible solutions; disjoint domains remove nothing") {
+    val got = Bgp.matchMinus(rel,
+        Seq(Pat("?x", "pos", "?y")), Seq(Pat("?x", "neg", "?y")))
+      .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("y"))).toSet
+    assert(got == Set(("x", "b"))) // (a,b) holds under neg too
+    // SPARQL quirk: a minus group sharing NO variable keeps every solution
+    val all = Bgp.matchMinus(rel,
+      Seq(Pat("?x", "pos", "?y")), Seq(Pat("?u", "likes", "?v"))).count()
+    assert(all == 2L)
+  }
+
+  test("reachability computes the exact fixpoint and terminates on cycles") {
+    import spark.implicits._
+    // chain a->b->c->d plus a cycle d->a, and a decoy predicate edge
+    val g = Seq(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"),
+      ("d", "r", "a"), ("a", "other", "z")).toDF("s", "p", "o")
+    val got = Bgp.reachability(g, Seq("r"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // strongly connected 4-cycle: every ordered pair incl. self-loops
+    val nodes = Set("a", "b", "c", "d")
+    assert(got == (for (x <- nodes; z <- nodes) yield (x, z)).toSet)
+  }
+
+  test("reachability seeded restricts to paths starting at the seeds") {
+    import spark.implicits._
+    val g = Seq(("a", "r", "b"), ("b", "r", "c"), ("x", "r", "y"))
+      .toDF("s", "p", "o")
+    val got = Bgp.reachability(g, Seq("r"), seeds = Seq("a"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b"), ("a", "c")))
+  }
+
+  test("reachability agrees with boundedPath endpoints at the diameter; duplicates don't multiply") {
+    import spark.implicits._
+    val g = Seq(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d")).toDF("s", "p", "o")
+    val viaBounded = Bgp.boundedPath(g, Seq("r"), maxLen = 3)
+      .select("x", "z").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaFixpoint = Bgp.reachability(g.union(g), Seq("r"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaFixpoint == viaBounded)
+    assert(Bgp.reachability(g.union(g), Seq("r")).count() == viaFixpoint.size)
+  }
+
+  test("reachability beyond maxIter fails fast instead of returning a partial closure") {
+    import spark.implicits._
+    val g = Seq(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"), ("d", "r", "e"))
+      .toDF("s", "p", "o")
+    val ex = intercept[IllegalStateException] {
+      Bgp.reachability(g, Seq("r"), maxIter = 2)
+    }
+    assert(ex.getMessage.contains("converge") || ex.getMessage.contains("diameter"))
+  }
 }
