@@ -151,6 +151,9 @@ object Bench {
       "kg_rule_predictions", "kg_wl_labels", "kg_community_profile",
       "kg_louvain_coarse", "kg_stance_drift", "kg_entity_cards",
       "text_classifier_score", "web_spam_mass",
+      "kg_bgp_optional", "kg_bgp_not_exists", "kg_bgp_union", "kg_bgp_minus",
+      "kg_bgp_construct", "kg_reachability",
+      "kg_shape_cardinality", "kg_shape_range", "kg_schema_domains",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
     val spark = SparkSession.builder()
