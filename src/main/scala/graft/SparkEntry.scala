@@ -522,6 +522,37 @@ object SparkEntry {
         Seq(graft.ops.Bgp.Pat("?x", "ally_of_enemy", "?z"),
           graft.ops.Bgp.Pat("?z", "enemy_of_ally", "?x")))
     }),
+    // SPARQL GROUP BY/HAVING over BGP solutions: per positively-linked
+    // source, the count and min/max of reachable negative targets — one
+    // hash aggregation on top of the pattern chain, HAVING n >= 2
+    "kg_bgp_groupby" -> ((s, d) => {
+      graft.ops.Bgp.matchAggregate(bgpRel(s, d),
+        Seq(graft.ops.Bgp.Pat("?x", "pos", "?y"),
+          graft.ops.Bgp.Pat("?y", "neg", "?z")),
+        groupVars = Seq("?x"), aggVar = "?z", havingMinCount = 2L)
+    }),
+    // incremental materialized-view maintenance: the NEW solutions an
+    // ingest batch (deterministic 1/8 md5 split of the supply KG) adds to
+    // the order->part->supplier view — delta joins only, never base x base;
+    // the oracle recomputes sol(full) EXCEPT sol(base) from scratch
+    "kg_bgp_delta" -> ((s, d) => {
+      val rel = DocKg.typedSupplyTriples(s, d).select("s", "p", "o")
+      val bucket = conv(substring(md5(
+        concat_ws("|", col("s"), col("p"), col("o")).cast("binary")), 1, 15),
+        16, 10).cast("long") % 8
+      graft.ops.Bgp.viewDelta(
+        rel.filter(bucket =!= 0), rel.filter(bucket === 0),
+        Seq(graft.ops.Bgp.Pat("?x", "contains", "?y"),
+          graft.ops.Bgp.Pat("?y", "supplied_by", "?z")))
+    }),
+    // SHACL closed shapes: each shaped class may use only its allowed
+    // outgoing predicates — customers' located_in edges violate by
+    // construction (CUSTOMER is closed over {placed})
+    "kg_shape_closed" -> ((s, d) => graft.ops.Shapes.closedViolations(
+      DocKg.typedSupplyTriples(s, d), Seq(
+        graft.ops.Shapes.ClosedShape("ORDER", Seq("contains")),
+        graft.ops.Shapes.ClosedShape("SUPPLIER", Seq("located_in")),
+        graft.ops.Shapes.ClosedShape("CUSTOMER", Seq("placed"))))),
     // SHACL-style cardinality shapes over the typed supply-chain KG: orders
     // carry 2..5 contains edges, suppliers exactly one nation, customers at
     // least one and at most 15 placed orders — violations only
@@ -1890,6 +1921,33 @@ object SparkEntry {
          |SELECT x AS s, 'ally_of_enemy' AS p, z AS o FROM sol
          |UNION
          |SELECT z, 'enemy_of_ally', x FROM sol""".stripMargin,
+    "kg_bgp_groupby" ->
+      s"""WITH $triplesCte,
+         |$bgpCtes,
+         |gsol AS (SELECT bp1.x, bp1.y, bp2.z FROM bp1 JOIN bp2 ON bp1.y = bp2.y)
+         |SELECT x, count(*)::BIGINT AS n_solutions, min(z) AS agg_min, max(z) AS agg_max
+         |FROM gsol GROUP BY x HAVING count(*) >= 2""".stripMargin,
+    "kg_bgp_delta" ->
+      s"""WITH $supplyTriplesCte,
+         |spl AS MATERIALIZED (SELECT s, p, o,
+         |         ('0x' || substr(md5(s || '|' || p || '|' || o), 1, 15))::BIGINT % 8 AS bk
+         |       FROM sup_t),
+         |vf1 AS (SELECT DISTINCT s AS x, o AS y FROM spl WHERE p = 'contains'),
+         |vf2 AS (SELECT DISTINCT s AS y, o AS z FROM spl WHERE p = 'supplied_by'),
+         |vb1 AS (SELECT DISTINCT s AS x, o AS y FROM spl WHERE p = 'contains' AND bk <> 0),
+         |vb2 AS (SELECT DISTINCT s AS y, o AS z FROM spl WHERE p = 'supplied_by' AND bk <> 0)
+         |SELECT vf1.x, vf1.y, vf2.z FROM vf1 JOIN vf2 ON vf1.y = vf2.y
+         |EXCEPT
+         |SELECT vb1.x, vb1.y, vb2.z FROM vb1 JOIN vb2 ON vb1.y = vb2.y""".stripMargin,
+    "kg_shape_closed" ->
+      s"""WITH $supplyTriplesCte,
+         |clocc AS (SELECT DISTINCT s AS focus, s_type AS ftype, p AS pred FROM sup_t),
+         |clsh(ftype, allowed) AS (VALUES
+         |  ('ORDER', ['contains']),
+         |  ('SUPPLIER', ['located_in']),
+         |  ('CUSTOMER', ['placed']))
+         |SELECT focus, clocc.ftype, pred FROM clocc JOIN clsh ON clocc.ftype = clsh.ftype
+         |WHERE NOT list_contains(allowed, pred)""".stripMargin,
     "kg_shape_cardinality" ->
       s"""WITH $supplyTriplesCte,
          |shnodes AS (SELECT DISTINCT s AS focus, s_type AS ftype FROM sup_t

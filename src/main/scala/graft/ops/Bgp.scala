@@ -159,26 +159,95 @@ object Bgp {
       .agg(max(col("conf_permille")).as("conf_permille"))
   }
 
-  /** Match `patterns` conjunctively against `rel` (columns `s`, `p`, `o`).
-    * Output: one column per distinct variable (name without the '?'), one
-    * row per solution under set semantics (duplicate triples in `rel` do
-    * not multiply solutions — callers usually pass a `.distinct()`-ed or
-    * aggregated triple relation anyway). */
-  def matchPatterns(rel: DataFrame, patterns: Seq[Pat]): DataFrame = {
-    require(patterns.nonEmpty, "empty pattern list")
-    val (h, hv) = one(rel, patterns.head)
-    var acc = h
-    var bound = hv.toSet
-    for (pat <- patterns.tail) {
-      val (df, vs) = one(rel, pat)
+  /** Left-deep join of pre-compiled pattern bindings — shared by
+    * [[matchPatterns]] (all bindings from one relation) and [[viewDelta]]
+    * (one position substituted with the strictly-new delta bindings). */
+  private def chain(bindings: Seq[(DataFrame, Seq[String])]): DataFrame = {
+    require(bindings.nonEmpty, "empty pattern list")
+    var (acc, bound) = (bindings.head._1, bindings.head._2.toSet)
+    for ((df, vs) <- bindings.tail) {
       val shared = vs.filter(bound.contains)
       require(shared.nonEmpty,
-        s"pattern $pat shares no variable with the joined prefix — " +
+        s"pattern binding $vs shares no variable with the joined prefix — " +
           "cartesian product rejected; reorder the patterns")
       acc = acc.join(df, shared)
       bound ++= vs
     }
     acc
+  }
+
+  /** Match `patterns` conjunctively against `rel` (columns `s`, `p`, `o`).
+    * Output: one column per distinct variable (name without the '?'), one
+    * row per solution under set semantics (duplicate triples in `rel` do
+    * not multiply solutions — callers usually pass a `.distinct()`-ed or
+    * aggregated triple relation anyway). */
+  def matchPatterns(rel: DataFrame, patterns: Seq[Pat]): DataFrame =
+    chain(patterns.map(one(rel, _)))
+
+  /** SPARQL aggregation (`GROUP BY … HAVING`) over the solutions of a BGP:
+    * per distinct assignment of `groupVars`, the solution count, and the
+    * min/max of `aggVar` — the analytics form of a pattern query ("how many
+    * negative targets does each positively-linked source reach"). Under the
+    * engine's set semantics COUNT(*) over solutions equals SPARQL's
+    * COUNT(DISTINCT remaining vars), so the result is cross-engine exact.
+    * Groups whose solution count is below `havingMinCount` are dropped
+    * (SPARQL HAVING). Output: groupVars…, n_solutions, agg_min, agg_max.
+    * Plan shape: the BGP join chain (constants pushed to the scans) feeds
+    * ONE hash aggregation on the group variables — partial map-side
+    * aggregation applies, so the shuffle carries group-sized data only. */
+  def matchAggregate(rel: DataFrame, patterns: Seq[Pat], groupVars: Seq[String],
+      aggVar: String, havingMinCount: Long = 0L): DataFrame = {
+    require(groupVars.nonEmpty, "empty GROUP BY variable list")
+    val sol = matchPatterns(rel, patterns)
+    val bound = sol.columns.toSet
+    def v(name: String): String = {
+      require(name.startsWith("?") && bound.contains(name.drop(1)),
+        s"aggregation variable $name is not bound by the patterns")
+      name.drop(1)
+    }
+    sol.groupBy(groupVars.map(g => col(v(g))): _*)
+      .agg(count(lit(1)).as("n_solutions"),
+        min(col(v(aggVar))).as("agg_min"),
+        max(col(v(aggVar))).as("agg_max"))
+      .filter(col("n_solutions") >= havingMinCount)
+  }
+
+  /** Incremental maintenance of a materialized BGP view: the NEW solutions
+    * that a `delta` batch of triples adds to the view over `base` — i.e.
+    * `solutions(base ∪ delta) − solutions(base)` — computed WITHOUT ever
+    * joining base bindings against base bindings. This is the continuous-
+    * crawl shape: the materialized view over a 10^12-triple KG is never
+    * recomputed; each ingest batch derives only its own contribution.
+    *
+    * Correctness: an assignment is a NEW solution iff it matches every
+    * pattern over base ∪ delta AND for AT LEAST ONE pattern position its
+    * projection onto that pattern's variables is a strictly-new binding
+    * (in P_i(delta) − P_i(base)) — were every projection an old binding,
+    * base alone would derive the assignment. So the delta of the view is
+    *   ⋃_i  P_1(full) ⋈ … ⋈ ΔP_i ⋈ … ⋈ P_n(full)      (deduplicated)
+    * with ΔP_i = P_i(delta) − P_i(base), the classic delta-join rewrite.
+    *
+    * Plan shape: each ΔP_i is a pattern-sized ANTI join (delta bindings vs
+    * one filtered base scan — constants pushed down on both sides); each
+    * union term is the normal left-deep BGP chain with the tiny ΔP_i in
+    * one position, so Catalyst broadcasts it and every term's cost scales
+    * with the DELTA's contribution, never with |base|². A solution touched
+    * by several new bindings appears in several terms — one distinct on
+    * top restores set semantics. Engine extension, no reference
+    * counterpart. */
+  def viewDelta(base: DataFrame, delta: DataFrame, patterns: Seq[Pat]): DataFrame = {
+    require(patterns.nonEmpty, "empty pattern list")
+    val full = base.select("s", "p", "o").unionByName(delta.select("s", "p", "o"))
+    val fullBind = patterns.map(one(full, _))
+    val newBind = patterns.map { p =>
+      val (d, vs) = one(delta, p)
+      val (b, _) = one(base, p)
+      (d.join(b, vs.toIndexedSeq, "left_anti"), vs)
+    }
+    patterns.indices
+      .map(i => chain(fullBind.updated(i, newBind(i))))
+      .reduce(_ unionByName _)
+      .distinct()
   }
 
   /** SPARQL `OPTIONAL`: every solution of `required`, extended by the

@@ -76,6 +76,29 @@ object Shapes {
           .otherwise(col("maxCount")).as("bound"))
   }
 
+  /** Closed shape: subjects of class `focusType` may use ONLY the `allowed`
+    * outgoing predicates (SHACL `sh:closed true` with
+    * `sh:ignoredProperties` = the complement). */
+  final case class ClosedShape(focusType: String, allowed: Seq[String])
+
+  /** Closed-shape violations: one row per distinct (subject, predicate)
+    * where the subject's class is shaped and the predicate is outside its
+    * allowed set. The shape table is broadcast; the check is map-side after
+    * one distinct over (s, s_type, p) — predicate-profile-sized input, and
+    * the output scales with the violation set only. Output
+    * `(focus, ftype, pred)`. */
+  def closedViolations(rel: DataFrame, shapes: Seq[ClosedShape]): DataFrame = {
+    require(shapes.nonEmpty, "no closed shapes")
+    val spark = rel.sparkSession
+    import spark.implicits._
+    val shapeDf = shapes.map(sh => (sh.focusType, sh.allowed)).toDF("cftype", "allowed")
+    rel.select(col("s").as("focus"), col("s_type").as("ftype"), col("p").as("pred"))
+      .distinct()
+      .join(broadcast(shapeDf), col("ftype") === col("cftype"))
+      .filter(!array_contains(col("allowed"), col("pred")))
+      .select(col("focus"), col("ftype"), col("pred"))
+  }
+
   /** Range violations: one row per DISTINCT triple whose predicate is shaped
     * and whose object class is not in the allowed set. Map-side after the
     * broadcast join — scales with the violation count only. */

@@ -228,6 +228,65 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     assert(all == 2L)
   }
 
+  test("matchAggregate groups solutions with HAVING; unbound agg var fails fast") {
+    val got = Bgp.matchAggregate(rel,
+        Seq(Pat("?x", "pos", "?y"), Pat("?y", "neg", "?z")),
+        groupVars = Seq("?x"), aggVar = "?z", havingMinCount = 2L)
+      .collect().map(r => (r.getAs[String]("x"), r.getAs[Long]("n_solutions"),
+        r.getAs[String]("agg_min"), r.getAs[String]("agg_max"))).toSet
+    // both a and x reach {c, d} through b — two solutions each
+    assert(got == Set(("a", 2L, "c", "d"), ("x", 2L, "c", "d")))
+    // HAVING above the count drops every group
+    assert(Bgp.matchAggregate(rel,
+      Seq(Pat("?x", "pos", "?y"), Pat("?y", "neg", "?z")),
+      Seq("?x"), "?z", havingMinCount = 3L).isEmpty)
+    // set semantics: duplicated triples do not inflate n_solutions
+    val dup = Bgp.matchAggregate(rel.union(rel),
+        Seq(Pat("?x", "pos", "?y"), Pat("?y", "neg", "?z")), Seq("?x"), "?z")
+      .collect().map(r => r.getAs[Long]("n_solutions")).toSet
+    assert(dup == Set(2L))
+    val ex = intercept[IllegalArgumentException] {
+      Bgp.matchAggregate(rel, Seq(Pat("?x", "pos", "?y")), Seq("?x"), "?nope")
+    }
+    assert(ex.getMessage.contains("not bound"))
+  }
+
+  test("viewDelta equals recompute-minus-old on every split of a diamond KG") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", "p", "b"), ("b", "q", "c"), ("b", "q", "d"),
+      ("x", "p", "b"), ("x", "p", "y"), ("y", "q", "c"))
+    val pats = Seq(Pat("?x", "p", "?y"), Pat("?y", "q", "?z"))
+    def sols(rs: Seq[(String, String, String)]) =
+      Bgp.matchPatterns(rs.toDF("s", "p", "o"), pats).collect()
+        .map(r => (r.getAs[String]("x"), r.getAs[String]("y"), r.getAs[String]("z"))).toSet
+    val full = sols(rows)
+    // exhaustive over single-triple deltas: engine delta == recompute delta
+    for (i <- rows.indices) {
+      val baseRows = rows.patch(i, Nil, 1)
+      val got = Bgp.viewDelta(baseRows.toDF("s", "p", "o"),
+          Seq(rows(i)).toDF("s", "p", "o"), pats).collect()
+        .map(r => (r.getAs[String]("x"), r.getAs[String]("y"), r.getAs[String]("z"))).toSet
+      assert(got == full -- sols(baseRows), s"split $i")
+    }
+  }
+
+  test("viewDelta: duplicate-of-base delta triple adds nothing; empty delta is empty") {
+    import spark.implicits._
+    val base = Seq(("a", "p", "b"), ("b", "q", "c")).toDF("s", "p", "o")
+    val dupDelta = Seq(("a", "p", "b")).toDF("s", "p", "o")
+    assert(Bgp.viewDelta(base, dupDelta,
+      Seq(Pat("?x", "p", "?y"), Pat("?y", "q", "?z"))).isEmpty)
+    assert(Bgp.viewDelta(base, base.limit(0),
+      Seq(Pat("?x", "p", "?y"), Pat("?y", "q", "?z"))).isEmpty)
+    // a delta triple completing a NEW chain yields exactly that solution
+    val newDelta = Seq(("c", "q", "d"), ("b", "q", "d")).toDF("s", "p", "o")
+    val got = Bgp.viewDelta(base, newDelta,
+        Seq(Pat("?x", "p", "?y"), Pat("?y", "q", "?z"))).collect()
+      .map(r => (r.getAs[String]("x"), r.getAs[String]("y"), r.getAs[String]("z"))).toSet
+    assert(got == Set(("a", "b", "d")))
+  }
+
   test("reachability computes the exact fixpoint and terminates on cycles") {
     import spark.implicits._
     // chain a->b->c->d plus a cycle d->a, and a decoy predicate edge

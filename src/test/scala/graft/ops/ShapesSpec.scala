@@ -2,7 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
-import graft.ops.Shapes.{CardShape, RangeShape}
+import graft.ops.Shapes.{CardShape, ClosedShape, RangeShape}
 
 /** SHACL-style shape validation and slot profiling (ops/Shapes). */
 class ShapesSpec extends AnyFunSuite with SparkTestSession {
@@ -56,6 +56,20 @@ class ShapesSpec extends AnyFunSuite with SparkTestSession {
         r.getAs[String]("obj_type"))).toSet
     // every placed object IS an ORDER; every located_in object violates CITY
     assert(got == Set(("s1", "located_in", "NATION"), ("c2", "located_in", "NATION")))
+  }
+
+  test("closed: predicates outside a shaped class's allowed set surface once") {
+    val got = Shapes.closedViolations(rel.union(rel), Seq( // dups collapse
+        ClosedShape("CUSTOMER", Seq("placed")),
+        ClosedShape("ORDER", Seq("contains"))))
+      .collect().map(r => (r.getAs[String]("focus"), r.getAs[String]("ftype"),
+        r.getAs[String]("pred")))
+    // c2's located_in is the only closed-shape breach; SUPPLIER is unshaped
+    assert(got.toSeq == Seq(("c2", "CUSTOMER", "located_in")))
+    val ex = intercept[IllegalArgumentException] {
+      Shapes.closedViolations(rel, Seq())
+    }
+    assert(ex.getMessage.contains("no closed shapes"))
   }
 
   test("slot profile marks the modal class and flags heterogeneous slots") {
