@@ -1243,7 +1243,76 @@ object SparkEntry {
       DocKg.edges(s, d))),
     // hubs/authorities over the EXTRACTED host graph — completes the
     // link-analysis trio (PageRank / TrustRank / HITS) on the web side
-    "web_hits" -> ((s, d) => graft.graph.GraphOps.hits(hostEdges(s, d), iters = 2))
+    "web_hits" -> ((s, d) => graft.graph.GraphOps.hits(hostEdges(s, d), iters = 2)),
+    // SPARQL SELECT DISTINCT / ORDER BY / LIMIT: top-25 solutions under a
+    // total order (desc x, asc z) — planned as TakeOrderedAndProject, never
+    // a full sort of the solution set
+    "kg_bgp_orderlimit" -> ((s, d) => graft.ops.Bgp.matchSelect(bgpRel(s, d),
+      Seq(graft.ops.Bgp.Pat("?x", "pos", "?y"),
+        graft.ops.Bgp.Pat("?y", "neg", "?z")),
+      project = Seq("?x", "?z"), orderBy = Seq("-?x", "?z"), limit = 10)),
+    // SPARQL VALUES: inline bindings broadcast-joined into the BGP — the
+    // parameterized "run this pattern for THESE entities" shape
+    "kg_bgp_values" -> ((s, d) => graft.ops.Bgp.matchValues(
+      DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
+      Seq(graft.ops.Bgp.Pat("?c", "placed", "?ord"),
+        graft.ops.Bgp.Pat("?ord", "contains", "?pt")),
+      vars = Seq("?c"), rows = Seq(Seq("C1"), Seq("C4"), Seq("C7")))),
+    // SPARQL FILTER: a cross-variable inequality plus a regex guard —
+    // Catalyst pushes the single-variable regex below the join into the
+    // pattern's scan, the cross-variable predicate filters the join output
+    "kg_bgp_filter" -> ((s, d) => graft.ops.Bgp.matchWhere(
+      DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
+      Seq(graft.ops.Bgp.Pat("?pt", "supplied_by", "?sup"),
+        graft.ops.Bgp.Pat("?sup", "located_in", "?n")),
+      col("n") =!= "N3" && col("pt").rlike("^P1"))),
+    // SPARQL ASK: existence of any solution as a stable 0/1 — LocalLimit(1)
+    // under the count short-circuits the join chain after the first hit
+    "kg_ask" -> ((s, d) => graft.ops.Bgp.ask(
+      DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
+      Seq(graft.ops.Bgp.Pat("?c", "placed", "?ord"),
+        graft.ops.Bgp.Pat("?ord", "contains", "?pt")))),
+    // SPARQL inverse property path (^contains): the pattern reads
+    // part→order against the order→part relation — normalized to a swap,
+    // so the plan is the plain filtered-scan join chain
+    "kg_bgp_path_inverse" -> ((s, d) => graft.ops.Bgp.matchPatterns(
+      DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
+      Seq(graft.ops.Bgp.Pat("?pt", "^contains", "?ord"),
+        graft.ops.Bgp.Pat("?pt", "supplied_by", "?sup")))),
+    // SPARQL negated property set (!contains|supplied_by): any triple whose
+    // predicate is outside the set — a NOT IN pushed to the scan
+    "kg_bgp_negated" -> ((s, d) => graft.ops.Bgp.matchPatterns(
+      DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
+      Seq(graft.ops.Bgp.Pat("?x", "!contains|supplied_by", "?y")))),
+    // RDFS forward chaining (rdfs2 domain / rdfs3 range / rdfs9+11 subclass
+    // closure): materialized rdf:type facts — schema closed driver-side and
+    // broadcast, the instance relation scanned exactly once
+    "kg_rdfs_types" -> ((s, d) => graft.ops.Rdfs.inferTypes(
+      DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
+      subClass = Seq("CUSTOMER" -> "AGENT", "SUPPLIER" -> "AGENT",
+        "AGENT" -> "ENTITY", "ORDER" -> "ENTITY", "PART" -> "ARTIFACT",
+        "ARTIFACT" -> "ENTITY", "NATION" -> "PLACE", "PLACE" -> "ENTITY"),
+      domain = Seq("placed" -> "CUSTOMER", "contains" -> "ORDER",
+        "supplied_by" -> "PART", "located_in" -> "AGENT"),
+      range = Seq("placed" -> "ORDER", "contains" -> "PART",
+        "supplied_by" -> "SUPPLIER", "located_in" -> "NATION"))),
+    // owl:sameAs canonicalization: per-nation supplier CHAINS (consecutive
+    // ids asserted pairwise) must collapse transitively onto the min id and
+    // the whole KG rewrites onto canonical entities — components run on the
+    // assertion-sized sameAs relation, the KG is touched by two map joins
+    "kg_sameas_canonical" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val typed = DocKg.typedSupplyTriples(s, d)
+      val supn = typed
+        .filter(col("p") === "located_in" && col("s_type") === "SUPPLIER")
+        .select(col("s").as("sup"), col("o").as("nat"))
+      val sameAs = supn
+        .withColumn("nxt",
+          lead(col("sup"), 1).over(Window.partitionBy(col("nat")).orderBy(col("sup"))))
+        .filter(col("nxt").isNotNull)
+        .select(col("sup").as("a"), col("nxt").as("b"))
+      graft.graph.Rdf.sameAsCanonicalize(typed.select("s", "p", "o"), sameAs)
+    })
   )
 
   // ------------------------------------------------------------------ oracles
@@ -4160,6 +4229,63 @@ object SparkEntry {
                 |      a.auth AS auth
                 |      FROM pn LEFT JOIN hr$i h ON pn.id = h.source JOIN au$i a ON pn.id = a.id)""".stripMargin)
            .mkString(",\n")}
-         |SELECT id, hub, auth FROM s2""".stripMargin
+         |SELECT id, hub, auth FROM s2""".stripMargin,
+    "kg_bgp_orderlimit" ->
+      s"""WITH $triplesCte,
+         |$bgpCtes,
+         |olsol AS (SELECT DISTINCT bp1.x, bp2.z FROM bp1 JOIN bp2 ON bp1.y = bp2.y)
+         |SELECT x, z FROM olsol ORDER BY x DESC, z ASC LIMIT 10""".stripMargin,
+    "kg_bgp_values" ->
+      s"""WITH $supplyTriplesCte,
+         |vv(c) AS (VALUES ('C1'), ('C4'), ('C7')),
+         |vp1 AS (SELECT DISTINCT s AS c, o AS ord FROM sup_t WHERE p = 'placed'),
+         |vp2 AS (SELECT DISTINCT s AS ord, o AS pt FROM sup_t WHERE p = 'contains')
+         |SELECT vp1.c, vp1.ord, vp2.pt
+         |FROM vp1 JOIN vp2 ON vp1.ord = vp2.ord JOIN vv ON vp1.c = vv.c""".stripMargin,
+    "kg_bgp_filter" ->
+      s"""WITH $supplyTriplesCte,
+         |fp1 AS (SELECT DISTINCT s AS pt, o AS sup FROM sup_t WHERE p = 'supplied_by'),
+         |fp2 AS (SELECT DISTINCT s AS sup, o AS n FROM sup_t WHERE p = 'located_in')
+         |SELECT fp1.pt, fp1.sup, fp2.n FROM fp1 JOIN fp2 ON fp1.sup = fp2.sup
+         |WHERE fp2.n <> 'N3' AND regexp_matches(fp1.pt, '^P1')""".stripMargin,
+    "kg_ask" ->
+      s"""WITH $supplyTriplesCte
+         |SELECT CAST(EXISTS (
+         |  SELECT 1 FROM sup_t a JOIN sup_t b ON a.o = b.s
+         |  WHERE a.p = 'placed' AND b.p = 'contains') AS BIGINT) AS ask""".stripMargin,
+    "kg_bgp_path_inverse" ->
+      s"""WITH $supplyTriplesCte,
+         |ip1 AS (SELECT DISTINCT o AS pt, s AS ord FROM sup_t WHERE p = 'contains'),
+         |ip2 AS (SELECT DISTINCT s AS pt, o AS sup FROM sup_t WHERE p = 'supplied_by')
+         |SELECT ip1.ord, ip1.pt, ip2.sup FROM ip1 JOIN ip2 ON ip1.pt = ip2.pt""".stripMargin,
+    "kg_bgp_negated" ->
+      s"""WITH $supplyTriplesCte
+         |SELECT DISTINCT s AS x, o AS y FROM sup_t
+         |WHERE p NOT IN ('contains', 'supplied_by')""".stripMargin,
+    "kg_rdfs_types" ->
+      s"""WITH RECURSIVE $supplyTriplesCte,
+         |rsc(sub, sup) AS (VALUES ('CUSTOMER','AGENT'), ('SUPPLIER','AGENT'),
+         |  ('AGENT','ENTITY'), ('ORDER','ENTITY'), ('PART','ARTIFACT'),
+         |  ('ARTIFACT','ENTITY'), ('NATION','PLACE'), ('PLACE','ENTITY')),
+         |rcl(sub, sup) AS (SELECT sub, sup FROM rsc
+         |  UNION SELECT c.sub, s.sup FROM rcl c JOIN rsc s ON c.sup = s.sub),
+         |rdm(p, cls) AS (VALUES ('placed','CUSTOMER'), ('contains','ORDER'),
+         |  ('supplied_by','PART'), ('located_in','AGENT')),
+         |rrg(p, cls) AS (VALUES ('placed','ORDER'), ('contains','PART'),
+         |  ('supplied_by','SUPPLIER'), ('located_in','NATION')),
+         |rbase AS (SELECT t.s AS n, d.cls FROM sup_t t JOIN rdm d ON t.p = d.p
+         |  UNION SELECT t.o, r.cls FROM sup_t t JOIN rrg r ON t.p = r.p)
+         |SELECT DISTINCT n AS s, 'type' AS p, cls AS o FROM
+         |  (SELECT n, cls FROM rbase
+         |   UNION ALL SELECT b.n, c.sup FROM rbase b JOIN rcl c ON b.cls = c.sub)""".stripMargin,
+    "kg_sameas_canonical" ->
+      s"""WITH $supplyTriplesCte,
+         |san AS (SELECT s AS sup, o AS nat FROM sup_t
+         |        WHERE p = 'located_in' AND s_type = 'SUPPLIER'),
+         |sam AS (SELECT sup, min(sup) OVER (PARTITION BY nat) AS canon FROM san),
+         |smap AS (SELECT sup, canon FROM sam WHERE sup <> canon)
+         |SELECT DISTINCT coalesce(ms.canon, t.s) AS s, t.p, coalesce(mo.canon, t.o) AS o
+         |FROM sup_t t LEFT JOIN smap ms ON t.s = ms.sup
+         |             LEFT JOIN smap mo ON t.o = mo.sup""".stripMargin
   )
 }

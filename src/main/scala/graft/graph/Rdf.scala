@@ -44,4 +44,39 @@ object Rdf {
         concat(lit(s"<$base/node/"), iriEncode(col("target")), lit(">")).as("o"))
       .select(col("s"), col("p"), col("o"),
         concat_ws(" ", col("s"), col("p"), col("o"), lit(".")).as("line"))
+
+  /** owl:sameAs canonicalization — the final entity-resolution step of KG
+    * construction: given the triple relation and a set of sameAs assertions
+    * (from the linker, from explicit owl:sameAs statements, from external
+    * id mappings), rewrite every subject and object onto its canonical
+    * representative so each real-world entity appears exactly once in the
+    * KG. sameAs is symmetric and TRANSITIVE, so equivalence classes are the
+    * connected components of the sameAs graph — chains (a~b, b~c) must
+    * collapse even though (a, c) was never asserted. The canonical id is the
+    * lexicographically smallest member (the [[graft.ops.Dedup.clusters]]
+    * convention used across the engine). Engine extension; reference anchor:
+    * ARElight's synonym grouping (`arelight/synonyms.py`) collapses
+    * mentions BEFORE graph construction — this is the complementary
+    * post-hoc form for identities learned after triples exist.
+    *
+    * Plan shape: components run on the sameAs relation ONLY (assertion-
+    * count-sized, minuscule next to the KG); the 10^12-triple relation is
+    * then touched by exactly two joins against the (member → canonical)
+    * map — Catalyst broadcasts the map when it fits, and both joins are
+    * plain equi-joins on the rewrite key otherwise — plus one distinct,
+    * since rewriting can merge formerly-distinct triples. Output: the
+    * rewritten, deduplicated (s, p, o) relation. */
+  def sameAsCanonicalize(triples: DataFrame, sameAs: DataFrame): DataFrame = {
+    val canon = GraphOps.connectedComponents(
+        sameAs.select(col("a").as("source"), col("b").as("target")))
+      .filter(col("id") =!= col("cluster")) // identity rewrites are no-ops
+    triples
+      .join(canon.select(col("id").as("s"), col("cluster").as("s_canon")),
+        Seq("s"), "left")
+      .join(canon.select(col("id").as("o"), col("cluster").as("o_canon")),
+        Seq("o"), "left")
+      .select(coalesce(col("s_canon"), col("s")).as("s"), col("p"),
+        coalesce(col("o_canon"), col("o")).as("o"))
+      .distinct()
+  }
 }

@@ -24,7 +24,13 @@ object Bgp {
 
   /** One triple pattern. Each position is a variable (leading '?') or a
     * constant; a variable repeated WITHIN a pattern (e.g. `Pat("?x", "likes",
-    * "?x")`) constrains those positions equal. */
+    * "?x")`) constrains those positions equal. The predicate position
+    * additionally supports two SPARQL property-path forms:
+    *   - `"^pred"` — inverse path: `Pat(s, "^p", o)` matches exactly where
+    *     `Pat(o, "p", s)` does (subject/object roles swapped);
+    *   - `"!p1|p2|…"` — negated property set: matches any triple whose
+    *     predicate is NOT one of the listed ones (`!^…` inside a negated set
+    *     is not supported — split the query instead). */
   final case class Pat(s: String, p: String, o: String)
 
   private def isVar(t: String): Boolean = t.startsWith("?")
@@ -32,10 +38,21 @@ object Bgp {
   /** Bindings of one pattern against the relation: constants filtered,
     * variables projected (deduplicated — set semantics per pattern, so a
     * projection that drops distinguishing columns cannot carry
-    * multiplicities into the join). Returns (bindings, variable names). */
-  private def one(rel: DataFrame, p: Pat): (DataFrame, Seq[String]) = {
+    * multiplicities into the join). Inverse (`^p`) patterns are normalized
+    * by swapping the subject/object terms; a negated set (`!p1|p2`) becomes
+    * a NOT IN predicate on the scan (still pushdown-eligible). Returns
+    * (bindings, variable names). */
+  private def one(rel: DataFrame, pat: Pat): (DataFrame, Seq[String]) = {
+    val p = if (pat.p.startsWith("^")) Pat(pat.o, pat.p.drop(1), pat.s) else pat
+    require(!p.p.startsWith("^"), s"double inverse in pattern $pat")
     var df = rel
-    for ((c, t) <- Seq("s" -> p.s, "p" -> p.p, "o" -> p.o) if !isVar(t))
+    if (p.p.startsWith("!")) {
+      val banned = p.p.drop(1).split('|').toSeq
+      require(banned.forall(_.nonEmpty), s"empty predicate in negated set ${p.p}")
+      df = df.filter(!col("p").isin(banned: _*))
+    }
+    for ((c, t) <- Seq("s" -> p.s, "p" -> p.p, "o" -> p.o)
+         if !isVar(t) && !(c == "p" && t.startsWith("!")))
       df = df.filter(col(c) === t)
     val varCols = Seq("s" -> p.s, "p" -> p.p, "o" -> p.o).filter(x => isVar(x._2))
     require(varCols.nonEmpty, s"pattern $p binds no variable")
@@ -327,6 +344,85 @@ object Bgp {
     if (shared.isEmpty) base
     else base.join(neg, shared.toIndexedSeq, "left_anti")
   }
+
+  /** SPARQL `SELECT DISTINCT … ORDER BY … LIMIT k` over the solutions of a
+    * BGP — the solution-modifier stack. `project` lists the output variables
+    * ('?x' form); `orderBy` lists sort keys, each '?x' (ascending) or '-?x'
+    * (descending). Determinism at any partition count: the remaining
+    * projected variables are appended ascending as tiebreak, so the sort key
+    * is always a total order over the DISTINCT projection — a LIMIT under a
+    * partial order would be partition-timing-dependent, which is exactly the
+    * bug class the driver's hash gate exists to catch.
+    *
+    * Plan shape: the BGP chain feeds one hash aggregation (the DISTINCT),
+    * then Catalyst plans sort+limit as TakeOrderedAndProject — a per-
+    * partition top-k heap plus a k-row merge on the driver, never a full
+    * sort of the solution set. Engine extension, no reference counterpart. */
+  def matchSelect(rel: DataFrame, patterns: Seq[Pat], project: Seq[String],
+      orderBy: Seq[String], limit: Int): DataFrame = {
+    require(project.nonEmpty, "empty projection")
+    require(limit >= 1, s"limit must be >= 1, got $limit")
+    val sol = matchPatterns(rel, patterns)
+    val bound = sol.columns.toSet
+    def v(name: String): String = {
+      val n = name.stripPrefix("-")
+      require(n.startsWith("?") && bound.contains(n.drop(1)),
+        s"variable $name is not bound by the patterns")
+      n.drop(1)
+    }
+    val proj = project.map(v)
+    val keys = orderBy.map(o => if (o.startsWith("-")) col(v(o)).desc else col(v(o)).asc)
+    val tiebreak = proj.filterNot(orderBy.map(v).contains).map(col(_).asc)
+    sol.select(proj.map(col): _*).distinct()
+      .orderBy(keys ++ tiebreak: _*).limit(limit)
+  }
+
+  /** SPARQL `FILTER` over the solutions of a BGP: `cond` is any Column
+    * predicate over the bound variables (column names without the '?').
+    * Deliberately thin — the value is WHERE the filter runs: Catalyst pushes
+    * a predicate that references a single pattern's variables below the join
+    * into that pattern's scan, so `FILTER(?y != ?z)` filters the join output
+    * while `FILTER(regexp ?x …)` prunes before any join, for free. */
+  def matchWhere(rel: DataFrame, patterns: Seq[Pat], cond: org.apache.spark.sql.Column): DataFrame =
+    matchPatterns(rel, patterns).filter(cond)
+
+  /** SPARQL `VALUES`: inline solution bindings joined into the BGP — the
+    * parameterized-query primitive ("run the pattern for THESE fifty
+    * entities"). `vars` names the bound variables ('?x' form), `rows` the
+    * literal binding rows (no UNDEF — a partially-bound VALUES row is two
+    * VALUES clauses). The literal table enters the plan as a broadcast-sized
+    * local relation, so the join never shuffles the solution side on its
+    * account. */
+  def matchValues(rel: DataFrame, patterns: Seq[Pat], vars: Seq[String],
+      rows: Seq[Seq[String]]): DataFrame = {
+    require(vars.nonEmpty && rows.nonEmpty, "empty VALUES clause")
+    require(rows.forall(_.lengthCompare(vars.length) == 0),
+      "every VALUES row must bind every variable (no UNDEF)")
+    val sol = matchPatterns(rel, patterns)
+    val bound = sol.columns.toSet
+    val names = vars.map { x =>
+      require(x.startsWith("?") && bound.contains(x.drop(1)),
+        s"VALUES variable $x is not bound by the patterns")
+      x.drop(1)
+    }
+    val spark = rel.sparkSession
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(names.map(StructField(_, StringType, nullable = false)))
+    val values = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row(_: _*)), 1),
+      schema)
+    sol.join(broadcast(values), names.toIndexedSeq)
+  }
+
+  /** SPARQL `ASK`: does the BGP have at least one solution? Returns a single
+    * row `(ask: BIGINT 0|1)` — an integer rather than a boolean so the
+    * cross-engine hash gate compares a stable representation. Plan shape: a
+    * LocalLimit(1) sits UNDER the count, so every scan stops after its first
+    * surviving row and the join chain short-circuits — the cost of a hit is
+    * one row's worth of work, not the solution set's. */
+  def ask(rel: DataFrame, patterns: Seq[Pat]): DataFrame =
+    matchPatterns(rel, patterns).limit(1)
+      .agg(count(lit(1)).cast("long").as("ask"))
 
   /** Unbounded property path `(p1|p2|…)+` to the EXACT fixpoint: distinct
     * endpoint pairs (x, z) connected by a directed path of >= 1 edges whose

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** RDFS forward-chaining type inference over an (s, p, o) triple relation —
+  * the schema-entailment step a KG-construction pipeline runs right after
+  * triple extraction: materialize every `rdf:type` fact the RDFS rules
+  * derive (rdfs2 domain, rdfs3 range, rdfs9/rdfs11 subclass closure) so
+  * downstream queries never re-derive them. Engine extension; reference
+  * anchor: none (ARElight's graph carries node types syntactically in the
+  * node key, `arelight/backend_d3js.py` — it has no schema layer).
+  *
+  * Scale shape (the 100 TB story): the SCHEMA (subclass axioms, domain/range
+  * assignments) is kilobyte-sized even for encyclopedic KGs, so its
+  * transitive closure is computed DRIVER-SIDE once and enters the plan as
+  * broadcast literal relations. The INSTANCE side — the 10^12-triple scan —
+  * is touched exactly once: one pass derives the base types (explicit +
+  * domain + range, each a projection), and one broadcast join lifts them
+  * up the closed hierarchy. No iteration ever runs over instance data;
+  * the fixpoint lives entirely in the driver-side schema closure.
+  */
+object Rdfs {
+
+  /** Transitive closure of the subclass axioms, driver-side (the schema is
+    * axiom-count-sized, never data-sized). Input: direct (sub, sup) pairs.
+    * Output: every derived strict (sub, sup) pair, the direct ones included;
+    * reflexive pairs are NOT emitted (rdfs considers C ⊑ C trivially true —
+    * materializing it would only duplicate the base types). A cycle in the
+    * axioms (classes mutually subclassing) is an authoring bug and fails
+    * fast rather than silently equating the classes. */
+  def subClassClosure(direct: Seq[(String, String)]): Seq[(String, String)] = {
+    val adj = direct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def reach(c: String): Set[String] = {
+      var seen = Set.empty[String]
+      var frontier = adj.getOrElse(c, Set.empty)
+      while (frontier.nonEmpty) {
+        require(!frontier.contains(c), s"subclass cycle through $c")
+        seen ++= frontier
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+      }
+      seen
+    }
+    adj.keys.toSeq.sorted.flatMap(c => reach(c).toSeq.sorted.map(c -> _))
+  }
+
+  private def lit2(spark: SparkSession, rows: Seq[(String, String)],
+      c1: String, c2: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1),
+      StructType(Seq(StructField(c1, StringType, nullable = false),
+        StructField(c2, StringType, nullable = false))))
+
+  /** Materialized `rdf:type` facts entailed by the RDFS rules. Base facts:
+    * explicit `(x, typePred, C)` triples in `rel`; rdfs2 — `(x, p, y)` with
+    * `domain(p) = C` entails `(x, type, C)`; rdfs3 — the same with
+    * `range(p) = C` entails `(y, type, C)`. Then rdfs9 lifts every base fact
+    * along [[subClassClosure]] of `subClass`. Output: distinct
+    * `(s, 'type', o)` rows covering base AND inherited types.
+    *
+    * Plan: three projections of the one instance scan (the type/domain/range
+    * splits are disjoint predicate filters Catalyst pushes to the columnar
+    * source), a union, one broadcast join against the closed hierarchy, one
+    * distinct — a single shuffle on the output key. */
+  def inferTypes(rel: DataFrame, subClass: Seq[(String, String)],
+      domain: Seq[(String, String)], range: Seq[(String, String)],
+      typePred: String = "type"): DataFrame = {
+    val spark = rel.sparkSession
+    val explicit = rel.filter(col("p") === typePred).select(col("s"), col("o").as("cls"))
+    val dom = rel.join(broadcast(lit2(spark, domain, "p", "dcls")), "p")
+      .select(col("s"), col("dcls").as("cls"))
+    val rng = rel.join(broadcast(lit2(spark, range, "p", "rcls")), "p")
+      .select(col("o").as("s"), col("rcls").as("cls"))
+    val base = explicit.union(dom).union(rng)
+    val up = subClassClosure(subClass)
+    val lifted =
+      if (up.isEmpty) base
+      else base.union(
+        base.join(broadcast(lit2(spark, up, "cls", "sup")), "cls")
+          .select(col("s"), col("sup").as("cls")))
+    lifted.select(col("s"), lit(typePred).as("p"), col("cls").as("o")).distinct()
+  }
+}

@@ -44,4 +44,32 @@ class RdfSpec extends AnyFunSuite with SparkTestSession {
     assert(back == stmts.select("line").as[String].collect().toSet)
     assert(back.forall(_.endsWith(" .")))
   }
+
+  test("sameAsCanonicalize: chains collapse transitively onto the min id") {
+    val triples = Seq(
+      ("e3", "knows", "z"), ("z", "cites", "e2"), ("e1", "knows", "q"),
+      ("other", "knows", "z")).toDF("s", "p", "o")
+    // e1~e2, e2~e3: (e1,e3) never asserted but must still collapse
+    val sameAs = Seq(("e1", "e2"), ("e2", "e3")).toDF("a", "b")
+    val got = Rdf.sameAsCanonicalize(triples, sameAs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("e1", "knows", "z"), ("z", "cites", "e1"),
+      ("e1", "knows", "q"), ("other", "knows", "z")))
+  }
+
+  test("sameAsCanonicalize deduplicates triples merged by the rewrite") {
+    val triples = Seq(("a", "r", "x"), ("b", "r", "x")).toDF("s", "p", "o")
+    val sameAs = Seq(("a", "b")).toDF("a", "b")
+    val got = Rdf.sameAsCanonicalize(triples, sameAs).collect()
+    assert(got.length == 1)
+    assert((got.head.getString(0), got.head.getString(2)) == (("a", "x")))
+  }
+
+  test("sameAsCanonicalize: entities outside any assertion pass through untouched") {
+    val triples = Seq(("u", "r", "v")).toDF("s", "p", "o")
+    val sameAs = Seq(("p", "q")).toDF("a", "b")
+    val got = Rdf.sameAsCanonicalize(triples, sameAs).collect()
+    assert(got.length == 1 && got.head.getString(0) == "u" && got.head.getString(2) == "v")
+  }
 }

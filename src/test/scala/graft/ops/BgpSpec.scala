@@ -329,4 +329,78 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(ex.getMessage.contains("converge") || ex.getMessage.contains("diameter"))
   }
+
+  test("inverse path ^p matches exactly where the swapped pattern does") {
+    val inv = Bgp.matchPatterns(rel, Seq(Pat("?y", "^pos", "?x")))
+      .select("x", "y")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val fwd = Bgp.matchPatterns(rel, Seq(Pat("?x", "pos", "?y")))
+      .select("x", "y")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inv == fwd && fwd.nonEmpty)
+  }
+
+  test("inverse path chains with a forward pattern on the shared variable") {
+    // ?y has a pos edge INTO it (^pos) and a neg edge out of it
+    val got = Bgp.matchPatterns(rel,
+        Seq(Pat("?y", "^pos", "?x"), Pat("?y", "neg", "?z")))
+      .select("x", "y", "z")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("a", "b", "c"), ("a", "b", "d"), ("x", "b", "c"), ("x", "b", "d")))
+  }
+
+  test("negated property set !p1|p2 keeps only the other predicates") {
+    val got = Bgp.matchPatterns(rel, Seq(Pat("?x", "!pos|neg", "?y")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("c", "c"), ("d", "e"))) // only the likes edges survive
+  }
+
+  test("matchSelect: DISTINCT projection, total order, limit") {
+    val got = Bgp.matchSelect(rel,
+      Seq(Pat("?x", "pos", "?y"), Pat("?y", "neg", "?z")),
+      project = Seq("?x", "?z"), orderBy = Seq("-?x"), limit = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // solutions project to {(a,c),(a,d),(x,c),(x,d)}; x desc, tiebreak z asc
+    assert(got == Seq(("x", "c"), ("x", "d"), ("a", "c")))
+  }
+
+  test("matchSelect rejects an unbound order variable") {
+    val ex = intercept[IllegalArgumentException] {
+      Bgp.matchSelect(rel, Seq(Pat("?x", "pos", "?y")),
+        project = Seq("?x"), orderBy = Seq("?nope"), limit = 1)
+    }
+    assert(ex.getMessage.contains("not bound"))
+  }
+
+  test("matchWhere: cross-variable and single-variable predicates filter solutions") {
+    import org.apache.spark.sql.functions.col
+    val got = Bgp.matchWhere(rel,
+      Seq(Pat("?x", "pos", "?y"), Pat("?y", "neg", "?z")),
+      col("x") =!= "x" && col("z").rlike("^c"))
+      .select("x", "z").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "c")))
+  }
+
+  test("matchValues restricts solutions to the inline binding rows") {
+    val got = Bgp.matchValues(rel,
+      Seq(Pat("?x", "pos", "?y"), Pat("?y", "neg", "?z")),
+      vars = Seq("?x", "?z"), rows = Seq(Seq("a", "c"), Seq("x", "d"), Seq("q", "q")))
+      .select("x", "z").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "c"), ("x", "d"))) // (q,q) binds nothing
+  }
+
+  test("matchValues rejects a variable the patterns do not bind") {
+    val ex = intercept[IllegalArgumentException] {
+      Bgp.matchValues(rel, Seq(Pat("?x", "pos", "?y")),
+        vars = Seq("?zz"), rows = Seq(Seq("a")))
+    }
+    assert(ex.getMessage.contains("not bound"))
+  }
+
+  test("ask returns 1 for a satisfiable BGP and 0 for an unsatisfiable one") {
+    assert(Bgp.ask(rel, Seq(Pat("?x", "pos", "?y"), Pat("?y", "neg", "?z")))
+      .collect().head.getLong(0) == 1L)
+    assert(Bgp.ask(rel, Seq(Pat("?x", "nope", "?y")))
+      .collect().head.getLong(0) == 0L)
+  }
 }
