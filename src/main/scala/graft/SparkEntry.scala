@@ -118,6 +118,25 @@ object SparkEntry {
           lit("  </loc><lastmod>2026-01-01</lastmod></url>"))), ""),
       lit("</urlset>"))
 
+  // changelog cuts: 1998-01-01T00:00:00Z and 2000-01-01T00:00:00Z (orders
+  // span 1995..2001, so both cuts land mid-history)
+  private val AsOfT1 = 883612800L
+  private val AsOfT2 = 946684800L
+
+  /** Add/retract triple changelog derived from orders: every placement is an
+    * 'add' of (C → placed → O) at its order date; fulfilled orders ('F')
+    * retract 30 days later — the KG-versioning family's input. */
+  private def ordersChangelog(s: SparkSession, d: String): DataFrame = {
+    val o = s.read.parquet(s"$d/orders.parquet")
+    def row(src: DataFrame, ts: org.apache.spark.sql.Column, op: String) =
+      src.select(concat(lit("C"), col("o_custkey")).as("s"),
+        lit("placed").as("p"), concat(lit("O"), col("o_orderkey")).as("o"),
+        ts.as("ts"), lit(op).as("op"))
+    row(o, unix_timestamp(col("o_orderdate")), "add").union(
+      row(o.filter(col("o_orderstatus") === "F"),
+        unix_timestamp(col("o_orderdate")) + 30L * 86400L, "del"))
+  }
+
   /** The entity KG as an (s, p, o) relation with typed node keys — the BGP
     * query family's input. */
   private def bgpRel(s: SparkSession, d: String): DataFrame =
@@ -1312,7 +1331,30 @@ object SparkEntry {
         .filter(col("nxt").isNotNull)
         .select(col("sup").as("a"), col("nxt").as("b"))
       graft.graph.Rdf.sameAsCanonicalize(typed.select("s", "p", "o"), sameAs)
-    })
+    }),
+    // SPARQL GRAPH (named graphs / quads): the shared ?g scopes the chain to
+    // WITHIN-document solutions — the provenance query ("both assertions
+    // from the same source page"); g is one more join key, so a
+    // graph-bucketed layout co-locates the whole chain
+    "kg_quads_graph" -> ((s, d) => {
+      val quads = DocKg.triples(s, d).select(
+        col("doc_id").cast("string").as("g"),
+        concat(col("subj_type"), lit("."), col("subj")).as("s"),
+        col("pred").as("p"),
+        concat(col("obj_type"), lit("."), col("obj")).as("o"))
+      graft.ops.Bgp.matchQuads(quads, Seq(
+        graft.ops.Bgp.QPat("?g", "?x", "pos", "?y"),
+        graft.ops.Bgp.QPat("?g", "?y", "pos", "?z")))
+    }),
+    // KG versioning: point-in-time state from the add/retract changelog —
+    // one hash aggregation (max(struct(ts, op)) with map-side partials),
+    // never a per-key window sort over the history
+    "kg_asof_snapshot" -> ((s, d) =>
+      graft.ops.Changelog.asOfSnapshot(ordersChangelog(s, d), AsOfT1)),
+    // KG diffing: triples added/removed between two cuts, both winners from
+    // ONE pass over the log (conditional struct-max per cut)
+    "kg_asof_delta" -> ((s, d) =>
+      graft.ops.Changelog.asOfDelta(ordersChangelog(s, d), AsOfT1, AsOfT2))
   )
 
   // ------------------------------------------------------------------ oracles
@@ -1563,6 +1605,17 @@ object SparkEntry {
       |  SELECT DISTINCT 'S' || s_suppkey, 'SUPPLIER', 'located_in', 'N' || s_nationkey, 'NATION' FROM supplier
       |  UNION ALL
       |  SELECT DISTINCT 'C' || c_custkey, 'CUSTOMER', 'located_in', 'N' || c_nationkey, 'NATION' FROM customer)""".stripMargin
+
+  /** The orders-derived add/retract changelog (ordersChangelog mirror):
+    * placements 'add' at order date, fulfilled orders 'del' 30 days later. */
+  private val changelogCte =
+    """clog AS (
+      |  SELECT 'C' || o_custkey AS s, 'placed' AS p, 'O' || o_orderkey AS o,
+      |         CAST(epoch(o_orderdate) AS BIGINT) AS ts, 'add' AS op FROM orders
+      |  UNION ALL
+      |  SELECT 'C' || o_custkey, 'placed', 'O' || o_orderkey,
+      |         CAST(epoch(o_orderdate) AS BIGINT) + 2592000, 'del'
+      |  FROM orders WHERE o_orderstatus = 'F')""".stripMargin
 
   /** The BGP family's typed-key relation + the two single-pattern bindings
     * every kg_bgp_* oracle reuses. */
@@ -4286,6 +4339,34 @@ object SparkEntry {
          |smap AS (SELECT sup, canon FROM sam WHERE sup <> canon)
          |SELECT DISTINCT coalesce(ms.canon, t.s) AS s, t.p, coalesce(mo.canon, t.o) AS o
          |FROM sup_t t LEFT JOIN smap ms ON t.s = ms.sup
-         |             LEFT JOIN smap mo ON t.o = mo.sup""".stripMargin
+         |             LEFT JOIN smap mo ON t.o = mo.sup""".stripMargin,
+    "kg_quads_graph" ->
+      s"""WITH $triplesCte,
+         |qrel AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS g,
+         |               subj_type || '.' || subj AS s, pred AS p,
+         |               obj_type || '.' || obj AS o FROM triples),
+         |qp1 AS (SELECT DISTINCT g, s AS x, o AS y FROM qrel WHERE p = 'pos'),
+         |qp2 AS (SELECT DISTINCT g, s AS y, o AS z FROM qrel WHERE p = 'pos')
+         |SELECT qp1.g, qp1.x, qp1.y, qp2.z
+         |FROM qp1 JOIN qp2 ON qp1.g = qp2.g AND qp1.y = qp2.y""".stripMargin,
+    "kg_asof_snapshot" ->
+      s"""WITH $changelogCte,
+         |aw AS (SELECT s, p, o, op,
+         |        row_number() OVER (PARTITION BY s, p, o ORDER BY ts DESC, op DESC) AS rn
+         |       FROM clog WHERE ts <= $AsOfT1)
+         |SELECT s, p, o FROM aw WHERE rn = 1 AND op = 'add'""".stripMargin,
+    "kg_asof_delta" ->
+      s"""WITH $changelogCte,
+         |dw1 AS (SELECT s, p, o, op,
+         |         row_number() OVER (PARTITION BY s, p, o ORDER BY ts DESC, op DESC) AS rn
+         |        FROM clog WHERE ts <= $AsOfT1),
+         |dl1 AS (SELECT s, p, o FROM dw1 WHERE rn = 1 AND op = 'add'),
+         |dw2 AS (SELECT s, p, o, op,
+         |         row_number() OVER (PARTITION BY s, p, o ORDER BY ts DESC, op DESC) AS rn
+         |        FROM clog WHERE ts <= $AsOfT2),
+         |dl2 AS (SELECT s, p, o FROM dw2 WHERE rn = 1 AND op = 'add')
+         |SELECT s, p, o, 'added' AS change FROM (SELECT * FROM dl2 EXCEPT SELECT * FROM dl1)
+         |UNION ALL
+         |SELECT s, p, o, 'removed' FROM (SELECT * FROM dl1 EXCEPT SELECT * FROM dl2)""".stripMargin
   )
 }

@@ -45,17 +45,25 @@ object Bgp {
   private def one(rel: DataFrame, pat: Pat): (DataFrame, Seq[String]) = {
     val p = if (pat.p.startsWith("^")) Pat(pat.o, pat.p.drop(1), pat.s) else pat
     require(!p.p.startsWith("^"), s"double inverse in pattern $pat")
+    bindTerms(rel, Seq("s" -> p.s, "p" -> p.p, "o" -> p.o))
+  }
+
+  /** Generic pattern binder over an arbitrary (column → term) list — shared
+    * by the triple and quad forms. Constants filter their column (the
+    * predicate column additionally supports the `!p1|p2` negated set),
+    * variables project; a variable repeated across positions constrains
+    * them equal. */
+  private def bindTerms(rel: DataFrame, terms: Seq[(String, String)]): (DataFrame, Seq[String]) = {
     var df = rel
-    if (p.p.startsWith("!")) {
-      val banned = p.p.drop(1).split('|').toSeq
-      require(banned.forall(_.nonEmpty), s"empty predicate in negated set ${p.p}")
-      df = df.filter(!col("p").isin(banned: _*))
+    for ((c, t) <- terms if !isVar(t)) {
+      if (c == "p" && t.startsWith("!")) {
+        val banned = t.drop(1).split('|').toSeq
+        require(banned.forall(_.nonEmpty), s"empty predicate in negated set $t")
+        df = df.filter(!col("p").isin(banned: _*))
+      } else df = df.filter(col(c) === t)
     }
-    for ((c, t) <- Seq("s" -> p.s, "p" -> p.p, "o" -> p.o)
-         if !isVar(t) && !(c == "p" && t.startsWith("!")))
-      df = df.filter(col(c) === t)
-    val varCols = Seq("s" -> p.s, "p" -> p.p, "o" -> p.o).filter(x => isVar(x._2))
-    require(varCols.nonEmpty, s"pattern $p binds no variable")
+    val varCols = terms.filter(x => isVar(x._2))
+    require(varCols.nonEmpty, s"pattern $terms binds no variable")
     val byVar = varCols.groupBy(_._2)
     for ((_, occ) <- byVar if occ.length > 1; pair <- occ.map(_._1).sliding(2))
       df = df.filter(col(pair.head) === col(pair.last))
@@ -64,6 +72,23 @@ object Bgp {
       .distinct(),
       ordered.map(_._1.drop(1)))
   }
+
+  /** One quad pattern over a named-graph relation (g, s, p, o): the SPARQL
+    * `GRAPH ?g { … }` form. Every position is a variable or constant like
+    * [[Pat]]; the predicate supports the same `!p1|p2` negated set (inverse
+    * `^p` is a triple-form concept — swap s/o yourself in a quad). */
+  final case class QPat(g: String, s: String, p: String, o: String)
+
+  /** Conjunctive quad matching — [[matchPatterns]] lifted to named graphs.
+    * Sharing the graph variable across patterns scopes the join to
+    * WITHIN-graph solutions (the provenance query: "both assertions from
+    * the same source document"); binding distinct graph variables instead
+    * queries across graphs. Same left-deep filtered-scan join plan; the
+    * graph column is just one more join key, so a relation bucketed by
+    * graph id co-locates the whole chain. */
+  def matchQuads(rel: DataFrame, patterns: Seq[QPat]): DataFrame =
+    chain(patterns.map(q =>
+      bindTerms(rel, Seq("g" -> q.g, "s" -> q.s, "p" -> q.p, "o" -> q.o))))
 
   /** Bounded-repetition property path (SPARQL `(p1|p2){1,maxLen}`) over the
     * triple relation — the second SPARQL query primitive after conjunctive

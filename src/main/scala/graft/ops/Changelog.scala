@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-time views over an add/retract triple changelog — the KG
+  * VERSIONING layer: a continuously-maintained KG at web scale is a log of
+  * assertions and retractions (crawl N asserts a triple, crawl N+3 finds the
+  * page changed and retracts it), and consumers ask for the state AS OF a
+  * time, or the diff between two times. Engine extension; reference anchor:
+  * none (ARElight rebuilds its graph per run — no history model).
+  *
+  * Log schema: (s, p, o, ts: long, op: 'add' | 'del'). Semantics per triple
+  * key (s, p, o): the op with the LATEST ts at-or-before the cut wins; a tie
+  * at the same ts resolves to 'del' (retraction dominates — the conservative
+  * reading, and 'del' > 'add' lexicographically so the rule is one struct
+  * max, no special-casing).
+  *
+  * Scale shape: both views are ONE hash aggregation over the time-filtered
+  * log — max(struct(ts, op)) gets partial map-side aggregation, so the
+  * shuffle carries one row per live triple key, never the log's history
+  * depth. No window function (a per-key sort would shuffle the full log),
+  * no iteration. A log partitioned by ingest day prunes the scan to
+  * ts <= cut for free.
+  */
+object Changelog {
+
+  private def winner(log: DataFrame, cut: Long) =
+    max(when(col("ts") <= cut, struct(col("ts"), col("op"))))
+
+  /** The KG state at time `t`: every (s, p, o) whose winning log entry at
+    * the cut is an 'add'. */
+  def asOfSnapshot(log: DataFrame, t: Long): DataFrame =
+    log.groupBy(col("s"), col("p"), col("o"))
+      .agg(winner(log, t).as("w"))
+      .filter(col("w").isNotNull && col("w.op") === "add")
+      .select("s", "p", "o")
+
+  /** The diff between the `t1` and `t2` snapshots (t1 < t2), computed in the
+    * SAME single aggregation — each key's winning entry at both cuts comes
+    * from one pass over the log. Output: (s, p, o, change) with change =
+    * 'added' (live at t2, not at t1) or 'removed' (live at t1, not at t2);
+    * keys live at both or neither are absent. */
+  def asOfDelta(log: DataFrame, t1: Long, t2: Long): DataFrame = {
+    require(t1 < t2, s"asOfDelta needs t1 < t2, got $t1 >= $t2")
+    def live(w: String) = col(w).isNotNull && col(s"$w.op") === "add"
+    log.groupBy(col("s"), col("p"), col("o"))
+      .agg(winner(log, t1).as("w1"), winner(log, t2).as("w2"))
+      .withColumn("change",
+        when(live("w2") && !live("w1"), "added")
+          .when(live("w1") && !live("w2"), "removed"))
+      .filter(col("change").isNotNull)
+      .select("s", "p", "o", "change")
+  }
+}

@@ -397,6 +397,41 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     assert(ex.getMessage.contains("not bound"))
   }
 
+  private def quads = {
+    import spark.implicits._
+    Seq(
+      ("g1", "a", "pos", "b"), ("g1", "b", "neg", "c"),
+      ("g2", "a", "pos", "b"), ("g3", "b", "neg", "d")).toDF("g", "s", "p", "o")
+  }
+
+  test("matchQuads: a shared graph variable scopes the chain within-graph") {
+    import Bgp.QPat
+    val got = Bgp.matchQuads(quads,
+        Seq(QPat("?g", "?x", "pos", "?y"), QPat("?g", "?y", "neg", "?z")))
+      .select("g", "x", "y", "z")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    // only g1 has BOTH hops; g2's pos + g3's neg must NOT combine
+    assert(got == Set(("g1", "a", "b", "c")))
+  }
+
+  test("matchQuads: distinct graph variables query across graphs") {
+    import Bgp.QPat
+    val got = Bgp.matchQuads(quads,
+        Seq(QPat("?g1", "?x", "pos", "?y"), QPat("?g2", "?y", "neg", "?z")))
+      .select("g1", "g2", "z")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("g1", "g1", "c"), ("g1", "g3", "d"),
+      ("g2", "g1", "c"), ("g2", "g3", "d")))
+  }
+
+  test("matchQuads: constant graph pins the provenance") {
+    import Bgp.QPat
+    val got = Bgp.matchQuads(quads, Seq(QPat("g2", "?x", "pos", "?y")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b")))
+  }
+
   test("ask returns 1 for a satisfiable BGP and 0 for an unsatisfiable one") {
     assert(Bgp.ask(rel, Seq(Pat("?x", "pos", "?y"), Pat("?y", "neg", "?z")))
       .collect().head.getLong(0) == 1L)

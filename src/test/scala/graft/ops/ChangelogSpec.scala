@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** KG versioning: as-of snapshots and diffs over an add/retract changelog. */
+class ChangelogSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  // t1: (a) added@10. t2: (a) retracted@20, (b) added@20, (c) add+del tie@30
+  private def log = Seq(
+    ("a", "r", "x", 10L, "add"),
+    ("a", "r", "x", 20L, "del"),
+    ("b", "r", "y", 20L, "add"),
+    ("c", "r", "z", 30L, "add"),
+    ("c", "r", "z", 30L, "del"),
+    ("d", "r", "w", 99L, "add") // beyond every cut
+  ).toDF("s", "p", "o", "ts", "op")
+
+  private def snap(t: Long): Set[String] =
+    Changelog.asOfSnapshot(log, t).collect().map(_.getString(0)).toSet
+
+  test("asOfSnapshot: latest op at-or-before the cut wins") {
+    assert(snap(15L) == Set("a"))
+    assert(snap(20L) == Set("b")) // a retracted exactly at the cut
+    assert(snap(25L) == Set("b"))
+  }
+
+  test("asOfSnapshot: a same-ts add/del tie resolves to retraction") {
+    assert(snap(30L) == Set("b")) // c's tie at 30 -> del wins
+  }
+
+  test("asOfSnapshot: entries after the cut are invisible") {
+    assert(!snap(50L).contains("d"))
+    assert(snap(100L).contains("d"))
+  }
+
+  test("asOfDelta reports added and removed keys between the cuts") {
+    val got = Changelog.asOfDelta(log, 15L, 25L)
+      .collect().map(r => (r.getString(0), r.getString(3))).toSet
+    assert(got == Set(("a", "removed"), ("b", "added")))
+  }
+
+  test("asOfDelta: keys live at both cuts or neither are absent") {
+    val got = Changelog.asOfDelta(log, 12L, 14L).collect()
+    assert(got.isEmpty) // a is live at both, nothing else changed
+  }
+
+  test("asOfDelta rejects a non-increasing cut pair") {
+    val ex = intercept[IllegalArgumentException] {
+      Changelog.asOfDelta(log, 20L, 20L)
+    }
+    assert(ex.getMessage.contains("t1 < t2"))
+  }
+
+  test("snapshot equals replaying the log manually") {
+    val t = 25L
+    val want = log.collect()
+      .filter(_.getLong(3) <= t)
+      .groupBy(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .collect { case (k, rs)
+          if rs.maxBy(r => (r.getLong(3), r.getString(4))).getString(4) == "add" => k }
+      .toSet
+    val got = Changelog.asOfSnapshot(log, t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want)
+  }
+}
