@@ -1354,7 +1354,28 @@ object SparkEntry {
     // KG diffing: triples added/removed between two cuts, both winners from
     // ONE pass over the log (conditional struct-max per cut)
     "kg_asof_delta" -> ((s, d) =>
-      graft.ops.Changelog.asOfDelta(ordersChangelog(s, d), AsOfT1, AsOfT2))
+      graft.ops.Changelog.asOfDelta(ordersChangelog(s, d), AsOfT1, AsOfT2)),
+    // SPARQL sequence path of two inverse steps (^located_in/^supplied_by):
+    // nation -> its suppliers -> the parts they supply — predicate-filtered
+    // scans, one hash join per hop, per-hop distinct (the customer branch of
+    // ^located_in dies at the second hop: customers are never supplied_by
+    // objects)
+    "kg_path_nation_parts" -> ((s, d) => graft.ops.Bgp.seqPath(
+      DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
+      Seq("^located_in", "^supplied_by"))),
+    // OWL property-axiom materialization: base KG plus owl:inverseOf
+    // entailments (supplies / placed_by) — map-side projections + one
+    // distinct, the axiom set is schema-sized
+    "kg_owl_entailed" -> ((s, d) => graft.ops.Rdfs.materializeProperties(
+      DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
+      inverseOf = Seq("supplied_by" -> "supplies", "placed" -> "placed_by"))),
+    // SHACL property-pair shapes over the entity KG: sh:disjoint(pos, neg)
+    // is violated wherever a pair is asserted BOTH ways (the contradiction
+    // surface); sh:equals(pos, neu) holds on this corpus (empty contribution)
+    "kg_shape_pairs" -> ((s, d) => graft.ops.Shapes.propertyPairViolations(
+      bgpRel(s, d), Seq(
+        graft.ops.Shapes.PairShape("pos", "neg", "disjoint"),
+        graft.ops.Shapes.PairShape("pos", "neu", "equals"))))
   )
 
   // ------------------------------------------------------------------ oracles
@@ -4367,6 +4388,33 @@ object SparkEntry {
          |dl2 AS (SELECT s, p, o FROM dw2 WHERE rn = 1 AND op = 'add')
          |SELECT s, p, o, 'added' AS change FROM (SELECT * FROM dl2 EXCEPT SELECT * FROM dl1)
          |UNION ALL
-         |SELECT s, p, o, 'removed' FROM (SELECT * FROM dl1 EXCEPT SELECT * FROM dl2)""".stripMargin
+         |SELECT s, p, o, 'removed' FROM (SELECT * FROM dl1 EXCEPT SELECT * FROM dl2)""".stripMargin,
+    "kg_path_nation_parts" ->
+      s"""WITH $supplyTriplesCte,
+         |cs1 AS (SELECT DISTINCT o AS n, s AS w FROM sup_t WHERE p = 'located_in'),
+         |cs2 AS (SELECT DISTINCT o AS w, s AS pt FROM sup_t WHERE p = 'supplied_by')
+         |SELECT DISTINCT cs1.n AS x, cs2.pt AS z
+         |FROM cs1 JOIN cs2 ON cs1.w = cs2.w""".stripMargin,
+    "kg_owl_entailed" ->
+      s"""WITH $supplyTriplesCte
+         |SELECT DISTINCT s, p, o FROM (
+         |  SELECT s, p, o FROM sup_t
+         |  UNION ALL
+         |  SELECT o, 'supplies', s FROM sup_t WHERE p = 'supplied_by'
+         |  UNION ALL
+         |  SELECT o, 'placed_by', s FROM sup_t WHERE p = 'placed')""".stripMargin,
+    "kg_shape_pairs" ->
+      s"""WITH $triplesCte,
+         |prel AS (SELECT DISTINCT subj_type || '.' || subj AS s, pred AS p,
+         |               obj_type || '.' || obj AS o FROM triples),
+         |shp AS (SELECT DISTINCT s AS focus, o AS value FROM prel WHERE p = 'pos'),
+         |shn AS (SELECT DISTINCT s AS focus, o AS value FROM prel WHERE p = 'neg'),
+         |shu AS (SELECT DISTINCT s AS focus, o AS value FROM prel WHERE p = 'neu')
+         |SELECT focus, value, 'pos' AS p1, 'neg' AS p2, 'disjoint' AS kind
+         |FROM (SELECT * FROM shp INTERSECT SELECT * FROM shn)
+         |UNION ALL
+         |SELECT focus, value, 'pos', 'neu', 'equals'
+         |FROM ((SELECT * FROM shp EXCEPT SELECT * FROM shu)
+         |      UNION ALL (SELECT * FROM shu EXCEPT SELECT * FROM shp))""".stripMargin
   )
 }

@@ -124,6 +124,33 @@ object Bgp {
     perLen.reduce(_ unionByName _)
   }
 
+  /** SPARQL sequence property path (`step1/step2/…`): distinct endpoint
+    * pairs (x, z) connected by following each step IN ORDER, where a step is
+    * a predicate or its inverse (`"^pred"` traverses the edge backwards) —
+    * the composition query ("co-supplier parts": `supplied_by/^supplied_by`;
+    * "customer's supplier nations": `placed/contains/supplied_by/
+    * located_in`). Each step is a predicate-filtered scan (pushdown)
+    * deduplicated once; the composition is a fixed left-deep hash-join
+    * chain with a per-hop distinct so path multiplicity never multiplies
+    * rows — the [[boundedPath]] discipline applied to heterogeneous steps.
+    * Output: (x, z) distinct. */
+  def seqPath(rel: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "empty sequence path")
+    def stepRel(st: String): DataFrame = {
+      val invStep = st.startsWith("^")
+      val p = if (invStep) st.drop(1) else st
+      require(p.nonEmpty, s"empty step in sequence path $steps")
+      val base = rel.filter(col("p") === p)
+      (if (invStep) base.select(col("o").as("hs"), col("s").as("ho"))
+       else base.select(col("s").as("hs"), col("o").as("ho"))).distinct()
+    }
+    var acc = stepRel(steps.head).select(col("hs").as("x"), col("ho").as("z"))
+    for (st <- steps.tail)
+      acc = acc.join(stepRel(st), col("z") === col("hs"))
+        .select(col("x"), col("ho").as("z")).distinct()
+    acc
+  }
+
   /** AMIE-style chain-rule mining over the triple relation: score every
     * horn rule of shape `p1(x,y) ∧ p2(y,z) ⇒ p3(x,z)` by the standard KG
     * rule-mining metrics (Galárraga et al., AMIE) — the KG-COMPLETION step

@@ -81,4 +81,26 @@ object Rdfs {
           .select(col("s"), col("sup").as("cls")))
     lifted.select(col("s"), lit(typePred).as("p"), col("cls").as("o")).distinct()
   }
+
+  /** OWL property-axiom materialization: the base triples plus everything
+    * `owl:inverseOf` and `owl:SymmetricProperty` axioms entail —
+    * p(x,y) ⇒ q(y,x) for each (p, q) inverse pair (BOTH directions, as the
+    * OWL axiom is itself symmetric) and p(x,y) ⇒ p(y,x) for each symmetric
+    * property. Like [[inferTypes]], the axiom set is schema-sized: each
+    * axiom is one map-side projection of the predicate-filtered scan, the
+    * union is shuffle-free, and the single distinct is the only exchange.
+    * Transitive properties are deliberately NOT handled here — that is a
+    * closure, served by [[Bgp.reachability]] / [[Bgp.boundedPath]]. */
+  def materializeProperties(rel: DataFrame, inverseOf: Seq[(String, String)] = Nil,
+      symmetric: Seq[String] = Nil): DataFrame = {
+    val base = rel.select("s", "p", "o")
+    val inv = inverseOf.flatMap { case (p, q) =>
+      Seq(
+        base.filter(col("p") === p).select(col("o").as("s"), lit(q).as("p"), col("s").as("o")),
+        base.filter(col("p") === q).select(col("o").as("s"), lit(p).as("p"), col("s").as("o")))
+    }
+    val sym = symmetric.map(p =>
+      base.filter(col("p") === p).select(col("o").as("s"), col("p"), col("s").as("o")))
+    (base +: (inv ++ sym)).reduce(_ unionByName _).distinct()
+  }
 }

@@ -114,6 +114,42 @@ object Shapes {
         col("o").as("obj"), col("o_type").as("obj_type"))
   }
 
+  /** Property-pair shape (SHACL sh:equals / sh:disjoint): per focus node,
+    * the object sets of `p1` and `p2` must be equal, or must not overlap. */
+  final case class PairShape(p1: String, p2: String, kind: String) {
+    require(kind == "equals" || kind == "disjoint", s"unknown pair-shape kind $kind")
+  }
+
+  /** Property-pair violations. For a `disjoint` shape, one row per (focus,
+    * value) asserted under BOTH predicates (an inner join of the two object
+    * sets); for an `equals` shape, one row per (focus, value) asserted under
+    * exactly ONE (the symmetric difference, via a full outer join). Works on
+    * a plain (s, p, o) relation — no type columns needed. Output
+    * `(focus, value, p1, p2, kind)`.
+    *
+    * Plan shape: each shape touches two predicate-filtered scans (pushdown)
+    * deduplicated per (s, o), joined on the (focus, value) key — violation-
+    * set-sized output; the shape list is caller-literal, so the union over
+    * shapes is a fixed-width plan, not data-dependent. */
+  def propertyPairViolations(rel: DataFrame, shapes: Seq[PairShape]): DataFrame = {
+    require(shapes.nonEmpty, "no property-pair shapes")
+    val t = rel.select("s", "p", "o").distinct()
+    def objects(p: String) =
+      t.filter(col("p") === p).select(col("s").as("focus"), col("o").as("value"))
+    shapes.map { sh =>
+      val (a, b) = (objects(sh.p1), objects(sh.p2))
+      val joined = sh.kind match {
+        case "disjoint" => a.join(b, Seq("focus", "value"))
+        case "equals" =>
+          a.withColumn("in1", lit(1))
+            .join(b.withColumn("in2", lit(1)), Seq("focus", "value"), "full_outer")
+            .filter(col("in1").isNull || col("in2").isNull)
+      }
+      joined.select(col("focus"), col("value"),
+        lit(sh.p1).as("p1"), lit(sh.p2).as("p2"), lit(sh.kind).as("kind"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Domain/range heterogeneity profile: for every (predicate, slot, class)
     * observed over the distinct triple set, the occurrence count, the slot's
     * MODAL class (count-desc, class-asc tie-break — deterministic in any

@@ -438,4 +438,29 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     assert(Bgp.ask(rel, Seq(Pat("?x", "nope", "?y")))
       .collect().head.getLong(0) == 0L)
   }
+
+  test("seqPath composes forward and inverse steps in order") {
+    import spark.implicits._
+    val g = Seq(
+      ("p1", "by", "s1"), ("p2", "by", "s1"), ("p3", "by", "s2"),
+      ("s1", "in", "n1")).toDF("s", "p", "o")
+    // co-supplier pairs: by/^by
+    val co = Bgp.seqPath(g, Seq("by", "^by"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(co == Set(("p1", "p1"), ("p1", "p2"), ("p2", "p1"), ("p2", "p2"),
+      ("p3", "p3")))
+    // part -> supplier -> nation: by/in
+    val pn = Bgp.seqPath(g, Seq("by", "in"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pn == Set(("p1", "n1"), ("p2", "n1")))
+  }
+
+  test("seqPath deduplicates multi-witness endpoint pairs per hop") {
+    import spark.implicits._
+    val g = Seq(
+      ("a", "r", "m1"), ("a", "r", "m2"),
+      ("m1", "t", "z"), ("m2", "t", "z")).toDF("s", "p", "o")
+    val got = Bgp.seqPath(g, Seq("r", "t")).collect()
+    assert(got.length == 1) // (a, z) once, despite two paths
+  }
 }

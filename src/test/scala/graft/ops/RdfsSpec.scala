@@ -56,4 +56,35 @@ class RdfsSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getString(0), r.getString(2))).toSet
     assert(got == Set(("n1", "Node"), ("n2", "Node")))
   }
+
+  private def propRel = Seq(
+    ("p1", "supplied_by", "s1"),
+    ("s9", "supplies", "p9"),
+    ("a", "near", "b"),
+    ("x", "other", "y")).toDF("s", "p", "o")
+
+  test("materializeProperties: inverseOf entails BOTH directions") {
+    val got = Rdfs.materializeProperties(propRel,
+        inverseOf = Seq("supplied_by" -> "supplies"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("p1", "supplied_by", "s1"), ("s1", "supplies", "p1"),
+      ("s9", "supplies", "p9"), ("p9", "supplied_by", "s9"),
+      ("a", "near", "b"), ("x", "other", "y")))
+  }
+
+  test("materializeProperties: symmetric property mirrors its edges") {
+    val got = Rdfs.materializeProperties(propRel, symmetric = Seq("near"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got.contains(("b", "near", "a")) && got.contains(("a", "near", "b")))
+    assert(!got.contains(("y", "other", "x")))
+  }
+
+  test("materializeProperties is idempotent (set semantics)") {
+    val once = Rdfs.materializeProperties(propRel,
+      inverseOf = Seq("supplied_by" -> "supplies"), symmetric = Seq("near"))
+    val twice = Rdfs.materializeProperties(once,
+      inverseOf = Seq("supplied_by" -> "supplies"), symmetric = Seq("near"))
+    assert(once.count() == twice.count())
+  }
 }

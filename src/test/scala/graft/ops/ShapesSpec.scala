@@ -98,4 +98,44 @@ class ShapesSpec extends AnyFunSuite with SparkTestSession {
       .map(_.getAs[String]("modal_type")).toSet
     assert(modal == Set("A_TYPE")) // count 1 == 1, asc class wins
   }
+
+  private def pairRel = {
+    import spark.implicits._
+    Seq(
+      ("f1", "likes", "x"), ("f1", "hates", "x"),   // disjoint violation
+      ("f1", "likes", "y"),                          // equals violation (likes only)
+      ("f2", "hates", "z"),                          // no likes at all
+      ("f2", "mirrors", "z"), ("f2", "hates2", "z")  // unshaped predicates
+    ).toDF("s", "p", "o")
+  }
+
+  test("propertyPairViolations: disjoint flags values asserted under both predicates") {
+    val got = Shapes.propertyPairViolations(pairRel,
+        Seq(Shapes.PairShape("likes", "hates", "disjoint")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("f1", "x")))
+  }
+
+  test("propertyPairViolations: equals flags the symmetric difference per focus") {
+    val got = Shapes.propertyPairViolations(pairRel,
+        Seq(Shapes.PairShape("likes", "hates", "equals")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // f1: likes {x,y} vs hates {x} -> y one-sided; f2: hates {z} one-sided
+    assert(got == Set(("f1", "y"), ("f2", "z")))
+  }
+
+  test("propertyPairViolations: several shapes union with their kind labels") {
+    val got = Shapes.propertyPairViolations(pairRel, Seq(
+        Shapes.PairShape("likes", "hates", "disjoint"),
+        Shapes.PairShape("mirrors", "hates2", "equals")))
+      .collect().map(r => (r.getString(0), r.getString(4))).toSet
+    assert(got == Set(("f1", "disjoint"))) // mirrors == hates2 on f2: no equals rows
+  }
+
+  test("PairShape rejects an unknown kind") {
+    val ex = intercept[IllegalArgumentException] {
+      Shapes.PairShape("a", "b", "overlaps")
+    }
+    assert(ex.getMessage.contains("unknown"))
+  }
 }
