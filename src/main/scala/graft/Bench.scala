@@ -154,6 +154,10 @@ object Bench {
       "kg_bgp_optional", "kg_bgp_not_exists", "kg_bgp_union", "kg_bgp_minus",
       "kg_bgp_construct", "kg_reachability",
       "kg_shape_cardinality", "kg_shape_range", "kg_schema_domains",
+      "kg_bgp_orderlimit", "kg_bgp_values", "kg_bgp_filter", "kg_ask",
+      "kg_bgp_path_inverse", "kg_bgp_negated", "kg_rdfs_types",
+      "kg_sameas_canonical", "kg_quads_graph", "kg_asof_snapshot",
+      "kg_asof_delta", "kg_path_nation_parts", "kg_owl_entailed", "kg_shape_pairs",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
     val spark = SparkSession.builder()

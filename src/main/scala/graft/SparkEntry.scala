@@ -1375,7 +1375,30 @@ object SparkEntry {
     "kg_shape_pairs" -> ((s, d) => graft.ops.Shapes.propertyPairViolations(
       bgpRel(s, d), Seq(
         graft.ops.Shapes.PairShape("pos", "neg", "disjoint"),
-        graft.ops.Shapes.PairShape("pos", "neu", "equals"))))
+        graft.ops.Shapes.PairShape("pos", "neu", "equals")))),
+    // ER blocking-quality eval: the LSH band blocker scored against exact
+    // all-pairs Jaccard truth on a deterministic md5 quarter-sample (blocking
+    // eval is always sample-bounded — the n² lives in the labeled sample,
+    // never the corpus); pair completeness + reduction ratio in permille
+    "er_blocking_quality" -> ((s, d) => {
+      val dd = docs(s, d)
+      val bucket = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % 4
+      val sample = dd.filter(bucket === 0)
+      val ids = sample.select(col("doc_id"))
+      val pairsAll = ids.as("pa").join(ids.as("pb"), col("pa.doc_id") < col("pb.doc_id"))
+        .select(col("pa.doc_id").as("a_id"), col("pb.doc_id").as("b_id"))
+      val truth = Dedup.jaccardVerify(sample, col("text"), col("doc_id"),
+          pairsAll, shingleW = 2)
+        .filter(col("jaccard") >= 0.5).select("a_id", "b_id")
+      val cand = Dedup.minhashCandidates(
+          Dedup.minhashSignatures(dd, col("text"), col("doc_id"),
+            bands = 4, shingleW = 2, rowsPerBand = 2))
+        .join(ids.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .join(ids.withColumnRenamed("doc_id", "b_id"), "b_id")
+      Dedup.blockingQuality(cand, truth, ids)
+    })
   )
 
   // ------------------------------------------------------------------ oracles
@@ -4415,6 +4438,26 @@ object SparkEntry {
          |UNION ALL
          |SELECT focus, value, 'pos', 'neu', 'equals'
          |FROM ((SELECT * FROM shp EXCEPT SELECT * FROM shu)
-         |      UNION ALL (SELECT * FROM shu EXCEPT SELECT * FROM shp))""".stripMargin
+         |      UNION ALL (SELECT * FROM shu EXCEPT SELECT * FROM shp))""".stripMargin,
+    "er_blocking_quality" ->
+      s"""WITH $minhashPairsCte,
+         |bsam AS (SELECT doc_id FROM documents
+         |         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+         |bsets AS (SELECT t.doc_id, list_distinct(list_transform(range(0, len(terms) - 1), i -> terms[i+1] || ' ' || terms[i+2])) AS sh
+         |          FROM toks t JOIN bsam USING (doc_id)),
+         |btruth AS (SELECT least(a.doc_id, b.doc_id) AS a_id, greatest(a.doc_id, b.doc_id) AS b_id
+         |           FROM bsets a JOIN bsets b ON a.doc_id < b.doc_id
+         |           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.5),
+         |bcand AS (SELECT DISTINCT least(a_id, b_id) AS a_id, greatest(a_id, b_id) AS b_id FROM cand
+         |          WHERE a_id IN (SELECT doc_id FROM bsam) AND b_id IN (SELECT doc_id FROM bsam)),
+         |btr AS (SELECT DISTINCT a_id, b_id FROM btruth),
+         |bn AS (SELECT count(*)::BIGINT AS n_records FROM bsam),
+         |bnc AS (SELECT count(*)::BIGINT AS n_candidates FROM bcand),
+         |bnt AS (SELECT count(*)::BIGINT AS n_truth FROM btr),
+         |bh AS (SELECT count(*)::BIGINT AS true_in_candidates FROM bcand JOIN btr USING (a_id, b_id))
+         |SELECT n_records, n_candidates, n_truth, true_in_candidates,
+         |  CASE WHEN n_truth > 0 THEN (1000 * true_in_candidates) // n_truth END AS pair_completeness_permille,
+         |  CASE WHEN n_records > 1 THEN 1000 - ((1000 * n_candidates) // ((n_records * (n_records - 1)) // 2)) END AS reduction_ratio_permille
+         |FROM bn, bnc, bnt, bh""".stripMargin
   )
 }

@@ -621,4 +621,41 @@ object Dedup {
       .select(col("a_id"), col("b_id"), (col("rn2") - col("rn")).as("gap"),
         col("a_key"), col("b_key"))
   }
+
+  /** Blocking-quality metrics — the standard entity-resolution evaluation of
+    * a candidate generator (LSH bands, sorted neighborhood, …) against a
+    * labeled truth set: pair completeness (recall of true pairs into the
+    * candidate set), reduction ratio (fraction of the n·(n−1)/2 comparison
+    * space the blocker prunes), and the raw counts, in exact integer
+    * permille. Blocking eval always runs on a BOUNDED labeled sample — the
+    * truth set is n²-shaped by nature, so `universe` is the sample's id
+    * relation, never the corpus. Output: one row (n_records, n_candidates,
+    * n_truth, true_in_candidates, pair_completeness_permille,
+    * reduction_ratio_permille).
+    *
+    * Plan shape: both pair sets normalize to (least, greatest) and
+    * deduplicate; the intersection is one equi-join; the three counts are
+    * single-row aggregates cross-joined (1-row broadcast each). Nothing
+    * scales past the sample. */
+  def blockingQuality(candidates: DataFrame, truth: DataFrame,
+      universe: DataFrame): DataFrame = {
+    def norm(pairs: DataFrame): DataFrame =
+      pairs.select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id")).distinct()
+    val c = norm(candidates)
+    val t = norm(truth)
+    val nC = c.agg(count(lit(1)).as("n_candidates"))
+    val nT = t.agg(count(lit(1)).as("n_truth"))
+    val nHit = c.join(t, Seq("a_id", "b_id"))
+      .agg(count(lit(1)).as("true_in_candidates"))
+    val nU = universe.agg(count(lit(1)).as("n_records"))
+    nU.crossJoin(nC).crossJoin(nT).crossJoin(nHit)
+      .select(col("n_records"), col("n_candidates"), col("n_truth"),
+        col("true_in_candidates"),
+        when(col("n_truth") > 0,
+          expr("(1000 * true_in_candidates) div n_truth")).as("pair_completeness_permille"),
+        when(col("n_records") > 1, lit(1000L) -
+          expr("(1000 * n_candidates) div (n_records * (n_records - 1) div 2)"))
+          .as("reduction_ratio_permille"))
+  }
 }

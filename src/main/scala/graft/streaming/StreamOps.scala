@@ -36,6 +36,16 @@ final case class DriftEvent(source: String, target: String, ts_epoch: Long,
 final case class DriftState(counts: Map[String, Long], lastTs: Long,
     lastLabel: String, drifted: Boolean)
 
+/** A triple's liveness CHANGING ([[StreamOps.changelogStream]] output): the
+  * key became live (latest op 'add') or dead (latest op 'del') as of ts.
+  * Top-level for the same Janino reason as UserSession. */
+final case class LiveChange(s: String, p: String, o: String, live: Boolean,
+    ts_epoch: Long)
+
+/** Per-triple changelog state — the winning (ts, op) so far; constant size,
+  * no event buffer. */
+final case class LiveState(ts: Long, op: String)
+
 object StreamOps {
 
   /** Streaming KG: pages stream -> triples stream. Stateless row-local maps;
@@ -451,6 +461,44 @@ object StreamOps {
         }
         state.update(s)
         out.iterator
+      }
+  }
+
+  /** Streaming KG versioning — the continuous form of
+    * [[graft.ops.Changelog.asOfSnapshot]]: an add/retract triple stream
+    * (s, p, o, ts_epoch, op) maintains each key's winning (latest-ts,
+    * del-wins-ties) entry in keyed state and emits a [[LiveChange]] row
+    * exactly when a key's LIVENESS flips (first add → live; a newer del →
+    * dead; a newer add after a del → live again). Late or duplicate entries
+    * older than the state's winner are absorbed silently — the same
+    * semantics the batch operator derives with its struct-max, so a
+    * stream-maintained mirror and a batch recompute agree row-for-row.
+    * State is one (ts, op) per live-or-ever-seen key — constant per key, no
+    * event buffer; exactly-once with a checkpointed sink. */
+  def changelogStream(log: DataFrame)(
+      implicit spark: SparkSession): Dataset[LiveChange] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = log.select(col("s").cast("string"), col("p").cast("string"),
+        col("o").cast("string"), col("ts").cast("long"), col("op").cast("string"))
+      .as[(String, String, String, Long, String)]
+    typed.groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroupsWithState[LiveState, LiveChange](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { case ((s, p, o), rows, state) =>
+        val cur = state.getOption.orNull
+        // the batch contributes ONE winner (its struct-max): intermediate
+        // same-batch churn is invisible between micro-batches, exactly as a
+        // batch recompute over the same log would see it
+        val (ts, op) = rows.map(r => (r._4, r._5)).max
+        val newer = cur == null || ts > cur.ts || (ts == cur.ts && op > cur.op)
+        if (!newer) Iterator.empty
+        else {
+          state.update(LiveState(ts, op))
+          val wasLive = cur != null && cur.op == "add"
+          val isLive = op == "add"
+          if (isLive != wasLive) Iterator.single(LiveChange(s, p, o, isLive, ts))
+          else Iterator.empty
+        }
       }
   }
 

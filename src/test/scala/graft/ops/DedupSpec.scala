@@ -354,4 +354,28 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(a == b)
   }
+
+  test("blockingQuality: hand-derived PC and RR on a 5-record universe") {
+    import spark.implicits._
+    // universe of 5 -> 10 possible pairs; truth {1-2, 3-4}; candidates
+    // {2-1 (reversed dup), 1-3} -> 2 distinct candidates, 1 true hit
+    val universe = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val cand = Seq((2L, 1L), (1L, 2L), (1L, 3L)).toDF("a_id", "b_id")
+    val r = Dedup.blockingQuality(cand, truth, universe).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 1L)          // only 1-2 is a true candidate
+    assert(r.getLong(4) == 500L)        // PC = 1/2
+    assert(r.getLong(5) == 800L)        // RR = 1 - 2/10
+  }
+
+  test("blockingQuality: empty truth yields null completeness, not a crash") {
+    import spark.implicits._
+    val r = Dedup.blockingQuality(
+      Seq((1L, 2L)).toDF("a_id", "b_id"),
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"),
+      Seq(1L, 2L, 3L).toDF("doc_id")).collect().head
+    assert(r.getLong(2) == 0L && r.isNullAt(4))
+    assert(r.getLong(5) == 1000L - 333L)
+  }
 }

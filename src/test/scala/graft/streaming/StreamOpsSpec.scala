@@ -510,4 +510,50 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     val batch = graft.kg.KgPipeline.triplesFused(orig.toDS(), cfg, graft.kg.LexiconScorer()).count()
     assert(streamed == batch && batch > 0)
   }
+
+  test("changelogStream: liveness flips emit once; stale entries are absorbed") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, Long, String)]
+    val q = StreamOps.changelogStream(
+      mem.toDF().toDF("s", "p", "o", "ts", "op"))(spark)
+      .writeStream.format("memory").queryName("live_stream").outputMode("append").start()
+    // batch 1: add a (live), lone del for b (no flip: never live)
+    mem.addData(Seq(("a", "r", "x", 10L, "add"), ("b", "r", "y", 10L, "del")))
+    q.processAllAvailable()
+    // batch 2: retract a; duplicate/late add@5 for a must be absorbed
+    mem.addData(Seq(("a", "r", "x", 20L, "del"), ("a", "r", "x", 5L, "add")))
+    q.processAllAvailable()
+    // batch 3: re-add a (live again); same-ts add/del tie for c -> del wins, no flip
+    mem.addData(Seq(("a", "r", "x", 30L, "add"),
+      ("c", "r", "z", 30L, "add"), ("c", "r", "z", 30L, "del")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("live_stream").collect()
+      .map(r => (r.getString(0), r.getBoolean(3), r.getLong(4))).toSeq
+    assert(got == Seq(("a", true, 10L), ("a", false, 20L), ("a", true, 30L)))
+  }
+
+  test("changelogStream mirror agrees with the batch asOfSnapshot replay") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val entries = Seq(
+      ("e1", "r", "v", 1L, "add"), ("e1", "r", "v", 4L, "del"),
+      ("e2", "r", "v", 2L, "add"), ("e3", "r", "v", 3L, "del"),
+      ("e4", "r", "v", 2L, "add"), ("e4", "r", "v", 5L, "add"))
+    val mem = MemoryStream[(String, String, String, Long, String)]
+    val q = StreamOps.changelogStream(
+      mem.toDF().toDF("s", "p", "o", "ts", "op"))(spark)
+      .writeStream.format("memory").queryName("live_mirror").outputMode("append").start()
+    entries.grouped(2).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    // replay the final liveness from the emitted flips (last flip per key wins)
+    val live = spark.table("live_mirror").collect()
+      .map(r => (r.getString(0), r.getBoolean(3), r.getLong(4)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._3)._2 }
+      .collect { case (k, isLive) if isLive => k }.toSet
+    val batch = graft.ops.Changelog.asOfSnapshot(
+        entries.toDF("s", "p", "o", "ts", "op"), 99L)
+      .collect().map(_.getString(0)).toSet
+    assert(live == batch && batch == Set("e2", "e4"))
+  }
 }
