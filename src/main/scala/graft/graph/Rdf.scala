@@ -65,10 +65,47 @@ object Rdf {
     * map — Catalyst broadcasts the map when it fits, and both joins are
     * plain equi-joins on the rewrite key otherwise — plus one distinct,
     * since rewriting can merge formerly-distinct triples. Output: the
-    * rewritten, deduplicated (s, p, o) relation. */
-  def sameAsCanonicalize(triples: DataFrame, sameAs: DataFrame): DataFrame = {
-    val canon = GraphOps.connectedComponents(
-        sameAs.select(col("a").as("source"), col("b").as("target")))
+    * rewritten, deduplicated (s, p, o) relation.
+    *
+    * Hybrid component finding: up to `driverMaxEdges` distinct assertions
+    * the equivalence classes are solved with a driver-side union-find (one
+    * collect of the assertion-sized relation; at seconds-per-job fixed cost,
+    * the distributed propagate-loop's 4-6 rounds are pure overhead for a
+    * map that is about to be broadcast anyway), with bit-identical min-id
+    * labels to the distributed [[graft.ops.Dedup.clusters]] path used above
+    * the threshold. */
+  def sameAsCanonicalize(triples: DataFrame, sameAs: DataFrame,
+      driverMaxEdges: Long = 1000000L): DataFrame = {
+    val spark = triples.sparkSession
+    val edges = sameAs.select(col("a").cast("string").as("a"),
+      col("b").cast("string").as("b")).distinct()
+    val nEdges = edges.count()
+    val labels: DataFrame =
+      if (nEdges <= driverMaxEdges) {
+        val parent = scala.collection.mutable.HashMap.empty[String, String]
+        def find(x: String): String = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+          r
+        }
+        edges.collect().foreach { row =>
+          val (ra, rb) = (find(row.getString(0)), find(row.getString(1)))
+          if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+        }
+        val members = parent.keys.toSeq
+        val byRoot = members.groupBy(find)
+        val rows = byRoot.toSeq.flatMap { case (root, ms) =>
+          val all = (ms :+ root).distinct
+          val rep = all.min
+          all.map(m => (m, rep))
+        }
+        import spark.implicits._
+        rows.toDF("id", "cluster")
+      } else GraphOps.connectedComponents(
+        edges.select(col("a").as("source"), col("b").as("target")))
+    val canon = labels
       .filter(col("id") =!= col("cluster")) // identity rewrites are no-ops
     triples
       .join(canon.select(col("id").as("s"), col("cluster").as("s_canon")),

@@ -72,4 +72,19 @@ class RdfSpec extends AnyFunSuite with SparkTestSession {
     val got = Rdf.sameAsCanonicalize(triples, sameAs).collect()
     assert(got.length == 1 && got.head.getString(0) == "u" && got.head.getString(2) == "v")
   }
+
+  test("sameAsCanonicalize: driver union-find and distributed components agree bit-for-bit") {
+    // chains, a star, an isolated pair, reversed/duplicate assertions
+    val sameAs = Seq(("e1", "e2"), ("e2", "e3"), ("e3", "e4"), ("z1", "z2"),
+      ("h", "h1"), ("h", "h2"), ("h", "h3"), ("e2", "e1"), ("e1", "e2"))
+      .toDF("a", "b")
+    val triples = Seq(("e4", "r", "h3"), ("z2", "r", "e1"), ("q", "r", "q2"))
+      .toDF("s", "p", "o")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val viaDriver = rows(Rdf.sameAsCanonicalize(triples, sameAs))
+    val viaCluster = rows(Rdf.sameAsCanonicalize(triples, sameAs, driverMaxEdges = 0L))
+    assert(viaDriver == viaCluster)
+    assert(viaDriver == Set(("e1", "r", "h"), ("z1", "r", "e1"), ("q", "r", "q2")))
+  }
 }
