@@ -1398,7 +1398,12 @@ object SparkEntry {
         .join(ids.withColumnRenamed("doc_id", "a_id"), "a_id")
         .join(ids.withColumnRenamed("doc_id", "b_id"), "b_id")
       Dedup.blockingQuality(cand, truth, ids)
-    })
+    }),
+    // SPARQL DESCRIBE: the depth-1 dossier of three entities — two
+    // IN-filtered scans (pushdown) + one distinct, output tagged by slot
+    "kg_describe" -> ((s, d) => graft.ops.Bgp.describe(
+      DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
+      Seq("C1", "S1", "N3")))
   )
 
   // ------------------------------------------------------------------ oracles
@@ -4458,6 +4463,13 @@ object SparkEntry {
          |SELECT n_records, n_candidates, n_truth, true_in_candidates,
          |  CASE WHEN n_truth > 0 THEN (1000 * true_in_candidates) // n_truth END AS pair_completeness_permille,
          |  CASE WHEN n_records > 1 THEN 1000 - ((1000 * n_candidates) // ((n_records * (n_records - 1)) // 2)) END AS reduction_ratio_permille
-         |FROM bn, bnc, bnt, bh""".stripMargin
+         |FROM bn, bnc, bnt, bh""".stripMargin,
+    "kg_describe" ->
+      s"""WITH $supplyTriplesCte,
+         |dsn AS (SELECT DISTINCT s, p, o FROM sup_t)
+         |SELECT s, p, o,
+         |  CASE WHEN s IN ('C1','S1','N3') AND o IN ('C1','S1','N3') THEN 'both'
+         |       WHEN s IN ('C1','S1','N3') THEN 's' ELSE 'o' END AS role
+         |FROM dsn WHERE s IN ('C1','S1','N3') OR o IN ('C1','S1','N3')""".stripMargin
   )
 }

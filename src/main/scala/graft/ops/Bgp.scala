@@ -480,6 +480,20 @@ object Bgp {
     matchPatterns(rel, patterns).limit(1)
       .agg(count(lit(1)).cast("long").as("ask"))
 
+  /** SPARQL `DESCRIBE`: every triple whose subject OR object is one of the
+    * `nodes` — the entity-dossier query (concise bounded description, depth
+    * 1). Two IN-filtered scans (both pushdown-eligible) unioned with one
+    * distinct; output (s, p, o, role) where role marks which slot matched
+    * ('s', 'o', or 'both' when the triple touches two described nodes). */
+  def describe(rel: DataFrame, nodes: Seq[String]): DataFrame = {
+    require(nodes.nonEmpty, "DESCRIBE needs at least one node")
+    rel.select("s", "p", "o").distinct()
+      .filter(col("s").isin(nodes: _*) || col("o").isin(nodes: _*))
+      .select(col("s"), col("p"), col("o"),
+        when(col("s").isin(nodes: _*) && col("o").isin(nodes: _*), "both")
+          .when(col("s").isin(nodes: _*), "s").otherwise("o").as("role"))
+  }
+
   /** Unbounded property path `(p1|p2|…)+` to the EXACT fixpoint: distinct
     * endpoint pairs (x, z) connected by a directed path of >= 1 edges whose
     * labels are all in `preds`, optionally restricted to paths STARTING at

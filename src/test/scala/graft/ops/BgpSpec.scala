@@ -455,6 +455,19 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     assert(pn == Set(("p1", "n1"), ("p2", "n1")))
   }
 
+  test("describe returns slot-tagged triples touching the node set") {
+    val got = Bgp.describe(rel, Seq("b", "e"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      ("a", "pos", "b", "o"), ("x", "pos", "b", "o"), ("a", "neg", "b", "o"),
+      ("b", "neg", "c", "s"), ("b", "neg", "d", "s"), ("d", "likes", "e", "o")))
+    // 'both' when subject and object are described
+    val both = Bgp.describe(rel, Seq("c")).collect()
+      .map(r => (r.getString(0), r.getString(3))).toSet
+    assert(both.contains(("c", "both"))) // c likes c
+  }
+
   test("seqPath deduplicates multi-witness endpoint pairs per hop") {
     import spark.implicits._
     val g = Seq(
