@@ -245,6 +245,42 @@ object Bgp {
     acc
   }
 
+  /** Deterministic greedy join-order planner for a BGP: start from the most
+    * selective pattern (most constant positions; ties by list position) and
+    * repeatedly append the most selective pattern CONNECTED to the bound
+    * variable set — the textbook heuristic a SPARQL engine applies when the
+    * caller doesn't hand-order the join graph. Patterns that never connect
+    * are left at the tail in original order, so [[matchPatterns]] still
+    * fail-fasts on a genuinely disconnected query rather than this planner
+    * hiding it. Pure function of the pattern shapes — no statistics, no
+    * nondeterminism (cost-based reorder beyond this belongs to Catalyst,
+    * which already reorders the produced equi-join tree under AQE). */
+  def planPatterns(patterns: Seq[Pat]): Seq[Pat] = {
+    def vars(p: Pat): Set[String] = {
+      val norm = if (p.p.startsWith("^")) Pat(p.o, p.p.drop(1), p.s) else p
+      Seq(norm.s, norm.p, norm.o).filter(isVar).toSet
+    }
+    def selectivity(p: Pat): Int = Seq(p.s, p.p, p.o).count(t => !isVar(t))
+    val indexed = patterns.zipWithIndex
+    if (indexed.isEmpty) return patterns
+    val first = indexed.maxBy { case (p, i) => (selectivity(p), -i) }
+    val order = collection.mutable.ArrayBuffer(first)
+    var bound = vars(first._1)
+    var remaining = indexed.filterNot(_ == first)
+    var progress = true
+    while (progress && remaining.nonEmpty) {
+      remaining.filter { case (p, _) => vars(p).exists(bound) } match {
+        case Seq() => progress = false
+        case connectable =>
+          val next = connectable.maxBy { case (p, i) => (selectivity(p), -i) }
+          order += next
+          bound ++= vars(next._1)
+          remaining = remaining.filterNot(_ == next)
+      }
+    }
+    (order ++ remaining).map(_._1).toSeq
+  }
+
   /** Match `patterns` conjunctively against `rel` (columns `s`, `p`, `o`).
     * Output: one column per distinct variable (name without the '?'), one
     * row per solution under set semantics (duplicate triples in `rel` do

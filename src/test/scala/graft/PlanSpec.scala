@@ -246,6 +246,42 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("kg_bgp_orderlimit: sort+limit plans as TakeOrderedAndProject, never a full sort") {
+    val p = planOf("kg_bgp_orderlimit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("kg_bgp_values: the inline VALUES relation enters as a broadcast — no shuffle on its account") {
+    val p = planOf("kg_bgp_values")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("kg_asof_snapshot: ONE aggregation pass (partial+final), no window sort over the log") {
+    val p = planOf("kg_asof_snapshot")
+    assert(!p.contains("Window"), s"changelog winner must be an aggregate, not a per-key window sort:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("kg_asof_delta: both cut winners come from the same single aggregation") {
+    val p = planOf("kg_asof_delta")
+    assert(!p.contains("Window"), p)
+    // one partial+final aggregate pair over the union log — not one per cut
+    assert("HashAggregate|SortAggregate".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("kg_rdfs_types: schema relations broadcast; the axiom lift is map-side") {
+    val p = planOf("kg_rdfs_types")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("kg_quads_graph / kg_bgp_negated: filtered-scan joins, no cartesian") {
+    assert(!planOf("kg_quads_graph").contains("CartesianProduct"))
+    assert(!planOf("kg_bgp_negated").contains("CartesianProduct"))
+  }
+
   test("entry: flagship pipeline has no shuffle before the final aggregation") {
     val df = SparkEntry.entry(spark)
     val p = df.queryExecution.executedPlan.toString

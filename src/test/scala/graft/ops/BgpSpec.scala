@@ -455,6 +455,33 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     assert(pn == Set(("p1", "n1"), ("p2", "n1")))
   }
 
+  test("planPatterns: seeds on the most selective pattern, grows connected") {
+    val pats = Seq(
+      Pat("?x", "pos", "?y"),        // 1 constant
+      Pat("?z", "?q", "?w"),         // 0 constants, connects via ?z
+      Pat("?y", "neg", "c"))         // 2 constants -> seed
+    val planned = Bgp.planPatterns(pats)
+    assert(planned.head == Pat("?y", "neg", "c"))
+    assert(planned(1) == Pat("?x", "pos", "?y")) // only connectable next
+    // a caller-order that would fail fail-fast now chains fine
+    val viaAuto = Bgp.matchPatterns(rel,
+      Bgp.planPatterns(Seq(Pat("?z", "likes", "?z"), Pat("?y", "neg", "?z"),
+        Pat("?x", "pos", "?y"))))
+    val viaManual = Bgp.matchPatterns(rel,
+      Seq(Pat("?x", "pos", "?y"), Pat("?y", "neg", "?z"), Pat("?z", "likes", "?z")))
+    assert(viaAuto.select("x", "y", "z").collect().map(_.toSeq).toSet ==
+      viaManual.select("x", "y", "z").collect().map(_.toSeq).toSet)
+  }
+
+  test("planPatterns leaves a genuinely disconnected pattern at the tail (still fail-fast)") {
+    val planned = Bgp.planPatterns(Seq(Pat("?a", "p1", "?b"), Pat("?u", "p2", "?v")))
+    assert(planned == Seq(Pat("?a", "p1", "?b"), Pat("?u", "p2", "?v")))
+    val ex = intercept[IllegalArgumentException] {
+      Bgp.matchPatterns(rel, planned)
+    }
+    assert(ex.getMessage.contains("cartesian"))
+  }
+
   test("describe returns slot-tagged triples touching the node set") {
     val got = Bgp.describe(rel, Seq("b", "e"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))

@@ -53,6 +53,30 @@ class ChangelogSpec extends AnyFunSuite with SparkTestSession {
     assert(ex.getMessage.contains("t1 < t2"))
   }
 
+  test("randomized log: snapshot + delta agree with a driver-side replay at every cut") {
+    val rnd = new scala.util.Random(42)
+    val entries = (1 to 300).map { _ =>
+      (s"n${rnd.nextInt(20)}", "r", s"m${rnd.nextInt(5)}",
+        rnd.nextInt(50).toLong, if (rnd.nextBoolean()) "add" else "del")
+    }
+    val df = entries.toDF("s", "p", "o", "ts", "op")
+    def replay(t: Long): Set[(String, String, String)] =
+      entries.filter(_._4 <= t)
+        .groupBy(e => (e._1, e._2, e._3))
+        .collect { case (k, es)
+            if es.maxBy(e => (e._4, e._5))._5 == "add" => k }
+        .toSet
+    for (t <- Seq(0L, 10L, 25L, 49L)) {
+      val got = Changelog.asOfSnapshot(df, t).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(got == replay(t), s"snapshot mismatch at cut $t")
+    }
+    val delta = Changelog.asOfDelta(df, 10L, 25L).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getString(3))).toMap
+    val (l1, l2) = (replay(10L), replay(25L))
+    assert(delta == ((l2 -- l1).map(_ -> "added") ++ (l1 -- l2).map(_ -> "removed")).toMap)
+  }
+
   test("snapshot equals replaying the log manually") {
     val t = 25L
     val want = log.collect()
