@@ -14,8 +14,11 @@ import graft.graph.{D3Json, GraphOps}
   * Analytics (read --a only, write <out>/analytics.csv + summary JSON line):
   *   --operation PAGERANK|PPR|HITS|COMPONENTS|LPA|KCORE|BFS|CLUSTCOEFF|KTRUSS|
   *               WALKS|NODE2VEC|DEGHIST|ASSORT|HARMONIC|HYPERBALL|NTRIPLES|
-  *               LOUVAIN|COMMUNITIES|WL|TRUSTRANK|SPAMMASS
+  *               LOUVAIN|COMMUNITIES|WL|TRUSTRANK|SPAMMASS|BGP|DESCRIBE
   *   [--iters N] [--source NODE (PPR/BFS)] [--k N (KCORE/KTRUSS)]
+  *   [--patterns "?x pos ?y; ?y neg ?z" (BGP: ';'-separated triple patterns —
+  *     variables '?v', constants, '^p' inverse, '!p1|p2' negated sets;
+  *     auto-ordered by the greedy selectivity planner)]
   *   [--rounds N (KTRUSS peeling depth, default 8; LOUVAIN/WL refinement)]
   *   [--seed S (WALKS/NODE2VEC)] [--seeds a,b (TRUSTRANK/SPAMMASS whitelist)]
   *   [--master local[N]]
@@ -47,7 +50,7 @@ object Operations {
       "KTRUSS", "WALKS", "NODE2VEC", "DEGHIST", "ASSORT", "HARMONIC", "HYPERBALL",
       "NTRIPLES", "MIS", "KATZ", "MODULARITY", "SCC", "NEIGHBORHOOD", "CLOSENESS",
       "FRONTIER", "MIRRORS", "SSSP", "PARTSTATS", "LPEVAL",
-      "LOUVAIN", "COMMUNITIES", "WL", "TRUSTRANK", "SPAMMASS")
+      "LOUVAIN", "COMMUNITIES", "WL", "TRUSTRANK", "SPAMMASS", "BGP", "DESCRIBE")
 
   private def seedList(opts: Map[String, String]): Seq[String] =
     opts.getOrElse("--seeds", sys.error(s"this operation requires --seeds a,b,..."))
@@ -171,6 +174,20 @@ object Operations {
         col("id").isin(seedList(opts): _*), iters)
       case "SPAMMASS"    => GraphOps.spamMass(edges,
         col("id").isin(seedList(opts): _*), iters)
+      // SPARQL over the graph's (source, sent, target) viewed as (s, p, o):
+      // the KG-consumer query surface, reachable straight from the CLI
+      case "BGP" =>
+        val pats = opts.getOrElse("--patterns",
+            sys.error("BGP requires --patterns \"?x p ?y; ?y q ?z\""))
+          .split(";").toIndexedSeq.map(_.trim).filter(_.nonEmpty).map { t =>
+            t.split("\\s+") match {
+              case Array(ts, tp, to) => graft.ops.Bgp.Pat(ts, tp, to)
+              case _ => sys.error(s"bad pattern '$t' (need exactly 3 terms)")
+            }
+          }
+        graft.ops.Bgp.matchPatterns(bgpRel(edges), graft.ops.Bgp.planPatterns(pats))
+      case "DESCRIBE" =>
+        graft.ops.Bgp.describe(bgpRel(edges), seedList(opts))
     }
     val cols = result.columns
     val rows = result.orderBy(cols.head, cols.tail: _*).collect() // graph-sized
@@ -188,6 +205,12 @@ object Operations {
       println(s"""{"operation":"$op","rows":${rows.length},"out":"$out/analytics.csv"}""")
     }
     spark.stop()
+  }
+
+  /** The edge relation as an (s, p, o) triple view for the SPARQL surface. */
+  private def bgpRel(edges: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    edges.select(col("source").as("s"), col("sent").as("p"), col("target").as("o"))
   }
 
   /** Minimal force-graph JSON reader for the reference layout (driver-sized). */
