@@ -1403,7 +1403,27 @@ object SparkEntry {
     // IN-filtered scans (pushdown) + one distinct, output tagged by slot
     "kg_describe" -> ((s, d) => graft.ops.Bgp.describe(
       DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
-      Seq("C1", "S1", "N3")))
+      Seq("C1", "S1", "N3"))),
+    // SPARQL GROUP_CONCAT(DISTINCT ?z ORDER BY ?z): the only deterministic
+    // group-concat — collect_set + sort + join, one hash aggregation
+    "kg_bgp_groupconcat" -> ((s, d) => graft.ops.Bgp.matchGroupConcat(
+      bgpRel(s, d),
+      Seq(graft.ops.Bgp.Pat("?x", "pos", "?y"),
+        graft.ops.Bgp.Pat("?y", "neg", "?z")),
+      groupVars = Seq("?x"), aggVar = "?z")),
+    // retraction-side view maintenance (DRed over a non-recursive BGP):
+    // solutions a removed batch (md5 bucket 0 of the supply KG) deletes from
+    // the order->part->supplier view — over-approximate via vanished-binding
+    // delta joins, then rederive survivors candidate-sized
+    "kg_bgp_delta_retract" -> ((s, d) => {
+      val rel = DocKg.typedSupplyTriples(s, d).select("s", "p", "o")
+      val bucket = conv(substring(md5(
+        concat_ws("|", col("s"), col("p"), col("o")).cast("binary")), 1, 15),
+        16, 10).cast("long") % 8
+      graft.ops.Bgp.viewDeltaRetract(rel, rel.filter(bucket === 0),
+        Seq(graft.ops.Bgp.Pat("?x", "contains", "?y"),
+          graft.ops.Bgp.Pat("?y", "supplied_by", "?z")))
+    })
   )
 
   // ------------------------------------------------------------------ oracles
@@ -4470,6 +4490,25 @@ object SparkEntry {
          |SELECT s, p, o,
          |  CASE WHEN s IN ('C1','S1','N3') AND o IN ('C1','S1','N3') THEN 'both'
          |       WHEN s IN ('C1','S1','N3') THEN 's' ELSE 'o' END AS role
-         |FROM dsn WHERE s IN ('C1','S1','N3') OR o IN ('C1','S1','N3')""".stripMargin
+         |FROM dsn WHERE s IN ('C1','S1','N3') OR o IN ('C1','S1','N3')""".stripMargin,
+    "kg_bgp_groupconcat" ->
+      s"""WITH $triplesCte,
+         |$bgpCtes,
+         |gcs AS (SELECT DISTINCT bp1.x, bp2.z FROM bp1 JOIN bp2 ON bp1.y = bp2.y)
+         |SELECT x, count(*)::BIGINT AS n_values,
+         |       string_agg(z, ',' ORDER BY z) AS agg_concat
+         |FROM gcs GROUP BY x""".stripMargin,
+    "kg_bgp_delta_retract" ->
+      s"""WITH $supplyTriplesCte,
+         |rspl AS MATERIALIZED (SELECT s, p, o,
+         |         ('0x' || substr(md5(s || '|' || p || '|' || o), 1, 15))::BIGINT % 8 AS bk
+         |       FROM sup_t),
+         |rf1 AS (SELECT DISTINCT s AS x, o AS y FROM rspl WHERE p = 'contains'),
+         |rf2 AS (SELECT DISTINCT s AS y, o AS z FROM rspl WHERE p = 'supplied_by'),
+         |rr1 AS (SELECT DISTINCT s AS x, o AS y FROM rspl WHERE p = 'contains' AND bk <> 0),
+         |rr2 AS (SELECT DISTINCT s AS y, o AS z FROM rspl WHERE p = 'supplied_by' AND bk <> 0)
+         |SELECT rf1.x, rf1.y, rf2.z FROM rf1 JOIN rf2 ON rf1.y = rf2.y
+         |EXCEPT
+         |SELECT rr1.x, rr1.y, rr2.z FROM rr1 JOIN rr2 ON rr1.y = rr2.y""".stripMargin
   )
 }

@@ -45,6 +45,21 @@ object Rdf {
       .select(col("s"), col("p"), col("o"),
         concat_ws(" ", col("s"), col("p"), col("o"), lit(".")).as("line"))
 
+  /** N-Quads statements — [[ntriples]] plus the PROVENANCE graph label as
+    * the fourth term (the source document/page each triple was extracted
+    * from), the interchange form a named-graph-aware store ingests. Input
+    * columns: (g, source, target, sent). Same map-side codegen'd formatting,
+    * graph IRIs under `base/graph/`. Output: (s, p, o, g, line). */
+  def nquads(edges: DataFrame, base: String = "urn:graft"): DataFrame =
+    edges
+      .select(
+        concat(lit(s"<$base/node/"), iriEncode(col("source")), lit(">")).as("s"),
+        concat(lit(s"<$base/rel/"), iriEncode(col("sent")), lit(">")).as("p"),
+        concat(lit(s"<$base/node/"), iriEncode(col("target")), lit(">")).as("o"),
+        concat(lit(s"<$base/graph/"), iriEncode(col("g")), lit(">")).as("g"))
+      .select(col("s"), col("p"), col("o"), col("g"),
+        concat_ws(" ", col("s"), col("p"), col("o"), col("g"), lit(".")).as("line"))
+
   /** owl:sameAs canonicalization — the final entity-resolution step of KG
     * construction: given the triple relation and a set of sameAs assertions
     * (from the linker, from explicit owl:sameAs statements, from external

@@ -317,6 +317,33 @@ object Bgp {
       .filter(col("n_solutions") >= havingMinCount)
   }
 
+  /** SPARQL `GROUP_CONCAT(DISTINCT ?v ORDER BY ?v)` over BGP solutions: per
+    * group, the distinct `aggVar` values joined by `sep` in ascending order —
+    * the ONLY deterministic group-concat (an unordered concat differs run to
+    * run under parallel aggregation, which the cross-engine hash gate would
+    * catch immediately). Output: groupVars…, n_values, agg_concat.
+    * Plan shape: one hash aggregation collecting the group's distinct value
+    * set (collect_set gets partial aggregation; group cardinality is bounded
+    * by the group's distinct values, which a GROUP_CONCAT materializes into
+    * one row anyway — a group too large for this is too large for the
+    * query's OUTPUT, not for the engine), sorted and joined map-side. */
+  def matchGroupConcat(rel: DataFrame, patterns: Seq[Pat], groupVars: Seq[String],
+      aggVar: String, sep: String = ","): DataFrame = {
+    require(groupVars.nonEmpty, "empty GROUP BY variable list")
+    val sol = matchPatterns(rel, patterns)
+    val bound = sol.columns.toSet
+    def v(name: String): String = {
+      require(name.startsWith("?") && bound.contains(name.drop(1)),
+        s"aggregation variable $name is not bound by the patterns")
+      name.drop(1)
+    }
+    sol.groupBy(groupVars.map(g => col(v(g))): _*)
+      .agg(collect_set(col(v(aggVar))).as("vals"))
+      .select(groupVars.map(g => col(v(g))) ++ Seq(
+        size(col("vals")).cast("long").as("n_values"),
+        array_join(array_sort(col("vals")), sep).as("agg_concat")): _*)
+  }
+
   /** Incremental maintenance of a materialized BGP view: the NEW solutions
     * that a `delta` batch of triples adds to the view over `base` — i.e.
     * `solutions(base ∪ delta) − solutions(base)` — computed WITHOUT ever
@@ -353,6 +380,45 @@ object Bgp {
       .map(i => chain(fullBind.updated(i, newBind(i))))
       .reduce(_ unionByName _)
       .distinct()
+  }
+
+  /** Retraction-side view maintenance — the other half of [[viewDelta]]:
+    * the solutions a `removed` batch of triples DELETES from the view over
+    * `base`, i.e. `solutions(base) − solutions(base − removed)`, without
+    * recomputing either side. The classic over-approximate-then-rederive
+    * (DRed) rewrite specialized to a non-recursive BGP:
+    *
+    *   1. OVER-APPROXIMATE: a solution can only disappear if at least one
+    *      pattern position used a binding that just VANISHED, so candidates
+    *      are ⋃_i P_1(base) ⋈ … ⋈ ΔP_i⁻ ⋈ … ⋈ P_n(base), with
+    *      ΔP_i⁻ = P_i(base) − P_i(remaining) (a binding may survive its
+    *      witness triple's removal through another witness — the anti-join
+    *      of binding SETS, not of triples, handles that for free).
+    *   2. RE-DERIVE: a candidate with an alternate derivation over the
+    *      remaining triples is NOT removed — one semi-join of the candidate
+    *      set against the remaining view's pattern chain, candidate-sized.
+    *
+    * Every term's cost scales with the REMOVED batch's contribution
+    * (ΔP_i⁻ is removal-sized and broadcasts); the rederive step touches
+    * candidates only. Output: the removed solutions, set semantics.
+    * Engine extension, no reference counterpart. */
+  def viewDeltaRetract(base: DataFrame, removed: DataFrame, patterns: Seq[Pat]): DataFrame = {
+    require(patterns.nonEmpty, "empty pattern list")
+    val remaining = base.select("s", "p", "o")
+      .join(removed.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
+      .localCheckpoint()
+    val baseBind = patterns.map(one(base, _))
+    val remBind = patterns.map(one(remaining, _))
+    val goneBind = patterns.indices.map { i =>
+      val (b, vs) = baseBind(i)
+      (b.join(remBind(i)._1, vs.toIndexedSeq, "left_anti"), vs)
+    }
+    val candidates = patterns.indices
+      .map(i => chain(baseBind.updated(i, goneBind(i))))
+      .reduce(_ unionByName _)
+      .distinct()
+    val survivors = chain(remBind)
+    candidates.join(survivors, candidates.columns.toIndexedSeq, "left_anti")
   }
 
   /** SPARQL `OPTIONAL`: every solution of `required`, extended by the

@@ -41,6 +41,26 @@ object Changelog {
     * from one pass over the log. Output: (s, p, o, change) with change =
     * 'added' (live at t2, not at t1) or 'removed' (live at t1, not at t2);
     * keys live at both or neither are absent. */
+  /** Compact the history at-or-before `cut` down to one row per key — its
+    * winning entry — leaving entries after the cut untouched. For every
+    * t >= cut (and any late tail data), `asOfSnapshot(compact(log, cut), t)`
+    * equals `asOfSnapshot(log, t)`: snapshot semantics depend only on each
+    * key's winner ordering, and the winner row (ts AND op, so same-ts
+    * tie-breaking against stragglers is preserved) is exactly what survives.
+    * 'del' winners are kept too — dropping them would let a late pre-cut
+    * 'add' straggler resurrect a retracted triple on the next compaction.
+    * This is the retention story for a continuously-ingested changelog: the
+    * store stays O(live keys + recent history) instead of O(all history).
+    * One aggregation over the pre-cut slice + a pass-through union. */
+  def compact(log: DataFrame, cut: Long): DataFrame = {
+    val head = log.filter(col("ts") <= cut)
+      .groupBy(col("s"), col("p"), col("o"))
+      .agg(max(struct(col("ts"), col("op"))).as("w"))
+      .select(col("s"), col("p"), col("o"),
+        col("w.ts").as("ts"), col("w.op").as("op"))
+    head.unionByName(log.filter(col("ts") > cut).select("s", "p", "o", "ts", "op"))
+  }
+
   def asOfDelta(log: DataFrame, t1: Long, t2: Long): DataFrame = {
     require(t1 < t2, s"asOfDelta needs t1 < t2, got $t1 >= $t2")
     def live(w: String) = col(w).isNotNull && col(s"$w.op") === "add"

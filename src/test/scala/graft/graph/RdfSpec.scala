@@ -45,6 +45,16 @@ class RdfSpec extends AnyFunSuite with SparkTestSession {
     assert(back.forall(_.endsWith(" .")))
   }
 
+  test("nquads: four-term statements with the provenance graph IRI") {
+    val quads = Seq(("doc 7", "ORG.spark", "GPE.stream", "pos"))
+      .toDF("g", "source", "target", "sent")
+    val r = Rdf.nquads(quads).collect().head
+    assert(r.getString(4) ==
+      "<urn:graft/node/ORG.spark> <urn:graft/rel/pos> " +
+      "<urn:graft/node/GPE.stream> <urn:graft/graph/doc%207> .")
+    assert(r.getString(3) == "<urn:graft/graph/doc%207>")
+  }
+
   test("sameAsCanonicalize: chains collapse transitively onto the min id") {
     val triples = Seq(
       ("e3", "knows", "z"), ("z", "cites", "e2"), ("e1", "knows", "q"),

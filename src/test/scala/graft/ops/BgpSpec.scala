@@ -455,6 +455,48 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     assert(pn == Set(("p1", "n1"), ("p2", "n1")))
   }
 
+  test("matchGroupConcat: distinct values, ascending, deterministic under repartition") {
+    val q = Seq(Pat("?x", "pos", "?y"), Pat("?y", "neg", "?z"))
+    val got = Bgp.matchGroupConcat(rel, q, Seq("?x"), "?z")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(("a", 2L, "c,d"), ("x", 2L, "c,d")))
+    val reparted = Bgp.matchGroupConcat(rel.repartition(7), q, Seq("?x"), "?z")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(reparted == got)
+  }
+
+  test("viewDeltaRetract equals the recompute difference; alternate witnesses survive") {
+    import spark.implicits._
+    // the (a1, c1) solution has TWO witnesses through b1 and b2: removing
+    // only the b1 path must NOT retract it (the DRed rederive step)
+    val base = Seq(
+      ("a1", "p1", "b1"), ("a1", "p1", "b2"),
+      ("b1", "p2", "c1"), ("b2", "p2", "c1"),
+      ("a2", "p1", "b3"), ("b3", "p2", "c2")).toDF("s", "p", "o")
+    val removed = Seq(("b1", "p2", "c1"), ("b3", "p2", "c2")).toDF("s", "p", "o")
+    val pats = Seq(Pat("?x", "p1", "?y"), Pat("?y", "p2", "?z"))
+    val got = Bgp.viewDeltaRetract(base, removed, pats)
+      .select("x", "y", "z")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // recompute both sides from scratch as the oracle
+    val solBase = Bgp.matchPatterns(base, pats).select("x", "y", "z")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val remaining = base.except(removed)
+    val solRem = Bgp.matchPatterns(remaining, pats).select("x", "y", "z")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == (solBase -- solRem))
+    assert(got == Set(("a1", "b1", "c1"), ("a2", "b3", "c2"))) // (a1,b2,c1) survives
+  }
+
+  test("viewDeltaRetract with an untouched view is empty") {
+    import spark.implicits._
+    val base = Seq(("a", "p1", "b"), ("b", "p2", "c"), ("q", "zz", "w"))
+      .toDF("s", "p", "o")
+    val removed = Seq(("q", "zz", "w")).toDF("s", "p", "o") // outside the view
+    assert(Bgp.viewDeltaRetract(base, removed,
+      Seq(Pat("?x", "p1", "?y"), Pat("?y", "p2", "?z"))).count() == 0)
+  }
+
   test("planPatterns: seeds on the most selective pattern, grows connected") {
     val pats = Seq(
       Pat("?x", "pos", "?y"),        // 1 constant

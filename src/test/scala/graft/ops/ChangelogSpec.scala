@@ -53,6 +53,25 @@ class ChangelogSpec extends AnyFunSuite with SparkTestSession {
     assert(ex.getMessage.contains("t1 < t2"))
   }
 
+  test("compact: one winner row per pre-cut key; post-cut snapshots identical") {
+    val compacted = Changelog.compact(log, 30L)
+    // keys a, b, c collapse to one row each; d's post-cut entry passes through
+    assert(compacted.count() == 4L)
+    for (t <- Seq(30L, 50L, 99L, 100L)) {
+      val a = Changelog.asOfSnapshot(log, t).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val b = Changelog.asOfSnapshot(compacted, t).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(a == b, s"snapshot diverged at cut $t")
+    }
+    // the 'del' winner survives compaction: a late pre-cut 'add' straggler
+    // must NOT resurrect a retracted key
+    val straggler = Seq(("c", "r", "z", 29L, "add")).toDF("s", "p", "o", "ts", "op")
+    val got = Changelog.asOfSnapshot(compacted.unionByName(straggler), 50L)
+      .collect().map(_.getString(0)).toSet
+    assert(!got.contains("c"))
+  }
+
   test("randomized log: snapshot + delta agree with a driver-side replay at every cut") {
     val rnd = new scala.util.Random(42)
     val entries = (1 to 300).map { _ =>
