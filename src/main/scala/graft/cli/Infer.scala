@@ -42,6 +42,8 @@ import graft.ner.{BracketNer, CapitalizedNer}
   *          --fused on (zero-token-allocation kernel: triples + graph only,
   *            no contents/predict exports — the 10^12-page production shape;
   *            composes with --checkpoint for resumable fused runs)
+  *          --changelog-store DIR --batch-id B --asof-ts T (versioned-KG
+  *            feed: assert this crawl's triples, retract vanished ones)
   *          --links DIR (web-link-graph side channel from the same page set:
   *            (src, dst, anchor) parquet + host-graph csv via ops/WebGraph —
   *            row-local, adds no shuffle; markup-less sources contribute
@@ -250,6 +252,37 @@ object Infer {
       KgPipeline.predictionsOneHot(preds).write.mode(SaveMode.Overwrite).parquet(s"$out/predict")
     }
     triples.write.mode(SaveMode.Overwrite).parquet(s"$out/triples")
+
+    // --changelog-store DIR --batch-id B --asof-ts T: versioned-KG feed —
+    // this crawl's distinct typed triples become 'add' entries at T, and
+    // every triple LIVE in the store before T but absent from this crawl is
+    // retracted ('del' at T): the crawl-diff that keeps a continuously
+    // re-crawled KG queryable at any point in time (ChangelogStore.snapshot)
+    opts.get("--changelog-store").foreach { storeDir =>
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val batchId = opts.getOrElse("--batch-id",
+        sys.error("--changelog-store requires --batch-id (the idempotent-retry token)"))
+      val ts = opts.getOrElse("--asof-ts",
+        sys.error("--changelog-store requires --asof-ts (deterministic epoch seconds)")).toLong
+      val current = spark.read.parquet(s"$out/triples")
+        .select(concat(col("subjType"), lit("."), col("subj")).as("s"),
+          col("pred").as("p"),
+          concat(col("objType"), lit("."), col("obj")).as("o"))
+        .distinct().localCheckpoint() // consumed twice (adds + retract anti-join)
+      val adds = current.select(col("s"), col("p"), col("o"),
+        lit(ts).as("ts"), lit("add").as("op"))
+      val entries =
+        if (!graft.ops.ChangelogStore.exists(spark, storeDir)) adds
+        else {
+          val dels = graft.ops.ChangelogStore.snapshot(spark, storeDir, ts - 1)
+            .join(current, Seq("s", "p", "o"), "left_anti")
+            .select(col("s"), col("p"), col("o"), lit(ts).as("ts"), lit("del").as("op"))
+          adds.unionByName(dels).localCheckpoint() // plan reads the store the merge swaps
+        }
+      val merged = graft.ops.ChangelogStore.merge(entries, storeDir, batchId)
+      println(s"""{"changelog_store":"$storeDir","batch":"$batchId","merged":$merged,""" +
+        s""""asserted":${current.count()}}""")
+    }
 
     // graph build (driver-side finish: edges are post-aggregation small)
     import org.apache.spark.sql.functions._

@@ -14,7 +14,9 @@ import graft.graph.{D3Json, GraphOps}
   * Analytics (read --a only, write <out>/analytics.csv + summary JSON line):
   *   --operation PAGERANK|PPR|HITS|COMPONENTS|LPA|KCORE|BFS|CLUSTCOEFF|KTRUSS|
   *               WALKS|NODE2VEC|DEGHIST|ASSORT|HARMONIC|HYPERBALL|NTRIPLES|
-  *               LOUVAIN|COMMUNITIES|WL|TRUSTRANK|SPAMMASS|BGP|DESCRIBE
+  *               LOUVAIN|COMMUNITIES|WL|TRUSTRANK|SPAMMASS|BGP|DESCRIBE|
+  *               ASOF|ASOFDELTA (versioned-KG reads: --changelog-store DIR
+  *                 with --t EPOCH, or --t1/--t2 for the diff)
   *   [--iters N] [--source NODE (PPR/BFS)] [--k N (KCORE/KTRUSS)]
   *   [--patterns "?x pos ?y; ?y neg ?z" (BGP: ';'-separated triple patterns —
   *     variables '?v', constants, '^p' inverse, '!p1|p2' negated sets;
@@ -50,7 +52,8 @@ object Operations {
       "KTRUSS", "WALKS", "NODE2VEC", "DEGHIST", "ASSORT", "HARMONIC", "HYPERBALL",
       "NTRIPLES", "MIS", "KATZ", "MODULARITY", "SCC", "NEIGHBORHOOD", "CLOSENESS",
       "FRONTIER", "MIRRORS", "SSSP", "PARTSTATS", "LPEVAL",
-      "LOUVAIN", "COMMUNITIES", "WL", "TRUSTRANK", "SPAMMASS", "BGP", "DESCRIBE")
+      "LOUVAIN", "COMMUNITIES", "WL", "TRUSTRANK", "SPAMMASS", "BGP", "DESCRIBE",
+      "ASOF", "ASOFDELTA")
 
   private def seedList(opts: Map[String, String]): Seq[String] =
     opts.getOrElse("--seeds", sys.error(s"this operation requires --seeds a,b,..."))
@@ -188,6 +191,17 @@ object Operations {
         graft.ops.Bgp.matchPatterns(bgpRel(edges), graft.ops.Bgp.planPatterns(pats))
       case "DESCRIBE" =>
         graft.ops.Bgp.describe(bgpRel(edges), seedList(opts))
+      // versioned-KG reads over the persistent changelog store
+      // (StreamOps.changelogIngestStream / ChangelogStore.merge feed it)
+      case "ASOF" =>
+        graft.ops.ChangelogStore.snapshot(spark,
+          opts.getOrElse("--changelog-store", sys.error("ASOF requires --changelog-store")),
+          opts.getOrElse("--t", sys.error("ASOF requires --t EPOCH")).toLong)
+      case "ASOFDELTA" =>
+        graft.ops.ChangelogStore.delta(spark,
+          opts.getOrElse("--changelog-store", sys.error("ASOFDELTA requires --changelog-store")),
+          opts.getOrElse("--t1", sys.error("ASOFDELTA requires --t1")).toLong,
+          opts.getOrElse("--t2", sys.error("ASOFDELTA requires --t2")).toLong)
     }
     val cols = result.columns
     val rows = result.orderBy(cols.head, cols.tail: _*).collect() // graph-sized

@@ -323,6 +323,28 @@ object StreamOps {
       }
       .start()
 
+  /** Continuous KG versioning: an add/retract entry stream (s, p, o, ts, op)
+    * appends each micro-batch into the persistent
+    * [[graft.ops.ChangelogStore]] exactly-once via the epoch-ledger path —
+    * the durable counterpart of [[changelogStream]]'s in-state liveness
+    * mirror. Downstream, `ChangelogStore.snapshot(store, t)` serves any
+    * point-in-time KG and `ChangelogStore.compact` bounds history, so a
+    * continuously-crawled corpus gets versioned triples with no batch
+    * recompute. */
+  def changelogIngestStream(log: DataFrame, store: String, checkpoint: String,
+      batchPrefix: String)(
+      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+    log.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!graft.ops.ChangelogStore.merge(batch, store, s"$batchPrefix-$epoch"))
+          System.err.println(s"[changelogIngestStream] batch '$batchPrefix-$epoch' " +
+            s"already in $store ledger; fold skipped (crash retry, or a batchPrefix " +
+            "collision with a different checkpoint lineage — the latter loses data)")
+        ()
+      }
+      .start()
+
   /** Continuous web-graph maintenance: a stream of crawled pages flows
     * through [[graft.ops.WebGraph.extractLinks]] (row-local, so the stateless
     * stream stays stateless) into the host-coarsened link relation, and each
