@@ -1411,6 +1411,29 @@ object SparkEntry {
       Seq(graft.ops.Bgp.Pat("?x", "pos", "?y"),
         graft.ops.Bgp.Pat("?y", "neg", "?z")),
       groupVars = Seq("?x"), aggVar = "?z")),
+    // the versioned-KG capstone: a materialized 2-pattern view MAINTAINED
+    // from snapshot T1 to T2 purely incrementally — the T2 solutions are
+    // NEVER recomputed; the placed-relation diff (asOfDelta) drives
+    // viewDelta for insertions and viewDeltaRetract (DRed) for deletions,
+    // and the oracle recomputes the T2 view from scratch to certify the
+    // incremental path exactly
+    "kg_view_maintained" -> ((s, d) => {
+      import graft.ops.{Bgp, Changelog}
+      val pats = Seq(Bgp.Pat("?c", "placed", "?ord"),
+        Bgp.Pat("?ord", "contains", "?pt"))
+      val contains = DocKg.typedSupplyTriples(s, d)
+        .filter(col("p") === "contains").select("s", "p", "o")
+      val log = ordersChangelog(s, d)
+      val base1 = Changelog.asOfSnapshot(log, AsOfT1).unionByName(contains)
+      val diff = Changelog.asOfDelta(log, AsOfT1, AsOfT2)
+      val added = diff.filter(col("change") === "added").select("s", "p", "o")
+      val removed = diff.filter(col("change") === "removed").select("s", "p", "o")
+      val sol1 = Bgp.matchPatterns(base1, pats)
+      val plus = Bgp.viewDelta(base1, added, pats)
+      val minus = Bgp.viewDeltaRetract(base1.unionByName(added), removed, pats)
+      sol1.unionByName(plus).distinct()
+        .join(minus, sol1.columns.toIndexedSeq, "left_anti")
+    }),
     // retraction-side view maintenance (DRed over a non-recursive BGP):
     // solutions a removed batch (md5 bucket 0 of the supply KG) deletes from
     // the order->part->supplier view — over-approximate via vanished-binding
@@ -4491,6 +4514,15 @@ object SparkEntry {
          |  CASE WHEN s IN ('C1','S1','N3') AND o IN ('C1','S1','N3') THEN 'both'
          |       WHEN s IN ('C1','S1','N3') THEN 's' ELSE 'o' END AS role
          |FROM dsn WHERE s IN ('C1','S1','N3') OR o IN ('C1','S1','N3')""".stripMargin,
+    "kg_view_maintained" ->
+      s"""WITH $supplyTriplesCte,
+         |$changelogCte,
+         |vmw AS (SELECT s, p, o, op,
+         |         row_number() OVER (PARTITION BY s, p, o ORDER BY ts DESC, op DESC) AS rn
+         |        FROM clog WHERE ts <= $AsOfT2),
+         |vml AS (SELECT s AS c, o AS ord FROM vmw WHERE rn = 1 AND op = 'add'),
+         |vmc AS (SELECT DISTINCT s AS ord, o AS pt FROM sup_t WHERE p = 'contains')
+         |SELECT vml.c, vml.ord, vmc.pt FROM vml JOIN vmc ON vml.ord = vmc.ord""".stripMargin,
     "kg_bgp_groupconcat" ->
       s"""WITH $triplesCte,
          |$bgpCtes,

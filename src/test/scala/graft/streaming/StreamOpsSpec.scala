@@ -533,6 +533,25 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Seq(("a", true, 10L), ("a", false, 20L), ("a", true, 30L)))
   }
 
+  test("changelogIngestStream: micro-batches land exactly-once in the persistent store") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("clog-ingest").toString + "/store"
+    val ckpt = java.nio.file.Files.createTempDirectory("clog-ckpt").toString
+    val mem = MemoryStream[(String, String, String, Long, String)]
+    val q = StreamOps.changelogIngestStream(
+      mem.toDF().toDF("s", "p", "o", "ts", "op"), store, ckpt, "t")(spark)
+    mem.addData(Seq(("a", "r", "x", 10L, "add"), ("b", "r", "y", 10L, "add")))
+    q.processAllAvailable()
+    mem.addData(Seq(("a", "r", "x", 20L, "del")))
+    q.processAllAvailable(); q.stop()
+    assert(graft.ops.ChangelogStore.snapshot(spark, store, 15L).collect()
+      .map(_.getString(0)).toSet == Set("a", "b"))
+    assert(graft.ops.ChangelogStore.snapshot(spark, store, 25L).collect()
+      .map(_.getString(0)).toSet == Set("b"))
+    assert(graft.ops.ChangelogStore.mergedBatches(spark, store).size == 2)
+  }
+
   test("changelogStream mirror agrees with the batch asOfSnapshot replay") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
