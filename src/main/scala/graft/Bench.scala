@@ -158,6 +158,8 @@ object Bench {
       "kg_bgp_path_inverse", "kg_bgp_negated", "kg_rdfs_types",
       "kg_sameas_canonical", "kg_quads_graph", "kg_asof_snapshot",
       "kg_asof_delta", "kg_path_nation_parts", "kg_owl_entailed", "kg_shape_pairs",
+      "kg_describe", "kg_bgp_groupconcat", "kg_bgp_delta_retract",
+      "kg_view_maintained", "er_blocking_quality",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
     val spark = SparkSession.builder()
