@@ -158,8 +158,11 @@ object Bench {
       "kg_bgp_path_inverse", "kg_bgp_negated", "kg_rdfs_types",
       "kg_sameas_canonical", "kg_quads_graph", "kg_asof_snapshot",
       "kg_asof_delta", "kg_path_nation_parts", "kg_owl_entailed", "kg_shape_pairs",
+      // er_blocking_quality stays OUT of the headline: its truth set is a
+      // deliberately sample-bounded n-squared eval harness (16 s at sf0.1),
+      // not a production query shape — the oracle row still gates it
       "kg_describe", "kg_bgp_groupconcat", "kg_bgp_delta_retract",
-      "kg_view_maintained", "er_blocking_quality",
+      "kg_view_maintained",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
     val spark = SparkSession.builder()
