@@ -1411,6 +1411,16 @@ object SparkEntry {
       Seq(graft.ops.Bgp.Pat("?x", "pos", "?y"),
         graft.ops.Bgp.Pat("?y", "neg", "?z")),
       groupVars = Seq("?x"), aggVar = "?z")),
+    // temporal-KG representation: per-triple validity intervals from the
+    // changelog — the family's ONE per-key window sort (history-bounded
+    // partitions), re-assertions absorbed, same-ts tie pairs never live
+    "kg_fact_intervals" -> ((s, d) =>
+      graft.ops.Changelog.factIntervals(ordersChangelog(s, d))),
+    // KG growth curve: live-triple count at five crawl-history cuts — one
+    // interval materialization against a broadcast cut list, not k scans
+    "kg_snapshot_series" -> ((s, d) => graft.ops.Changelog.snapshotSeries(
+      ordersChangelog(s, d),
+      Seq(820454400L, 852076800L, AsOfT1, 915148800L, AsOfT2))),
     // the versioned-KG capstone: a materialized 2-pattern view MAINTAINED
     // from snapshot T1 to T2 purely incrementally — the T2 solutions are
     // NEVER recomputed; the placed-relation diff (asOfDelta) drives
@@ -4514,6 +4524,41 @@ object SparkEntry {
          |  CASE WHEN s IN ('C1','S1','N3') AND o IN ('C1','S1','N3') THEN 'both'
          |       WHEN s IN ('C1','S1','N3') THEN 's' ELSE 'o' END AS role
          |FROM dsn WHERE s IN ('C1','S1','N3') OR o IN ('C1','S1','N3')""".stripMargin,
+    "kg_fact_intervals" ->
+      s"""WITH $changelogCte,
+         |fie AS (SELECT DISTINCT s, p, o, ts, op FROM clog),
+         |fiw AS (SELECT s, p, o, ts, op,
+         |         lag(op) OVER (PARTITION BY s, p, o ORDER BY ts, op) AS prev_op FROM fie),
+         |fif AS (SELECT *, CASE WHEN op = 'add' AND (prev_op IS NULL OR prev_op = 'del')
+         |                       THEN 1 ELSE 0 END AS opens FROM fiw),
+         |fig AS (SELECT *, sum(opens) OVER (PARTITION BY s, p, o ORDER BY ts, op
+         |                  ROWS UNBOUNDED PRECEDING) AS grp FROM fif)
+         |SELECT s, p, o,
+         |       CAST(min(CASE WHEN op = 'add' THEN ts END) AS BIGINT) AS valid_from,
+         |       CAST(min(CASE WHEN op = 'del' THEN ts END) AS BIGINT) AS valid_to
+         |FROM fig WHERE grp > 0 GROUP BY s, p, o, grp
+         |HAVING valid_to IS NULL OR valid_to > valid_from""".stripMargin,
+    "kg_snapshot_series" ->
+      s"""WITH $changelogCte,
+         |sse AS (SELECT DISTINCT s, p, o, ts, op FROM clog),
+         |ssw AS (SELECT s, p, o, ts, op,
+         |         lag(op) OVER (PARTITION BY s, p, o ORDER BY ts, op) AS prev_op FROM sse),
+         |ssf AS (SELECT *, CASE WHEN op = 'add' AND (prev_op IS NULL OR prev_op = 'del')
+         |                       THEN 1 ELSE 0 END AS opens FROM ssw),
+         |ssg AS (SELECT *, sum(opens) OVER (PARTITION BY s, p, o ORDER BY ts, op
+         |                  ROWS UNBOUNDED PRECEDING) AS grp FROM ssf),
+         |ssiv AS (SELECT s, p, o,
+         |          CAST(min(CASE WHEN op = 'add' THEN ts END) AS BIGINT) AS valid_from,
+         |          CAST(min(CASE WHEN op = 'del' THEN ts END) AS BIGINT) AS valid_to
+         |         FROM ssg WHERE grp > 0 GROUP BY s, p, o, grp
+         |         HAVING valid_to IS NULL OR valid_to > valid_from),
+         |sscuts(cut) AS (VALUES (CAST(820454400 AS BIGINT)), (CAST(852076800 AS BIGINT)),
+         |  (CAST($AsOfT1 AS BIGINT)), (CAST(915148800 AS BIGINT)), (CAST($AsOfT2 AS BIGINT)))
+         |SELECT c.cut, CAST(coalesce(n.n_live, 0) AS BIGINT) AS n_live
+         |FROM sscuts c LEFT JOIN (
+         |  SELECT cut, count(*)::BIGINT AS n_live FROM ssiv JOIN sscuts
+         |  ON valid_from <= cut AND (valid_to IS NULL OR valid_to > cut)
+         |  GROUP BY cut) n USING (cut)""".stripMargin,
     "kg_view_maintained" ->
       s"""WITH $supplyTriplesCte,
          |$changelogCte,

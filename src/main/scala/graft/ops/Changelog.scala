@@ -41,6 +41,57 @@ object Changelog {
     * from one pass over the log. Output: (s, p, o, change) with change =
     * 'added' (live at t2, not at t1) or 'removed' (live at t1, not at t2);
     * keys live at both or neither are absent. */
+  /** Validity intervals — the standard temporal-KG representation derived
+    * from the changelog: one row per maximal interval during which a triple
+    * was live, `(s, p, o, valid_from, valid_to)` with `valid_to` NULL for
+    * currently-open intervals. An interval opens at an 'add' whose
+    * predecessor (in the per-key (ts, op) order, 'del' > 'add' on ties —
+    * the [[asOfSnapshot]] tie rule) is a 'del' or nothing, and closes at
+    * the group's first 'del'; re-assertions inside a live interval extend
+    * nothing. Same-ts add+del pairs (retraction wins, never observable
+    * live) produce no interval.
+    *
+    * Plan shape: the one operator in this family that sorts — a per-key
+    * window over the DEDUPLICATED entry list. The partition is one triple's
+    * HISTORY (bounded by re-crawl cadence, never corpus-sized), so the sort
+    * is a short in-memory run per key; keys themselves hash-partition
+    * uniformly. */
+  def factIntervals(log: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("s"), col("p"), col("o"))
+      .orderBy(col("ts"), col("op"))
+    val entries = log.select(col("s"), col("p"), col("o"),
+        col("ts").cast("long").as("ts"), col("op")).distinct()
+      .withColumn("prev_op", lag(col("op"), 1).over(w))
+      .withColumn("opens", (col("op") === "add" &&
+        (col("prev_op").isNull || col("prev_op") === "del")).cast("long"))
+      .withColumn("grp", sum(col("opens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    entries.filter(col("grp") > 0)
+      .groupBy(col("s"), col("p"), col("o"), col("grp"))
+      .agg(min(when(col("op") === "add", col("ts"))).as("valid_from"),
+        min(when(col("op") === "del", col("ts"))).as("valid_to"))
+      .filter(col("valid_to").isNull || col("valid_to") > col("valid_from"))
+      .select(col("s"), col("p"), col("o"), col("valid_from"), col("valid_to"))
+  }
+
+  /** KG growth series: the live-triple count at each cut in `cuts` — the
+    * corpus-health curve over crawl history, computed from ONE pass of
+    * [[factIntervals]] joined against the literal cut list (broadcast), so
+    * k cuts cost one interval materialization, not k snapshot scans. */
+  def snapshotSeries(log: DataFrame, cuts: Seq[Long]): DataFrame = {
+    require(cuts.nonEmpty, "empty cut list")
+    val spark = log.sparkSession
+    import spark.implicits._
+    val cutDf = cuts.toDF("cut")
+    factIntervals(log)
+      .join(broadcast(cutDf), col("valid_from") <= col("cut") &&
+        (col("valid_to").isNull || col("valid_to") > col("cut")))
+      .groupBy(col("cut")).agg(count(lit(1)).as("n_live"))
+      .join(broadcast(cutDf), Seq("cut"), "right")
+      .select(col("cut"), coalesce(col("n_live"), lit(0L)).as("n_live"))
+  }
+
   /** Compact the history at-or-before `cut` down to one row per key — its
     * winning entry — leaving entries after the cut untouched. For every
     * t >= cut (and any late tail data), `asOfSnapshot(compact(log, cut), t)`

@@ -53,6 +53,41 @@ class ChangelogSpec extends AnyFunSuite with SparkTestSession {
     assert(ex.getMessage.contains("t1 < t2"))
   }
 
+  test("factIntervals: open/closed intervals, re-assertions absorbed, tie pairs dropped") {
+    val lg = Seq(
+      ("a", "r", "x", 1L, "add"), ("a", "r", "x", 3L, "add"), // re-assert absorbed
+      ("a", "r", "x", 5L, "del"),
+      ("a", "r", "x", 9L, "add"),                             // reopens
+      ("b", "r", "y", 2L, "add"),                             // stays open
+      ("c", "r", "z", 4L, "add"), ("c", "r", "z", 4L, "del"), // tie: never live
+      ("d", "r", "w", 1L, "del")                              // del-first: nothing
+    ).toDF("s", "p", "o", "ts", "op")
+    val got = Changelog.factIntervals(lg).collect()
+      .map(r => (r.getString(0), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    assert(got == Set(("a", 1L, Some(5L)), ("a", 9L, None), ("b", 2L, None)))
+  }
+
+  test("factIntervals agrees with asOfSnapshot at every instant") {
+    val lg = log
+    val intervals = Changelog.factIntervals(lg).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3),
+        if (r.isNullAt(4)) Long.MaxValue else r.getLong(4)))
+    for (t <- 0L to 100L by 5L) {
+      val viaIntervals = intervals.collect {
+        case (k, from, until) if from <= t && t < until => k }.toSet
+      val viaSnapshot = Changelog.asOfSnapshot(lg, t).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(viaIntervals == viaSnapshot, s"diverged at t=$t")
+    }
+  }
+
+  test("snapshotSeries: live counts per cut, zero-filled") {
+    val got = Changelog.snapshotSeries(log, Seq(0L, 15L, 25L, 100L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 0L, 15L -> 1L, 25L -> 1L, 100L -> 2L))
+  }
+
   test("compact: one winner row per pre-cut key; post-cut snapshots identical") {
     val compacted = Changelog.compact(log, 30L)
     // keys a, b, c collapse to one row each; d's post-cut entry passes through
