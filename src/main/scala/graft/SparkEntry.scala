@@ -1411,6 +1411,19 @@ object SparkEntry {
       Seq(graft.ops.Bgp.Pat("?x", "pos", "?y"),
         graft.ops.Bgp.Pat("?y", "neg", "?z")),
       groupVars = Seq("?x"), aggVar = "?z")),
+    // bucketed RANGE JOIN (no equi key): a 200-point probe grid against the
+    // fact validity intervals — intervals explode onto covered time buckets
+    // (span-guarded), probes land in one bucket each, hash join + exact
+    // refine; per-probe live counts, zero-filled
+    "kg_range_join_live" -> ((s, d) => {
+      val probes = s.range(200).select((lit(802915200L) + col("id") * 864000L).as("pt"))
+      val iv = graft.ops.Changelog.factIntervals(ordersChangelog(s, d))
+      graft.ops.Relational.bucketedRangeJoin(probes, iv, "pt",
+          "valid_from", "valid_to", bucketWidth = 2592000L, horizon = 1009843200L)
+        .groupBy(col("pt")).agg(count(lit(1)).as("n_live"))
+        .join(probes, Seq("pt"), "right")
+        .select(col("pt"), coalesce(col("n_live"), lit(0L)).as("n_live"))
+    }),
     // temporal-KG representation: per-triple validity intervals from the
     // changelog — the family's ONE per-key window sort (history-bounded
     // partitions), re-assertions absorbed, same-ts tie pairs never live
@@ -1707,6 +1720,24 @@ object SparkEntry {
       |  SELECT DISTINCT 'S' || s_suppkey, 'SUPPLIER', 'located_in', 'N' || s_nationkey, 'NATION' FROM supplier
       |  UNION ALL
       |  SELECT DISTINCT 'C' || c_custkey, 'CUSTOMER', 'located_in', 'N' || c_nationkey, 'NATION' FROM customer)""".stripMargin
+
+  /** Per-fact validity intervals over the orders changelog
+    * (Changelog.factIntervals mirror) — ends at `fiv(s, p, o, valid_from,
+    * valid_to NULL=open)`. */
+  private lazy val factIntervalsCte =
+    s"""$changelogCte,
+       |fie AS (SELECT DISTINCT s, p, o, ts, op FROM clog),
+       |fiw AS (SELECT s, p, o, ts, op,
+       |         lag(op) OVER (PARTITION BY s, p, o ORDER BY ts, op) AS prev_op FROM fie),
+       |fif AS (SELECT *, CASE WHEN op = 'add' AND (prev_op IS NULL OR prev_op = 'del')
+       |                       THEN 1 ELSE 0 END AS opens FROM fiw),
+       |fig AS (SELECT *, sum(opens) OVER (PARTITION BY s, p, o ORDER BY ts, op
+       |                  ROWS UNBOUNDED PRECEDING) AS grp FROM fif),
+       |fiv AS (SELECT s, p, o,
+       |         CAST(min(CASE WHEN op = 'add' THEN ts END) AS BIGINT) AS valid_from,
+       |         CAST(min(CASE WHEN op = 'del' THEN ts END) AS BIGINT) AS valid_to
+       |        FROM fig WHERE grp > 0 GROUP BY s, p, o, grp
+       |        HAVING valid_to IS NULL OR valid_to > valid_from)""".stripMargin
 
   /** The orders-derived add/retract changelog (ordersChangelog mirror):
     * placements 'add' at order date, fulfilled orders 'del' 30 days later. */
@@ -4525,38 +4556,24 @@ object SparkEntry {
          |       WHEN s IN ('C1','S1','N3') THEN 's' ELSE 'o' END AS role
          |FROM dsn WHERE s IN ('C1','S1','N3') OR o IN ('C1','S1','N3')""".stripMargin,
     "kg_fact_intervals" ->
-      s"""WITH $changelogCte,
-         |fie AS (SELECT DISTINCT s, p, o, ts, op FROM clog),
-         |fiw AS (SELECT s, p, o, ts, op,
-         |         lag(op) OVER (PARTITION BY s, p, o ORDER BY ts, op) AS prev_op FROM fie),
-         |fif AS (SELECT *, CASE WHEN op = 'add' AND (prev_op IS NULL OR prev_op = 'del')
-         |                       THEN 1 ELSE 0 END AS opens FROM fiw),
-         |fig AS (SELECT *, sum(opens) OVER (PARTITION BY s, p, o ORDER BY ts, op
-         |                  ROWS UNBOUNDED PRECEDING) AS grp FROM fif)
-         |SELECT s, p, o,
-         |       CAST(min(CASE WHEN op = 'add' THEN ts END) AS BIGINT) AS valid_from,
-         |       CAST(min(CASE WHEN op = 'del' THEN ts END) AS BIGINT) AS valid_to
-         |FROM fig WHERE grp > 0 GROUP BY s, p, o, grp
-         |HAVING valid_to IS NULL OR valid_to > valid_from""".stripMargin,
+      s"""WITH $factIntervalsCte
+         |SELECT s, p, o, valid_from, valid_to FROM fiv""".stripMargin,
+    "kg_range_join_live" ->
+      s"""WITH $factIntervalsCte,
+         |rjp AS (SELECT CAST(802915200 + 864000 * g AS BIGINT) AS pt
+         |        FROM generate_series(0, 199) t(g))
+         |SELECT rjp.pt, CAST(coalesce(n.n_live, 0) AS BIGINT) AS n_live
+         |FROM rjp LEFT JOIN (
+         |  SELECT pt, count(*)::BIGINT AS n_live FROM rjp JOIN fiv
+         |  ON valid_from <= pt AND (valid_to IS NULL OR pt < valid_to)
+         |  GROUP BY pt) n USING (pt)""".stripMargin,
     "kg_snapshot_series" ->
-      s"""WITH $changelogCte,
-         |sse AS (SELECT DISTINCT s, p, o, ts, op FROM clog),
-         |ssw AS (SELECT s, p, o, ts, op,
-         |         lag(op) OVER (PARTITION BY s, p, o ORDER BY ts, op) AS prev_op FROM sse),
-         |ssf AS (SELECT *, CASE WHEN op = 'add' AND (prev_op IS NULL OR prev_op = 'del')
-         |                       THEN 1 ELSE 0 END AS opens FROM ssw),
-         |ssg AS (SELECT *, sum(opens) OVER (PARTITION BY s, p, o ORDER BY ts, op
-         |                  ROWS UNBOUNDED PRECEDING) AS grp FROM ssf),
-         |ssiv AS (SELECT s, p, o,
-         |          CAST(min(CASE WHEN op = 'add' THEN ts END) AS BIGINT) AS valid_from,
-         |          CAST(min(CASE WHEN op = 'del' THEN ts END) AS BIGINT) AS valid_to
-         |         FROM ssg WHERE grp > 0 GROUP BY s, p, o, grp
-         |         HAVING valid_to IS NULL OR valid_to > valid_from),
+      s"""WITH $factIntervalsCte,
          |sscuts(cut) AS (VALUES (CAST(820454400 AS BIGINT)), (CAST(852076800 AS BIGINT)),
          |  (CAST($AsOfT1 AS BIGINT)), (CAST(915148800 AS BIGINT)), (CAST($AsOfT2 AS BIGINT)))
          |SELECT c.cut, CAST(coalesce(n.n_live, 0) AS BIGINT) AS n_live
          |FROM sscuts c LEFT JOIN (
-         |  SELECT cut, count(*)::BIGINT AS n_live FROM ssiv JOIN sscuts
+         |  SELECT cut, count(*)::BIGINT AS n_live FROM fiv JOIN sscuts
          |  ON valid_from <= cut AND (valid_to IS NULL OR valid_to > cut)
          |  GROUP BY cut) n USING (cut)""".stripMargin,
     "kg_view_maintained" ->

@@ -245,4 +245,44 @@ object Relational {
         max(col("n_events")).as("max_session_events"),
         max(col("duration_sec")).as("max_session_sec"))
   }
+
+  /** Bucketed RANGE JOIN — point-in-interval matching WITHOUT an equi key:
+    * `points(ptCol, …)` against `intervals(fromCol, toCol NULL=open, …)`,
+    * one output row per (point, covering interval). The naive plan is a
+    * broadcast-nested-loop over the full cross space; this one manufactures
+    * the equi key a hash join needs: every interval EXPLODES onto the
+    * fixed-width time buckets it covers (open intervals to `horizon`), every
+    * point lands in exactly one bucket, the join runs on the bucket id, and
+    * the exact containment predicate refines the candidates. Each point
+    * lives in ONE bucket, so no post-join dedup is needed.
+    *
+    * Scale shape: shuffle volume = points + Σ(interval span / bucketWidth) —
+    * tunable: wide buckets shrink the interval replication, narrow buckets
+    * shrink the per-bucket candidate cross space. A span longer than
+    * `maxBucketsPerInterval` fails fast (pick a wider bucket or cap the
+    * horizon) rather than silently exploding the build side — the
+    * [[graft.ops.Dedup]] degenerate-bucket discipline applied to time. */
+  def bucketedRangeJoin(points: DataFrame, intervals: DataFrame,
+      ptCol: String, fromCol: String, toCol: String,
+      bucketWidth: Long, horizon: Long,
+      maxBucketsPerInterval: Long = 4096L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be positive: $bucketWidth")
+    val to = coalesce(col(toCol), lit(horizon))
+    val firstB = (col(fromCol) / bucketWidth).cast("long")
+    // inclusive last bucket: intervals are [from, to), so a `to` on a bucket
+    // boundary contributes nothing to that bucket
+    val lastB = ((to - 1) / bucketWidth).cast("long")
+    // the span guard rides INSIDE the sequence bound so column pruning can
+    // never drop it unevaluated
+    val guardedLast = when(lastB - firstB + 1 > maxBucketsPerInterval,
+      raise_error(concat(lit(s"interval spans more than $maxBucketsPerInterval " +
+        s"buckets of width $bucketWidth: "), (lastB - firstB + 1).cast("string"))))
+      .otherwise(lastB).cast("long")
+    val iv = intervals.withColumn("__bucket", explode(sequence(firstB, guardedLast)))
+    val pts = points.withColumn("__bucket", (col(ptCol) / bucketWidth).cast("long"))
+    pts.join(iv, Seq("__bucket"))
+      .filter(col(fromCol) <= col(ptCol) &&
+        (col(toCol).isNull || col(ptCol) < col(toCol)))
+      .drop("__bucket")
+  }
 }

@@ -94,4 +94,33 @@ class AsofChunkSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getLong(1) -> ((r.getString(2), r.getLong(3)))).toMap
     assert(g2.size == 5 && g2(4L) == (("u9 u10 u11", 3L)))
   }
+
+  test("bucketedRangeJoin equals the naive non-equi join; [from, to) boundaries exact") {
+    val points = Seq(5L, 10L, 19L, 20L, 35L, 99L).toDF("pt")
+    val intervals = Seq(
+      ("a", 0L, Some(20L)),   // [0, 20): catches 5, 10, 19 — NOT 20
+      ("b", 10L, Some(40L)),  // catches 10, 19, 20, 35
+      ("c", 30L, None)        // open: catches 35, 99
+    ).toDF("k", "valid_from", "valid_to")
+    for (width <- Seq(1L, 7L, 100L)) {
+      val got = Relational.bucketedRangeJoin(points, intervals, "pt",
+          "valid_from", "valid_to", bucketWidth = width, horizon = 200L)
+        .select("pt", "k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set(
+        (5L, "a"), (10L, "a"), (19L, "a"),
+        (10L, "b"), (19L, "b"), (20L, "b"), (35L, "b"),
+        (35L, "c"), (99L, "c")), s"width=$width")
+    }
+  }
+
+  test("bucketedRangeJoin: an interval spanning too many buckets fails fast") {
+    val points = Seq(1L).toDF("pt")
+    val intervals = Seq(("x", 0L, Some(10000L))).toDF("k", "valid_from", "valid_to")
+    val ex = intercept[Exception] {
+      Relational.bucketedRangeJoin(points, intervals, "pt", "valid_from", "valid_to",
+        bucketWidth = 1L, horizon = 20000L, maxBucketsPerInterval = 100L).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("buckets"))
+  }
 }
