@@ -162,7 +162,8 @@ object Bench {
       // deliberately sample-bounded n-squared eval harness (16 s at sf0.1),
       // not a production query shape — the oracle row still gates it
       "kg_describe", "kg_bgp_groupconcat", "kg_bgp_delta_retract",
-      "kg_view_maintained",
+      "kg_view_maintained", "kg_fact_intervals", "kg_snapshot_series",
+      "kg_range_join_live",
       "q1_agg", "q3_join", "brand_volume", "top_shipments", "events_hourly", "events_sessions")
 
     val spark = SparkSession.builder()
