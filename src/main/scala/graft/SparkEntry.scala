@@ -555,7 +555,10 @@ object SparkEntry {
     // the order->part->supplier view — delta joins only, never base x base;
     // the oracle recomputes sol(full) EXCEPT sol(base) from scratch
     "kg_bgp_delta" -> ((s, d) => {
+      // truncate the typed-KG derivation once; both md5-split arguments
+      // (base 7/8, ingest batch 1/8) ride the same materialization
       val rel = DocKg.typedSupplyTriples(s, d).select("s", "p", "o")
+        .localCheckpoint()
       val bucket = conv(substring(md5(
         concat_ws("|", col("s"), col("p"), col("o")).cast("binary")), 1, 15),
         16, 10).cast("long") % 8
@@ -1447,8 +1450,12 @@ object SparkEntry {
       val contains = DocKg.typedSupplyTriples(s, d)
         .filter(col("p") === "contains").select("s", "p", "o")
       val log = ordersChangelog(s, d)
+      // base1 feeds three consumers (from-scratch T1 solutions, the insert
+      // delta, the DRed retract) and diff feeds two — truncate each ONCE so
+      // the snapshot/diff derivations are not re-evaluated per consumer.
       val base1 = Changelog.asOfSnapshot(log, AsOfT1).unionByName(contains)
-      val diff = Changelog.asOfDelta(log, AsOfT1, AsOfT2)
+        .localCheckpoint()
+      val diff = Changelog.asOfDelta(log, AsOfT1, AsOfT2).localCheckpoint()
       val added = diff.filter(col("change") === "added").select("s", "p", "o")
       val removed = diff.filter(col("change") === "removed").select("s", "p", "o")
       val sol1 = Bgp.matchPatterns(base1, pats)
@@ -1462,7 +1469,10 @@ object SparkEntry {
     // the order->part->supplier view — over-approximate via vanished-binding
     // delta joins, then rederive survivors candidate-sized
     "kg_bgp_delta_retract" -> ((s, d) => {
+      // truncate the typed-KG derivation once so both the base and the
+      // removed-bucket arguments ride the same materialization
       val rel = DocKg.typedSupplyTriples(s, d).select("s", "p", "o")
+        .localCheckpoint()
       val bucket = conv(substring(md5(
         concat_ws("|", col("s"), col("p"), col("o")).cast("binary")), 1, 15),
         16, 10).cast("long") % 8

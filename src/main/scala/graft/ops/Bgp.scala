@@ -365,16 +365,24 @@ object Bgp {
     * one position, so Catalyst broadcasts it and every term's cost scales
     * with the DELTA's contribution, never with |base|². A solution touched
     * by several new bindings appears in several terms — one distinct on
-    * top restores set semantics. Engine extension, no reference
-    * counterpart. */
+    * top restores set semantics. Both inputs are localCheckpointed ONCE at
+    * entry: the n union terms plus the n ΔP_i anti-joins reference base and
+    * delta ~2n times each, and without plan truncation a derived base (e.g.
+    * a typed-triple extraction over raw tables) would be re-evaluated per
+    * occurrence — the checkpoint bounds that to one evaluation each, with
+    * every term scanning in-memory blocks (the repo-wide lineage-truncation
+    * convention for multiply-consumed relations). Engine extension, no
+    * reference counterpart. */
   def viewDelta(base: DataFrame, delta: DataFrame, patterns: Seq[Pat]): DataFrame = {
     require(patterns.nonEmpty, "empty pattern list")
-    val full = base.select("s", "p", "o").unionByName(delta.select("s", "p", "o"))
+    val b = base.select("s", "p", "o").localCheckpoint()
+    val dlt = delta.select("s", "p", "o").localCheckpoint()
+    val full = b.unionByName(dlt)
     val fullBind = patterns.map(one(full, _))
     val newBind = patterns.map { p =>
-      val (d, vs) = one(delta, p)
-      val (b, _) = one(base, p)
-      (d.join(b, vs.toIndexedSeq, "left_anti"), vs)
+      val (d, vs) = one(dlt, p)
+      val (bb, _) = one(b, p)
+      (d.join(bb, vs.toIndexedSeq, "left_anti"), vs)
     }
     patterns.indices
       .map(i => chain(fullBind.updated(i, newBind(i))))
@@ -404,10 +412,15 @@ object Bgp {
     * Engine extension, no reference counterpart. */
   def viewDeltaRetract(base: DataFrame, removed: DataFrame, patterns: Seq[Pat]): DataFrame = {
     require(patterns.nonEmpty, "empty pattern list")
-    val remaining = base.select("s", "p", "o")
-      .join(removed.select("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
+    // base and removed are each referenced by ~2n downstream terms; truncate
+    // lineage once so a derived base is evaluated once, not per occurrence
+    // (same convention as viewDelta / the remaining checkpoint below).
+    val b = base.select("s", "p", "o").localCheckpoint()
+    val rm = removed.select("s", "p", "o").localCheckpoint()
+    val remaining = b
+      .join(rm, Seq("s", "p", "o"), "left_anti")
       .localCheckpoint()
-    val baseBind = patterns.map(one(base, _))
+    val baseBind = patterns.map(one(b, _))
     val remBind = patterns.map(one(remaining, _))
     val goneBind = patterns.indices.map { i =>
       val (b, vs) = baseBind(i)
