@@ -632,8 +632,17 @@ object Bgp {
       .localCheckpoint()
     val start =
       if (seeds.isEmpty) step else step.filter(col("hs").isin(seeds: _*))
-    var closure = start.select(col("hs").as("x"), col("ho").as("z")).localCheckpoint()
-    var delta = closure
+    // Semi-naive bookkeeping: the closure is kept as the LIST of per-round
+    // delta relations (each checkpointed once when produced) and unioned
+    // lazily wherever the accumulated closure is read — re-materializing
+    // the whole closure every round would copy O(|closure|) blocks per
+    // round (O(diameter x |closure|) total) and pay one extra job per
+    // round for no dataflow reason; the lazy union of <= maxIter
+    // already-truncated relations keeps plans bounded.
+    val deltas = collection.mutable.Buffer(
+      start.select(col("hs").as("x"), col("ho").as("z")).localCheckpoint())
+    def closure = deltas.reduce(_ union _)
+    var delta = deltas.head
     var growing = true
     var it = 0
     val metricBase = s"graft_tc_${java.util.UUID.randomUUID().toString.take(8)}_"
@@ -652,7 +661,7 @@ object Bgp {
       }
       if (novel == 0L) growing = false
       else {
-        closure = closure.union(materialized).localCheckpoint()
+        deltas += materialized
         delta = materialized
       }
       it += 1
