@@ -152,7 +152,7 @@ object Bench {
       "kg_louvain_coarse", "kg_stance_drift", "kg_entity_cards",
       "text_classifier_score", "web_spam_mass",
       "kg_bgp_optional", "kg_bgp_not_exists", "kg_bgp_union", "kg_bgp_minus",
-      "kg_bgp_construct", "kg_reachability",
+      "kg_bgp_construct", "kg_reachability", "kg_bgp_planned_stats",
       "kg_shape_cardinality", "kg_shape_range", "kg_schema_domains",
       "kg_bgp_orderlimit", "kg_bgp_values", "kg_bgp_filter", "kg_ask",
       "kg_bgp_path_inverse", "kg_bgp_negated", "kg_rdfs_types",

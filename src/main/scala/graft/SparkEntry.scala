@@ -490,6 +490,19 @@ object SparkEntry {
         graft.ops.Bgp.Pat("?x", "pos", "?y"),
         graft.ops.Bgp.Pat("?y", "neg", "?z")))
     }),
+    // stats-planned BGP: join order chosen from MEASURED per-pattern
+    // cardinalities (one count-if scan over the checkpointed KG) — all
+    // three patterns carry one constant, so shape selectivity ties and
+    // only real predicate counts can order the chain rarest-first
+    "kg_bgp_planned_stats" -> ((s, d) => {
+      val rel = DocKg.typedSupplyTriples(s, d).select("s", "p", "o")
+        .localCheckpoint() // stats scan + three binds ride one materialization
+      val pats = Seq(
+        graft.ops.Bgp.Pat("?c", "placed", "?ord"),
+        graft.ops.Bgp.Pat("?ord", "contains", "?pt"),
+        graft.ops.Bgp.Pat("?pt", "supplied_by", "?sup"))
+      graft.ops.Bgp.matchPatterns(rel, graft.ops.Bgp.planPatternsStats(rel, pats))
+    }),
     // SPARQL OPTIONAL: left-outer BGP extension, NULL-padded where the
     // optional group finds no match
     "kg_bgp_optional" -> ((s, d) => {
@@ -2147,6 +2160,14 @@ object SparkEntry {
          |p1 AS (SELECT DISTINCT s AS x, o AS y FROM rel WHERE p = 'pos'),
          |p2 AS (SELECT DISTINCT s AS y, o AS z FROM rel WHERE p = 'neg')
          |SELECT p1.x, p1.y, p2.z FROM p1 JOIN p2 ON p1.y = p2.y""".stripMargin,
+    // planner choice never changes the solution set — same conjunctive join
+    "kg_bgp_planned_stats" ->
+      s"""WITH $supplyTriplesCte,
+         |sb1 AS (SELECT DISTINCT s AS c, o AS ord FROM sup_t WHERE p = 'placed'),
+         |sb2 AS (SELECT DISTINCT s AS ord, o AS pt FROM sup_t WHERE p = 'contains'),
+         |sb3 AS (SELECT DISTINCT s AS pt, o AS sup FROM sup_t WHERE p = 'supplied_by')
+         |SELECT sb1.c, sb1.ord, sb2.pt, sb3.sup
+         |FROM sb1 JOIN sb2 USING (ord) JOIN sb3 USING (pt)""".stripMargin,
     "kg_bgp_optional" ->
       s"""WITH $triplesCte,
          |$bgpCtes

@@ -188,7 +188,13 @@ object Operations {
               case _ => sys.error(s"bad pattern '$t' (need exactly 3 terms)")
             }
           }
-        graft.ops.Bgp.matchPatterns(bgpRel(edges), graft.ops.Bgp.planPatterns(pats))
+        // --plan stats: measure per-pattern cardinalities with one scan and
+        // order the join chain by them; default is the shape-based planner
+        val planned =
+          if (opts.get("--plan").contains("stats"))
+            graft.ops.Bgp.planPatternsStats(bgpRel(edges), pats)
+          else graft.ops.Bgp.planPatterns(pats)
+        graft.ops.Bgp.matchPatterns(bgpRel(edges), planned)
       case "DESCRIBE" =>
         graft.ops.Bgp.describe(bgpRel(edges), seedList(opts))
       // versioned-KG reads over the persistent changelog store

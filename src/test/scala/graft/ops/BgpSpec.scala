@@ -524,6 +524,52 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     assert(ex.getMessage.contains("cartesian"))
   }
 
+  test("planPatternsStats orders rarest-first where shape selectivity ties") {
+    import spark.implicits._
+    // 'hot' has 6 triples, 'mid' 3, 'rare' 1 — every pattern carries exactly
+    // one constant, so the shape planner cannot separate them
+    val skewed = (
+      (1 to 6).map(i => (s"a$i", "hot", s"b$i")) ++
+        (1 to 3).map(i => (s"b$i", "mid", s"c$i")) ++
+        Seq(("c1", "rare", "d1"))).toDF("s", "p", "o")
+    val pats = Seq( // deliberately hottest-first
+      Pat("?x", "hot", "?y"), Pat("?y", "mid", "?z"), Pat("?z", "rare", "?w"))
+    val planned = Bgp.planPatternsStats(skewed, pats)
+    assert(planned == Seq(
+      Pat("?z", "rare", "?w"), Pat("?y", "mid", "?z"), Pat("?x", "hot", "?y")))
+    // solutions are planner-invariant
+    val viaStats = Bgp.matchPatterns(skewed, planned)
+      .select("x", "y", "z", "w").collect().map(_.toSeq).toSet
+    val viaShape = Bgp.matchPatterns(skewed, pats)
+      .select("x", "y", "z", "w").collect().map(_.toSeq).toSet
+    assert(viaStats == viaShape && viaStats == Set(Seq("a1", "b1", "c1", "d1")))
+  }
+
+  test("planPatternsStats counts inverse and repeated-variable patterns correctly") {
+    import spark.implicits._
+    val g = Seq(("a", "r", "b"), ("b", "r", "a"), ("c", "r", "c"),
+      ("c", "s", "d")).toDF("s", "p", "o")
+    // ^s has 1 match, self-loop ?x r ?x has 1, plain r has 3: both cheap
+    // patterns must precede the hot one; ^s connects via ?x after the loop
+    val planned = Bgp.planPatternsStats(g, Seq(
+      Pat("?x", "r", "?y"), Pat("?x", "r", "?x"), Pat("?d", "^s", "?x")))
+    assert(planned.head == Pat("?x", "r", "?x")) // card 1, earliest index among ties
+    assert(planned(1) == Pat("?d", "^s", "?x"))  // card 1, connected via ?x
+    assert(planned(2) == Pat("?x", "r", "?y"))   // card 3 last
+  }
+
+  test("planPatternsStats: empty relation and disconnected tail stay deterministic") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String, String)].toDF("s", "p", "o")
+    val pats = Seq(Pat("?a", "p1", "?b"), Pat("?b", "p2", "?c"))
+    assert(Bgp.planPatternsStats(empty, pats) == pats) // all-zero cards -> input order
+    val disc = Bgp.planPatternsStats(rel,
+      Seq(Pat("?a", "pos", "?b"), Pat("?u", "likes", "?v")))
+    assert(disc == Seq(Pat("?a", "pos", "?b"), Pat("?u", "likes", "?v")))
+    val ex = intercept[IllegalArgumentException] { Bgp.matchPatterns(rel, disc) }
+    assert(ex.getMessage.contains("cartesian"))
+  }
+
   test("describe returns slot-tagged triples touching the node set") {
     val got = Bgp.describe(rel, Seq("b", "e"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
