@@ -558,6 +558,25 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     assert(planned(2) == Pat("?x", "r", "?y"))   // card 3 last
   }
 
+  test("planner invariance property: stats plan == shape plan solutions on random KGs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic trials
+    val preds = Seq("p1", "p2", "p3")
+    val nodes = (0 until 8).map(i => s"n$i")
+    for (trial <- 1 to 5) {
+      val g = (1 to 40).map { _ =>
+        (nodes(rnd.nextInt(8)), preds(rnd.nextInt(3)), nodes(rnd.nextInt(8)))
+      }.distinct.toDF("s", "p", "o")
+      val pats = Seq(
+        Pat("?a", preds(rnd.nextInt(3)), "?b"), Pat("?b", preds(rnd.nextInt(3)), "?c"))
+      val byStats = Bgp.matchPatterns(g, Bgp.planPatternsStats(g, pats))
+        .select("a", "b", "c").collect().map(_.toSeq).toSet
+      val byShape = Bgp.matchPatterns(g, Bgp.planPatterns(pats))
+        .select("a", "b", "c").collect().map(_.toSeq).toSet
+      assert(byStats == byShape, s"trial $trial diverged")
+    }
+  }
+
   test("planPatternsStats: empty relation and disconnected tail stay deterministic") {
     import spark.implicits._
     val empty = Seq.empty[(String, String, String)].toDF("s", "p", "o")
