@@ -35,6 +35,32 @@ object Bgp {
 
   private def isVar(t: String): Boolean = t.startsWith("?")
 
+  /** True when re-evaluating `df` is cheap because every node of its
+    * analyzed plan is a narrow operator over already-materialized data —
+    * in-memory checkpoint blocks (LogicalRDD) or literal rows
+    * (LocalRelation) under any stack of Project / Filter / SubqueryAlias /
+    * Union. Joins, aggregates and source scans are NOT cheap: a view-
+    * maintenance entry point must truncate those once rather than
+    * re-evaluate them per downstream reference. */
+  private[ops] def cheaplyDerived(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    def ok(p: logical.LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: logical.LocalRelation => true
+      case _: logical.Project | _: logical.Filter | _: logical.SubqueryAlias |
+           _: logical.Union => p.children.forall(ok)
+      case _ => false
+    }
+    ok(df.queryExecution.analyzed)
+  }
+
+  /** Truncate lineage for a relation about to be referenced many times —
+    * unless the input is already [[cheaplyDerived]], in which case a second
+    * localCheckpoint would only copy materialized blocks (double the block
+    * storage at 10^12-triple scale) for zero re-evaluation savings. */
+  private def truncated(df: DataFrame): DataFrame =
+    if (cheaplyDerived(df)) df else df.localCheckpoint()
+
   /** Bindings of one pattern against the relation: constants filtered,
     * variables projected (deduplicated — set semantics per pattern, so a
     * projection that drops distinguishing columns cannot carry
@@ -441,8 +467,8 @@ object Bgp {
     * reference counterpart. */
   def viewDelta(base: DataFrame, delta: DataFrame, patterns: Seq[Pat]): DataFrame = {
     require(patterns.nonEmpty, "empty pattern list")
-    val b = base.select("s", "p", "o").localCheckpoint()
-    val dlt = delta.select("s", "p", "o").localCheckpoint()
+    val b = truncated(base.select("s", "p", "o"))
+    val dlt = truncated(delta.select("s", "p", "o"))
     val full = b.unionByName(dlt)
     val fullBind = patterns.map(one(full, _))
     val newBind = patterns.map { p =>
@@ -481,11 +507,11 @@ object Bgp {
     // base and removed are each referenced by ~2n downstream terms; truncate
     // lineage once so a derived base is evaluated once, not per occurrence
     // (same convention as viewDelta / the remaining checkpoint below).
-    val b = base.select("s", "p", "o").localCheckpoint()
-    val rm = removed.select("s", "p", "o").localCheckpoint()
+    val b = truncated(base.select("s", "p", "o"))
+    val rm = truncated(removed.select("s", "p", "o"))
     val remaining = b
       .join(rm, Seq("s", "p", "o"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint() // a join — always worth one truncation
     val baseBind = patterns.map(one(b, _))
     val remBind = patterns.map(one(remaining, _))
     val goneBind = patterns.indices.map { i =>

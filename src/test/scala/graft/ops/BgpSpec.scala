@@ -558,6 +558,19 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     assert(planned(2) == Pat("?x", "r", "?y"))   // card 3 last
   }
 
+  test("cheaplyDerived: narrow ops over materialized blocks yes; joins/aggregates/scans no") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ckpt = Seq(("a", "p", "b")).toDF("s", "p", "o").localCheckpoint(true)
+    assert(Bgp.cheaplyDerived(ckpt))
+    assert(Bgp.cheaplyDerived(ckpt.select("s", "p", "o").filter(col("p") === "p")))
+    assert(Bgp.cheaplyDerived(ckpt.unionByName(ckpt.filter(col("s") =!= "zz"))))
+    assert(Bgp.cheaplyDerived(rel)) // literal rows (LocalRelation)
+    assert(!Bgp.cheaplyDerived(ckpt.join(ckpt, Seq("s"))))
+    assert(!Bgp.cheaplyDerived(ckpt.distinct()))
+    assert(!Bgp.cheaplyDerived(ckpt.groupBy("s").count()))
+  }
+
   test("planner invariance property: stats plan == shape plan solutions on random KGs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42) // fixed seed — deterministic trials
