@@ -558,6 +558,34 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     assert(planned(2) == Pat("?x", "r", "?y"))   // card 3 last
   }
 
+  test("view maintenance property: delta and retract equal recompute on random splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7) // fixed seed — deterministic trials
+    val preds = Seq("p1", "p2")
+    val nodes = (0 until 6).map(i => s"n$i")
+    val pats = Seq(Pat("?a", "p1", "?b"), Pat("?b", "p2", "?c"))
+    def sols(df: org.apache.spark.sql.DataFrame) =
+      Bgp.matchPatterns(df, pats).select("a", "b", "c").collect().map(_.toSeq).toSet
+    for (trial <- 1 to 4) {
+      val all = (1 to 30).map(_ =>
+        (nodes(rnd.nextInt(6)), preds(rnd.nextInt(2)), nodes(rnd.nextInt(6)))).distinct
+      // deterministic split (String.hashCode is stable across JVMs)
+      val (keep, move) = all.partition(t => (t._1 + t._2 + t._3).hashCode % 2 == 0)
+      if (move.nonEmpty && keep.nonEmpty) {
+        val keepDf = keep.toDF("s", "p", "o")
+        val moveDf = move.toDF("s", "p", "o")
+        val allDf = all.toDF("s", "p", "o")
+        val expected = sols(allDf) -- sols(keepDf)
+        val viaDelta = Bgp.viewDelta(keepDf, moveDf, pats)
+          .select("a", "b", "c").collect().map(_.toSeq).toSet
+        assert(viaDelta == expected, s"viewDelta trial $trial")
+        val viaRetract = Bgp.viewDeltaRetract(allDf, moveDf, pats)
+          .select("a", "b", "c").collect().map(_.toSeq).toSet
+        assert(viaRetract == expected, s"viewDeltaRetract trial $trial")
+      }
+    }
+  }
+
   test("cheaplyDerived: narrow ops over materialized blocks yes; joins/aggregates/scans no") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
