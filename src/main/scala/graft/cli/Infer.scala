@@ -353,5 +353,8 @@ object Infer {
     println(s"""{"pages_out":"$out","samples":$nSamples,"triples":$nTriples,""" +
       s""""nodes":${graph.nodes.size},"links":${graph.links.size}}""")
     spark.stop()
+    // reference parity: `--host PORT` serves the just-written artifact on a
+    // local port and blocks (arelight/run/operations.py:106-107 behavior)
+    opts.get("--host").foreach(p => graft.graph.Serve.serveBlocking(out, p.toInt))
   }
 }

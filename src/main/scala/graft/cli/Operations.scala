@@ -10,6 +10,8 @@ import graft.graph.{D3Json, GraphOps}
   *
   * Usage: runMain graft.cli.Operations --a A.json --b B.json \
   *          --operation UNION|INTERSECTION|DIFFERENCE --out DIR [--name N] [--weights y|n]
+  *          [--host PORT]  (serve the written artifact on a local port and
+  *            block — reference `--host` parity, graft.graph.Serve)
   *
   * Analytics (read --a only, write <out>/analytics.csv + summary JSON line):
   *   --operation PAGERANK|PPR|HITS|COMPONENTS|LPA|KCORE|BFS|CLUSTCOEFF|KTRUSS|
@@ -189,12 +191,28 @@ object Operations {
             }
           }
         // --plan stats: measure per-pattern cardinalities with one scan and
-        // order the join chain by them; default is the shape-based planner
-        val planned =
-          if (opts.get("--plan").contains("stats"))
-            graft.ops.Bgp.planPatternsStats(bgpRel(edges), pats)
-          else graft.ops.Bgp.planPatterns(pats)
-        graft.ops.Bgp.matchPatterns(bgpRel(edges), planned)
+        // order the join chain by them; default is the shape-based planner.
+        // --stats-store DIR: run over a resident EdgeStore KG and plan from
+        // its persisted per-predicate counts — NO extra scan (the stats are
+        // maintained by the store's own merges, Bgp.planPatternsCached)
+        val (rel, planned) = opts.get("--stats-store") match {
+          case Some(dir) =>
+            val r = bgpRel(graft.ops.EdgeStore.edges(spark, dir))
+            val pl = graft.ops.EdgeStore.stats(spark, dir) match {
+              case Some((counts, total)) =>
+                graft.ops.Bgp.planPatternsCached(counts, total, pats)
+              case None => graft.ops.Bgp.planPatterns(pats) // pre-stats store
+            }
+            (r, pl)
+          case None =>
+            val r = bgpRel(edges)
+            val pl =
+              if (opts.get("--plan").contains("stats"))
+                graft.ops.Bgp.planPatternsStats(r, pats)
+              else graft.ops.Bgp.planPatterns(pats)
+            (r, pl)
+        }
+        graft.ops.Bgp.matchPatterns(rel, planned)
       case "DESCRIBE" =>
         graft.ops.Bgp.describe(bgpRel(edges), seedList(opts))
       // versioned-KG reads over the persistent changelog store
@@ -331,5 +349,8 @@ object Operations {
     D3Json.save(g, out, name, intLinkC = !weights, intNodeC = !weights)
     graft.graph.Viewer.save(out, name) // openable artifact: <out>/index.html
     println(s"""{"operation":"$op","nodes":${g.nodes.size},"links":${g.links.size},"out":"$out"}""")
+    // reference parity: `--host PORT` serves the artifact and blocks
+    // (arelight/run/operations.py:106-107)
+    opts.get("--host").foreach(p => graft.graph.Serve.serveBlocking(out, p.toInt))
   }
 }

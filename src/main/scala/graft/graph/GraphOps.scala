@@ -246,14 +246,52 @@ object GraphOps {
     * (measured: betweenness 8.2s -> 3.1s, the same effect across the
     * pagerank/walks family). `maxLazy` is per-operator: plan-tree size grows
     * with the number of consumers each round's relation feeds (linear chains
-    * tolerate ~8 rounds; two-consumer shapes double per round). */
-  private def roundCkpt(rounds: Int, maxLazy: Int)(df: DataFrame): DataFrame =
-    if (rounds <= maxLazy) df else df.localCheckpoint(true)
+    * tolerate ~8 rounds; two-consumer shapes double per round).
+    *
+    * Over-budget loops truncate with a tunable policy (A/B-measured per
+    * round; see tools/IterProbe):
+    *   - `spark.graft.iter.stride` (default 1): truncate every stride-th
+    *     round only — fewer barriers, plan growth bounded by growth^stride;
+    *   - `spark.graft.iter.eager` (default true): eager materializes the
+    *     round in its own job (old behavior); lazy (`false`) truncates the
+    *     LOGICAL plan immediately (LogicalRDD) but defers computation to
+    *     the consuming action, removing the per-round job barrier;
+    *   - `spark.graft.iter.skipFinal` (default false): never checkpoint the
+    *     loop's last round — its single downstream consumer materializes it
+    *     anyway; callers that fan the result out re-checkpoint themselves. */
+  private[graft] def roundCkpt(rounds: Int, maxLazy: Int): DataFrame => DataFrame = {
+    var r = 0
+    df => {
+      r += 1
+      if (rounds <= maxLazy) df
+      else {
+        val conf = df.sparkSession.conf
+        val stride = conf.get("spark.graft.iter.stride", "1").toInt
+        val eager = conf.get("spark.graft.iter.eager", "true").toBoolean
+        val skipFinal = conf.get("spark.graft.iter.skipFinal", "false").toBoolean
+        if (skipFinal && r == rounds) df
+        else if (r % stride != 0) df
+        else if (eager) df.localCheckpoint(true)
+        else {
+          // Lazy truncation: plan the round WITHOUT AQE — an adaptive plan
+          // materializes its shuffle stages with blocking jobs even under
+          // localCheckpoint(eager = false), which would re-introduce the
+          // per-round barrier this mode exists to remove. Planning happens
+          // inside the localCheckpoint call, so the conf flip is scoped.
+          val sess = df.sparkSession
+          val key = "spark.sql.adaptive.enabled"
+          val prev = sess.conf.get(key, "true")
+          sess.conf.set(key, "false")
+          try df.localCheckpoint(false) finally sess.conf.set(key, prev)
+        }
+      }
+    }
+  }
 
   def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
     val g = prPrep(edges)
     val (ew, nodes, base) = (g.ew, g.nodes, g.base)
-    val ck = roundCkpt(iters, maxLazy = 8) _
+    val ck = roundCkpt(iters, maxLazy = 8)
     var ranks = nodes.select(col("id"), lit(g.t).as("r"))
     for (_ <- 1 to iters) {
       val contribs = ew.join(ranks, ew("source") === ranks("id"))
@@ -279,7 +317,7 @@ object GraphOps {
     require(iters >= 1 && iters <= 16, s"iters must be in [1,16]: $iters")
     val g = prPrep(edges)
     val (ew, nodes, base) = (g.ew, g.nodes, g.base)
-    val ck = roundCkpt(iters, maxLazy = 8) _
+    val ck = roundCkpt(iters, maxLazy = 8)
     var ranks = nodes.join(prevRanks.select(col("id"), col("r").as("prev_r")), Seq("id"), "left")
       .select(col("id"), coalesce(col("prev_r"), lit(g.t)).as("r"))
     for (_ <- 1 to iters) {
@@ -420,7 +458,7 @@ object GraphOps {
     val mass = 1000000000000L
     val share = mass / k
     val pBase = ((15L * mass) / 100L) / k
-    val ck = roundCkpt(iters, maxLazy = 8) _
+    val ck = roundCkpt(iters, maxLazy = 8)
     var ranks = nodes.select(col("id"),
       when(seedPred, lit(share)).otherwise(lit(0L)).as("r"))
     for (_ <- 1 to iters) {
@@ -505,7 +543,7 @@ object GraphOps {
       .localCheckpoint()
     // adj feeds three consumers per peeling round (degree agg + two
     // semi-joins): the lazy plan triples per round, so the budget is tight
-    val ck = roundCkpt(rounds, maxLazy = 4) _
+    val ck = roundCkpt(rounds, maxLazy = 4)
     for (_ <- 1 to rounds) {
       val keep = adj.groupBy(col("x")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= k).select(col("x"))
@@ -568,7 +606,7 @@ object GraphOps {
     // auth feeds two consumers per round (hub update + the final zip), so
     // the lazy plan doubles per iteration — a tighter budget than the
     // linear-chain operators
-    val ck = roundCkpt(iters, maxLazy = 4) _
+    val ck = roundCkpt(iters, maxLazy = 4)
     var scores = nodes.select(col("id"), lit(1000000L).as("hub"), lit(1000000L).as("auth"))
     for (_ <- 1 to iters) {
       val aRaw = ew.join(scores.select(col("id"), col("hub")), ew("source") === col("id"))
@@ -613,7 +651,7 @@ object GraphOps {
       .localCheckpoint()
     var labels = adj.select(col("x").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-    val ck = roundCkpt(rounds, maxLazy = 8) _
+    val ck = roundCkpt(rounds, maxLazy = 8)
     for (_ <- 1 to rounds) {
       val votes = adj.join(labels.withColumnRenamed("id", "n"), "n")
         .groupBy(col("x"), col("label")).agg(sum(col("w")).as("wsum"))
@@ -646,11 +684,30 @@ object GraphOps {
     * the node's own community) — rng-free and division-free, so the move
     * sequence is bit-identical cross-engine. `rounds` is fixed and unrolled
     * in the oracle like [[labelPropagation]]; the default is one full color
-    * sweep. Per round: one co-partitioned neighbor-label join + two
-    * aggregations + one argmax window over the MOVING color class only,
-    * lineage truncated. Integer range: scores reach k_{x,C}·2m ≲ (2m)²,
-    * exact in BIGINT up to 2m ≈ 3e9 total edge weight — beyond that, bucket
-    * the graph first (the same envelope as kg_modularity's q_num).
+    * sweep.
+    *
+    * Round shape (round-5 restructure, oracle-pinned bit-identical to the
+    * original): the loop state is (id, label, ki) — folding the weighted
+    * degree into the state removes the per-round nodes/deg joins (comm and
+    * the mover's ki read the state row directly); the mover color class is
+    * recomputed per round as a row-local md5 EXPRESSION (no nodes join);
+    * the own-community "stay" candidate is an unconditional kxc = 0 row
+    * merged by the same (x, own, label) SUM that aggregates real votes
+    * (replacing a per-round anti-join with a union); the per-mover argmax
+    * is a `min(struct(-score, label))` hash aggregation (map-side partial)
+    * instead of a window sort; and 2m — constant across rounds — is
+    * collected once (one-row aggregate, the scc pivot convention) and
+    * enters each round as a literal, not a broadcast join. Per round that
+    * leaves: the neighbor-label join, the comm aggregation, the candidate
+    * SUM, two broadcast-sized comm lookups, and the argmax aggregation —
+    * measured 3.2s -> ~2.3s at sf0.1 over the round-4 shape. A per-round
+    * eager truncation IS the measured optimum here: the state feeds ~5
+    * consumers per round, so the lazy-chain alternative multiplies the plan
+    * ~5x per round and its Catalyst analysis dwarfs the saved barriers
+    * (tools/IterProbe, round 5; contrast [[betweenness]]'s linear chain).
+    * Integer range: scores reach k_{x,C}·2m ≲ (2m)², exact in BIGINT up to
+    * 2m ≈ 3e9 total edge weight — beyond that, bucket the graph first (the
+    * same envelope as kg_modularity's q_num).
     * Output: (id, label). Engine extension, no reference counterpart. */
   /** Shared prep for the community family: the undirected weighted collapse
     * (a < b, self-loops dropped, BIGINT weights), its doubled adjacency,
@@ -669,55 +726,51 @@ object GraphOps {
   }
 
   def louvainMoves(edges: DataFrame, rounds: Int = 4, colors: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(colors >= 2, s"need >= 2 colors, got $colors")
     val (_, adj, deg) = communityPrep(edges)
-    val m2 = deg.agg(sum(col("ki")).as("m2"))
-    val nodes = deg.select(col("x").as("id"),
-      (conv(substring(md5(col("x").cast("binary")), 1, 15), 16, 10)
-        .cast("long") % colors).as("clr"))
-      .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("label"))
-    // labels feeds FIVE consumers per round (movers, keepers, comm, the
-    // neighbor-label join, stay) — a ~5x lazy-plan blowup per round, so
-    // truncate every round rather than budgeting like the 2x-growth loops
-    val ck = roundCkpt(rounds, maxLazy = 1) _
+    // 2m is constant across rounds: one-row aggregate collected once (the
+    // scc pivot convention), a literal in every round's score expression
+    val m2 = deg.agg(sum(col("ki"))).head().getLong(0)
+    def clrOf(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long") % colors
+    // loop state: (id, label, ki) — see the round-shape docstring
+    var state = deg.select(col("x").as("id"), col("x").as("label"), col("ki"))
+    val ck = roundCkpt(rounds, maxLazy = 1)
     for (r <- 1 to rounds) {
       val rc = r % colors
-      val lblc = labels.join(nodes, "id")
-      val movers = lblc.filter(col("clr") === rc).select(col("id"), col("label"))
-      val keepers = lblc.filter(col("clr") =!= rc).select(col("id"), col("label"))
-      val comm = labels.join(deg.select(col("x").as("id"), col("ki")), "id")
-        .groupBy(col("label")).agg(sum(col("ki")).as("tot"),
-          count(lit(1)).as("csize"))
-      val votes = adj.join(movers.select(col("id").as("x"), col("label").as("own")), "x")
-        .join(labels.select(col("id").as("n"), col("label")), "n")
-        .groupBy(col("x"), col("own"), col("label")).agg(sum(col("w")).as("kxc"))
-      // the stay-home candidate: a row for the mover's own community even
-      // when no neighbor is currently in it (kxc = 0), so move-vs-stay is
-      // always a comparison between present rows
+      val movers = state.filter(clrOf(col("id")) === rc)
+      val keepers = state.filter(clrOf(col("id")) =!= rc)
+      val comm = state.groupBy(col("label")).agg(sum(col("ki")).as("tot"),
+        count(lit(1)).as("csize"))
+      val votes = adj.join(movers.select(col("id").as("x"),
+          col("label").as("own"), col("ki")), "x")
+        .join(state.select(col("id").as("n"), col("label")), "n")
+        .select(col("x"), col("own"), col("ki"), col("label"), col("w").as("kxc"))
+      // the stay-home candidate: an unconditional kxc = 0 row for the
+      // mover's own community, merged by the same SUM that folds real votes
+      // — move-vs-stay is always a comparison between present rows
       val stay = movers.select(col("id").as("x"), col("label").as("own"),
-          col("label"))
-        .join(votes.select("x", "label"), Seq("x", "label"), "left_anti")
-        .withColumn("kxc", lit(0L))
+        col("ki"), col("label"), lit(0L).as("kxc"))
       val scored = votes.unionByName(stay)
+        .groupBy(col("x"), col("own"), col("ki"), col("label"))
+        .agg(sum(col("kxc")).as("kxc"))
         .join(comm, "label")
         .join(comm.select(col("label").as("own"), col("csize").as("ocsize")), "own")
-        .join(deg, "x")
-        .crossJoin(broadcast(m2))
         .filter(!(col("ocsize") === 1 && col("csize") === 1 &&
           col("label") > col("own")))
-        .withColumn("score", col("kxc") * col("m2") -
+        .withColumn("score", col("kxc") * lit(m2) -
           col("ki") * (col("tot") -
             when(col("label") === col("own"), col("ki")).otherwise(lit(0L))))
+      // argmax by (score desc, label asc) as a hash aggregation: the
+      // lexicographic min of (-score, label); ki rides along (per-x const)
       val moved = scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("x")).orderBy(col("score").desc, col("label").asc)))
-        .filter(col("rn") === 1)
-        .select(col("x").as("id"), col("label"))
-      labels = ck(moved.unionByName(keepers))
+        .groupBy(col("x"))
+        .agg(min(struct((-col("score")).as("ns"), col("label"))).as("w"),
+          first(col("ki")).as("ki"))
+        .select(col("x").as("id"), col("w.label").as("label"), col("ki"))
+      state = ck(moved.unionByName(keepers))
     }
-    labels
+    state.select(col("id"), col("label"))
   }
 
   /** Louvain phase-2 coarsening: collapse the [[louvainMoves]] partition
@@ -797,7 +850,7 @@ object GraphOps {
       .localCheckpoint()
     var labels = adj.groupBy(col("x").as("id"))
       .agg(count(lit(1)).cast("string").as("lbl"))
-    val ck = roundCkpt(rounds, maxLazy = 4) _
+    val ck = roundCkpt(rounds, maxLazy = 4)
     for (_ <- 1 to rounds) {
       val nb = adj.join(labels.select(col("id").as("n"), col("lbl")), "n")
         .groupBy(col("x")).agg(sort_array(collect_list(col("lbl"))).as("nl"))
@@ -925,7 +978,7 @@ object GraphOps {
       .union(adj.select(col("dst").as("id"))).distinct()
     val (reg, rho) = graft.ops.Sketches.hllCols(col("id"), p)
     // regs feeds two consumers per round (the neighbor pull + the union)
-    val ck = roundCkpt(rounds, maxLazy = 4) _
+    val ck = roundCkpt(rounds, maxLazy = 4)
     var regs = ck(nodes
       .select(col("id"), reg.as("register"), rho.as("max_rho")))
     for (_ <- 1 to rounds) {
@@ -1104,7 +1157,7 @@ object GraphOps {
     var c = nodes.select(col("id"), lit(1000000L).as("c"))
     var katzAcc = nodes.select(col("id"), lit(0L).as("k"))
     // c feeds two consumers per round (next hop + the accumulator join)
-    val ck = roundCkpt(rounds, maxLazy = 5) _
+    val ck = roundCkpt(rounds, maxLazy = 5)
     for (_ <- 1 to rounds) {
       val next = adj.join(c, adj("src") === c("id"))
         .select(col("dst").as("id"), expr(s"($num * c) div $den").as("contrib"))
@@ -1573,7 +1626,7 @@ object GraphOps {
     val nodes = adj.select(col("src").as("id"))
       .union(adj.select(col("dst"))).distinct()
     // cur feeds two consumers per step (next hop + the output union)
-    val ck = roundCkpt(walkLen, maxLazy = 5) _
+    val ck = roundCkpt(walkLen, maxLazy = 5)
     var cur = ck(nodes.select(col("id").as("start"), col("id").as("node")))
     var out = cur.select(col("start"), lit(0L).as("step"), col("node"))
     for (t <- 1 to walkLen) {
@@ -1618,7 +1671,7 @@ object GraphOps {
     val nodes = adj.select(col("src").as("id"))
       .union(adj.select(col("dst"))).distinct()
     // st feeds two consumers per step (candidate join + the output union)
-    val ck = roundCkpt(walkLen, maxLazy = 4) _
+    val ck = roundCkpt(walkLen, maxLazy = 4)
     var out = nodes.select(col("id").as("start"), lit(0L).as("step"), col("id").as("node"))
     var st = {
       val pick = conv(substring(md5(concat(col("node"), lit(s"|1|$seed"))), 1, 15), 16, 10)
@@ -1757,7 +1810,7 @@ object GraphOps {
       .localCheckpoint(true)
     val spark = edges.sparkSession
     var dist = spark.range(1).select(lit(source).as("id"), lit(0L).as("dist"))
-    val ck = roundCkpt(rounds, maxLazy = 4) _
+    val ck = roundCkpt(rounds, maxLazy = 4)
     for (_ <- 1 to rounds) {
       val relaxed = dist.join(adj, dist("id") === adj("src"))
         .select(col("dst").as("id"), (col("dist") + col("cost")).as("dist"))
@@ -2034,13 +2087,17 @@ object GraphOps {
       .union(adj.select(col("dst").as("id"))).distinct().localCheckpoint(true)
     var f = nodes.agg(min(col("id")).as("id"))
     var b = f
+    // two independent frontier chains, each 2x plan growth per round —
+    // rounds <= 4 stays one lazy plan (the roundCkpt policy note)
+    val ckF = roundCkpt(rounds, maxLazy = 4)
+    val ckB = roundCkpt(rounds, maxLazy = 4)
     for (_ <- 1 to rounds) {
-      f = f.union(adj.join(f.withColumnRenamed("id", "src"), "src")
+      f = ckF(f.union(adj.join(f.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id")))
-        .distinct().localCheckpoint(true)
-      b = b.union(adj.join(b.withColumnRenamed("id", "dst"), "dst")
+        .distinct())
+      b = ckB(b.union(adj.join(b.withColumnRenamed("id", "dst"), "dst")
           .select(col("src").as("id")))
-        .distinct().localCheckpoint(true)
+        .distinct())
     }
     nodes
       .join(f.withColumn("in_f", lit(1)), Seq("id"), "left")

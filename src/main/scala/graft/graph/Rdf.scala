@@ -88,15 +88,26 @@ object Rdf {
     * the distributed propagate-loop's 4-6 rounds are pure overhead for a
     * map that is about to be broadcast anyway), with bit-identical min-id
     * labels to the distributed [[graft.ops.Dedup.clusters]] path used above
-    * the threshold. */
+    * the threshold (RdfSpec pins the two paths equal on the same input).
+    *
+    * `driverMaxEdges < 0` (the default) derives the threshold from driver
+    * heap: ~512 bytes/edge worst-case resident cost (two interned IRI
+    * strings at web-scale lengths plus HashMap node + boxing overhead),
+    * budgeted at 1/8 of `Runtime.maxMemory` so the collect can never take
+    * more than a thin slice of the driver, capped at 10^6 edges — beyond
+    * that the distributed path's fixed round cost is amortized anyway. On a
+    * 4 GiB driver this derives ~10^6; on a 512 MiB one ~130k. */
   def sameAsCanonicalize(triples: DataFrame, sameAs: DataFrame,
-      driverMaxEdges: Long = 1000000L): DataFrame = {
+      driverMaxEdges: Long = -1L): DataFrame = {
+    val maxEdges =
+      if (driverMaxEdges >= 0) driverMaxEdges
+      else math.min(1000000L, Runtime.getRuntime.maxMemory / 8 / 512)
     val spark = triples.sparkSession
     val edges = sameAs.select(col("a").cast("string").as("a"),
       col("b").cast("string").as("b")).distinct()
     val nEdges = edges.count()
     val labels: DataFrame =
-      if (nEdges <= driverMaxEdges) {
+      if (nEdges <= maxEdges) {
         val parent = scala.collection.mutable.HashMap.empty[String, String]
         def find(x: String): String = {
           var r = x

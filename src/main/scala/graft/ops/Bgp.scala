@@ -351,6 +351,16 @@ object Bgp {
       sum(when(matchCond(p), 1L).otherwise(0L)).as(s"c$i")
     }: _*).collect()(0)
     val card = patterns.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i))
+    greedyByCard(patterns, card)
+  }
+
+  /** The stats planners' shared greedy chain: start from the cheapest
+    * pattern, repeatedly append the cheapest CONNECTED one, ties by original
+    * list position; disconnected patterns stay at the tail in original
+    * order (matchPatterns keeps its cartesian fail-fast contract). */
+  private def greedyByCard(patterns: Seq[Pat], card: Seq[Long]): Seq[Pat] = {
+    def norm(p: Pat): Pat =
+      if (p.p.startsWith("^")) Pat(p.o, p.p.drop(1), p.s) else p
     def vars(p: Pat): Set[String] = {
       val n = norm(p); Seq(n.s, n.p, n.o).filter(isVar).toSet
     }
@@ -371,6 +381,47 @@ object Bgp {
       }
     }
     (order ++ remaining).map(_._1).toSeq
+  }
+
+  /** Per-predicate count statistics of a triple relation — the persistable
+    * form of what [[planPatternsStats]] measures per call. For a RESIDENT
+    * KG (an [[EdgeStore]]/[[ChangelogStore]] session serving many BGP
+    * queries) the counts are computed ONCE alongside the store (and
+    * invalidated by the store's own batch merges — see `EdgeStore.merge`),
+    * so planning costs a metadata read instead of a KG scan per query.
+    * Output: (p, n) plus one (NULL, total) row carrying the relation size. */
+  def predicateStats(rel: DataFrame): DataFrame =
+    rel.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .unionByName(rel.agg(lit(null).cast("string").as("p"), count(lit(1)).as("n")))
+
+  /** [[planPatternsStats]] from a PRE-COMPUTED per-predicate count map (+
+    * relation total) instead of a scan — pure driver-side planning, no Spark
+    * job. Estimates per pattern (relative order is all that matters):
+    * constant predicate -> its stored count (negated sets: total minus the
+    * banned sum); variable predicate -> total; each additional constant
+    * position divides by 100, each repeated-variable equality by 10 —
+    * the classic independence-assumption refinement, deterministic. */
+  def planPatternsCached(stats: Map[String, Long], total: Long,
+      patterns: Seq[Pat]): Seq[Pat] = {
+    if (patterns.length <= 1) return patterns
+    def norm(p: Pat): Pat =
+      if (p.p.startsWith("^")) Pat(p.o, p.p.drop(1), p.s) else p
+    val card = patterns.map { pat =>
+      val p = norm(pat)
+      val base =
+        if (isVar(p.p)) total
+        else if (p.p.startsWith("!")) {
+          val banned = p.p.drop(1).split('|').toSeq
+          require(banned.forall(_.nonEmpty), s"empty predicate in negated set ${p.p}")
+          math.max(0L, total - banned.map(stats.getOrElse(_, 0L)).sum)
+        } else stats.getOrElse(p.p, 0L)
+      val extraConsts = Seq(p.s, p.o).count(!isVar(_))
+      val eqPenalty =
+        if (Seq(p.s, p.o).filter(isVar).distinct.length < Seq(p.s, p.o).count(isVar(_))) 10L
+        else 1L
+      base / math.pow(100.0, extraConsts.toDouble).toLong.max(1L) / eqPenalty
+    }
+    greedyByCard(patterns, card)
   }
 
   /** Match `patterns` conjunctively against `rel` (columns `s`, `p`, `o`).
@@ -630,6 +681,16 @@ object Bgp {
       n.drop(1)
     }
     val proj = project.map(v)
+    // SPARQL permits ORDER BY on non-projected variables, but under DISTINCT
+    // that order is ill-defined (many source rows per distinct row) — and the
+    // sort here runs after the projection+DISTINCT, so such a key would fail
+    // at analysis anyway. Reject it up front with a message naming the fix.
+    orderBy.map(v).filterNot(proj.contains).foreach { k =>
+      throw new IllegalArgumentException(
+        s"ORDER BY variable ?$k is not in the projection — matchSelect sorts " +
+          "the DISTINCT projection (determinism contract), so every sort key " +
+          "must be projected; add ?" + k + " to `project`")
+    }
     val keys = orderBy.map(o => if (o.startsWith("-")) col(v(o)).desc else col(v(o)).asc)
     val tiebreak = proj.filterNot(orderBy.map(v).contains).map(col(_).asc)
     sol.select(proj.map(col): _*).distinct()
@@ -708,16 +769,28 @@ object Bgp {
     * 10^12-page KG is quadratic output and stays behind [[boundedPath]]'s
     * hop budget; seeded closure is how RPQ `+` is actually answered at web
     * scale). Semi-naive datalog evaluation: each round expands only the
-    * LAST round's novel pairs (delta join step), anti-joins the accumulated
-    * closure so cycles terminate, and detects convergence with an observe()
-    * metric collected by the SAME action that materializes the round — one
-    * Spark job per round (the Dedup.clusters discipline), lineage truncated
-    * per round so plans stay bounded. Round count = graph diameter along
-    * the selected predicates; a diameter beyond `maxIter` fails fast rather
-    * than returning a silent partial closure. Output: (x, z).
-    * Engine extension, no reference counterpart. */
+    * novel pairs since the last materialization (delta join step),
+    * anti-joins the accumulated closure so cycles terminate, and detects
+    * convergence with an observe() metric collected by the SAME action that
+    * materializes the round (the Dedup.clusters discipline), lineage
+    * truncated per materialization so plans stay bounded.
+    *
+    * `hopsPerAction` > 1 folds several hop expansions into one action
+    * (convergence certified per chunk, not per hop). MEASURED SLOWER at the
+    * registered query's scale and kept non-default (tools/ReachProbe,
+    * round 5: hpa=1 2.8s vs hpa=4 5.2s best-of-3, same 545-row closure) —
+    * the chunk's in-plan deltas are re-evaluated by each later hop's
+    * anti-join (plan copies, not shared state), and the post-fixpoint
+    * overshoot hops each re-scan the full accumulated closure, so the
+    * saved job barriers are bought with strictly more dataflow. Per-hop
+    * actions with a materialized delta remain the right shape; the knob
+    * stays for graphs whose diameter actually dwarfs the per-action cost.
+    * A diameter beyond `maxIter` total hops still fails fast rather than
+    * returning a silent partial closure. Output: (x, z). Engine extension,
+    * no reference counterpart. */
   def reachability(rel: DataFrame, preds: Seq[String], seeds: Seq[String] = Nil,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, hopsPerAction: Int = 1): DataFrame = {
+    require(hopsPerAction >= 1, s"hopsPerAction must be >= 1: $hopsPerAction")
     require(preds.nonEmpty, "empty predicate alternation")
     val step = rel.filter(col("p").isin(preds: _*))
       .select(col("s").as("hs"), col("o").as("ho")).distinct()
@@ -740,12 +813,25 @@ object Bgp {
     val metricBase = s"graft_tc_${java.util.UUID.randomUUID().toString.take(8)}_"
     while (growing && it < maxIter) {
       val metricName = metricBase + it
-      val fresh = delta.join(step, col("z") === col("hs"))
-        .select(col("x"), col("ho").as("z")).distinct()
-        .join(closure, Seq("x", "z"), "left_anti")
+      // one ACTION = `chunk` lazy hop expansions; hop i+1 expands hop i's
+      // un-materialized delta and anti-joins everything seen so far
+      // (materialized closure + in-chunk deltas), so the chunk's deltas are
+      // pairwise disjoint and their union is exactly "novel this action"
+      val chunk = math.min(hopsPerAction, maxIter - it)
+      val chunkDeltas = collection.mutable.Buffer.empty[DataFrame]
+      var d = delta
+      for (_ <- 1 to chunk) {
+        val prior = (Seq(closure) ++ chunkDeltas).reduce(_ union _)
+        val fresh = d.join(step, col("z") === col("hs"))
+          .select(col("x"), col("ho").as("z")).distinct()
+          .join(prior, Seq("x", "z"), "left_anti")
+        chunkDeltas += fresh
+        d = fresh
+      }
+      val combined = chunkDeltas.reduce(_ union _)
         .observe(metricName, count(lit(1)).as("novel"))
-      val materialized = fresh.localCheckpoint()
-      val novel = fresh.queryExecution.observedMetrics.get(metricName) match {
+      val materialized = combined.localCheckpoint()
+      val novel = combined.queryExecution.observedMetrics.get(metricName) match {
         case Some(row) => row.getLong(0)
         case None => throw new IllegalStateException(
           s"observe metric $metricName not collected during checkpoint — " +
@@ -756,7 +842,7 @@ object Bgp {
         deltas += materialized
         delta = materialized
       }
-      it += 1
+      it += chunk
     }
     if (growing) throw new IllegalStateException(
       s"Bgp.reachability did not converge in $maxIter rounds — path diameter " +

@@ -88,7 +88,12 @@ object Changelog {
       .join(broadcast(cutDf), col("valid_from") <= col("cut") &&
         (col("valid_to").isNull || col("valid_to") > col("cut")))
       .groupBy(col("cut")).agg(count(lit(1)).as("n_live"))
-      .join(broadcast(cutDf), Seq("cut"), "right")
+      // zero-fill missing cuts: preserved side must be the cut list, and
+      // Spark can only broadcast the non-preserved side — a left join with
+      // the counts side broadcast (a right join with a broadcast hint on the
+      // preserved right side would be silently un-broadcastable)
+      .hint("broadcast")
+      .join(cutDf, Seq("cut"), "right")
       .select(col("cut"), coalesce(col("n_live"), lit(0L)).as("n_live"))
   }
 

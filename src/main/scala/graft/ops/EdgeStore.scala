@@ -39,6 +39,23 @@ import graft.graph.GraphBuilder
 object EdgeStore {
 
   private def statePath(store: String) = s"$store/state"
+  private val StatsName = "_bgp_stats"
+
+  /** The per-predicate planning stats written by [[merge]] (None for a
+    * store predating them): the (count map, relation total) that
+    * [[graft.ops.Bgp.planPatternsCached]] plans from without scanning the
+    * store. Counts are over the UNFILTERED state (the minLinks read filter
+    * applies downstream) — fine for planning, where relative order is all
+    * that matters. Driver-sized: one row per distinct predicate. */
+  def stats(spark: SparkSession, store: String): Option[(Map[String, Long], Long)] = {
+    val path = s"${statePath(store)}/$StatsName"
+    if (!fs(spark, store).exists(p(path))) None
+    else {
+      val rows = spark.read.parquet(path).collect()
+      val total = rows.collectFirst { case r if r.isNullAt(0) => r.getLong(1) }.getOrElse(0L)
+      Some((rows.filterNot(_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap, total))
+    }
+  }
   private val LedgerName = "_batches.txt"
 
   private def fs(spark: SparkSession, path: String) =
@@ -117,6 +134,14 @@ object EdgeStore {
     merged.repartition(partitions, col("source"), col("target"), col("sent"))
       .write.parquet(tmp)
     writeLedger(spark, tmp, have + batchId)
+    // per-predicate planning stats ride INSIDE the swap (underscore dir —
+    // hidden from the state's parquet reader, invalidated atomically with
+    // every merge): BGP sessions over the resident KG plan from this
+    // metadata instead of scanning the store (Bgp.planPatternsCached).
+    // Derived from the just-written files, so the merge plan runs once.
+    graft.ops.Bgp.predicateStats(
+        spark.read.parquet(tmp).select(col("sent").cast("string").as("p")))
+      .coalesce(1).write.parquet(s"$tmp/$StatsName")
     if (f.exists(p(live))) {
       f.delete(p(bak), true)
       if (!f.rename(p(live), p(bak)))

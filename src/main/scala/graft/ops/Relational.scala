@@ -279,7 +279,15 @@ object Relational {
         s"buckets of width $bucketWidth: "), (lastB - firstB + 1).cast("string"))))
       .otherwise(lastB).cast("long")
     val iv = intervals.withColumn("__bucket", explode(sequence(firstB, guardedLast)))
-    val pts = points.withColumn("__bucket", (col(ptCol) / bucketWidth).cast("long"))
+    // horizon contract: an open (to = NULL) interval only explodes onto
+    // buckets below `horizon`, so a point at or beyond it would silently
+    // miss open intervals the exact predicate accepts — fail fast instead
+    // (pick a horizon above the max point)
+    val guardedPt = when(col(ptCol) >= horizon,
+      raise_error(concat(lit(s"point at or beyond horizon $horizon would " +
+        "silently miss open intervals: "), col(ptCol).cast("string"))))
+      .otherwise(col(ptCol)).cast(points.schema(ptCol).dataType)
+    val pts = points.withColumn("__bucket", (guardedPt / bucketWidth).cast("long"))
     pts.join(iv, Seq("__bucket"))
       .filter(col(fromCol) <= col(ptCol) &&
         (col(toCol).isNull || col(ptCol) < col(toCol)))

@@ -643,6 +643,31 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     assert(both.contains(("c", "both"))) // c likes c
   }
 
+  test("planPatternsCached matches the scan planner's order from persisted counts") {
+    import spark.implicits._
+    val skewed = (
+      (1 to 6).map(i => (s"a$i", "hot", s"b$i")) ++
+        (1 to 3).map(i => (s"b$i", "mid", s"c$i")) ++
+        Seq(("c1", "rare", "d1"))).toDF("s", "p", "o")
+    val pats = Seq(
+      Pat("?x", "hot", "?y"), Pat("?y", "mid", "?z"), Pat("?z", "rare", "?w"))
+    // the cached planner gets the same order as the scanning planner from a
+    // driver-side count map — zero Spark jobs at plan time
+    val stats = Map("hot" -> 6L, "mid" -> 3L, "rare" -> 1L)
+    assert(Bgp.planPatternsCached(stats, 10L, pats) ==
+      Bgp.planPatternsStats(skewed, pats))
+    // estimate refinements: extra constants and negated sets stay ordered
+    val pats2 = Seq(Pat("?x", "hot", "?y"), Pat("a1", "hot", "?y"),
+      Pat("?x", "!hot", "?y"))
+    val planned2 = Bgp.planPatternsCached(stats, 10L, pats2)
+    assert(planned2.head == Pat("a1", "hot", "?y")) // 6/100 beats 6 and 4
+    // round-trip through the persisted form
+    val pstats = Bgp.predicateStats(skewed).collect()
+    val m = pstats.filterNot(_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = pstats.collectFirst { case r if r.isNullAt(0) => r.getLong(1) }.get
+    assert(m == stats && tot == 10L)
+  }
+
   test("seqPath deduplicates multi-witness endpoint pairs per hop") {
     import spark.implicits._
     val g = Seq(

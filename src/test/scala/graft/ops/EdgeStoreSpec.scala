@@ -78,4 +78,21 @@ class EdgeStoreSpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException] { EdgeStore.merge(d, store, "  ") }
     intercept[IllegalArgumentException] { EdgeStore.merge(d, store, "a\nb") }
   }
+
+  test("per-predicate planning stats ride the swap and invalidate per merge") {
+    val store = tmp()
+    EdgeStore.merge(GraphBuilder.edgeState(
+      rel(("A", "B", 0), ("C", "D", 0), ("E", "F", 1))), store, "b1")
+    val Some((m1, t1)) = EdgeStore.stats(spark, store)
+    assert(m1 == Map("0" -> 2L, "1" -> 1L) && t1 == 3L)
+    // a second merge rewrites the stats atomically with the state
+    EdgeStore.merge(GraphBuilder.edgeState(rel(("G", "H", 1))), store, "b2")
+    val Some((m2, t2)) = EdgeStore.stats(spark, store)
+    assert(m2 == Map("0" -> 2L, "1" -> 2L) && t2 == 4L)
+    // and planning from them is pure driver-side — no relation argument
+    import graft.ops.Bgp.Pat
+    val planned = graft.ops.Bgp.planPatternsCached(m2, t2,
+      Seq(Pat("?x", "0", "?y"), Pat("?y", "1", "?z")))
+    assert(planned.map(_.p) == Seq("0", "1")) // tie (2 vs 2) -> input order
+  }
 }

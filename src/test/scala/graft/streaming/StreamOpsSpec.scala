@@ -336,6 +336,51 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(ranks.count() == 3)
   }
 
+  test("continuous authority loop: stream ingest -> EdgeStore -> warm-started PageRank resume") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-auth-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-auth-ckpt").toString
+    val rdir = java.nio.file.Files.createTempDirectory("graft-auth-ranks").toString
+    def page(url: String, hrefs: (String, String)*): (String, Array[Byte]) =
+      (url, hrefs.map { case (h, a) => s"""<a href="$h">$a</a>""" }
+        .mkString("<html><body>", "", "</body></html>").getBytes("UTF-8"))
+    val mem = MemoryStream[(String, Array[Byte])]
+    val q = StreamOps.linkIngestStream(
+      mem.toDF().toDF("url", "html"), store, ckpt, batchPrefix = "w")
+    // crawl cadence 1: two hosts linking b.test
+    mem.addData(Seq(
+      page("https://a.test/1", "https://b.test/x" -> "b"),
+      page("https://c.test/1", "https://b.test/y" -> "b")))
+    q.processAllAvailable()
+    // analytics cadence 1: ranks over the store so far (cold start)
+    val mid = graft.graph.RankStore.advance(
+      graft.ops.EdgeStore.edges(spark, store), rdir, iters = 1)
+    assert(mid.count() == 3) // a, b, c hosts
+    // crawl cadence 2: a NEW host appears and b links back out
+    mem.addData(Seq(
+      page("https://d.test/1", "https://b.test/z" -> "b"),
+      page("https://b.test/x", "https://a.test/2" -> "a")))
+    q.processAllAvailable(); q.stop()
+    // analytics cadence 2: warm-start resume over the grown graph — new
+    // node d starts at the uniform share, everyone else from stored ranks
+    val e = graft.ops.EdgeStore.edges(spark, store)
+    val resumed = graft.graph.RankStore.advance(e, rdir, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows(resumed).map(_._1) == Seq("a.test", "b.test", "c.test", "d.test"))
+    // and once the graph is stable, the resume contract is exact: two more
+    // cadences over the SAME union graph == one batch pageRank(4+2... ) split
+    val r3 = graft.graph.RankStore.advance(e, rdir, iters = 1)
+    val batch = {
+      // what a from-scratch batch job over the final graph computes with the
+      // same total post-growth budget, warm-started identically
+      val warm = graft.graph.GraphOps.pageRankResume(e, mid, iters = 2)
+      graft.graph.GraphOps.pageRankResume(e, warm, iters = 1)
+    }
+    assert(rows(r3) == rows(batch)) // stream-then-resume == batch on the union
+  }
+
   test("streaming frontier ingest: store-backed frontier == batch frontier over all links") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext

@@ -28,8 +28,14 @@ oracle = {k: v for k, v in oracle.items()
           if k not in skip and (not only or k in only)}
 
 def fingerprint(rel_sql, cols):
+    # Per-column canonicalization that is injective on rows: NULL maps to a
+    # sentinel no cast can produce (chr(0) prefix), every value is md5-hashed
+    # BEFORE concatenation (fixed width, so no separator-injection or
+    # NULL-shift can make distinct rows stringify identically).
     ordered = sorted(cols)
-    canon = ", ".join(f'CAST("{c}" AS VARCHAR)' for c in ordered)
+    canon = ", ".join(
+        f"coalesce(md5(CAST(\"{c}\" AS VARCHAR)), chr(0) || 'NULL')"
+        for c in ordered)
     q = (f"SELECT count(*)::BIGINT AS n, "
          f"coalesce(sum(('0x' || substr(md5(concat_ws('|', {canon})), 1, 14))::BIGINT), 0) AS h "
          f"FROM ({rel_sql})")
