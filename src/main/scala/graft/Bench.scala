@@ -455,8 +455,72 @@ object Bench {
       mpair("mem_pair_small", 2, 8) ++
       mpair("mem_pair_mid", cpus / 8, cpus / 2) ++
       mpair("mem_pair_full_box", cpus / 4, cpus)).mkString("{", ",", "}")
+    // ---- skew stress (north_star: hot entities — one key in 30% of rows).
+    // The radial-rollup shape (groupBy + collect_list, NO map-side combine:
+    // Skew.scala's A7 case) over a deterministic synthetic edge relation,
+    // unsalted vs Skew.saltedCollect, at a uniform control (hot_permille 0)
+    // and the hot corpus (300). Expected: the unsalted curve degrades with
+    // the hot ratio (one reducer owns the hot key's whole list) while the
+    // salted curve stays flat; at uniform the salt's second shuffle is the
+    // visible (small) overhead. AQE skew-join splitting is enabled
+    // session-wide above but cannot help collect_list — that is the point.
+    val skewJson = skewSection(spark, cpus)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""throughput":$throughput,"scaling":$scaling}""")
+      s""""throughput":$throughput,"scaling":$scaling,$skewJson}""")
     spark.stop()
+  }
+
+  /** The skew-stress measurement (see main's comment); also runnable alone
+    * via graft.tools.SkewProbe. */
+  private[graft] def skewSection(spark: SparkSession, cpus: Int): String = {
+    {
+      import org.apache.spark.sql.functions.{col, collect_list, concat, lit, pmod, when}
+      val nSkew = 24000000L
+      def edges(hotPermille: Int) = spark.range(0, nSkew, 1, cpus)
+        .select(
+          when(pmod(col("id"), lit(1000)) < hotPermille, lit("HOT.entity"))
+            .otherwise(concat(lit("T"), pmod(col("id"), lit(100000)).cast("string")))
+            .as("target"),
+          concat(lit("S"), col("id").cast("string")).as("source"))
+      def best2(thunk: => Any): Double = {
+        thunk // warm
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); thunk; (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      // sum(size(list)) forces every list to materialize — a bare count()
+      // would let column pruning drop the collect_list entirely
+      def forceLists(df: org.apache.spark.sql.DataFrame, c: String) =
+        df.agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.size(col(c)))).head()
+      import org.apache.spark.sql.functions.{array_sort, flatten}
+      val rows = Seq(0, 300, 900).map { hp =>
+        val e = edges(hp).localCheckpoint(true)
+        // product-path pair: both arms emit SORTED lists (DocKg.radial /
+        // radialSalted both sort) — the hot key's final sort is single-task
+        // in both, so this pair isolates what salting can and cannot buy
+        val un = best2(forceLists(e.groupBy("target")
+          .agg(array_sort(collect_list(col("source"))).as("vs")), "vs"))
+        val sa = best2(forceLists(graft.ops.Skew.saltedCollect(
+          e, Seq("target"), col("source"), salt = cpus, col("source")), "values"))
+        // collect-phase pair (no final sort): the shuffle/build skew alone —
+        // where the salted partials spread the hot reducer's work
+        val unNs = best2(forceLists(e.groupBy("target")
+          .agg(collect_list(col("source")).as("vs")), "vs"))
+        val saNs = best2(forceLists(
+          e.withColumn("__salt", graft.ops.Skew.saltCol(cpus, col("source")))
+            .groupBy(col("target"), col("__salt"))
+            .agg(collect_list(col("source")).as("__part"))
+            .groupBy(col("target"))
+            .agg(flatten(collect_list(col("__part"))).as("values")), "values"))
+        e.unpersist()
+        (hp, un, sa, unNs, saNs)
+      }
+      s""""skew":{"rows":$nSkew,"hot_permille":[${rows.map(_._1).mkString(",")}],""" +
+        s""""unsalted_sorted_sec":[${rows.map(_._2).mkString(",")}],""" +
+        s""""salted_sorted_sec":[${rows.map(_._3).mkString(",")}],""" +
+        s""""unsalted_collect_sec":[${rows.map(_._4).mkString(",")}],""" +
+        s""""salted_collect_sec":[${rows.map(_._5).mkString(",")}]}"""
+    }
   }
 }

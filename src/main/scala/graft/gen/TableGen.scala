@@ -122,17 +122,22 @@ object TableGen {
     }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
       "part")
 
+    // order/ship dates are DAY-aligned like the driver tables: sub-second
+    // components would make epoch-second casts diverge cross-engine (Spark
+    // truncates, DuckDB rounds) — caught by the native sf0.1 gate
     val (dateLo, dateHi) = (epochDay(1995, 1, 1), epochDay(2001, 8, 1))
+    val orderDays = (dateHi - dateLo) / DayMs
     out(rangeOf(nOrders).map { i =>
       val r = new Rng(mix(seed ^ 0x07dL) + i)
       (i, r.nextLong().abs % nCust, orderStatus(r.nextInt(3)),
         math.rint(100191.0 + r.nextDouble() * 49899127) / 100.0,
-        new Timestamp(dateLo + r.nextLong().abs % (dateHi - dateLo)),
+        new Timestamp(dateLo + (r.nextLong().abs % orderDays) * DayMs),
         orderPrio(r.nextInt(5)))
     }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
       "o_orderdate", "o_orderpriority"), "orders")
 
     val shipHi = epochDay(2001, 11, 4)
+    val shipDays = (shipHi - dateLo) / DayMs
     out(rangeOf(nOrders).flatMap { o =>
       val r = new Rng(mix(seed ^ 0x11eL) + o)
       val lines = 1 + r.nextInt(7)
@@ -142,7 +147,7 @@ object TableGen {
           math.rint(90068.0 + r.nextDouble() * 10409923) / 100.0,
           r.nextInt(11) / 100.0, r.nextInt(9) / 100.0,
           returnFlags(r.nextInt(3)), lineStatus(r.nextInt(2)),
-          new Timestamp(dateLo + r.nextLong().abs % (shipHi - dateLo)))
+          new Timestamp(dateLo + (r.nextLong().abs % shipDays) * DayMs))
       }
     }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",

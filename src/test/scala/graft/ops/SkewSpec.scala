@@ -38,6 +38,29 @@ class SkewSpec extends AnyFunSuite with SparkTestSession {
     assert(plainL == saltedL)
   }
 
+  test("30%-hot corpus (the bench skew ratio): salted == unsalted, partials spread") {
+    import spark.implicits._
+    // one entity in ~30% of rows — the north_star hot-entity ratio the
+    // BENCH skew section measures; the rest spread over distinct keys
+    val hot = (1 to 1000).map(i =>
+      (if (i % 10 < 3) "GPE.Arland" else s"k${i / 3}", s"v$i"))
+      .toDF("key", "value").repartition(8)
+    val plain = hot.groupBy("key")
+      .agg(array_sort(collect_list(col("value"))).as("values"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val salted = Skew.saltedCollect(hot, Seq("key"), col("value"), salt = 8,
+      discriminator = col("value"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(salted == plain)
+    assert(plain("GPE.Arland").length == 300)
+    // the hot key's first-phase partials really spread across salts: its
+    // 300 values hash over all 8 salt buckets (xxhash64 on the value)
+    val partials = hot.withColumn("__salt", Skew.saltCol(8, col("value")))
+      .filter(col("key") === "GPE.Arland")
+      .select("__salt").distinct().count()
+    assert(partials == 8L)
+  }
+
   test("salt column deterministic and within range") {
     val salts = skewed.select(Skew.saltCol(7, col("value")).as("s")).collect().map(_.getLong(0))
     assert(salts.forall(s => s >= 0 && s < 7))
