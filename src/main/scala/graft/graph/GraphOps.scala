@@ -714,20 +714,35 @@ object GraphOps {
     * and the weighted degrees — adjacency and degrees checkpointed (every
     * consumer reads them per round). */
   private def communityPrep(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val und = edges.filter(col("source") =!= col("target"))
+    val und0 = edges.filter(col("source") =!= col("target"))
       .groupBy(least(col("source"), col("target")).as("a"),
         greatest(col("source"), col("target")).as("b"))
       .agg(sum(col("c").cast("long")).as("w"))
-    val adj = und.select(col("a").as("x"), col("b").as("n"), col("w"))
-      .union(und.select(col("b"), col("a"), col("w")))
+    val adj = und0.select(col("a").as("x"), col("b").as("n"), col("w"))
+      .union(und0.select(col("b"), col("a"), col("w")))
       .localCheckpoint()
+    // hand consumers an `und` view DERIVED FROM THE CHECKPOINTED adj (each
+    // a<b edge appears in adj exactly once with x < n): coarsen/profile read
+    // it off the materialized relation instead of re-evaluating the whole
+    // upstream pipeline (pages->triples->edges) a second time
+    val und = adj.filter(col("x") < col("n"))
+      .select(col("x").as("a"), col("n").as("b"), col("w"))
     val deg = adj.groupBy(col("x")).agg(sum(col("w")).as("ki")).localCheckpoint()
     (und, adj, deg)
   }
 
-  def louvainMoves(edges: DataFrame, rounds: Int = 4, colors: Int = 4): DataFrame = {
+  def louvainMoves(edges: DataFrame, rounds: Int = 4, colors: Int = 4): DataFrame =
+    louvainMovesOn(communityPrep(edges), rounds, colors)
+
+  /** Moves loop over an already-materialized [[communityPrep]] tuple —
+    * coarsen/profile call this so the undirected collapse + degree
+    * checkpoints are built ONCE and shared between the loop and their own
+    * rollups (previously each ran communityPrep twice: two materializations
+    * of the same adjacency off the full upstream pipeline). */
+  private def louvainMovesOn(prep: (DataFrame, DataFrame, DataFrame),
+                             rounds: Int, colors: Int): DataFrame = {
     require(colors >= 2, s"need >= 2 colors, got $colors")
-    val (_, adj, deg) = communityPrep(edges)
+    val (_, adj, deg) = prep
     // 2m is constant across rounds: one-row aggregate collected once (the
     // scc pivot convention), a literal in every round's score expression
     val m2 = deg.agg(sum(col("ki"))).head().getLong(0)
@@ -784,8 +799,9 @@ object GraphOps {
     * groupBy on the (community, community) key. Output: (ca, cb, w) with
     * ca <= cb. Engine extension, no reference counterpart. */
   def louvainCoarsen(edges: DataFrame, rounds: Int = 4, colors: Int = 4): DataFrame = {
-    val labels = louvainMoves(edges, rounds, colors).localCheckpoint()
-    val (und, _, _) = communityPrep(edges)
+    val prep = communityPrep(edges)
+    val labels = louvainMovesOn(prep, rounds, colors).localCheckpoint()
+    val (und, _, _) = prep
     und
       .join(labels.select(col("id").as("a"), col("label").as("la")), "a")
       .join(labels.select(col("id").as("b"), col("label").as("lb")), "b")
@@ -806,8 +822,9 @@ object GraphOps {
     * top_member). Engine extension, no reference counterpart. */
   def communityProfile(edges: DataFrame, rounds: Int = 4, colors: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val labels = louvainMoves(edges, rounds, colors).localCheckpoint()
-    val (und, _, deg) = communityPrep(edges)
+    val prep = communityPrep(edges)
+    val labels = louvainMovesOn(prep, rounds, colors).localCheckpoint()
+    val (und, _, deg) = prep
     val withKi = labels.join(deg.select(col("x").as("id"), col("ki")), "id")
       .localCheckpoint()
     val sz = withKi.groupBy(col("label"))
