@@ -939,6 +939,12 @@ object SparkEntry {
     // stride — map-side sequence+explode, no shuffle (ops/Multimodal.scala)
     "mm_frame_sample" -> ((s, d) => graft.ops.Multimodal.frameExtract(
       docs(s, d), col("text"), col("doc_id"), stride = 64, flen = 16)),
+    // REAL-codec roundtrip: constant-fill PNG encoded AND decoded executor-
+    // side through the JDK's javax.imageio (no stub) — the oracle recomputes
+    // the formula-derived dims/colors relationally, so a hash-exact row
+    // proves the actual encode->decode path (ops/Multimodal.scala)
+    "mm_imageio_decode" -> ((s, d) =>
+      graft.ops.Multimodal.imageIoRoundtrip(docs(s, d), "doc_id")(s)),
     // ---- generic relational (scan/filter/join/agg/window/sessionize)
     "q1_agg" -> ((s, d) => Relational.q1(s, d)),
     "q3_join" -> ((s, d) => Relational.q3(s, d)),
@@ -3586,6 +3592,10 @@ object SparkEntry {
          |SELECT DISTINCT id, pos, h FROM sel""".stripMargin,
     "mm_binary_meta" ->
       "SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash FROM documents",
+    "mm_imageio_decode" ->
+      """SELECT doc_id, 16 + doc_id % 48 AS width, 16 + (doc_id // 48) % 48 AS height,
+        |       (doc_id * 37) % 256 AS r, (doc_id * 59) % 256 AS g, (doc_id * 83) % 256 AS b
+        |FROM documents""".stripMargin,
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id AS id, text AS t, length(text)::BIGINT AS len FROM documents WHERE length(text) >= 16),
         |f AS (SELECT id, t, unnest(range(0, (len - 16) // 64 + 1)) AS frame_idx FROM d)
