@@ -945,6 +945,11 @@ object SparkEntry {
     // proves the actual encode->decode path (ops/Multimodal.scala)
     "mm_imageio_decode" -> ((s, d) =>
       graft.ops.Multimodal.imageIoRoundtrip(docs(s, d), "doc_id")(s)),
+    // REAL pixel-resize chain: encode -> decode -> Graphics2D scale ->
+    // re-encode -> decode; target dims recomputed by the oracle with the
+    // same IEEE arithmetic, constant fill preserved by scaling
+    "mm_imageio_resize" -> ((s, d) =>
+      graft.ops.Multimodal.imageIoResize(docs(s, d), "doc_id", maxEdge = 32)(s)),
     // ---- generic relational (scan/filter/join/agg/window/sessionize)
     "q1_agg" -> ((s, d) => Relational.q1(s, d)),
     "q3_join" -> ((s, d) => Relational.q3(s, d)),
@@ -3596,6 +3601,13 @@ object SparkEntry {
       """SELECT doc_id, 16 + doc_id % 48 AS width, 16 + (doc_id // 48) % 48 AS height,
         |       (doc_id * 37) % 256 AS r, (doc_id * 59) % 256 AS g, (doc_id * 83) % 256 AS b
         |FROM documents""".stripMargin,
+    "mm_imageio_resize" ->
+      """WITH m AS (SELECT doc_id, (16 + doc_id % 48)::BIGINT AS w, (16 + (doc_id // 48) % 48)::BIGINT AS h FROM documents)
+        |SELECT doc_id,
+        |       ceil(w * least(1.0, 32.0 / greatest(w, h)))::BIGINT AS target_width,
+        |       ceil(h * least(1.0, 32.0 / greatest(w, h)))::BIGINT AS target_height,
+        |       (doc_id * 37) % 256 AS r, (doc_id * 59) % 256 AS g, (doc_id * 83) % 256 AS b
+        |FROM m""".stripMargin,
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id AS id, text AS t, length(text)::BIGINT AS len FROM documents WHERE length(text) >= 16),
         |f AS (SELECT id, t, unnest(range(0, (len - 16) // 64 + 1)) AS frame_idx FROM d)

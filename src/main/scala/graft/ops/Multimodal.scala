@@ -149,6 +149,40 @@ object Multimodal {
     }.toDF(idCol, "target_width", "target_height", "resized")
   }
 
+  /** Oracle-checkable REAL resize chain: formula-derived constant-fill PNG →
+    * [[resizeImages]]-style decode→Graphics2D scale→re-encode → decode AGAIN
+    * and emit what the second decode reads (dims of the resized image +
+    * pixel (0,0), preserved exactly by scaling a constant image). The oracle
+    * recomputes target dims with the same IEEE double arithmetic
+    * (ceil(w · min(1, maxEdge/max(w,h)))) and colors by formula — hash-exact
+    * rows prove decode, real pixel scaling, re-encode and re-decode through
+    * the actual JDK codec. Map-side only. */
+  def imageIoResize(df: DataFrame, idCol: String, maxEdge: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = (16 + math.floorMod(id, 48L).toInt, 16 + math.floorMod(id / 48L, 48L).toInt)
+        val (r, g, b) = (math.floorMod(id * 37L, 256L).toInt,
+          math.floorMod(id * 59L, 256L).toInt, math.floorMod(id * 83L, 256L).toInt)
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(pngBytes(w, h, r, g, b)))
+        val scale = math.min(1.0, maxEdge.toDouble / math.max(src.getWidth, src.getHeight))
+        val (tw, th) = (math.ceil(src.getWidth * scale).toInt, math.ceil(src.getHeight * scale).toInt)
+        val dst = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = dst.createGraphics()
+        try g2.drawImage(src, 0, 0, tw, th, null) finally g2.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.toByteArray))
+        val p0 = back.getRGB(0, 0)
+        (id, back.getWidth.toLong, back.getHeight.toLong,
+          ((p0 >> 16) & 0xff).toLong, ((p0 >> 8) & 0xff).toLong, (p0 & 0xff).toLong)
+      }
+    }.toDF(idCol, "target_width", "target_height", "r", "g", "b")
+  }
+
   /** Oracle-checkable REAL-codec roundtrip: for each id, derive
     * (width, height, r, g, b) by fixed integer formulas, ENCODE a constant-
     * fill PNG of exactly that shape executor-side, then DECODE it back with
