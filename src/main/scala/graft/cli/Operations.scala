@@ -334,6 +334,11 @@ object Operations {
     def read(p: String) = parseGraph(
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
     val op = opts.getOrElse("--operation", GraphOps.Union)
+    // fail fast with the op name BEFORE demanding the algebra branch's --b
+    // (an unknown op used to surface as `key not found: --b`)
+    val algebraOps = Set(GraphOps.Union, GraphOps.Intersection, GraphOps.Difference)
+    if (!Analytics.contains(op) && op != "DELTA" && !algebraOps.contains(op))
+      throw new IllegalArgumentException(s"unknown operation: $op")
     if (Analytics.contains(op) || op == "DELTA") {
       val bOpt = if (op == "DELTA") Some(read(opts("--b"))) else None
       runAnalytics(opts.get("--a").map(read), bOpt, op, opts,
