@@ -158,6 +158,10 @@ object SparkEntry {
     // RDF N-Triples export of the KG edges — per-row codegen'd string work
     // (IRI percent-encode chain mirrored verbatim in the oracle)
     "kg_ntriples" -> ((s, d) => graft.graph.Rdf.ntriples(DocKg.edges(s, d))),
+    // Turtle: one deterministic block per subject (predicates ';'-joined,
+    // objects ','-joined, lexicographic) — full IRIs, so blocks concatenate
+    // in any partition order (graph/Rdf.scala)
+    "kg_turtle" -> ((s, d) => graft.graph.Rdf.turtle(DocKg.edges(s, d))),
     // crawl-window snapshot diff: added/removed/changed/stable attitudes
     // between the even-id and odd-id doc windows
     "kg_edge_delta" -> ((s, d) => DocKg.edgeDelta(s, d)),
@@ -2063,6 +2067,18 @@ object SparkEntry {
          |               '<urn:graft/node/' || ${iriEncSql("target")} || '>' AS o
          |        FROM edges)
          |SELECT s, p, o, s || ' ' || p || ' ' || o || ' .' AS line FROM enc""".stripMargin,
+    "kg_turtle" ->
+      s"""WITH $triplesCte,
+         |${edgesCte("edges", "triples", 2)},
+         |enc AS (SELECT '<urn:graft/node/' || ${iriEncSql("source")} || '>' AS s,
+         |               '<urn:graft/rel/' || ${iriEncSql("sent")} || '>' AS p,
+         |               '<urn:graft/node/' || ${iriEncSql("target")} || '>' AS o
+         |        FROM edges),
+         |tri AS (SELECT DISTINCT s, p, o FROM enc),
+         |po AS (SELECT s, p, p || ' ' || string_agg(o, ', ' ORDER BY o) AS objline
+         |       FROM tri GROUP BY s, p)
+         |SELECT s, s || ' ' || string_agg(objline, ' ;' || chr(10) || '  ' ORDER BY p) || ' .' AS block
+         |FROM po GROUP BY s""".stripMargin,
     "kg_edge_delta" ->
       s"""WITH $triplesCte,
          |ta AS (SELECT * FROM triples WHERE doc_id % 2 = 0),

@@ -45,6 +45,32 @@ object Rdf {
       .select(col("s"), col("p"), col("o"),
         concat_ws(" ", col("s"), col("p"), col("o"), lit(".")).as("line"))
 
+  /** Turtle serialization of the same edge relation — the human-readable
+    * RDF interchange form, grouped the way Turtle is meant to be read: ONE
+    * block per subject, predicates joined with `;`, objects per predicate
+    * with `,`, everything ordered lexicographically so the output is
+    * byte-deterministic at any partition count. Full IRIs (no @prefix
+    * header), so every block is independently valid and the file is the
+    * concatenation of blocks in any order — the property that lets each
+    * partition write its blocks without a global sort. Plan shape: two
+    * hash aggregations keyed (s, p) then (s) — the same shuffle profile as
+    * the edge aggregation itself; per-group state is bounded by node
+    * out-degree (hub subjects at web scale take the salted-rollup path the
+    * radial export already ships). Output: (s, block). */
+  def turtle(edges: DataFrame, base: String = "urn:graft"): DataFrame = {
+    val tri = ntriples(edges, base).select(col("s"), col("p"), col("o")).distinct()
+    val po = tri.groupBy(col("s"), col("p"))
+      .agg(sort_array(collect_set(col("o"))).as("objs"))
+      .select(col("s"), col("p"),
+        concat(col("p"), lit(" "), array_join(col("objs"), ", ")).as("objline"))
+    po.groupBy(col("s"))
+      .agg(sort_array(collect_set(struct(col("p"), col("objline")))).as("pos"))
+      .select(col("s"),
+        concat(col("s"), lit(" "),
+          array_join(transform(col("pos"), x => x.getField("objline")), " ;\n  "),
+          lit(" .")).as("block"))
+  }
+
   /** N-Quads statements — [[ntriples]] plus the PROVENANCE graph label as
     * the fourth term (the source document/page each triple was extracted
     * from), the interchange form a named-graph-aware store ingests. Input

@@ -34,6 +34,27 @@ class RdfSpec extends AnyFunSuite with SparkTestSession {
     assert(spaced == "<urn:graft/node/LOC.big%20table> <urn:graft/rel/neg> <urn:graft/node/GPE.stream> .")
   }
 
+  test("turtle: one block per subject, ';'-joined predicates, ','-joined objects, lexicographic") {
+    val edges = Seq(
+      ("A.x", "B.y", "pos", 2.0),
+      ("A.x", "C.z", "pos", 1.0),   // second object of the same predicate
+      ("A.x", "B.y", "neg", 1.0),   // second predicate (sorts before pos)
+      ("D.solo", "E.w", "neu", 1.0))
+      .toDF("source", "target", "sent", "c")
+    val got = Rdf.turtle(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == 2)
+    assert(got("<urn:graft/node/A.x>") ==
+      "<urn:graft/node/A.x> <urn:graft/rel/neg> <urn:graft/node/B.y> ;\n" +
+      "  <urn:graft/rel/pos> <urn:graft/node/B.y>, <urn:graft/node/C.z> .")
+    assert(got("<urn:graft/node/D.solo>") ==
+      "<urn:graft/node/D.solo> <urn:graft/rel/neu> <urn:graft/node/E.w> .")
+    // partition count must not change a byte
+    val again = Rdf.turtle(edges.repartition(7)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
   test("Sinks.ntriples: text sink round-trips the statement lines") {
     val edges = Seq(("A.x", "B.y", "pos", 2.0), ("A.x", "C.z", "neu", 1.0))
       .toDF("source", "target", "sent", "c")
