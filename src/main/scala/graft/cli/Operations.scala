@@ -15,7 +15,7 @@ import graft.graph.{D3Json, GraphOps}
   *
   * Analytics (read --a only, write <out>/analytics.csv + summary JSON line):
   *   --operation PAGERANK|PPR|HITS|COMPONENTS|LPA|KCORE|BFS|CLUSTCOEFF|KTRUSS|
-  *               WALKS|NODE2VEC|DEGHIST|ASSORT|HARMONIC|HYPERBALL|NTRIPLES|
+  *               WALKS|NODE2VEC|DEGHIST|ASSORT|HARMONIC|HYPERBALL|NTRIPLES|TURTLE|
   *               LOUVAIN|COMMUNITIES|WL|TRUSTRANK|SPAMMASS|BGP|DESCRIBE|
   *               ASOF|ASOFDELTA (versioned-KG reads: --changelog-store DIR
   *                 with --t EPOCH, or --t1/--t2 for the diff)
@@ -41,7 +41,8 @@ import graft.graph.{D3Json, GraphOps}
   * SSSP (`--source NODE [--iters N]`), PARTSTATS (`--parts N`) and LPEVAL
   * (`--test-mod N`) run the Bellman-Ford distances, the placement-quality
   * report and the filtered link-prediction ranking over the same edges.
-  * NTRIPLES writes <out>/graph.nt (RDF dump) instead of the csv.
+  * NTRIPLES writes <out>/graph.nt and TURTLE <out>/graph.ttl (RDF dumps)
+  * instead of the csv.
   * DELTA reads BOTH --a and --b and writes the edge-level
   * added/removed/changed/stable diff as analytics.csv.
   * Count-weighted graphs expected (Infer's default export): the PageRank
@@ -52,7 +53,7 @@ object Operations {
   private val Analytics =
     Set("PAGERANK", "PPR", "HITS", "COMPONENTS", "LPA", "KCORE", "BFS", "CLUSTCOEFF",
       "KTRUSS", "WALKS", "NODE2VEC", "DEGHIST", "ASSORT", "HARMONIC", "HYPERBALL",
-      "NTRIPLES", "MIS", "KATZ", "MODULARITY", "SCC", "NEIGHBORHOOD", "CLOSENESS",
+      "NTRIPLES", "TURTLE", "MIS", "KATZ", "MODULARITY", "SCC", "NEIGHBORHOOD", "CLOSENESS",
       "FRONTIER", "MIRRORS", "SSSP", "PARTSTATS", "LPEVAL",
       "LOUVAIN", "COMMUNITIES", "WL", "TRUSTRANK", "SPAMMASS", "BGP", "DESCRIBE",
       "ASOF", "ASOFDELTA")
@@ -151,6 +152,7 @@ object Operations {
           GraphOps.hyperBall(edges, p = 8, rounds = iters), p = 8)
         sizes.toSeq.toDF("id", "est_ball_size")
       case "NTRIPLES"   => graft.graph.Rdf.ntriples(edges)
+      case "TURTLE"     => graft.graph.Rdf.turtle(edges)
       case "MIS"        => GraphOps.maximalIndependentSet(edges,
         opts.getOrElse("--rounds", "8").toInt)
       case "KATZ"       => GraphOps.katz(edges, iters)
@@ -230,12 +232,17 @@ object Operations {
     val cols = result.columns
     val rows = result.orderBy(cols.head, cols.tail: _*).collect() // graph-sized
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-    if (op == "NTRIPLES") {
-      val li = cols.indexOf("line")
-      val nt = rows.map(_.getString(li)).mkString("", "\n", "\n")
-      java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/graph.nt"),
-        nt.getBytes("UTF-8"))
-      println(s"""{"operation":"$op","rows":${rows.length},"out":"$out/graph.nt"}""")
+    if (op == "NTRIPLES" || op == "TURTLE") {
+      // NTRIPLES: one statement per line -> graph.nt; TURTLE: one subject
+      // block per paragraph -> graph.ttl (blocks are independently valid,
+      // so plain concatenation is a correct document)
+      val (colName, file, sep) =
+        if (op == "NTRIPLES") ("line", "graph.nt", "\n") else ("block", "graph.ttl", "\n\n")
+      val li = cols.indexOf(colName)
+      val body = rows.map(_.getString(li)).mkString("", sep, "\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/$file"),
+        body.getBytes("UTF-8"))
+      println(s"""{"operation":"$op","rows":${rows.length},"out":"$out/$file"}""")
     } else {
       val csv = (cols.mkString(",") +: rows.map(_.toSeq.mkString(","))).mkString("", "\n", "\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/analytics.csv"),
