@@ -58,9 +58,12 @@ object Multimodal {
     * failing the batch (a poisoned payload must not kill a 100 TB stage). */
   object ImageIoDecoder extends MediaDecoder {
     javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+    // NonFatal, not just IOException: hostile/corrupt headers can surface as
+    // runtime exceptions from format readers, and the degrade-don't-die
+    // contract has to hold for those too
     private def read(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     def decodeBatch(blobs: Seq[Array[Byte]]): Seq[MediaMeta] = blobs.map { b =>
       read(b) match {
         case Some(img) => MediaMeta("image", img.getWidth, img.getHeight, 1, 0)
@@ -130,7 +133,7 @@ object Multimodal {
         val blob = row.getAs[Array[Byte]](idx)
         val img =
           try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
-          catch { case _: java.io.IOException => None }
+          catch { case scala.util.control.NonFatal(_) => None }
         img match {
           case None => (id, 0, 0, Array.emptyByteArray)
           case Some(src) =>
