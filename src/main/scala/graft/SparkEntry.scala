@@ -505,7 +505,8 @@ object SparkEntry {
         graft.ops.Bgp.Pat("?c", "placed", "?ord"),
         graft.ops.Bgp.Pat("?ord", "contains", "?pt"),
         graft.ops.Bgp.Pat("?pt", "supplied_by", "?sup"))
-      graft.ops.Bgp.matchPatterns(rel, graft.ops.Bgp.planPatternsStats(rel, pats))
+      graft.ops.Bgp.matchPatterns(rel, graft.ops.Bgp.planPatternsStats(rel, pats),
+        distinctInput = true)
     }),
     // SPARQL OPTIONAL: left-outer BGP extension, NULL-padded where the
     // optional group finds no match
@@ -522,7 +523,7 @@ object SparkEntry {
       graft.ops.Bgp.matchNotExists(
         DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
         Seq(graft.ops.Bgp.Pat("?x", "located_in", "?y")),
-        Seq(graft.ops.Bgp.Pat("?x", "placed", "?z")))
+        Seq(graft.ops.Bgp.Pat("?x", "placed", "?z")), distinctInput = true)
     }),
     // SPARQL UNION: solutions of either group, variables absent from a group
     // NULL-padded (the SPARQL unbound convention)
@@ -538,7 +539,7 @@ object SparkEntry {
       graft.ops.Bgp.matchMinus(
         DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
         Seq(graft.ops.Bgp.Pat("?w", "located_in", "?n")),
-        Seq(graft.ops.Bgp.Pat("?q", "supplied_by", "?w")))
+        Seq(graft.ops.Bgp.Pat("?q", "supplied_by", "?w")), distinctInput = true)
     }),
     // unbounded property path (p1|p2|p3)+ to the exact fixpoint, seeded at
     // three orders — semi-naive datalog over the supply KG (full closure
@@ -547,7 +548,7 @@ object SparkEntry {
       graft.ops.Bgp.reachability(
         DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
         Seq("contains", "supplied_by", "located_in"),
-        seeds = Seq("O0", "O1", "O2"))
+        seeds = Seq("O0", "O1", "O2"), distinctInput = true)
     }),
     // SPARQL CONSTRUCT: solutions rewritten through a triple template into a
     // new deduplicated (s, p, o) relation — materialized inference
@@ -582,7 +583,10 @@ object SparkEntry {
       graft.ops.Bgp.viewDelta(
         rel.filter(bucket =!= 0), rel.filter(bucket === 0),
         Seq(graft.ops.Bgp.Pat("?x", "contains", "?y"),
-          graft.ops.Bgp.Pat("?y", "supplied_by", "?z")))
+          graft.ops.Bgp.Pat("?y", "supplied_by", "?z")),
+        // the md5-bucket split of a distinct relation: disjoint by
+        // construction, each side duplicate-free
+        disjointDistinct = true)
     }),
     // SHACL closed shapes: each shaped class may use only its allowed
     // outgoing predicates — customers' located_in edges violate by
@@ -599,7 +603,10 @@ object SparkEntry {
       DocKg.typedSupplyTriples(s, d), Seq(
         graft.ops.Shapes.CardShape("ORDER", "contains", 2L, 5L),
         graft.ops.Shapes.CardShape("SUPPLIER", "located_in", 1L, 1L),
-        graft.ops.Shapes.CardShape("CUSTOMER", "placed", 1L, 15L)))),
+        graft.ops.Shapes.CardShape("CUSTOMER", "placed", 1L, 15L)),
+      // typedSupplyTriples is duplicate-free (per-branch distinct, branches
+      // disjoint by (s_type, p)) — the op's dedup would be a no-op
+      assumeDistinct = true)),
     // SHACL-style range shape over the entity KG: pos attitudes must point
     // at ORG/PERSON objects — broadcast-join filter, violations only
     "kg_shape_range" -> ((s, d) => {
@@ -615,7 +622,8 @@ object SparkEntry {
     // slot's modal class — minority rows flag heterogeneous relation slots
     // (located_in's subject mixes SUPPLIER and CUSTOMER by construction)
     "kg_schema_domains" -> ((s, d) =>
-      graft.ops.Shapes.slotProfile(DocKg.typedSupplyTriples(s, d))),
+      graft.ops.Shapes.slotProfile(DocKg.typedSupplyTriples(s, d),
+        assumeDistinct = true)),
     // AMIE-style chain rules p1(x,y) ∧ p2(y,z) ⇒ p3(x,z): support /
     // confidence / head coverage in exact permille over the distinct KG
     "kg_rule_mining" -> ((s, d) => {
@@ -1307,7 +1315,8 @@ object SparkEntry {
       DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
       Seq(graft.ops.Bgp.Pat("?c", "placed", "?ord"),
         graft.ops.Bgp.Pat("?ord", "contains", "?pt")),
-      vars = Seq("?c"), rows = Seq(Seq("C1"), Seq("C4"), Seq("C7")))),
+      vars = Seq("?c"), rows = Seq(Seq("C1"), Seq("C4"), Seq("C7")),
+      distinctInput = true)),
     // SPARQL FILTER: a cross-variable inequality plus a regex guard —
     // Catalyst pushes the single-variable regex below the join into the
     // pattern's scan, the cross-variable predicate filters the join output
@@ -1315,7 +1324,7 @@ object SparkEntry {
       DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
       Seq(graft.ops.Bgp.Pat("?pt", "supplied_by", "?sup"),
         graft.ops.Bgp.Pat("?sup", "located_in", "?n")),
-      col("n") =!= "N3" && col("pt").rlike("^P1"))),
+      col("n") =!= "N3" && col("pt").rlike("^P1"), distinctInput = true)),
     // SPARQL ASK: existence of any solution as a stable 0/1 — LocalLimit(1)
     // under the count short-circuits the join chain after the first hit
     "kg_ask" -> ((s, d) => graft.ops.Bgp.ask(
@@ -1328,12 +1337,13 @@ object SparkEntry {
     "kg_bgp_path_inverse" -> ((s, d) => graft.ops.Bgp.matchPatterns(
       DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
       Seq(graft.ops.Bgp.Pat("?pt", "^contains", "?ord"),
-        graft.ops.Bgp.Pat("?pt", "supplied_by", "?sup")))),
+        graft.ops.Bgp.Pat("?pt", "supplied_by", "?sup")), distinctInput = true)),
     // SPARQL negated property set (!contains|supplied_by): any triple whose
     // predicate is outside the set — a NOT IN pushed to the scan
     "kg_bgp_negated" -> ((s, d) => graft.ops.Bgp.matchPatterns(
       DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
-      Seq(graft.ops.Bgp.Pat("?x", "!contains|supplied_by", "?y")))),
+      Seq(graft.ops.Bgp.Pat("?x", "!contains|supplied_by", "?y")),
+      distinctInput = true)),
     // RDFS forward chaining (rdfs2 domain / rdfs3 range / rdfs9+11 subclass
     // closure): materialized rdf:type facts — schema closed driver-side and
     // broadcast, the instance relation scanned exactly once
@@ -1393,13 +1403,19 @@ object SparkEntry {
     // objects)
     "kg_path_nation_parts" -> ((s, d) => graft.ops.Bgp.seqPath(
       DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
-      Seq("^located_in", "^supplied_by"))),
+      Seq("^located_in", "^supplied_by"), distinctInput = true)),
     // OWL property-axiom materialization: base KG plus owl:inverseOf
     // entailments (supplies / placed_by) — map-side projections + one
     // distinct, the axiom set is schema-sized
     "kg_owl_entailed" -> ((s, d) => graft.ops.Rdfs.materializeProperties(
       DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
-      inverseOf = Seq("supplied_by" -> "supplies", "placed" -> "placed_by"))),
+      inverseOf = Seq("supplied_by" -> "supplies", "placed" -> "placed_by"),
+      // disjointness proof: the base KG is duplicate-free and contains no
+      // 'supplies'/'placed_by' predicate (so the q-filtered branches are
+      // empty), each derived branch is an injective swap of a distinct
+      // branch, and the minted predicate names collide with nothing — the
+      // global dedup is a no-op (oracle row pins the exact result)
+      assumeDisjoint = true)),
     // SHACL property-pair shapes over the entity KG: sh:disjoint(pos, neg)
     // is violated wherever a pair is asserted BOTH ways (the contradiction
     // surface); sh:equals(pos, neu) holds on this corpus (empty contribution)
@@ -1434,7 +1450,7 @@ object SparkEntry {
     // IN-filtered scans (pushdown) + one distinct, output tagged by slot
     "kg_describe" -> ((s, d) => graft.ops.Bgp.describe(
       DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
-      Seq("C1", "S1", "N3"))),
+      Seq("C1", "S1", "N3"), distinctInput = true)),
     // SPARQL GROUP_CONCAT(DISTINCT ?z ORDER BY ?z): the only deterministic
     // group-concat — collect_set + sort + join, one hash aggregation
     "kg_bgp_groupconcat" -> ((s, d) => graft.ops.Bgp.matchGroupConcat(
@@ -1486,10 +1502,20 @@ object SparkEntry {
       val diff = Changelog.asOfDelta(log, AsOfT1, AsOfT2).localCheckpoint()
       val added = diff.filter(col("change") === "added").select("s", "p", "o")
       val removed = diff.filter(col("change") === "removed").select("s", "p", "o")
-      val sol1 = Bgp.matchPatterns(base1, pats)
-      val plus = Bgp.viewDelta(base1, added, pats)
-      val minus = Bgp.viewDeltaRetract(base1.unionByName(added), removed, pats)
-      sol1.unionByName(plus).distinct()
+      // base1 is duplicate-free (snapshot rows are one-per-live-triple,
+      // all p='placed'; the contains branch is distinct with p='contains' —
+      // disjoint preds), and `added` (live at T2, absent at T1) is disjoint
+      // from it — so every input below is a set and the per-pattern dedup
+      // shuffles are elided (Bgp.needsDedup)
+      val sol1 = Bgp.matchPatterns(base1, pats, distinctInput = true)
+      val plus = Bgp.viewDelta(base1, added, pats, disjointDistinct = true)
+      val minus = Bgp.viewDeltaRetract(base1.unionByName(added), removed, pats,
+        distinctInput = true)
+      // sol1 and plus are each duplicate-free (joins of binding sets) and
+      // disjoint by construction (every `plus` solution uses a strictly-new
+      // binding no T1 solution can have), so the old repair distinct over
+      // the unioned view was a no-op — dropped (guide §2.4)
+      sol1.unionByName(plus)
         .join(minus, sol1.columns.toIndexedSeq, "left_anti")
     }),
     // retraction-side view maintenance (DRed over a non-recursive BGP):
@@ -1506,7 +1532,10 @@ object SparkEntry {
         16, 10).cast("long") % 8
       graft.ops.Bgp.viewDeltaRetract(rel, rel.filter(bucket === 0),
         Seq(graft.ops.Bgp.Pat("?x", "contains", "?y"),
-          graft.ops.Bgp.Pat("?y", "supplied_by", "?z")))
+          graft.ops.Bgp.Pat("?y", "supplied_by", "?z")),
+        // typedSupplyTriples is duplicate-free (per-branch distinct,
+        // branches disjoint by (s_type, p))
+        distinctInput = true)
     })
   )
 

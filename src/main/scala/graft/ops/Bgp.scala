@@ -74,6 +74,18 @@ object Bgp {
     bindTerms(rel, Seq("s" -> p.s, "p" -> p.p, "o" -> p.o), dedup)
   }
 
+  /** Whether [[one]]'s per-pattern dedup shuffle is still needed given a
+    * duplicate-free input relation. With distinct (s, p, o) rows the binding
+    * projection is INJECTIVE for every pattern shape — constants restrict a
+    * dropped column to one value, variables are always projected, and a
+    * repeated variable projects one of two equal columns — EXCEPT a negated
+    * predicate set (`!p1|p2`), which keeps many predicate values but drops
+    * the p column, so two distinct triples can project to one binding row.
+    * Skipping the redundant distinct removes one full exchange per pattern
+    * (guide §2.4: remove shuffles outright). */
+  private def needsDedup(distinctInput: Boolean, pat: Pat): Boolean =
+    !distinctInput || pat.p.startsWith("!")
+
   /** Generic pattern binder over an arbitrary (column → term) list — shared
     * by the triple and quad forms. Constants filter their column (the
     * predicate column additionally supports the `!p1|p2` negated set),
@@ -160,15 +172,21 @@ object Bgp {
     * chain with a per-hop distinct so path multiplicity never multiplies
     * rows — the [[boundedPath]] discipline applied to heterogeneous steps.
     * Output: (x, z) distinct. */
-  def seqPath(rel: DataFrame, steps: Seq[String]): DataFrame = {
+  def seqPath(rel: DataFrame, steps: Seq[String],
+      distinctInput: Boolean = false): DataFrame = {
     require(steps.nonEmpty, "empty sequence path")
     def stepRel(st: String): DataFrame = {
       val invStep = st.startsWith("^")
       val p = if (invStep) st.drop(1) else st
       require(p.nonEmpty, s"empty step in sequence path $steps")
       val base = rel.filter(col("p") === p)
-      (if (invStep) base.select(col("o").as("hs"), col("s").as("ho"))
-       else base.select(col("s").as("hs"), col("o").as("ho"))).distinct()
+      val proj =
+        if (invStep) base.select(col("o").as("hs"), col("s").as("ho"))
+        else base.select(col("s").as("hs"), col("o").as("ho"))
+      // constant-predicate projection of a distinct relation is injective —
+      // the per-step dedup shuffle is redundant then (the per-HOP distinct
+      // below stays: composition multiplicities are real)
+      if (distinctInput) proj else proj.distinct()
     }
     var acc = stepRel(steps.head).select(col("hs").as("x"), col("ho").as("z"))
     for (st <- steps.tail)
@@ -430,7 +448,14 @@ object Bgp {
     * not multiply solutions — callers usually pass a `.distinct()`-ed or
     * aggregated triple relation anyway). */
   def matchPatterns(rel: DataFrame, patterns: Seq[Pat]): DataFrame =
-    chain(patterns.map(one(rel, _)))
+    matchPatterns(rel, patterns, distinctInput = false)
+
+  /** [[matchPatterns]] with a caller guarantee that `rel` is duplicate-free:
+    * per-pattern dedup shuffles are elided where [[needsDedup]] proves the
+    * binding projection injective (identical solution set — BgpSpec pins the
+    * two paths equal). */
+  def matchPatterns(rel: DataFrame, patterns: Seq[Pat], distinctInput: Boolean): DataFrame =
+    chain(patterns.map(p => one(rel, p, dedup = needsDedup(distinctInput, p))))
 
   /** SPARQL aggregation (`GROUP BY … HAVING`) over the solutions of a BGP:
     * per distinct assignment of `groupVars`, the solution count, and the
@@ -516,21 +541,40 @@ object Bgp {
     * every term scanning in-memory blocks (the repo-wide lineage-truncation
     * convention for multiply-consumed relations). Engine extension, no
     * reference counterpart. */
-  def viewDelta(base: DataFrame, delta: DataFrame, patterns: Seq[Pat]): DataFrame = {
+  def viewDelta(base: DataFrame, delta: DataFrame, patterns: Seq[Pat],
+      disjointDistinct: Boolean = false): DataFrame = {
     require(patterns.nonEmpty, "empty pattern list")
     val b = truncated(base.select("s", "p", "o"))
     val dlt = truncated(delta.select("s", "p", "o"))
     val full = b.unionByName(dlt)
-    val fullBind = patterns.map(one(full, _))
+    // disjointDistinct: caller asserts base and delta are each duplicate-
+    // free AND mutually disjoint (the ingest-batch contract), so base,
+    // delta and their union are all sets and [[needsDedup]] elides the
+    // per-pattern dedup shuffles — 3 per pattern here (full, delta, base
+    // bindings). Identical solution set.
+    def bind(rel: DataFrame, p: Pat) =
+      one(rel, p, dedup = needsDedup(disjointDistinct, p))
+    val fullBind = patterns.map(bind(full, _))
+    val baseBind = patterns.map(bind(b, _))
     val newBind = patterns.map { p =>
-      val (d, vs) = one(dlt, p)
-      val (bb, _) = one(b, p)
+      val (d, vs) = bind(dlt, p)
+      val (bb, _) = bind(b, p)
       (d.join(bb, vs.toIndexedSeq, "left_anti"), vs)
     }
+    // DISJOINT delta terms (the sequenced delta-join rewrite): term i keeps
+    // OLD bindings left of i (P_j(base), j < i), the strictly-new ΔP_i at i,
+    // and full bindings right of i — a new solution lands in exactly the
+    // term of its FIRST new-binding position (left of it every projection is
+    // old, i.e. in P_j(base); at it the binding is new by choice of i;
+    // P_j(full) right of it). Every term is internally duplicate-free
+    // (equi-joins of binding SETS), so the union IS the view delta and the
+    // old O(|delta-solutions|) distinct exchange on top is gone outright
+    // (guide §2.4). The non-disjoint form (ΔP_i among all-full bindings)
+    // double-counted solutions touched by several new bindings and needed
+    // that distinct to repair it.
     patterns.indices
-      .map(i => chain(fullBind.updated(i, newBind(i))))
+      .map(i => chain(baseBind.take(i) ++ Seq(newBind(i)) ++ fullBind.drop(i + 1)))
       .reduce(_ unionByName _)
-      .distinct()
   }
 
   /** Retraction-side view maintenance — the other half of [[viewDelta]]:
@@ -553,7 +597,8 @@ object Bgp {
     * (ΔP_i⁻ is removal-sized and broadcasts); the rederive step touches
     * candidates only. Output: the removed solutions, set semantics.
     * Engine extension, no reference counterpart. */
-  def viewDeltaRetract(base: DataFrame, removed: DataFrame, patterns: Seq[Pat]): DataFrame = {
+  def viewDeltaRetract(base: DataFrame, removed: DataFrame, patterns: Seq[Pat],
+      distinctInput: Boolean = false): DataFrame = {
     require(patterns.nonEmpty, "empty pattern list")
     // base and removed are each referenced by ~2n downstream terms; truncate
     // lineage once so a derived base is evaluated once, not per occurrence
@@ -563,18 +608,37 @@ object Bgp {
     val remaining = b
       .join(rm, Seq("s", "p", "o"), "left_anti")
       .localCheckpoint() // a join — always worth one truncation
-    val baseBind = patterns.map(one(b, _))
-    val remBind = patterns.map(one(remaining, _))
+    // distinctInput: base duplicate-free implies `remaining` (an anti-join
+    // of it) is too — [[needsDedup]] then elides the per-pattern dedup
+    // shuffles on both binding families; the result is unchanged.
+    def bind(rel: DataFrame, p: Pat) =
+      one(rel, p, dedup = needsDedup(distinctInput, p))
+    val baseBind = patterns.map(bind(b, _))
+    val remBind = patterns.map(bind(remaining, _))
     val goneBind = patterns.indices.map { i =>
       val (b, vs) = baseBind(i)
       (b.join(remBind(i)._1, vs.toIndexedSeq, "left_anti"), vs)
     }
-    val candidates = patterns.indices
-      .map(i => chain(baseBind.updated(i, goneBind(i))))
+    // DISJOINT removed-solution terms (the retract side of viewDelta's
+    // sequenced rewrite): term i keeps SURVIVING bindings left of i
+    // (P_j(remaining)), the vanished ΔP_i⁻ at i, base bindings right of i.
+    // A solution binds EVERY pattern's variables, so for a non-recursive
+    // BGP solution-hood is exactly per-pattern binding membership — which
+    // makes the terms EXACT, not an over-approximation:
+    //  - a term-i row has its position-i projection in ΔP_i⁻, i.e. absent
+    //    from P_i(remaining) (alternate witnesses included — the anti-join
+    //    is of binding SETS), hence it is NOT a remaining-view solution:
+    //    every term row is truly removed, and DRed's re-derivation
+    //    semi-join — previously a full solution-set-sized view build plus
+    //    an O(|candidates|) anti-join — has nothing to do and is gone;
+    //  - a removed solution lands in EXACTLY the term of its FIRST
+    //    vanished-binding position (left of it every projection survived,
+    //    so it is in P_j(remaining)), hence the terms are pairwise disjoint
+    //    and internally duplicate-free (equi-joins of binding sets): the
+    //    old repair `.distinct()` exchange is gone too (guide §2.4).
+    patterns.indices
+      .map(i => chain(remBind.take(i) ++ Seq(goneBind(i)) ++ baseBind.drop(i + 1)))
       .reduce(_ unionByName _)
-      .distinct()
-    val survivors = chain(remBind)
-    candidates.join(survivors, candidates.columns.toIndexedSeq, "left_anti")
   }
 
   /** SPARQL `OPTIONAL`: every solution of `required`, extended by the
@@ -599,9 +663,10 @@ object Bgp {
     * LEFT ANTI join, so the negative group never materializes into the
     * output and Catalyst can plan it as a broadcast anti join when the
     * negative pattern is selective (the usual case: a constant predicate). */
-  def matchNotExists(rel: DataFrame, required: Seq[Pat], absent: Seq[Pat]): DataFrame = {
-    val base = matchPatterns(rel, required)
-    val neg = matchPatterns(rel, absent)
+  def matchNotExists(rel: DataFrame, required: Seq[Pat], absent: Seq[Pat],
+      distinctInput: Boolean = false): DataFrame = {
+    val base = matchPatterns(rel, required, distinctInput)
+    val neg = matchPatterns(rel, absent, distinctInput)
     val shared = base.columns.filter(neg.columns.toSet)
     require(shared.nonEmpty,
       "NOT EXISTS group shares no variable with the required group — rejected")
@@ -647,9 +712,10 @@ object Bgp {
     * MINUS removes NOTHING (every solution pair has disjoint domains, hence
     * is trivially compatible-on-nothing and the spec keeps it) — unlike
     * [[matchNotExists]], which rejects that shape as a caller bug. */
-  def matchMinus(rel: DataFrame, required: Seq[Pat], minus: Seq[Pat]): DataFrame = {
-    val base = matchPatterns(rel, required)
-    val neg = matchPatterns(rel, minus)
+  def matchMinus(rel: DataFrame, required: Seq[Pat], minus: Seq[Pat],
+      distinctInput: Boolean = false): DataFrame = {
+    val base = matchPatterns(rel, required, distinctInput)
+    val neg = matchPatterns(rel, minus, distinctInput)
     val shared = base.columns.filter(neg.columns.toSet)
     if (shared.isEmpty) base
     else base.join(neg, shared.toIndexedSeq, "left_anti")
@@ -703,8 +769,9 @@ object Bgp {
     * a predicate that references a single pattern's variables below the join
     * into that pattern's scan, so `FILTER(?y != ?z)` filters the join output
     * while `FILTER(regexp ?x …)` prunes before any join, for free. */
-  def matchWhere(rel: DataFrame, patterns: Seq[Pat], cond: org.apache.spark.sql.Column): DataFrame =
-    matchPatterns(rel, patterns).filter(cond)
+  def matchWhere(rel: DataFrame, patterns: Seq[Pat], cond: org.apache.spark.sql.Column,
+      distinctInput: Boolean = false): DataFrame =
+    matchPatterns(rel, patterns, distinctInput).filter(cond)
 
   /** SPARQL `VALUES`: inline solution bindings joined into the BGP — the
     * parameterized-query primitive ("run the pattern for THESE fifty
@@ -714,11 +781,11 @@ object Bgp {
     * local relation, so the join never shuffles the solution side on its
     * account. */
   def matchValues(rel: DataFrame, patterns: Seq[Pat], vars: Seq[String],
-      rows: Seq[Seq[String]]): DataFrame = {
+      rows: Seq[Seq[String]], distinctInput: Boolean = false): DataFrame = {
     require(vars.nonEmpty && rows.nonEmpty, "empty VALUES clause")
     require(rows.forall(_.lengthCompare(vars.length) == 0),
       "every VALUES row must bind every variable (no UNDEF)")
-    val sol = matchPatterns(rel, patterns)
+    val sol = matchPatterns(rel, patterns, distinctInput)
     val bound = sol.columns.toSet
     val names = vars.map { x =>
       require(x.startsWith("?") && bound.contains(x.drop(1)),
@@ -740,12 +807,15 @@ object Bgp {
     * LocalLimit(1) sits UNDER the count, so every scan stops after its first
     * surviving row and the join chain short-circuits — the cost of a hit is
     * one row's worth of work, not the solution set's. */
-  def ask(rel: DataFrame, patterns: Seq[Pat]): DataFrame =
+  def ask(rel: DataFrame, patterns: Seq[Pat],
+      distinctInput: Boolean = false): DataFrame =
     // the deduplicated chain is deliberate even though existence is
     // multiplicity-invariant: the per-pattern DISTINCT shrinks the build
     // side below the broadcast threshold, which beats the shuffle join a
-    // raw chain falls into (measured 1.9 s vs 5.9 s at sf0.1)
-    matchPatterns(rel, patterns).limit(1)
+    // raw chain falls into (measured 1.9 s vs 5.9 s at sf0.1). With a
+    // distinctInput assertion the dedup is a no-op and elided — the size
+    // seen by the join planner is the same either way.
+    matchPatterns(rel, patterns, distinctInput).limit(1)
       .agg(count(lit(1)).cast("long").as("ask"))
 
   /** SPARQL `DESCRIBE`: every triple whose subject OR object is one of the
@@ -753,9 +823,13 @@ object Bgp {
     * 1). Two IN-filtered scans (both pushdown-eligible) unioned with one
     * distinct; output (s, p, o, role) where role marks which slot matched
     * ('s', 'o', or 'both' when the triple touches two described nodes). */
-  def describe(rel: DataFrame, nodes: Seq[String]): DataFrame = {
+  def describe(rel: DataFrame, nodes: Seq[String],
+      distinctInput: Boolean = false): DataFrame = {
     require(nodes.nonEmpty, "DESCRIBE needs at least one node")
-    rel.select("s", "p", "o").distinct()
+    val t = rel.select("s", "p", "o")
+    // a duplicate-free input makes the dossier dedup a no-op — elide the
+    // full-relation shuffle and keep only the pushdown-eligible IN filter
+    (if (distinctInput) t else t.distinct())
       .filter(col("s").isin(nodes: _*) || col("o").isin(nodes: _*))
       .select(col("s"), col("p"), col("o"),
         when(col("s").isin(nodes: _*) && col("o").isin(nodes: _*), "both")
@@ -789,12 +863,20 @@ object Bgp {
     * returning a silent partial closure. Output: (x, z). Engine extension,
     * no reference counterpart. */
   def reachability(rel: DataFrame, preds: Seq[String], seeds: Seq[String] = Nil,
-      maxIter: Int = 30, hopsPerAction: Int = 1): DataFrame = {
+      maxIter: Int = 30, hopsPerAction: Int = 1,
+      distinctInput: Boolean = false): DataFrame = {
     require(hopsPerAction >= 1, s"hopsPerAction must be >= 1: $hopsPerAction")
     require(preds.nonEmpty, "empty predicate alternation")
-    val step = rel.filter(col("p").isin(preds: _*))
-      .select(col("s").as("hs"), col("o").as("ho")).distinct()
-      .localCheckpoint()
+    // distinctInput: caller asserts the (s, o) projection of the filtered
+    // relation is already duplicate-free (e.g. a distinct KG whose predicate
+    // alternation is endpoint-disjoint — the typed supply KG's prefix-typed
+    // node spaces). Under that assertion the dedup here is a no-op and the
+    // flag drops a redundant full shuffle of the step relation (guide §2.4);
+    // rounds >= 1 are set-safe regardless (each frontier deduplicates), but
+    // round 0 enters the closure as-is, so the assertion is load-bearing.
+    val step0 = rel.filter(col("p").isin(preds: _*))
+      .select(col("s").as("hs"), col("o").as("ho"))
+    val step = (if (distinctInput) step0 else step0.distinct()).localCheckpoint()
     val start =
       if (seeds.isEmpty) step else step.filter(col("hs").isin(seeds: _*))
     // Semi-naive bookkeeping: the closure is kept as the LIST of per-round

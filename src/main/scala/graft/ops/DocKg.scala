@@ -623,13 +623,20 @@ object DocKg {
   def supplyEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val supp = spark.read.parquet(s"$dir/supplier.parquet")
-    li.select(concat(lit("O"), col("l_orderkey")).as("source"),
-        concat(lit("P"), col("l_partkey")).as("target"))
-      .union(li.select(concat(lit("P"), col("l_partkey")).as("source"),
-        concat(lit("S"), col("l_suppkey")).as("target")))
-      .union(supp.select(concat(lit("S"), col("s_suppkey")).as("source"),
-        concat(lit("N"), col("s_nationkey")).as("target")))
-      .distinct()
+    // dedup each branch on the NARROW integer key pair BEFORE minting the
+    // prefixed string keys (16 bytes across the exchange instead of two
+    // strings — guide §2.3 narrower types), then union WITHOUT a global
+    // distinct: the branches are pairwise disjoint by source-prefix
+    // construction (O→P vs P→S vs S→N), so per-branch distinct == the old
+    // global distinct over the union, row for row.
+    def branch(src: DataFrame, sKey: Column, sPre: String,
+        tKey: Column, tPre: String) =
+      src.select(sKey.as("sk"), tKey.as("tk")).distinct()
+        .select(concat(lit(sPre), col("sk")).as("source"),
+          concat(lit(tPre), col("tk")).as("target"))
+    branch(li, col("l_orderkey"), "O", col("l_partkey"), "P")
+      .union(branch(li, col("l_partkey"), "P", col("l_suppkey"), "S"))
+      .union(branch(supp, col("s_suppkey"), "S", col("s_nationkey"), "N"))
   }
 
   /** [[supplyEdges]] as a TYPED triple relation (s, s_type, p, o, o_type) —
@@ -641,22 +648,30 @@ object DocKg {
     * so no global distinct is needed. */
   def typedSupplyTriples(spark: SparkSession, dir: String): DataFrame = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
-    def typed(src: DataFrame, s: Column, sT: String, p: String, o: Column, oT: String) =
-      src.select(s.as("s"), lit(sT).as("s_type"), lit(p).as("p"),
-        o.as("o"), lit(oT).as("o_type")).distinct()
+    // Each branch dedupes on the NARROW integer key pair BEFORE minting the
+    // prefixed string keys and literal type/pred columns (guide §2.3: the
+    // distinct's exchange carries 16 bytes/row instead of five strings, and
+    // the concat runs over the deduplicated survivors only). Prefix+decimal
+    // is injective, so per-branch distinct-then-concat == the old
+    // concat-then-distinct, row for row.
+    def typed(src: DataFrame, sKey: Column, sPre: String, sT: String,
+        p: String, oKey: Column, oPre: String, oT: String) =
+      src.select(sKey.as("sk"), oKey.as("ok")).distinct()
+        .select(concat(lit(sPre), col("sk")).as("s"), lit(sT).as("s_type"),
+          lit(p).as("p"), concat(lit(oPre), col("ok")).as("o"),
+          lit(oT).as("o_type"))
     typed(spark.read.parquet(s"$dir/orders.parquet"),
-        concat(lit("C"), col("o_custkey")), "CUSTOMER", "placed",
-        concat(lit("O"), col("o_orderkey")), "ORDER")
-      .union(typed(li, concat(lit("O"), col("l_orderkey")), "ORDER", "contains",
-        concat(lit("P"), col("l_partkey")), "PART"))
-      .union(typed(li, concat(lit("P"), col("l_partkey")), "PART", "supplied_by",
-        concat(lit("S"), col("l_suppkey")), "SUPPLIER"))
+        col("o_custkey"), "C", "CUSTOMER", "placed", col("o_orderkey"), "O", "ORDER")
+      .union(typed(li, col("l_orderkey"), "O", "ORDER", "contains",
+        col("l_partkey"), "P", "PART"))
+      .union(typed(li, col("l_partkey"), "P", "PART", "supplied_by",
+        col("l_suppkey"), "S", "SUPPLIER"))
       .union(typed(spark.read.parquet(s"$dir/supplier.parquet"),
-        concat(lit("S"), col("s_suppkey")), "SUPPLIER", "located_in",
-        concat(lit("N"), col("s_nationkey")), "NATION"))
+        col("s_suppkey"), "S", "SUPPLIER", "located_in",
+        col("s_nationkey"), "N", "NATION"))
       .union(typed(spark.read.parquet(s"$dir/customer.parquet"),
-        concat(lit("C"), col("c_custkey")), "CUSTOMER", "located_in",
-        concat(lit("N"), col("c_nationkey")), "NATION"))
+        col("c_custkey"), "C", "CUSTOMER", "located_in",
+        col("c_nationkey"), "N", "NATION"))
   }
 
   /** Bounded-radius Brandes betweenness centrality in exact scaled

@@ -1,8 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** RDFS forward-chaining type inference over an (s, p, o) triple relation —
   * the schema-entailment step a KG-construction pipeline runs right after
@@ -45,13 +44,6 @@ object Rdfs {
     adj.keys.toSeq.sorted.flatMap(c => reach(c).toSeq.sorted.map(c -> _))
   }
 
-  private def lit2(spark: SparkSession, rows: Seq[(String, String)],
-      c1: String, c2: String): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1),
-      StructType(Seq(StructField(c1, StringType, nullable = false),
-        StructField(c2, StringType, nullable = false))))
-
   /** Materialized `rdf:type` facts entailed by the RDFS rules. Base facts:
     * explicit `(x, typePred, C)` triples in `rel`; rdfs2 — `(x, p, y)` with
     * `domain(p) = C` entails `(x, type, C)`; rdfs3 — the same with
@@ -66,19 +58,44 @@ object Rdfs {
   def inferTypes(rel: DataFrame, subClass: Seq[(String, String)],
       domain: Seq[(String, String)], range: Seq[(String, String)],
       typePred: String = "type"): DataFrame = {
-    val spark = rel.sparkSession
-    val explicit = rel.filter(col("p") === typePred).select(col("s"), col("o").as("cls"))
-    val dom = rel.join(broadcast(lit2(spark, domain, "p", "dcls")), "p")
-      .select(col("s"), col("dcls").as("cls"))
-    val rng = rel.join(broadcast(lit2(spark, range, "p", "rcls")), "p")
-      .select(col("o").as("s"), col("rcls").as("cls"))
-    val base = explicit.union(dom).union(rng)
+    // ONE pass over the instance relation: the explicit/domain/range base
+    // facts are emitted per row from driver-side literal MAPS (no joins —
+    // the old three-consumer shape re-evaluated a derived `rel` once per
+    // branch because the differing pushed filters broke exchange reuse),
+    // and the rdfs9 subclass lift rides the same generate via a
+    // cls → ancestor-array literal map. Same fact multiset into the one
+    // distinct, so the result set is unchanged (RdfsSpec + oracle row).
+    def litMap(rows: Seq[(String, String)]) =
+      if (rows.isEmpty) typedLit(Map.empty[String, String])
+      else map(rows.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val domCls = element_at(litMap(domain), col("p"))
+    val rngCls = element_at(litMap(range), col("p"))
+    val baseFacts = array(
+      when(col("p") === typePred, struct(col("s").as("n"), col("o").as("cls"))),
+      when(domCls.isNotNull, struct(col("s").as("n"), domCls.as("cls"))),
+      when(rngCls.isNotNull, struct(col("o").as("n"), rngCls.as("cls"))))
+    // dedupe the base facts BEFORE the subclass lift: the lift is a per-row
+    // map, so distinct∘lift∘distinct == distinct∘lift, and the final
+    // distinct's exchange then carries the node-type-sized relation times
+    // (1 + ancestors) instead of the raw fact multiset (guide §2.3
+    // aggregate-before-shuffle applied to set semantics)
+    val base = rel
+      .select(explode(filter(baseFacts, f => f.isNotNull)).as("f"))
+      .select(col("f.n").as("s"), col("f.cls").as("cls"))
+      .distinct()
     val up = subClassClosure(subClass)
     val lifted =
       if (up.isEmpty) base
-      else base.union(
-        base.join(broadcast(lit2(spark, up, "cls", "sup")), "cls")
-          .select(col("s"), col("sup").as("cls")))
+      else {
+        val upArr = up.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, sups) =>
+          (lit(c), array(sups.map(_._2).sorted.map(lit): _*))
+        }
+        val upM = map(upArr.flatMap { case (k, v) => Seq(k, v) }: _*)
+        base.select(col("s"),
+          explode(concat(array(col("cls")),
+            coalesce(element_at(upM, col("cls")),
+              array().cast("array<string>")))).as("cls"))
+      }
     lifted.select(col("s"), lit(typePred).as("p"), col("cls").as("o")).distinct()
   }
 
@@ -92,7 +109,7 @@ object Rdfs {
     * Transitive properties are deliberately NOT handled here — that is a
     * closure, served by [[Bgp.reachability]] / [[Bgp.boundedPath]]. */
   def materializeProperties(rel: DataFrame, inverseOf: Seq[(String, String)] = Nil,
-      symmetric: Seq[String] = Nil): DataFrame = {
+      symmetric: Seq[String] = Nil, assumeDisjoint: Boolean = false): DataFrame = {
     val base = rel.select("s", "p", "o")
     val inv = inverseOf.flatMap { case (p, q) =>
       Seq(
@@ -101,6 +118,14 @@ object Rdfs {
     }
     val sym = symmetric.map(p =>
       base.filter(col("p") === p).select(col("o").as("s"), col("p"), col("s").as("o")))
-    (base +: (inv ++ sym)).reduce(_ unionByName _).distinct()
+    val all = (base +: (inv ++ sym)).reduce(_ unionByName _)
+    // assumeDisjoint: caller asserts the base relation is duplicate-free, no
+    // derived predicate name occurs in the base, and no axiom produces a
+    // triple another branch also produces (e.g. plain inverseOf over a
+    // distinct KG whose q-predicates are absent, no symmetric axioms) — then
+    // every branch is internally distinct (injective projections of a
+    // distinct relation) and pairwise disjoint by predicate, so the global
+    // dedup is a no-op and its full-output exchange is elided (guide §2.4).
+    if (assumeDisjoint) all else all.distinct()
   }
 }

@@ -50,11 +50,19 @@ object Shapes {
     * outgoing `pred` count falls outside [minCount, maxCount]. Output
     * `(focus, pred, kind, observed, bound)` with kind in
     * {min_count, max_count} and bound the limit that was crossed. */
-  def cardinalityViolations(rel: DataFrame, shapes: Seq[CardShape]): DataFrame = {
+  def cardinalityViolations(rel: DataFrame, shapes: Seq[CardShape],
+      assumeDistinct: Boolean = false): DataFrame = {
     require(shapes.nonEmpty, "no cardinality shapes")
     val spark = rel.sparkSession
     import spark.implicits._
-    val t = distinctTriples(rel)
+    // the deduplicated relation feeds THREE consumers (the per-predicate
+    // counts and both slots of the node universe); truncate it once so a
+    // derived input — e.g. the typed supply KG extraction — is evaluated
+    // once, not per consumer (the repo-wide multi-consumer discipline).
+    // assumeDistinct elides the dedup itself when the caller's relation is
+    // already duplicate-free (identical result: the dedup is a no-op then).
+    val t0 = rel.select("s", "s_type", "p", "o", "o_type")
+    val t = (if (assumeDistinct) t0 else t0.distinct()).localCheckpoint()
     val shapeDf = shapes.toDF("focusType", "pred", "minCount", "maxCount")
     val preds = shapes.map(_.pred).distinct
     val counts = t.filter(col("p").isin(preds: _*))
@@ -156,8 +164,12 @@ object Shapes {
     * engine), and an is_modal flag. Minority rows (is_modal = 0) are the
     * schema-QA signal: a relation slot whose domain mixes classes. Output
     * `(pred, slot, tpe, cnt, modal_type, is_modal)`; slot is 's' or 'o'. */
-  def slotProfile(rel: DataFrame): DataFrame = {
-    val t = distinctTriples(rel)
+  def slotProfile(rel: DataFrame, assumeDistinct: Boolean = false): DataFrame = {
+    // two grouped consumers (s-slot and o-slot rollups) — truncate the
+    // deduplicated relation once; assumeDistinct elides the no-op dedup for
+    // already-duplicate-free callers (cardinalityViolations' discipline)
+    val t0 = rel.select("s", "s_type", "p", "o", "o_type")
+    val t = (if (assumeDistinct) t0 else t0.distinct()).localCheckpoint()
     val occ = t.groupBy(col("p").as("pred"), lit("s").as("slot"), col("s_type").as("tpe"))
       .agg(count(lit(1)).as("cnt"))
       .union(t.groupBy(col("p").as("pred"), lit("o").as("slot"), col("o_type").as("tpe"))
