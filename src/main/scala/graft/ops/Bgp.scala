@@ -904,7 +904,16 @@ object Bgp {
       var d = delta
       for (_ <- 1 to chunk) {
         val prior = (Seq(closure) ++ chunkDeltas).reduce(_ union _)
-        val fresh = d.join(step, col("z") === col("hs"))
+        // SEEDED closure: the frontier delta is the provably small side
+        // (it shrinks toward the fixpoint), but the checkpoint-propagated
+        // stats UNDERESTIMATE the step relation, so the planner was
+        // broadcasting step — a full hash-relation build of the transition
+        // relation per round (measured 1.4s/round at sf0.1 vs 40ms with
+        // the frontier broadcast). Hint the frontier explicitly; in the
+        // unseeded (full-closure) regime the delta starts at |step| and
+        // the hint would be wrong — leave the planner alone there.
+        val dd = if (seeds.nonEmpty) broadcast(d) else d
+        val fresh = dd.join(step, col("z") === col("hs"))
           .select(col("x"), col("ho").as("z")).distinct()
           .join(prior, Seq("x", "z"), "left_anti")
         chunkDeltas += fresh

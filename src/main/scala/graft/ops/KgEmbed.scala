@@ -42,14 +42,21 @@ object KgEmbed {
     * ~1/|bucket| of rows, the standard acceptance-rate cost of filtered
     * sampling. */
   def negativeTails(edges: DataFrame, seed: Long = 7L, buckets: Int = 8): DataFrame = {
-    val distinctEdges = edges.select(col("source"), col("sent"), col("target")).distinct()
-    // entity vocabulary: every node that appears anywhere, bucket-ranked
+    // three downstream consumers (corruption base, vocabulary, filtered-
+    // setting anti join) — truncate the edge-sized dedup once so a DERIVED
+    // edge relation (e.g. a host graph extracted from markup) is evaluated
+    // once, not per reference (the repo-wide multi-consumer discipline)
+    val distinctEdges = edges.select(col("source"), col("sent"), col("target"))
+      .distinct().localCheckpoint(true)
+    // entity vocabulary: every node that appears anywhere, bucket-ranked;
+    // node-sized with two consumers — same truncation
     val vocab = distinctEdges.select(col("source").as("ent"))
       .union(distinctEdges.select(col("target").as("ent")))
       .distinct()
       .withColumn("bucket", Sampling.hashBucket(col("ent"), buckets))
       .withColumn("rank",
         row_number().over(Window.partitionBy(col("bucket")).orderBy(col("ent"))) - 1)
+      .localCheckpoint(true)
     // occupied buckets only, rank-indexed: a draw can never land in an empty
     // bucket (with a small vocabulary hash buckets CAN be empty; an inner
     // join on the raw bucket id would silently drop those triples). The
