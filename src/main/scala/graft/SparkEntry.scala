@@ -1338,7 +1338,7 @@ object SparkEntry {
     "kg_ask" -> ((s, d) => graft.ops.Bgp.ask(
       DocKg.typedSupplyTriples(s, d).select("s", "p", "o"),
       Seq(graft.ops.Bgp.Pat("?c", "placed", "?ord"),
-        graft.ops.Bgp.Pat("?ord", "contains", "?pt")))),
+        graft.ops.Bgp.Pat("?ord", "contains", "?pt")), distinctInput = true)),
     // SPARQL inverse property path (^contains): the pattern reads
     // part→order against the order→part relation — normalized to a swap,
     // so the plan is the plain filtered-scan join chain

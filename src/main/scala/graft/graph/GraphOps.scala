@@ -606,20 +606,24 @@ object GraphOps {
     // auth feeds two consumers per round (hub update + the final zip), so
     // the lazy plan doubles per iteration — a tighter budget than the
     // linear-chain operators
-    val ck = roundCkpt(iters, maxLazy = 4)
+    // one truncation chain PER ARM: a shared instance would count each
+    // arm's call as a round and misfire stride/skipFinal under non-default
+    // knobs (one arm starved of truncation, the other skipping mid-loop)
+    val ckA = roundCkpt(iters, maxLazy = 4)
+    val ckS = roundCkpt(iters, maxLazy = 4)
     var scores = nodes.select(col("id"), lit(1000000L).as("hub"), lit(1000000L).as("auth"))
     for (_ <- 1 to iters) {
       val aRaw = ew.join(scores.select(col("id"), col("hub")), ew("source") === col("id"))
         .groupBy(col("target")).agg(sum(col("hub") * col("w")).as("a_raw"))
       val aNorm = aRaw.agg(sum(col("a_raw")).as("asum"))
-      val auth = ck(nodes.join(aRaw, nodes("id") === aRaw("target"), "left")
+      val auth = ckA(nodes.join(aRaw, nodes("id") === aRaw("target"), "left")
         .crossJoin(broadcast(aNorm))
         .select(col("id"),
           expr("coalesce(a_raw, 0L) div greatest(1L, asum div 1000000L)").as("auth")))
       val hRaw = ew.join(auth.select(col("id"), col("auth")), ew("target") === col("id"))
         .groupBy(col("source")).agg(sum(col("auth") * col("w")).as("h_raw"))
       val hNorm = hRaw.agg(sum(col("h_raw")).as("hsum"))
-      scores = ck(nodes.join(hRaw, nodes("id") === hRaw("source"), "left")
+      scores = ckS(nodes.join(hRaw, nodes("id") === hRaw("source"), "left")
         .crossJoin(broadcast(hNorm))
         .select(col("id"),
           expr("coalesce(h_raw, 0L) div greatest(1L, hsum div 1000000L)").as("hub"))
@@ -744,12 +748,21 @@ object GraphOps {
     require(colors >= 2, s"need >= 2 colors, got $colors")
     val (_, adj, deg) = prep
     // 2m is constant across rounds: one-row aggregate collected once (the
-    // scc pivot convention), a literal in every round's score expression
-    val m2 = deg.agg(sum(col("ki"))).head().getLong(0)
+    // scc pivot convention), a literal in every round's score expression.
+    // A graph with zero non-self-loop edges sums to NULL — short-circuit to
+    // the empty partition instead of an NPE (reachable via
+    // Operations --operation LOUVAIN on a degenerate graph).
+    val m2Row = deg.agg(sum(col("ki"))).head()
+    if (m2Row.isNullAt(0))
+      return deg.select(col("x").as("id"), col("x").as("label"))
+    val m2 = m2Row.getLong(0)
     def clrOf(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long") % colors
     // loop state: (id, label, ki) — see the round-shape docstring
     var state = deg.select(col("x").as("id"), col("x").as("label"), col("ki"))
+    // maxLazy = 1: state feeds FOUR consumers per round (movers/keepers/
+    // comm/votes), so a lazy loop's plan grows 4^rounds — re-measured this
+    // round: lazy at rounds=4 was 19-20s vs ~2s eager at sf0.1. Keep eager.
     val ck = roundCkpt(rounds, maxLazy = 1)
     for (r <- 1 to rounds) {
       val rc = r % colors
@@ -1173,15 +1186,18 @@ object GraphOps {
       .union(adj.select(col("dst").as("id"))).distinct().localCheckpoint(true)
     var c = nodes.select(col("id"), lit(1000000L).as("c"))
     var katzAcc = nodes.select(col("id"), lit(0L).as("k"))
-    // c feeds two consumers per round (next hop + the accumulator join)
-    val ck = roundCkpt(rounds, maxLazy = 5)
+    // c feeds two consumers per round (next hop + the accumulator join);
+    // one truncation chain per arm (see hits) so stride/skipFinal count
+    // rounds, not calls
+    val ckC = roundCkpt(rounds, maxLazy = 5)
+    val ckK = roundCkpt(rounds, maxLazy = 5)
     for (_ <- 1 to rounds) {
       val next = adj.join(c, adj("src") === c("id"))
         .select(col("dst").as("id"), expr(s"($num * c) div $den").as("contrib"))
         .groupBy(col("id")).agg(sum(col("contrib")).as("c"))
-      c = ck(nodes.join(next, Seq("id"), "left")
+      c = ckC(nodes.join(next, Seq("id"), "left")
         .select(col("id"), coalesce(col("c"), lit(0L)).as("c")))
-      katzAcc = ck(katzAcc.join(c.select(col("id"), col("c")), Seq("id"))
+      katzAcc = ckK(katzAcc.join(c.select(col("id"), col("c")), Seq("id"))
         .select(col("id"), (col("k") + col("c")).as("k")))
     }
     katzAcc
@@ -1640,11 +1656,17 @@ object GraphOps {
       .withColumn("rnk", row_number().over(w.orderBy(col("dst"))) - 1)
       .withColumn("deg", count(lit(1)).over(w))
       .localCheckpoint(true)
-    val nodes = adj.select(col("src").as("id"))
-      .union(adj.select(col("dst"))).distinct()
+    // node set read off the CHECKPOINTED adjacency (same rows, extra rank
+    // columns dropped) — deriving it from the lazy `adj` re-ran the whole
+    // upstream edge pipeline a second time
+    val nodes = adjd.select(col("src").as("id"))
+      .union(adjd.select(col("dst"))).distinct()
     // cur feeds two consumers per step (next hop + the output union)
     val ck = roundCkpt(walkLen, maxLazy = 5)
-    var cur = ck(nodes.select(col("id").as("start"), col("id").as("node")))
+    // the pre-loop state uses its OWN instance so the loop's counter maps
+    // 1:1 to rounds (stride/skipFinal correctness under non-default knobs)
+    var cur = roundCkpt(walkLen, maxLazy = 5)(
+      nodes.select(col("id").as("start"), col("id").as("node")))
     var out = cur.select(col("start"), lit(0L).as("step"), col("node"))
     for (t <- 1 to walkLen) {
       val pick = conv(substring(md5(
@@ -1685,8 +1707,10 @@ object GraphOps {
       .withColumn("deg", count(lit(1)).over(w))
       .localCheckpoint(true)
     val shared = adjd.select(col("src").as("p_src"), col("dst").as("p_dst"))
-    val nodes = adj.select(col("src").as("id"))
-      .union(adj.select(col("dst"))).distinct()
+    // node set off the CHECKPOINTED adjacency (see randomWalks) — the lazy
+    // `adj` form re-ran the whole upstream edge pipeline a second time
+    val nodes = adjd.select(col("src").as("id"))
+      .union(adjd.select(col("dst"))).distinct()
     // st feeds two consumers per step (candidate join + the output union)
     val ck = roundCkpt(walkLen, maxLazy = 4)
     var out = nodes.select(col("id").as("start"), lit(0L).as("step"), col("id").as("node"))

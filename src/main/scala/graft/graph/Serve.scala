@@ -36,22 +36,35 @@ object Serve {
   }
 
   /** Start serving `dir` on `port` (0 = ephemeral; read the bound port off
-    * the returned server). Non-blocking — callers own the lifecycle. */
-  def start(dir: String, port: Int): HttpServer = {
+    * the returned server). Non-blocking — callers own the lifecycle.
+    * Binds LOOPBACK ONLY by default: this is a local viewer parity feature,
+    * and a wildcard bind would expose the artifact directory to every
+    * network interface; pass `loopbackOnly = false` to serve externally. */
+  def start(dir: String, port: Int, loopbackOnly: Boolean = true): HttpServer = {
     val root = Paths.get(dir).toAbsolutePath.normalize()
     require(Files.isDirectory(root), s"not a directory: $dir")
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val addr =
+      if (loopbackOnly)
+        new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, port)
+      else new InetSocketAddress(port)
+    val server = HttpServer.create(addr, 0)
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         try {
           val raw = ex.getRequestURI.getPath
           val candidate = root.resolve(raw.stripPrefix("/")).normalize()
+          // normalize() does not resolve symlinks — a link inside the root
+          // could point outside it, so the real (link-resolved) path must
+          // ALSO stay inside the real root before anything is read
+          def insideReal(f: Path): Boolean =
+            f.toRealPath().startsWith(root.toRealPath())
           val target =
             if (!candidate.startsWith(root)) None // traversal — never escape root
             else if (Files.isDirectory(candidate)) {
               val idx = candidate.resolve("index.html")
-              if (Files.isRegularFile(idx)) Some(idx) else None
-            } else if (Files.isRegularFile(candidate)) Some(candidate)
+              if (Files.isRegularFile(idx) && insideReal(idx)) Some(idx) else None
+            } else if (Files.isRegularFile(candidate) && insideReal(candidate))
+              Some(candidate)
             else None
           target match {
             case Some(f) =>

@@ -56,21 +56,28 @@ object ChangelogStore {
   def exists(spark: SparkSession, store: String): Boolean =
     fs(spark, store).exists(p(statePath(store)))
 
-  /** Restore a compaction swap interrupted between the two renames and clear
-    * incomplete tmp writes (both the compaction tmp and stray batch tmps).
-    * Idempotent; called on every entry. */
-  private def recover(spark: SparkSession, store: String): Unit = {
+  /** Restore a compaction swap interrupted between the two renames;
+    * additionally clear incomplete tmp writes (the compaction tmp and stray
+    * batch tmps) when entered from a WRITE path. Read paths (log/snapshot/
+    * mergedBatches) must stay side-effect-free beyond the swap restore: a
+    * reader running concurrently with an in-flight merge would otherwise
+    * delete the writer's uncommitted tmp dir and fail its commit rename —
+    * the SINGLE-WRITER contract covers merges, not readers. Idempotent. */
+  private def recover(spark: SparkSession, store: String,
+      clearTmps: Boolean = false): Unit = {
     val f = fs(spark, store)
     val (live, bak, tmp) =
       (statePath(store), s"${statePath(store)}.merge-bak", s"${statePath(store)}.merge-tmp")
     if (!f.exists(p(live)) && f.exists(p(bak)))
       if (!f.rename(p(bak), p(live)))
         sys.error(s"crash recovery failed: cannot restore $bak to $live")
-    f.delete(p(tmp), true)
-    if (f.exists(p(store)))
-      f.listStatus(p(store)).foreach { st =>
-        if (st.getPath.getName.startsWith(".batch-tmp-")) f.delete(st.getPath, true)
-      }
+    if (clearTmps) {
+      f.delete(p(tmp), true)
+      if (f.exists(p(store)))
+        f.listStatus(p(store)).foreach { st =>
+          if (st.getPath.getName.startsWith(".batch-tmp-")) f.delete(st.getPath, true)
+        }
+    }
   }
 
   /** The committed batch directories (full paths), i.e. every `state/d-*`. */
@@ -132,7 +139,8 @@ object ChangelogStore {
     require(batchId.trim.nonEmpty && !batchId.contains("\n"),
       s"batchId must be a non-empty single-line token, got '$batchId'")
     val spark = entries.sparkSession
-    val have = mergedBatches(spark, store) // runs crash recovery on entry
+    recover(spark, store, clearTmps = true) // write entry: clear stale tmps
+    val have = mergedBatches(spark, store)
     if (have.contains(batchId)) return false
     val f = fs(spark, store)
     val norm = entries.select(col("s").cast("string"), col("p").cast("string"),
@@ -178,6 +186,7 @@ object ChangelogStore {
     * marker: a re-driven pre-compaction batch remains a no-op afterwards. */
   def compact(spark: SparkSession, store: String, cut: Long,
       partitions: Int = 32): Unit = {
+    recover(spark, store, clearTmps = true) // write entry: clear stale tmps
     val have = mergedBatches(spark, store)
     require(exists(spark, store), s"no changelog store at $store")
     // the compaction plan reads the live batch dirs and writes to the tmp

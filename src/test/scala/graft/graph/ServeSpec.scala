@@ -39,6 +39,35 @@ class ServeSpec extends AnyFunSuite {
       // and must be rejected, not served
       val (c4, b4, _) = get(port, s"/../${secret.getFileName}")
       assert(c4 == 404 && !b4.contains("nope"))
+      // RAW-socket traversal: HttpURLConnection normalizes '..' client-side,
+      // so the request above reaches the server pre-cleaned — send the raw
+      // path over a socket so the server-side startsWith(root) guard is the
+      // thing being exercised
+      val rawResp = rawGet(port, s"/../${secret.getFileName}")
+      assert((rawResp.startsWith("HTTP/1.1 404") ||
+        rawResp.startsWith("HTTP/1.1 400")) && !rawResp.contains("nope"))
+      // symlink escape: a link INSIDE the root pointing outside it must 404
+      // (normalize() alone cannot see it — the real-path guard must)
+      val link = dir.resolve("leak.txt")
+      try {
+        Files.createSymbolicLink(link, secret)
+        val (c5, b5, _) = get(port, "/leak.txt")
+        assert(c5 == 404 && !b5.contains("nope"))
+      } catch { case _: UnsupportedOperationException => () /* no symlinks */ }
     } finally server.stop(0)
+  }
+
+  /** One raw HTTP GET with the path sent verbatim (no client-side '..'
+    * normalization); returns status line + headers + body as one string. */
+  private def rawGet(port: Int, path: String): String = {
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      sock.setSoTimeout(5000)
+      val out = sock.getOutputStream
+      out.write(s"GET $path HTTP/1.1\r\nHost: 127.0.0.1\r\nConnection: close\r\n\r\n"
+        .getBytes("UTF-8"))
+      out.flush()
+      new String(sock.getInputStream.readAllBytes(), "UTF-8")
+    } finally sock.close()
   }
 }
