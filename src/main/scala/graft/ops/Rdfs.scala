@@ -51,10 +51,9 @@ object Rdfs {
     * along [[subClassClosure]] of `subClass`. Output: distinct
     * `(s, 'type', o)` rows covering base AND inherited types.
     *
-    * Plan: three projections of the one instance scan (the type/domain/range
-    * splits are disjoint predicate filters Catalyst pushes to the columnar
-    * source), a union, one broadcast join against the closed hierarchy, one
-    * distinct — a single shuffle on the output key. */
+    * Plan: ONE pass over the instance scan — base facts and the rdfs9
+    * subclass lift are per-row literal-map lookups (no join of any
+    * strategy), then two dedup aggregations (base facts, lifted output). */
   def inferTypes(rel: DataFrame, subClass: Seq[(String, String)],
       domain: Seq[(String, String)], range: Seq[(String, String)],
       typePred: String = "type"): DataFrame = {

@@ -271,10 +271,15 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert("HashAggregate|SortAggregate".r.findAllIn(p).size <= 4, p)
   }
 
-  test("kg_rdfs_types: schema relations broadcast; the axiom lift is map-side") {
+  test("kg_rdfs_types: the axiom lift is map-side — no join of any strategy") {
     val p = planOf("kg_rdfs_types")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    // the schema-sized domain/range maps and the subclass-closure lift are
+    // driver-side literal maps evaluated per row (Rdfs.inferTypes) — the plan
+    // must contain NO join node at all, only scans, generates and the dedup
+    // aggregations
+    assert(!p.contains("Join"), p)
     assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate explode"), p)
   }
 
   test("kg_quads_graph / kg_bgp_negated: filtered-scan joins, no cartesian") {
