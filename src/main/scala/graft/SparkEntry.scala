@@ -1220,16 +1220,15 @@ object SparkEntry {
         pmod(kcol, lit(10L)) === 1L, iters = 3)
     }),
     // spam-mass estimation over the extracted host graph: the permille of
-    // each host's PageRank NOT covered by TrustRank authority (same seeds)
+    // each host's PageRank NOT covered by TrustRank authority (same seeds).
+    // spamMass preps the SAME edge relation twice (once for PageRank, once
+    // for TrustRank), so it gets the CHECKPOINTED host graph — the
+    // link-extraction regexp chain runs once, not per prep (the hostEdgesOf
+    // discipline; this was the r4->r5 web_spam_mass regression)
     "web_spam_mass" -> ((s, d) => {
-      val links = WebGraph.extractLinks(
-        WebGraph.syntheticLinkedPages(docs(s, d), col("doc_id"), col("text")),
-        col("html"), col("url"))
       val kcol = when(col("id").rlike("^h[0-9]+\\."),
         regexp_extract(col("id"), "^h([0-9]+)\\.", 1).cast("long")).otherwise(lit(-1L))
-      graft.graph.GraphOps.spamMass(WebGraph.hostGraph(links)
-        .select(col("src_host").as("source"), col("dst_host").as("target"),
-          col("n_links").cast("double").as("c")),
+      graft.graph.GraphOps.spamMass(hostEdges(s, d),
         pmod(kcol, lit(10L)) === 1L, iters = 3)
     }),
     // TransE-style filtered negative sampling over the extracted host graph:

@@ -654,24 +654,36 @@ object DocKg {
     // the concat runs over the deduplicated survivors only). Prefix+decimal
     // is injective, so per-branch distinct-then-concat == the old
     // concat-then-distinct, row for row.
+    // `dedup = false` branches carry a PRIMARY-KEY side: one row per
+    // orderkey/suppkey/custkey by the TPC-H schema contract (TableGen mints
+    // them as the range index), so (PK, fk) pairs are unique and the branch
+    // distinct is a provable no-op — eliding it removes one Exchange per
+    // branch (guide §2.4 "a distinct on data that is already unique"; three
+    // of five branches become pure map-side scans). The two lineitem
+    // branches keep their real distincts ((l_orderkey, l_partkey) and
+    // (l_partkey, l_suppkey) both repeat).
     def typed(src: DataFrame, sKey: Column, sPre: String, sT: String,
-        p: String, oKey: Column, oPre: String, oT: String) =
-      src.select(sKey.as("sk"), oKey.as("ok")).distinct()
+        p: String, oKey: Column, oPre: String, oT: String,
+        dedup: Boolean = true) = {
+      val keys = src.select(sKey.as("sk"), oKey.as("ok"))
+      (if (dedup) keys.distinct() else keys)
         .select(concat(lit(sPre), col("sk")).as("s"), lit(sT).as("s_type"),
           lit(p).as("p"), concat(lit(oPre), col("ok")).as("o"),
           lit(oT).as("o_type"))
+    }
     typed(spark.read.parquet(s"$dir/orders.parquet"),
-        col("o_custkey"), "C", "CUSTOMER", "placed", col("o_orderkey"), "O", "ORDER")
+        col("o_custkey"), "C", "CUSTOMER", "placed", col("o_orderkey"), "O", "ORDER",
+        dedup = false)
       .union(typed(li, col("l_orderkey"), "O", "ORDER", "contains",
         col("l_partkey"), "P", "PART"))
       .union(typed(li, col("l_partkey"), "P", "PART", "supplied_by",
         col("l_suppkey"), "S", "SUPPLIER"))
       .union(typed(spark.read.parquet(s"$dir/supplier.parquet"),
         col("s_suppkey"), "S", "SUPPLIER", "located_in",
-        col("s_nationkey"), "N", "NATION"))
+        col("s_nationkey"), "N", "NATION", dedup = false))
       .union(typed(spark.read.parquet(s"$dir/customer.parquet"),
         col("c_custkey"), "C", "CUSTOMER", "located_in",
-        col("c_nationkey"), "N", "NATION"))
+        col("c_nationkey"), "N", "NATION", dedup = false))
   }
 
   /** Bounded-radius Brandes betweenness centrality in exact scaled
