@@ -296,8 +296,32 @@ object Similarity {
     * floor(sum/count) over quantized coordinates (exact; empty clusters keep
     * their previous centroid). Returns the K×dim centroid matrix. */
   def kmeansCentroids(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
-      scale: Int = 1000, seedSampleFraction: Option[Double] = None): Array[Array[Long]] = {
+      scale: Int = 1000, seedSampleFraction: Option[Double] = None,
+      smallCollectBound: Int = 16384): Array[Array[Long]] = {
     require(k >= 1, s"k=$k must be >= 1")
+    // SMALL-CORPUS FAST PATH: training is a driver-synchronous loop of tiny
+    // jobs whose wall cost is almost entirely per-action overhead when the
+    // corpus is small (2k vectors = ~10 Spark actions of microseconds of
+    // real work each). ONE bounded limit-collect replaces the k-1 maximin
+    // TakeOrdereds and the per-iteration assignment scans; the driver math
+    // replays the distributed path's exact-integer arithmetic (same
+    // quantization expression evaluated IN Spark, same maximin start/tie
+    // rules, Long sums — order-independent — and the same
+    // floor(sum.toDouble/cnt) update), so the returned matrix is
+    // bit-identical (KmSpec pins the two paths equal). Above the bound the
+    // probe is abandoned and the scale-correct job loop runs — the driver
+    // never holds more than smallCollectBound+1 quantized points (~8 MB at
+    // the default bound for dim=64). Callers can pass 0 to force the
+    // distributed path.
+    if (seedSampleFraction.isEmpty && smallCollectBound > 0) {
+      val head = quantized(df, id, vec, scale).limit(smallCollectBound + 1).collect()
+      if (head.length <= smallCollectBound) {
+        require(head.length >= k, s"corpus has fewer than k=$k vectors")
+        val pts = head.map(r => (r.get(0), r.getSeq[Long](1).toArray))
+          .sortWith((a, b) => idLess(a._1, b._1)).map(_._2)
+        return kmeansDriver(pts, k, iters)
+      }
+    }
     // localCheckpoint, not persist: iterative consumers (memory note — AQE
     // re-stringifies nested plans per action otherwise)
     val q = quantized(df, id, vec, scale).localCheckpoint()
@@ -320,6 +344,58 @@ object Similarity {
       cents = next
     }
     cents
+  }
+
+  /** Driver-side Lloyd over an id-ordered quantized point set — the
+    * [[kmeansCentroids]] small-corpus fast path's math. Replays the
+    * distributed loop exactly: [[maximinDriver]] seeding (same start/tie
+    * rules as [[maximinExact]]), nearest-centroid assignment with ties to
+    * the smaller centroid id (strict < keeps the earlier index — the
+    * centroid_argmin kernel's rule), exact Long coordinate sums, and the
+    * floor(sum.toDouble/cnt) update with empty clusters keeping their
+    * previous centroid. */
+  private def kmeansDriver(pts: Array[Array[Long]], k: Int, iters: Int): Array[Array[Long]] = {
+    var cents = maximinDriver(pts, k).toArray
+    val dim = pts(0).length
+    for (_ <- 1 to iters) {
+      val sums = Array.ofDim[Long](k, dim)
+      val cnts = new Array[Long](k)
+      pts.foreach { p =>
+        val c = argminCentroidDriver(p, cents)
+        cnts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += p(i); i += 1 }
+      }
+      val next = cents.map(_.clone())
+      var c = 0
+      while (c < k) {
+        if (cnts(c) > 0) {
+          var i = 0
+          while (i < dim) {
+            next(c)(i) = math.floor(sums(c)(i).toDouble / cnts(c)).toLong; i += 1
+          }
+        }
+        c += 1
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Driver-side nearest-centroid argmin: exact integer squared L2, ties to
+    * the smaller centroid index (the centroid_argmin kernel's rule). */
+  private def argminCentroidDriver(p: Array[Long], cents: Array[Array[Long]]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var s = 0L
+      var i = 0
+      while (i < p.length) { val d = p(i) - cents(c)(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
   }
 
   /** Cell assignment under a trained centroid matrix: map-side only. */
@@ -494,7 +570,8 @@ object Similarity {
     * more than K×dim rows per iteration. */
   def pqCodebooks(df: DataFrame, id: Column, vec: Column, dim: Int, m: Int,
       ksub: Int, iters: Int, scale: Int = 1000,
-      seedSampleFraction: Option[Double] = None): Array[Array[Array[Long]]] = {
+      seedSampleFraction: Option[Double] = None,
+      smallCollectBound: Int = 16384): Array[Array[Array[Long]]] = {
     require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
     require(ksub >= 1, s"ksub=$ksub must be >= 1")
     val w = dim / m
@@ -508,9 +585,25 @@ object Similarity {
     // bit-for-bit the same and the unrolled SQL oracle is unchanged.
     val qs = array((0 until m).map(s =>
       quantCol(slice(asDouble(vec), s * w + 1, w), scale)): _*)
-    val q = df.select(id.as("id"), qs.as("qs")).localCheckpoint()
     def subvecs(r: org.apache.spark.sql.Row, i: Int): Array[Array[Long]] =
       r.getSeq[scala.collection.Seq[Long]](i).map(_.toArray).toArray
+    // SMALL-CORPUS FAST PATH (the [[kmeansCentroids]] one, per subspace):
+    // one bounded limit-collect of the Spark-quantized subvectors replaces
+    // the ksub-1 seeding jobs and the per-iteration joint-Lloyd jobs; each
+    // subspace then trains through [[kmeansDriver]], whose math is the
+    // distributed loop's bit-for-bit (PqSpec pins the paths equal). Above
+    // the bound the probe is abandoned for the scale-correct job loop.
+    if (seedSampleFraction.isEmpty && smallCollectBound > 0) {
+      val head = df.select(id.as("id"), qs.as("qs"))
+        .limit(smallCollectBound + 1).collect()
+      if (head.length <= smallCollectBound) {
+        require(head.length >= ksub, s"corpus has fewer than ksub=$ksub vectors")
+        val pts = head.map(r => (r.get(0), subvecs(r, 1)))
+          .sortWith((a, b) => idLess(a._1, b._1)).map(_._2)
+        return Array.tabulate(m)(s => kmeansDriver(pts.map(_(s)), ksub, iters))
+      }
+    }
+    val q = df.select(id.as("id"), qs.as("qs")).localCheckpoint()
     val chosen: Array[scala.collection.mutable.ArrayBuffer[Array[Long]]] =
       seedSampleFraction match {
         case Some(f) =>

@@ -78,6 +78,29 @@ class PqSpec extends AnyFunSuite with SparkTestSession {
     assert(got.map(_._4).forall(_ >= 0L))
   }
 
+  test("small-corpus driver fast path == distributed training, bit for bit") {
+    // smallCollectBound=0 forces the distributed job loop; the default takes
+    // the one-collect driver path on this 30-point corpus. Both kmeans and
+    // PQ codebooks must agree exactly (same maximin start/tie rules, exact
+    // Long sums, same floor(sum/cnt) update, empty clusters kept).
+    val viaJobs = Similarity.kmeansCentroids(blobs, col("vec_id"), col("embedding"),
+      k = 3, iters = 2, smallCollectBound = 0).map(_.toSeq).toSeq
+    val viaDriver = Similarity.kmeansCentroids(blobs, col("vec_id"), col("embedding"),
+      k = 3, iters = 2).map(_.toSeq).toSeq
+    assert(viaDriver == viaJobs, "kmeans fast path diverges from the job loop")
+    val pqJobs = Similarity.pqCodebooks(blobs, col("vec_id"), col("embedding"),
+      dim, m = 2, ksub = 3, iters = 2, smallCollectBound = 0)
+      .map(_.map(_.toSeq).toSeq).toSeq
+    val pqDriver = Similarity.pqCodebooks(blobs, col("vec_id"), col("embedding"),
+      dim, m = 2, ksub = 3, iters = 2).map(_.map(_.toSeq).toSeq).toSeq
+    assert(pqDriver == pqJobs, "PQ fast path diverges from the job loop")
+    // partition-invariance of the fast path (limit-collect order must not
+    // leak: points are re-sorted by id driver-side)
+    val viaDriver2 = Similarity.kmeansCentroids(blobs.repartition(7), col("vec_id"),
+      col("embedding"), k = 3, iters = 2).map(_.toSeq).toSeq
+    assert(viaDriver2 == viaJobs, "fast path is partition-sensitive")
+  }
+
   test("fused multi-subspace training == per-slice kmeansCentroids, " +
       "exact and sampled seeding") {
     val w = dim / 2
