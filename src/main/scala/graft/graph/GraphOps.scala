@@ -735,8 +735,102 @@ object GraphOps {
     (und, adj, deg)
   }
 
-  def louvainMoves(edges: DataFrame, rounds: Int = 4, colors: Int = 4): DataFrame =
-    louvainMovesOn(communityPrep(edges), rounds, colors)
+  /** Bound for the Louvain family's small-graph driver fast path: graphs
+    * whose doubled adjacency fits under this many rows are collected ONCE
+    * and the moves loop / rollups replay driver-side with bit-identical
+    * integer arithmetic. This is the shape production multilevel Louvain
+    * takes anyway — coarsen until the graph fits one machine, finish
+    * locally — so it is the honest final-level path, not a shortcut:
+    * above the bound every operator runs the unchanged distributed loop. */
+  private val louvainSmallBound = 32768
+
+  /** The doubled adjacency collected when small enough, else None. */
+  private def collectSmallAdj(adj: DataFrame,
+      bound: Int = louvainSmallBound): Option[Array[(String, String, Long)]] = {
+    if (bound <= 0) return None
+    val rows = adj.limit(bound + 1).collect()
+    if (rows.length > bound || rows.isEmpty) None
+    else Some(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))))
+  }
+
+  /** Spark's binary UTF-8 string order, driver-side (UTF8String semantics —
+    * unsigned byte comparison, NOT Java's UTF-16 compareTo). */
+  private def utf8Less(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** Driver replica of the loop's color assignment:
+    * conv(substring(md5(cast(id as binary)), 1, 15), 16, 10) % colors —
+    * md5 of the UTF-8 bytes, first 15 hex chars (60 bits, fits a Long). */
+  private def colorOfDriver(id: String, colors: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % colors
+  }
+
+  /** Driver replica of [[louvainMovesOn]]'s synchronous moves loop over a
+    * collected doubled adjacency — the same per-round dataflow (color-gated
+    * movers, community totals from the PRE-round state, candidate SUM with
+    * the unconditional stay row, the singleton-swap filter, exact BIGINT
+    * scores, argmax by (score desc, label asc in UTF-8 binary order)) so
+    * labels are bit-identical to the distributed loop (a spec pins the
+    * paths equal). Returns (id, label) pairs. */
+  private def louvainMovesDriver(adj: Array[(String, String, Long)],
+      rounds: Int, colors: Int): Array[(String, String)] = {
+    val ki = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+    adj.foreach { case (x, _, w) => ki(x) += w }
+    val m2 = ki.valuesIterator.sum
+    val nodes = ki.keys.toArray
+    val color = nodes.map(x => x -> colorOfDriver(x, colors)).toMap
+    val label = collection.mutable.HashMap.empty[String, String]
+    nodes.foreach(x => label(x) = x)
+    for (r <- 1 to rounds) {
+      val rc = r % colors
+      // community totals/sizes over the PRE-round state (all nodes)
+      val tot = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      val csize = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      nodes.foreach { x => val l = label(x); tot(l) += ki(x); csize(l) += 1L }
+      // votes: per (mover, neighbor community) summed edge weight
+      val kxc = collection.mutable.HashMap
+        .empty[String, collection.mutable.HashMap[String, Long]]
+      adj.foreach { case (x, n, w) =>
+        if (color(x) == rc) {
+          val m = kxc.getOrElseUpdate(x, collection.mutable.HashMap.empty)
+          m(label(n)) = m.getOrElse(label(n), 0L) + w
+        }
+      }
+      val moved = collection.mutable.ArrayBuffer.empty[(String, String)]
+      nodes.foreach { x =>
+        if (color(x) == rc) {
+          val own = label(x)
+          val cand = kxc.getOrElse(x, collection.mutable.HashMap.empty[String, Long])
+          if (!cand.contains(own)) cand(own) = 0L // the unconditional stay row
+          var bestLabel: String = null
+          var bestNs = Long.MaxValue
+          cand.foreach { case (cl, kw) =>
+            val keep = !(csize(own) == 1L && csize(cl) == 1L && utf8Less(own, cl))
+            if (keep) {
+              val score = kw * m2 - ki(x) * (tot(cl) - (if (cl == own) ki(x) else 0L))
+              val ns = -score
+              if (bestLabel == null || ns < bestNs ||
+                  (ns == bestNs && utf8Less(cl, bestLabel))) {
+                bestNs = ns; bestLabel = cl
+              }
+            }
+          }
+          moved += (x -> bestLabel)
+        }
+      }
+      moved.foreach { case (x, l) => label(x) = l }
+    }
+    nodes.map(x => x -> label(x))
+  }
+
+  def louvainMoves(edges: DataFrame, rounds: Int = 4, colors: Int = 4,
+      smallBound: Int = louvainSmallBound): DataFrame =
+    louvainMovesOn(communityPrep(edges), rounds, colors, smallBound)
 
   /** Moves loop over an already-materialized [[communityPrep]] tuple —
     * coarsen/profile call this so the undirected collapse + degree
@@ -744,9 +838,19 @@ object GraphOps {
     * rollups (previously each ran communityPrep twice: two materializations
     * of the same adjacency off the full upstream pipeline). */
   private def louvainMovesOn(prep: (DataFrame, DataFrame, DataFrame),
-                             rounds: Int, colors: Int): DataFrame = {
+                             rounds: Int, colors: Int,
+                             smallBound: Int = louvainSmallBound): DataFrame = {
     require(colors >= 2, s"need >= 2 colors, got $colors")
     val (_, adj, deg) = prep
+    // SMALL-GRAPH FAST PATH: the eager per-round loop is ~6 jobs/round of
+    // microseconds of real work on a coarsened/small graph — collect the
+    // checkpointed adjacency once and replay the identical moves loop
+    // driver-side ([[louvainMovesDriver]]; bit-equal labels, spec-pinned).
+    collectSmallAdj(adj, smallBound).foreach { a =>
+      val spark = adj.sparkSession
+      import spark.implicits._
+      return louvainMovesDriver(a, rounds, colors).toSeq.toDF("id", "label")
+    }
     // 2m is constant across rounds: one-row aggregate collected once (the
     // scc pivot convention), a literal in every round's score expression.
     // A graph with zero non-self-loop edges sums to NULL — short-circuit to
@@ -811,9 +915,29 @@ object GraphOps {
     * Louvain scales to web graphs. One labels join per endpoint + one
     * groupBy on the (community, community) key. Output: (ca, cb, w) with
     * ca <= cb. Engine extension, no reference counterpart. */
-  def louvainCoarsen(edges: DataFrame, rounds: Int = 4, colors: Int = 4): DataFrame = {
+  def louvainCoarsen(edges: DataFrame, rounds: Int = 4, colors: Int = 4,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     val prep = communityPrep(edges)
-    val labels = louvainMovesOn(prep, rounds, colors).localCheckpoint()
+    // small-graph fast path: moves AND the coarsening rollup driver-side
+    // off the one collected adjacency (same least/greatest-by-binary-UTF-8
+    // collapse, 2x self-loop convention, exact Long sums)
+    collectSmallAdj(prep._2, smallBound).foreach { a =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val label = louvainMovesDriver(a, rounds, colors).toMap
+      val rolled = collection.mutable.HashMap.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      a.foreach { case (x, n, w) =>
+        if (utf8Less(x, n)) { // the und view: each a<b edge once
+          val (la, lb) = (label(x), label(n))
+          val key = if (utf8Less(lb, la)) (lb, la) else (la, lb)
+          rolled(key) += (if (la == lb) w * 2L else w)
+        }
+      }
+      return rolled.toSeq.map { case ((ca, cb), w) => (ca, cb, w) }
+        .toDF("ca", "cb", "w")
+    }
+    val labels = louvainMovesOn(prep, rounds, colors, smallBound).localCheckpoint()
     val (und, _, _) = prep
     und
       .join(labels.select(col("id").as("a"), col("label").as("la")), "a")
@@ -833,10 +957,38 @@ object GraphOps {
     * edge-sized relations; the labels relation is checkpointed once and
     * consumed three ways. Output: (label, csize, tot_ki, in2_w,
     * top_member). Engine extension, no reference counterpart. */
-  def communityProfile(edges: DataFrame, rounds: Int = 4, colors: Int = 4): DataFrame = {
+  def communityProfile(edges: DataFrame, rounds: Int = 4, colors: Int = 4,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val prep = communityPrep(edges)
-    val labels = louvainMovesOn(prep, rounds, colors).localCheckpoint()
+    // small-graph fast path: moves and all three rollups driver-side off
+    // the one collected adjacency (exact Long sums; representative = max
+    // weighted degree, ties to the smallest id in binary UTF-8 order)
+    collectSmallAdj(prep._2, smallBound).foreach { a =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val label = louvainMovesDriver(a, rounds, colors).toMap
+      val ki = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      a.foreach { case (x, _, w) => ki(x) += w }
+      val csize = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      val totKi = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      val top = collection.mutable.HashMap.empty[String, String]
+      label.foreach { case (x, l) =>
+        csize(l) += 1L
+        totKi(l) += ki(x)
+        top.get(l) match {
+          case Some(t) if ki(t) > ki(x) || (ki(t) == ki(x) && utf8Less(t, x)) => ()
+          case _ => top(l) = x
+        }
+      }
+      val in2 = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      a.foreach { case (x, n, w) =>
+        if (utf8Less(x, n) && label(x) == label(n)) in2(label(x)) += w * 2L
+      }
+      return csize.keys.toSeq.map(l => (l, csize(l), totKi(l), in2(l), top(l)))
+        .toDF("label", "csize", "tot_ki", "in2_w", "top_member")
+    }
+    val labels = louvainMovesOn(prep, rounds, colors, smallBound).localCheckpoint()
     val (und, _, deg) = prep
     val withKi = labels.join(deg.select(col("x").as("id"), col("ki")), "id")
       .localCheckpoint()

@@ -310,6 +310,23 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
       "E" -> (3L, 13L, 12L, "D")))
   }
 
+  test("louvain family: small-graph driver fast path == distributed loop, bit for bit") {
+    // smallBound=0 forces the distributed per-round loop; the default takes
+    // the one-collect driver path on these fixtures. Mixed weights + a
+    // bridge exercise the color schedule, the stay row, the singleton-swap
+    // guard and the (score desc, label asc) argmax on both paths.
+    val e = edges(("A", "B", 2), ("B", "C", 2), ("A", "C", 2),
+      ("D", "E", 2), ("E", "F", 2), ("D", "F", 2), ("C", "D", 1),
+      ("F", "F", 9), ("B", "A", 1)) // self-loop dropped, reverse edge folds in
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(GraphOps.louvainMoves(e, rounds = 4)) ==
+      rows(GraphOps.louvainMoves(e, rounds = 4, smallBound = 0)))
+    assert(rows(GraphOps.louvainCoarsen(e)) ==
+      rows(GraphOps.louvainCoarsen(e, smallBound = 0)))
+    assert(rows(GraphOps.communityProfile(e)) ==
+      rows(GraphOps.communityProfile(e, smallBound = 0)))
+  }
+
   test("louvainCoarsen: barbell collapses to 2 supernodes; level-2 moves merge them") {
     val e = edges(("A", "B", 2), ("B", "C", 2), ("A", "C", 2),
       ("D", "E", 2), ("E", "F", 2), ("D", "F", 2), ("C", "D", 1))
