@@ -1501,14 +1501,18 @@ object SparkEntry {
       val contains = DocKg.typedSupplyTriples(s, d)
         .filter(col("p") === "contains").select("s", "p", "o")
       val log = ordersChangelog(s, d)
-      // base1 feeds three consumers (from-scratch T1 solutions, the insert
-      // delta, the DRed retract) and diff feeds two — truncate each ONCE so
-      // the snapshot/diff derivations are not re-evaluated per consumer.
-      val base1 = Changelog.asOfSnapshot(log, AsOfT1).unionByName(contains)
-        .localCheckpoint()
-      val diff = Changelog.asOfDelta(log, AsOfT1, AsOfT2).localCheckpoint()
-      val added = diff.filter(col("change") === "added").select("s", "p", "o")
-      val removed = diff.filter(col("change") === "removed").select("s", "p", "o")
+      // ONE aggregation pass over the changelog yields the T1 snapshot AND
+      // both delta sides (Changelog.asOfStates — the fused winner-at-both-
+      // cuts read; previously asOfSnapshot + asOfDelta aggregated the same
+      // 2x-orders history twice). The states checkpoint feeds the snapshot
+      // filter and both delta filters; base1 (snapshot ∪ contains) is
+      // truncated once for its three consumers (T1 solutions, the insert
+      // delta, the DRed retract).
+      val states = Changelog.asOfStates(log, AsOfT1, AsOfT2).localCheckpoint()
+      val base1 = states.filter(col("live1")).select("s", "p", "o")
+        .unionByName(contains).localCheckpoint()
+      val added = states.filter(col("live2") && !col("live1")).select("s", "p", "o")
+      val removed = states.filter(col("live1") && !col("live2")).select("s", "p", "o")
       // base1 is duplicate-free (snapshot rows are one-per-live-triple,
       // all p='placed'; the contains branch is distinct with p='contains' —
       // disjoint preds), and `added` (live at T2, absent at T1) is disjoint

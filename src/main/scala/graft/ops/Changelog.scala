@@ -117,6 +117,24 @@ object Changelog {
     head.unionByName(log.filter(col("ts") > cut).select("s", "p", "o", "ts", "op"))
   }
 
+  /** Snapshot AND delta liveness from ONE pass over the log: per triple
+    * key, whether it is live at `t1` and at `t2` — the fused form a
+    * consumer needing both the t1 state and the t1→t2 diff should read
+    * (e.g. incremental view maintenance), instead of paying the
+    * [[asOfSnapshot]] + [[asOfDelta]] aggregations separately over the
+    * same history. Output: (s, p, o, live1, live2); filter live1 for the
+    * t1 snapshot, live2 && !live1 / live1 && !live2 for the delta — the
+    * exact winner/tie semantics of the two single-cut reads. */
+  def asOfStates(log: DataFrame, t1: Long, t2: Long): DataFrame = {
+    require(t1 < t2, s"asOfStates needs t1 < t2, got $t1 >= $t2")
+    def live(w: String) = col(w).isNotNull && col(s"$w.op") === "add"
+    log.groupBy(col("s"), col("p"), col("o"))
+      .agg(winner(log, t1).as("w1"), winner(log, t2).as("w2"))
+      .select(col("s"), col("p"), col("o"),
+        live("w1").as("live1"), live("w2").as("live2"))
+      .filter(col("live1") || col("live2"))
+  }
+
   def asOfDelta(log: DataFrame, t1: Long, t2: Long): DataFrame = {
     require(t1 < t2, s"asOfDelta needs t1 < t2, got $t1 >= $t2")
     def live(w: String) = col(w).isNotNull && col(s"$w.op") === "add"

@@ -46,6 +46,20 @@ class ChangelogSpec extends AnyFunSuite with SparkTestSession {
     assert(got.isEmpty) // a is live at both, nothing else changed
   }
 
+  test("asOfStates: the fused one-pass read == asOfSnapshot + asOfDelta") {
+    for ((t1, t2) <- Seq((15L, 25L), (10L, 30L), (20L, 99L))) {
+      val st = Changelog.asOfStates(log, t1, t2).collect()
+        .map(r => r.getString(0) -> (r.getBoolean(3), r.getBoolean(4))).toMap
+      assert(st.keySet.filter(st(_)._1) == snap(t1), s"snapshot@$t1 diverges")
+      val delta = Changelog.asOfDelta(log, t1, t2).collect()
+        .map(r => r.getString(0) -> r.getString(3)).toMap
+      val added = st.keySet.filter(k => st(k)._2 && !st(k)._1)
+      val removed = st.keySet.filter(k => st(k)._1 && !st(k)._2)
+      assert(added == delta.keySet.filter(delta(_) == "added"), s"added@$t1-$t2")
+      assert(removed == delta.keySet.filter(delta(_) == "removed"), s"removed@$t1-$t2")
+    }
+  }
+
   test("asOfDelta rejects a non-increasing cut pair") {
     val ex = intercept[IllegalArgumentException] {
       Changelog.asOfDelta(log, 20L, 20L)
