@@ -599,8 +599,44 @@ object GraphOps {
     * out-edges) hold authority (resp. hub) 0 after the first round. One
     * co-partitioned join + aggregation per half-round, lineage truncated.
     * Output: (id, hub, auth). Engine extension, no reference counterpart. */
-  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+  def hits(edges: DataFrame, iters: Int = 2,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     val g = prPrep(edges) // validated integer weights + node set
+    // SMALL-GRAPH FAST PATH (the louvain-family discipline): each HITS
+    // round is 2 truncation arms x (join + agg + one-row broadcast) whose
+    // real work is microseconds on an entity/host graph — when the
+    // aggregated edge relation fits under the bound, collect it once off
+    // prPrep's validated checkpoint and replay the identical integer
+    // recurrence driver-side (Long sums, the same
+    // `x div greatest(1, total div 1e6)` truncating normalization — all
+    // operands non-negative, so Spark's div == Scala /). Bit-equal scores,
+    // spec-pinned; above the bound the distributed loop runs unchanged.
+    if (smallBound > 0) {
+      val probe = g.ew.select(col("source"), col("target"), col("w"))
+        .limit(smallBound + 1).collect()
+      if (probe.length <= smallBound && probe.nonEmpty &&
+          probe.head.get(0).isInstanceOf[String]) {
+        val es = probe.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val nodeSet = (es.map(_._1) ++ es.map(_._2)).distinct
+        var hub = nodeSet.map(_ -> 1000000L).toMap
+        var auth = nodeSet.map(_ -> 1000000L).toMap
+        for (_ <- 1 to iters) {
+          val aRaw = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+          es.foreach { case (s, t, w) => aRaw(t) += hub(s) * w }
+          val asum = aRaw.valuesIterator.sum
+          val aDiv = math.max(1L, asum / 1000000L)
+          auth = nodeSet.map(n => n -> aRaw(n) / aDiv).toMap
+          val hRaw = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+          es.foreach { case (s, t, w) => hRaw(s) += auth(t) * w }
+          val hsum = hRaw.valuesIterator.sum
+          val hDiv = math.max(1L, hsum / 1000000L)
+          hub = nodeSet.map(n => n -> hRaw(n) / hDiv).toMap
+        }
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return nodeSet.toSeq.map(n => (n, hub(n), auth(n))).toDF("id", "hub", "auth")
+      }
+    }
     val ew = g.ew.select(col("source"), col("target"), col("w")).localCheckpoint()
     val nodes = g.nodes
     // auth feeds two consumers per round (hub update + the final zip), so

@@ -256,6 +256,15 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(r2.values.map(_._2).sum < 2000000L)
   }
 
+  test("hits: small-graph driver fast path == distributed loop, bit for bit") {
+    val e = edges(("A", "C", 3), ("B", "C", 1), ("C", "D", 2), ("D", "A", 1),
+      ("A", "C", 1)) // duplicate edge folds into w=4 in prPrep on both paths
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    for (it <- Seq(1, 2, 3))
+      assert(rows(GraphOps.hits(e, iters = it)) ==
+        rows(GraphOps.hits(e, iters = it, smallBound = 0)), s"iters=$it")
+  }
+
   test("labelPropagation: a weakly-bridged barbell splits into two communities") {
     // two triangles (internal weight 2) joined by a weight-1 bridge C-D:
     // connectedComponents sees ONE component; LPA separates the communities
