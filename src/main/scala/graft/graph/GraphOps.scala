@@ -680,8 +680,8 @@ object GraphOps {
     * Per round: one co-partitioned join + weighted count + one
     * WindowGroupLimit-shaped argmax, lineage truncated. Output: (id, label).
     * Engine extension, no reference counterpart. */
-  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def labelPropagation(edges: DataFrame, rounds: Int = 3,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     val und = edges.filter(col("source") =!= col("target"))
       .groupBy(least(col("source"), col("target")).as("a"),
         greatest(col("source"), col("target")).as("b"))
@@ -689,6 +689,21 @@ object GraphOps {
     val adj = und.select(col("a").as("x"), col("b").as("n"), col("w"))
       .union(und.select(col("b"), col("a"), col("w")))
       .localCheckpoint()
+    lpaOn(adj, rounds, smallBound)
+  }
+
+  /** The LPA round loop over a prepared doubled adjacency ([[modularity]]
+    * shares it so the undirected collapse is built once, not per consumer). */
+  private def lpaOn(adj: DataFrame, rounds: Int, smallBound: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // small-graph fast path: one collect + the identical synchronous
+    // argmax rounds driver-side ((wsum desc, label asc) with labels in
+    // UTF-8 binary order) — bit-equal labels, spec-pinned
+    collectSmallAdj(adj, smallBound).foreach { a =>
+      val spark = adj.sparkSession
+      import spark.implicits._
+      return lpaDriver(a, rounds).toSeq.toDF("id", "label")
+    }
     var labels = adj.select(col("x").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     val ck = roundCkpt(rounds, maxLazy = 8)
@@ -702,6 +717,37 @@ object GraphOps {
         .select(col("x").as("id"), col("label")))
     }
     labels
+  }
+
+  /** Driver replica of the synchronous LPA rounds: every node adopts the
+    * neighbor label with the largest total incident weight, ties to the
+    * smallest label in UTF-8 binary order — exactly the distributed
+    * (wsum desc, label asc) argmax. */
+  private def lpaDriver(adj: Array[(String, String, Long)],
+      rounds: Int): Array[(String, String)] = {
+    val nodes = adj.map(_._1).distinct
+    val label = collection.mutable.HashMap.empty[String, String]
+    nodes.foreach(x => label(x) = x)
+    for (_ <- 1 to rounds) {
+      val votes = collection.mutable.HashMap
+        .empty[String, collection.mutable.HashMap[String, Long]]
+      adj.foreach { case (x, n, w) =>
+        val m = votes.getOrElseUpdate(x, collection.mutable.HashMap.empty)
+        val l = label(n)
+        m(l) = m.getOrElse(l, 0L) + w
+      }
+      val next = nodes.map { x =>
+        val m = votes(x) // every adj node has >= 1 neighbor
+        var bestL: String = null
+        var bestW = Long.MinValue
+        m.foreach { case (l, w) =>
+          if (w > bestW || (w == bestW && utf8Less(l, bestL))) { bestW = w; bestL = l }
+        }
+        x -> bestL
+      }
+      next.foreach { case (x, l) => label(x) = l }
+    }
+    nodes.map(x => x -> label(x))
   }
 
   /** Deterministic distributed Louvain-style local moves (phase 1 of the
@@ -784,8 +830,16 @@ object GraphOps {
   private def collectSmallAdj(adj: DataFrame,
       bound: Int = louvainSmallBound): Option[Array[(String, String, Long)]] = {
     if (bound <= 0) return None
+    // only string-keyed, long-weighted adjacencies are driver-replayable
+    // (the comparators below are UTF-8 binary / exact Long)
+    val dt = adj.schema.fields.map(_.dataType)
+    if (dt.length != 3 ||
+        dt(0) != org.apache.spark.sql.types.StringType ||
+        dt(1) != org.apache.spark.sql.types.StringType ||
+        dt(2) != org.apache.spark.sql.types.LongType) return None
     val rows = adj.limit(bound + 1).collect()
-    if (rows.length > bound || rows.isEmpty) None
+    if (rows.length > bound || rows.isEmpty ||
+        rows.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))) None
     else Some(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))))
   }
 
@@ -1270,13 +1324,40 @@ object GraphOps {
     * same undirected weighted collapse LPA uses, two label joins, bounded
     * aggregations; the 2m total rides a one-row broadcast. Keep
     * deg_c · 2m < 2^63 (weights are edge counts here — far under). */
-  def modularity(edges: DataFrame, rounds: Int = 3): DataFrame = {
-    val labels = labelPropagation(edges, rounds).localCheckpoint()
+  def modularity(edges: DataFrame, rounds: Int = 3,
+      smallBound: Int = louvainSmallBound): DataFrame = {
+    // ONE undirected collapse feeds LPA and all the rollups (previously
+    // labelPropagation built its own copy of the same aggregation — two
+    // materializations of the full upstream pipeline)
     val und = edges.filter(col("source") =!= col("target"))
       .groupBy(least(col("source"), col("target")).as("a"),
         greatest(col("source"), col("target")).as("b"))
       .agg(sum(col("c").cast("long")).as("w"))
       .localCheckpoint(true)
+    val adjLazy = und.select(col("a").as("x"), col("b").as("n"), col("w"))
+      .union(und.select(col("b"), col("a"), col("w")))
+    // small-graph fast path: LPA labels AND the modularity rollups
+    // driver-side off the one collected adjacency (exact Long sums,
+    // q_num = in2_w * 2m - deg_w^2 — the distributed expression verbatim)
+    collectSmallAdj(adjLazy, smallBound).foreach { a =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val label = lpaDriver(a, rounds).toMap
+      val dw = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      a.foreach { case (x, _, w) => dw(x) += w }
+      val m2 = dw.valuesIterator.sum
+      val in2 = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      val degW = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      a.foreach { case (x, n, w) =>
+        if (utf8Less(x, n) && label(x) == label(n)) in2(label(x)) += w * 2L
+      }
+      label.foreach { case (x, l) => degW(l) += dw(x) }
+      return degW.keys.toSeq
+        .map(l => (l, in2(l), degW(l), in2(l) * m2 - degW(l) * degW(l)))
+        .toDF("label", "in2_w", "deg_w", "q_num")
+    }
+    val labels = lpaOn(adjLazy.localCheckpoint(), rounds, smallBound = 0)
+      .localCheckpoint()
     val within = und
       .join(labels.select(col("id").as("a"), col("label").as("la")), "a")
       .join(labels.select(col("id").as("b"), col("label").as("lb")), "b")

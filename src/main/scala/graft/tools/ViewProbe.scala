@@ -64,6 +64,32 @@ object ViewProbe {
       Bgp.viewDeltaRetract(base1.unionByName(added), removed, pats,
         distinctInput = true).count())
     best("full.query")(graft.SparkEntry.queries("kg_view_maintained")(spark, sfDir).count())
+    // the pre-r6 wiring (separate snapshot + delta aggregations) for A/B
+    best("full.old") {
+      val b1 = Changelog.asOfSnapshot(ordersChangelog, AsOfT1).unionByName(contains)
+        .localCheckpoint()
+      val df = Changelog.asOfDelta(ordersChangelog, AsOfT1, AsOfT2).localCheckpoint()
+      val add2 = df.filter(col("change") === "added").select("s", "p", "o")
+      val rem2 = df.filter(col("change") === "removed").select("s", "p", "o")
+      val sol1 = Bgp.matchPatterns(b1, pats, distinctInput = true)
+      val plus = Bgp.viewDelta(b1, add2, pats, disjointDistinct = true)
+      val minus = Bgp.viewDeltaRetract(b1.unionByName(add2), rem2, pats,
+        distinctInput = true)
+      sol1.unionByName(plus).join(minus, sol1.columns.toIndexedSeq, "left_anti").count()
+    }
+    // the new wiring, inline (fused asOfStates)
+    best("full.new") {
+      val states = Changelog.asOfStates(ordersChangelog, AsOfT1, AsOfT2).localCheckpoint()
+      val b1 = states.filter(col("live1")).select("s", "p", "o")
+        .unionByName(contains).localCheckpoint()
+      val add2 = states.filter(col("live2") && !col("live1")).select("s", "p", "o")
+      val rem2 = states.filter(col("live1") && !col("live2")).select("s", "p", "o")
+      val sol1 = Bgp.matchPatterns(b1, pats, distinctInput = true)
+      val plus = Bgp.viewDelta(b1, add2, pats, disjointDistinct = true)
+      val minus = Bgp.viewDeltaRetract(b1.unionByName(add2), rem2, pats,
+        distinctInput = true)
+      sol1.unionByName(plus).join(minus, sol1.columns.toIndexedSeq, "left_anti").count()
+    }
     spark.stop()
   }
 }

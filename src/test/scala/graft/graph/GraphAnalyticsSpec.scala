@@ -265,6 +265,17 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
         rows(GraphOps.hits(e, iters = it, smallBound = 0)), s"iters=$it")
   }
 
+  test("lpa/modularity: small-graph driver fast path == distributed loop") {
+    val e = edges(("A", "B", 2), ("B", "C", 2), ("A", "C", 2),
+      ("D", "E", 2), ("E", "F", 2), ("D", "F", 2), ("C", "D", 1), ("G", "G", 5))
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    for (r <- Seq(1, 3))
+      assert(rows(GraphOps.labelPropagation(e, rounds = r)) ==
+        rows(GraphOps.labelPropagation(e, rounds = r, smallBound = 0)), s"lpa r=$r")
+    assert(rows(GraphOps.modularity(e)) ==
+      rows(GraphOps.modularity(e, smallBound = 0)))
+  }
+
   test("labelPropagation: a weakly-bridged barbell splits into two communities") {
     // two triangles (internal weight 2) joined by a weight-1 bridge C-D:
     // connectedComponents sees ONE component; LPA separates the communities
