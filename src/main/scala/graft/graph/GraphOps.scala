@@ -288,8 +288,74 @@ object GraphOps {
     }
   }
 
-  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+  /** The [[prPrep]]ed edge relation collected when small enough for the
+    * PageRank-family driver fast paths: (source, target, w, ow) — strings
+    * + longs only, no nulls, else None (the distributed loop runs). The
+    * relation is prPrep's CHECKPOINT, so the weight validation has already
+    * executed; at the documented bounds (rank ≤ 10^12, w ≤ 10^5) every
+    * driver product stays under 2^63 exactly like the distributed plan. */
+  private def collectSmallEw(ew: DataFrame,
+      bound: Int = louvainSmallBound): Option[Array[(String, String, Long, Long)]] = {
+    if (bound <= 0) return None
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val f = ew.schema.fields
+    if (f.length != 4 || f(0).dataType != StringType || f(1).dataType != StringType ||
+        f(2).dataType != LongType || f(3).dataType != LongType) return None
+    val rows = ew.limit(bound + 1).collect()
+    if (rows.length > bound || rows.isEmpty ||
+        rows.exists(r => (0 to 3).exists(r.isNullAt))) None
+    else Some(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))))
+  }
+
+  /** Nodes of a collected [[collectSmallEw]] relation (= prPrep's node set). */
+  private def ewNodes(es: Array[(String, String, Long, Long)]): Array[String] =
+    (es.map(_._1) ++ es.map(_._2)).distinct
+
+  /** A 2-column string pair relation collected when small enough, else
+    * None (same guards as [[collectSmallAdj]]). */
+  private def collectSmallPairs(adj: DataFrame,
+      bound: Int = louvainSmallBound): Option[Array[(String, String)]] = {
+    if (bound <= 0) return None
+    import org.apache.spark.sql.types.StringType
+    val f = adj.schema.fields
+    if (f.length != 2 || f(0).dataType != StringType ||
+        f(1).dataType != StringType) return None
+    val rows = adj.limit(bound + 1).collect()
+    if (rows.length > bound || rows.isEmpty ||
+        rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+    else Some(rows.map(r => (r.getString(0), r.getString(1))))
+  }
+
+  /** One PageRank-style contribution pass driver-side: per edge,
+    * (85 * r(source) * w) div (100 * ow) summed into the target — the
+    * distributed expression verbatim (truncating division on non-negative
+    * operands == Scala /). */
+  private def prContribs(es: Array[(String, String, Long, Long)],
+      r: collection.Map[String, Long]): collection.mutable.Map[String, Long] = {
+    val cin = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+    es.foreach { case (s, t, w, ow) =>
+      cin(t) += (85L * r(s) * w) / (100L * ow)
+    }
+    cin
+  }
+
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     val g = prPrep(edges)
+    // SMALL-GRAPH FAST PATH (the louvain-family discipline): one bounded
+    // collect of the validated edge relation, then the identical exact
+    // BIGINT recurrence driver-side — bit-equal ranks, spec-pinned.
+    collectSmallEw(g.ew, smallBound).foreach { es =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val nodes = ewNodes(es)
+      var r: collection.Map[String, Long] = nodes.map(_ -> g.t).toMap
+      for (_ <- 1 to iters) {
+        val cin = prContribs(es, r)
+        r = nodes.map(n => n -> (g.base + cin(n))).toMap
+      }
+      return nodes.toSeq.map(n => (n, r(n))).toDF("id", "r")
+    }
     val (ew, nodes, base) = (g.ew, g.nodes, g.base)
     val ck = roundCkpt(iters, maxLazy = 8)
     var ranks = nodes.select(col("id"), lit(g.t).as("r"))
@@ -313,9 +379,31 @@ object GraphOps {
     * stored ranks (new entities since the snapshot) start at the uniform
     * share 10^12 div N of the CURRENT node set; stale rank rows for nodes no
     * longer in the graph are dropped. */
-  def pageRankResume(edges: DataFrame, prevRanks: DataFrame, iters: Int = 1): DataFrame = {
+  def pageRankResume(edges: DataFrame, prevRanks: DataFrame, iters: Int = 1,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters must be in [1,16]: $iters")
     val g = prPrep(edges)
+    // small-graph fast path: the stored ranks are node-sized, so both
+    // collects are bounded; new nodes start at the uniform share, stale
+    // stored rows drop — exactly the distributed left-join semantics
+    collectSmallEw(g.ew, smallBound).foreach { es =>
+      val prevRows = prevRanks.select(col("id"), col("r")).limit(smallBound + 1).collect()
+      if (prevRows.length <= smallBound &&
+          prevRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1) &&
+            r.get(0).isInstanceOf[String] && r.get(1).isInstanceOf[Long])) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val prev = prevRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val nodes = ewNodes(es)
+        var r: collection.Map[String, Long] =
+          nodes.map(n => n -> prev.getOrElse(n, g.t)).toMap
+        for (_ <- 1 to iters) {
+          val cin = prContribs(es, r)
+          r = nodes.map(n => n -> (g.base + cin(n))).toMap
+        }
+        return nodes.toSeq.map(n => (n, r(n))).toDF("id", "r")
+      }
+    }
     val (ew, nodes, base) = (g.ew, g.nodes, g.base)
     val ck = roundCkpt(iters, maxLazy = 8)
     var ranks = nodes.join(prevRanks.select(col("id"), col("r").as("prev_r")), Seq("id"), "left")
@@ -350,9 +438,33 @@ object GraphOps {
     * Engine extension with no reference counterpart (the reference computes
     * d3js edge weights, not centrality — see [[pageRank]]'s deviation note);
     * 85/100 damping follows the classic public formulation. */
-  def pageRankDangling(edges: DataFrame, iters: Int = 3, eps: Long = 0L): DataFrame = {
+  def pageRankDangling(edges: DataFrame, iters: Int = 3, eps: Long = 0L,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     require(eps >= 0 && eps < 1000000000000L, s"eps out of [0, 1e12): $eps")
     val g = prPrep(edges)
+    // small-graph fast path: the per-round job (co-partitioned join +
+    // one-row dangling broadcast + observe barrier) replays driver-side —
+    // same dangling-mass term (85*D) div (100*N), same max-|delta| epsilon
+    // stop BEFORE the next round, bit-equal ranks (spec-pinned)
+    collectSmallEw(g.ew, smallBound).foreach { es =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val nodes = ewNodes(es)
+      val sources = es.map(_._1).toSet
+      var r: collection.Map[String, Long] = nodes.map(_ -> g.t).toMap
+      var maxDelta = Long.MaxValue
+      var it = 0
+      while (it < iters && maxDelta > eps) {
+        val dm = nodes.iterator.filter(!sources.contains(_)).map(r).sum
+        val cin = prContribs(es, r)
+        val dshare = (85L * dm) / (100L * nodes.length)
+        val next = nodes.map(n => n -> (g.base + cin(n) + dshare)).toMap
+        maxDelta = nodes.iterator.map(n => math.abs(next(n) - r(n))).max
+        r = next
+        it += 1
+      }
+      return nodes.toSeq.map(n => (n, r(n))).toDF("id", "r")
+    }
     val (ew, nodes, base) = (g.ew, g.nodes, g.base)
     // the rank relation carries a static per-node dangling flag, so each
     // round needs neither a dangling join (the mass aggregate is a flagged
@@ -412,8 +524,25 @@ object GraphOps {
     * [[pageRank]]; iters fixed (unrolled in the SQL oracle). One
     * co-partitioned join + aggregation per round, lineage truncated.
     * Engine extension, no reference counterpart (see [[pageRank]]). */
-  def personalizedPageRank(edges: DataFrame, source: String, iters: Int = 3): DataFrame = {
+  def personalizedPageRank(edges: DataFrame, source: String, iters: Int = 3,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     val g = prPrep(edges)
+    // small-graph fast path: identical restart-at-source recurrence
+    // driver-side (contributions from r=0 nodes are 0 either way)
+    collectSmallEw(g.ew, smallBound).foreach { es =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val nodes = ewNodes(es)
+      val m = 1000000000000L
+      val pb = (15L * m) / 100L
+      var r: collection.Map[String, Long] =
+        nodes.map(n => n -> (if (n == source) m else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val cin = prContribs(es, r)
+        r = nodes.map(n => n -> ((if (n == source) pb else 0L) + cin(n))).toMap
+      }
+      return nodes.toSeq.map(n => (n, r(n))).toDF("id", "r")
+    }
     val (ew, nodes) = (g.ew, g.nodes)
     val mass = 1000000000000L
     val pBase = (15L * mass) / 100L
@@ -1396,7 +1525,7 @@ object GraphOps {
     * raise `rounds`). Independence and maximality (given no undecided rows)
     * are spec-asserted. */
   def maximalIndependentSet(edges: DataFrame, rounds: Int = 3,
-      seed: String = "mis"): DataFrame = {
+      seed: String = "mis", smallBound: Int = louvainSmallBound): DataFrame = {
     require(rounds >= 1 && rounds <= 32, s"rounds must be in [1,32]: $rounds")
     val und = undirectedSimple(edges)
     val adj = und.select(col("a").as("x"), col("b").as("n"))
@@ -1404,6 +1533,37 @@ object GraphOps {
       .localCheckpoint(true)
     def prio(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       concat(md5(concat(c, lit(s"|$seed"))), c)
+    // SMALL-GRAPH FAST PATH: ~6 checkpoint actions per round collapse to
+    // one bounded collect + the identical Luby rounds driver-side — the
+    // priority is the same md5(id|seed)||id string compared in UTF-8
+    // binary order, winners/covered/undecided evolve identically
+    // (spec-pinned vs the distributed loop via smallBound=0)
+    collectSmallPairs(adj, smallBound).foreach { a =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      def prioD(id: String): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest((id + "|" + seed).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        d.map(b => f"$b%02x").mkString + id
+      }
+      val nbrs = a.groupBy(_._1).map { case (x, es) => x -> es.map(_._2) }
+      val pr = nbrs.keys.map(x => x -> prioD(x)).toMap
+      var undec = nbrs.keySet
+      val mis = collection.mutable.LinkedHashSet.empty[String]
+      val cov = collection.mutable.LinkedHashSet.empty[String]
+      for (_ <- 1 to rounds) {
+        val winners = undec.filter { x =>
+          val live = nbrs(x).filter(undec)
+          live.isEmpty || live.forall(n => utf8Less(pr(x), pr(n)))
+        }
+        val newlyCov = winners.flatMap(nbrs(_)).diff(winners).diff(cov)
+        mis ++= winners
+        cov ++= newlyCov
+        undec = undec.diff(winners).diff(newlyCov)
+      }
+      return (mis.toSeq.map(_ -> "mis") ++ cov.toSeq.map(_ -> "covered") ++
+        undec.toSeq.map(_ -> "undecided")).toDF("id", "state")
+    }
     val nodes = adj.select(col("x").as("id")).distinct()
     var undecided = nodes.localCheckpoint(true)
     var mis = undecided.filter(lit(false)) // empty (id)
@@ -1445,12 +1605,30 @@ object GraphOps {
     * Unweighted (each edge one path); per round one co-partitioned join +
     * aggregation on target, lineage truncated. The PageRank/PPR sibling for
     * path-count influence without the stochastic normalization. */
-  def katz(edges: DataFrame, rounds: Int = 3, num: Long = 1L, den: Long = 8L): DataFrame = {
+  def katz(edges: DataFrame, rounds: Int = 3, num: Long = 1L, den: Long = 8L,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16]: $rounds")
     require(num >= 1 && den > num, s"alpha = $num/$den must be in (0,1)")
     val adj = edges.filter(col("source") =!= col("target"))
       .select(col("source").as("src"), col("target").as("dst"))
       .distinct().localCheckpoint(true)
+    // small-graph fast path: c_t(v) = Σ_{u→v} (num·c_{t-1}(u)) div den,
+    // katz = Σ_t c_t — per-edge truncating division on non-negatives, so
+    // the driver replica is exact (spec-pinned vs the loop)
+    collectSmallPairs(adj, smallBound).foreach { es =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      var c: collection.Map[String, Long] = nodes.map(_ -> 1000000L).toMap
+      val acc = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      for (_ <- 1 to rounds) {
+        val nxt = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+        es.foreach { case (s, t) => nxt(t) += (num * c(s)) / den }
+        c = nodes.map(n => n -> nxt(n)).toMap
+        nodes.foreach(n => acc(n) += c(n))
+      }
+      return nodes.toSeq.map(n => (n, acc(n))).toDF("id", "k")
+    }
     val nodes = adj.select(col("src").as("id"))
       .union(adj.select(col("dst").as("id"))).distinct().localCheckpoint(true)
     var c = nodes.select(col("id"), lit(1000000L).as("c"))

@@ -265,6 +265,36 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
         rows(GraphOps.hits(e, iters = it, smallBound = 0)), s"iters=$it")
   }
 
+  test("pagerank family / katz / mis: driver fast path == distributed loop") {
+    // a mixed graph: weights, a dangling sink, a 2-cycle, a self-loop,
+    // parallel edges that fold, and an isolated dyad
+    val e = edges(("A", "B", 2), ("B", "A", 1), ("B", "C", 3), ("C", "D", 1),
+      ("A", "B", 1), ("E", "E", 4), ("X", "Y", 1))
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(GraphOps.pageRank(e, iters = 3)) ==
+      rows(GraphOps.pageRank(e, iters = 3, smallBound = 0)))
+    assert(rows(GraphOps.pageRankDangling(e, iters = 3)) ==
+      rows(GraphOps.pageRankDangling(e, iters = 3, smallBound = 0)))
+    // epsilon stop must fire at the same round on both paths
+    assert(rows(GraphOps.pageRankDangling(e, iters = 20, eps = 100000000L)) ==
+      rows(GraphOps.pageRankDangling(e, iters = 20, eps = 100000000L, smallBound = 0)))
+    assert(rows(GraphOps.personalizedPageRank(e, "A", iters = 3)) ==
+      rows(GraphOps.personalizedPageRank(e, "A", iters = 3, smallBound = 0)))
+    val prev = GraphOps.pageRank(e, iters = 2)
+    assert(rows(GraphOps.pageRankResume(e, prev, iters = 1)) ==
+      rows(GraphOps.pageRankResume(e, prev, iters = 1, smallBound = 0)))
+    // resume == full run, through the fast path too
+    assert(rows(GraphOps.pageRankResume(e, prev, iters = 1)) ==
+      rows(GraphOps.pageRank(e, iters = 3)))
+    assert(rows(GraphOps.katz(e, rounds = 3)) ==
+      rows(GraphOps.katz(e, rounds = 3, smallBound = 0)))
+    assert(rows(GraphOps.maximalIndependentSet(e, rounds = 3)) ==
+      rows(GraphOps.maximalIndependentSet(e, rounds = 3, smallBound = 0)))
+    // an undecided-leaving round budget must also agree
+    assert(rows(GraphOps.maximalIndependentSet(e, rounds = 1)) ==
+      rows(GraphOps.maximalIndependentSet(e, rounds = 1, smallBound = 0)))
+  }
+
   test("lpa/modularity: small-graph driver fast path == distributed loop") {
     val e = edges(("A", "B", 2), ("B", "C", 2), ("A", "C", 2),
       ("D", "E", 2), ("E", "F", 2), ("D", "F", 2), ("C", "D", 1), ("G", "G", 5))
