@@ -661,7 +661,8 @@ object GraphOps {
     * not one node at a time). Per round: one degree aggregation + two
     * semi-joins on the adjacency relation, all co-partitioned on the node
     * key; lineage truncated per round. */
-  def kCore(edges: DataFrame, k: Long = 2, rounds: Int = 4): DataFrame = {
+  def kCore(edges: DataFrame, k: Long = 2, rounds: Int = 4,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     require(k >= 1 && rounds >= 1, s"k and rounds must be positive: k=$k rounds=$rounds")
     val und = edges.filter(col("source") =!= col("target"))
       .select(least(col("source"), col("target")).as("a"),
@@ -670,6 +671,21 @@ object GraphOps {
     var adj = und.select(col("a").as("x"), col("b").as("n"))
       .union(und.select(col("b"), col("a")))
       .localCheckpoint()
+    // small-graph fast path: the fixed-round peeling driver-side — each
+    // round drops every node below k in the surviving adjacency, exactly
+    // the distributed degree-filter + double semi-join (spec-pinned)
+    collectSmallPairs(adj, smallBound).foreach { a0 =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      var a = a0
+      for (_ <- 1 to rounds) {
+        val deg = a.groupBy(_._1).map { case (x, es) => x -> es.length }
+        val keep = deg.collect { case (x, c) if c >= k => x }.toSet
+        a = a.filter { case (x, n) => keep(x) && keep(n) }
+      }
+      return a.groupBy(_._1).toSeq.map { case (x, es) => (x, es.length.toLong) }
+        .toDF("id", "deg")
+    }
     // adj feeds three consumers per peeling round (degree agg + two
     // semi-joins): the lazy plan triples per round, so the budget is tight
     val ck = roundCkpt(rounds, maxLazy = 4)
@@ -1839,12 +1855,46 @@ object GraphOps {
     * truncated lineage; the pivot pick is a one-row driver agg (the bounded
     * collect convention); undecided shrinks monotonically. Output:
     * (id, scc) — scc = pivot id, or 'UNDECIDED'. */
-  def scc(edges: DataFrame, outerRounds: Int = 3, innerRounds: Int = 3): DataFrame = {
+  def scc(edges: DataFrame, outerRounds: Int = 3, innerRounds: Int = 3,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     require(outerRounds >= 1 && outerRounds <= 9 && innerRounds >= 1 && innerRounds <= 9,
       s"rounds must be in [1,9]: outer=$outerRounds inner=$innerRounds")
     val adj = edges.filter(col("source") =!= col("target"))
       .select(col("source").as("src"), col("target").as("dst"))
       .distinct().localCheckpoint(true)
+    // SMALL-GRAPH FAST PATH: the FW-BW peeling is ~8 checkpoint actions per
+    // outer round — driver-replay off one bounded collect with identical
+    // semantics (min-id pivot in UTF-8 binary order, innerRounds-bounded
+    // forward/backward balls over the undecided-restricted edges, the
+    // UNDECIDED sentinel for budget exhaustion). Spec-pinned vs the loop.
+    collectSmallPairs(adj, smallBound).foreach { es =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      var undec = (es.map(_._1) ++ es.map(_._2)).distinct.toSet
+      val out = collection.mutable.ArrayBuffer.empty[(String, String)]
+      var outer = 0
+      while (outer < outerRounds && undec.nonEmpty) {
+        outer += 1
+        val pivot = undec.reduce((a, b) => if (utf8Less(a, b)) a else b)
+        val live = es.filter { case (s, t) => undec(s) && undec(t) }
+        def reach(forward: Boolean): Set[String] = {
+          var set = Set(pivot)
+          for (_ <- 1 to innerRounds) {
+            val step = live.collect {
+              case (s, t) if forward && set(s)  => t
+              case (s, t) if !forward && set(t) => s
+            }
+            set = set ++ step
+          }
+          set
+        }
+        val sccSet = reach(forward = true) intersect reach(forward = false)
+        out ++= sccSet.toSeq.map(_ -> pivot)
+        undec = undec diff sccSet
+      }
+      out ++= undec.toSeq.map(_ -> "UNDECIDED")
+      return out.toSeq.toDF("id", "scc")
+    }
     val nodes = adj.select(col("src").as("id"))
       .union(adj.select(col("dst").as("id"))).distinct()
     val spark = edges.sparkSession

@@ -295,6 +295,19 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
       rows(GraphOps.maximalIndependentSet(e, rounds = 1, smallBound = 0)))
   }
 
+  test("scc / kcore: driver fast path == distributed loop") {
+    // 2-cycle + 3-cycle + a bridge + a tail (peels off), plus a dyad
+    val e = edges(("A", "B", 1), ("B", "A", 1), ("C", "D", 1), ("D", "E", 1),
+      ("E", "C", 1), ("B", "C", 1), ("E", "F", 1), ("X", "Y", 1))
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    for ((o, i) <- Seq((3, 3), (1, 1), (2, 2)))
+      assert(rows(GraphOps.scc(e, o, i)) ==
+        rows(GraphOps.scc(e, o, i, smallBound = 0)), s"scc outer=$o inner=$i")
+    for (k <- Seq(1L, 2L))
+      assert(rows(GraphOps.kCore(e, k = k)) ==
+        rows(GraphOps.kCore(e, k = k, smallBound = 0)), s"kcore k=$k")
+  }
+
   test("lpa/modularity: small-graph driver fast path == distributed loop") {
     val e = edges(("A", "B", 2), ("B", "C", 2), ("A", "C", 2),
       ("D", "E", 2), ("E", "F", 2), ("D", "F", 2), ("C", "D", 1), ("G", "G", 5))
