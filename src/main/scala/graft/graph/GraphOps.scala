@@ -2144,7 +2144,23 @@ object GraphOps {
     * residual), lineage truncated per step; walks leaving a sink node simply
     * end (their rows stop being emitted). Output: (start, step, node) for
     * steps 0..walkLen — at most |V|·(walkLen+1) rows. */
-  def randomWalks(edges: DataFrame, walkLen: Int = 4, seed: String = "w"): DataFrame = {
+  /** The 15-hex-char md5 pick value the walk operators use, driver-side:
+    * conv(substring(md5(s), 1, 15), 16, 10) — 60 bits, fits a Long. */
+  private def hashPick(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  /** Ranked adjacency driver-side: per source, neighbors sorted by key in
+    * UTF-8 binary order (== the distributed row_number over dst ASC). */
+  private def rankedAdj(es: Array[(String, String)]): Map[String, Array[String]] =
+    es.groupBy(_._1).map { case (s, g) =>
+      s -> g.map(_._2).sortWith(utf8Less)
+    }
+
+  def randomWalks(edges: DataFrame, walkLen: Int = 4, seed: String = "w",
+      smallBound: Int = louvainSmallBound): DataFrame = {
     require(walkLen >= 1 && walkLen <= 64, s"walkLen must be in [1,64]: $walkLen")
     val adj = edges.filter(col("source") =!= col("target"))
       .select(col("source").as("src"), col("target").as("dst")).distinct()
@@ -2153,6 +2169,33 @@ object GraphOps {
       .withColumn("rnk", row_number().over(w.orderBy(col("dst"))) - 1)
       .withColumn("deg", count(lit(1)).over(w))
       .localCheckpoint(true)
+    // SMALL-GRAPH FAST PATH: the hash-decided walks are a pure function of
+    // the ranked adjacency — one bounded collect and every walk replays
+    // driver-side (same md5(node|t|seed) pick mod degree over the same
+    // dst-ascending neighbor ranks; sink nodes end walks). Spec-pinned.
+    collectSmallPairs(adjd.select(col("src"), col("dst")), smallBound).foreach { es =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val ranked = rankedAdj(es)
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      val out = collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+      nodes.foreach { v0 =>
+        out += ((v0, 0L, v0))
+        var cur = v0
+        var t = 1
+        var alive = true
+        while (t <= walkLen && alive) {
+          ranked.get(cur) match {
+            case Some(nbrs) =>
+              cur = nbrs((hashPick(s"$cur|$t|$seed") % nbrs.length).toInt)
+              out += ((v0, t.toLong, cur))
+            case None => alive = false
+          }
+          t += 1
+        }
+      }
+      return out.toSeq.toDF("start", "step", "node")
+    }
     // node set read off the CHECKPOINTED adjacency (same rows, extra rank
     // columns dropped) — deriving it from the lazy `adj` re-ran the whole
     // upstream edge pipeline a second time
@@ -2192,7 +2235,8 @@ object GraphOps {
     * flag + one per-walk window — lineage truncated per step. Output:
     * (start, step, node), the [[walkPairs]] input schema. */
   def node2vecWalks(edges: DataFrame, walkLen: Int = 4, returnMult: Int = 1,
-      sharedMult: Int = 2, awayMult: Int = 4, seed: String = "n2v"): DataFrame = {
+      sharedMult: Int = 2, awayMult: Int = 4, seed: String = "n2v",
+      smallBound: Int = louvainSmallBound): DataFrame = {
     require(walkLen >= 1 && walkLen <= 64, s"walkLen must be in [1,64]: $walkLen")
     require(returnMult >= 1 && sharedMult >= 1 && awayMult >= 1,
       s"multiplicities must be >= 1: ($returnMult, $sharedMult, $awayMult)")
@@ -2203,6 +2247,50 @@ object GraphOps {
       .withColumn("rnk", row_number().over(w.orderBy(col("dst"))) - 1)
       .withColumn("deg", count(lit(1)).over(w))
       .localCheckpoint(true)
+    // small-graph fast path ([[randomWalks]] discipline, second order):
+    // first hop uniform by md5(node|1|seed) mod deg; later hops pick by
+    // md5(prev|cur|t|seed) mod Σmult over the cumulative ranges of the
+    // rank-ordered candidates with the same return/shared/away
+    // multiplicities. Dead ends truncate. Spec-pinned vs the loop.
+    collectSmallPairs(adjd.select(col("src"), col("dst")), smallBound).foreach { es =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val ranked = rankedAdj(es)
+      val edgeSet = es.toSet
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      val out = collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+      nodes.foreach { v0 =>
+        out += ((v0, 0L, v0))
+        ranked.get(v0).foreach { nbrs =>
+          var cur = nbrs((hashPick(s"$v0|1|$seed") % nbrs.length).toInt)
+          var prev = v0
+          out += ((v0, 1L, cur))
+          var t = 2
+          var alive = true
+          while (t <= walkLen && alive) {
+            ranked.get(cur) match {
+              case Some(cand) =>
+                val mults = cand.map { d =>
+                  if (d == prev) returnMult.toLong
+                  else if (edgeSet((prev, d))) sharedMult.toLong
+                  else awayMult.toLong
+                }
+                val total = mults.sum
+                val pick = hashPick(s"$prev|$cur|$t|$seed") % total
+                var i = 0
+                var cume = 0L
+                while (pick >= cume + mults(i)) { cume += mults(i); i += 1 }
+                prev = cur
+                cur = cand(i)
+                out += ((v0, t.toLong, cur))
+              case None => alive = false
+            }
+            t += 1
+          }
+        }
+      }
+      return out.toSeq.toDF("start", "step", "node")
+    }
     val shared = adjd.select(col("src").as("p_src"), col("dst").as("p_dst"))
     // node set off the CHECKPOINTED adjacency (see randomWalks) — the lazy
     // `adj` form re-ran the whole upstream edge pipeline a second time

@@ -295,6 +295,23 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
       rows(GraphOps.maximalIndependentSet(e, rounds = 1, smallBound = 0)))
   }
 
+  test("walks: driver fast path == distributed loop (first and second order)") {
+    // branching, a sink (D), a cycle, and a dyad — exercises sink
+    // truncation, the uniform first hop and all three n2v multiplicities
+    val e = edges(("A", "B", 1), ("A", "C", 1), ("B", "C", 1), ("C", "A", 1),
+      ("C", "D", 1), ("X", "Y", 1), ("Y", "X", 1))
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    for (len <- Seq(1, 4))
+      assert(rows(GraphOps.randomWalks(e, walkLen = len)) ==
+        rows(GraphOps.randomWalks(e, walkLen = len, smallBound = 0)), s"rw len=$len")
+    assert(rows(GraphOps.node2vecWalks(e, walkLen = 4)) ==
+      rows(GraphOps.node2vecWalks(e, walkLen = 4, smallBound = 0)))
+    assert(rows(GraphOps.node2vecWalks(e, walkLen = 3, returnMult = 3,
+        sharedMult = 1, awayMult = 2)) ==
+      rows(GraphOps.node2vecWalks(e, walkLen = 3, returnMult = 3,
+        sharedMult = 1, awayMult = 2, smallBound = 0)))
+  }
+
   test("scc / kcore: driver fast path == distributed loop") {
     // 2-cycle + 3-cycle + a bridge + a tail (peels off), plus a dyad
     val e = edges(("A", "B", 1), ("B", "A", 1), ("C", "D", 1), ("D", "E", 1),
