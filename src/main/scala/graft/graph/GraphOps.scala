@@ -1340,11 +1340,20 @@ object GraphOps {
     * oracle unrolls the identical expansion as chained MATERIALIZED CTEs.
     * Distances are exact BIGINTs — bit-identical cross-engine. Output:
     * (id, dist) for every node within `rounds` hops (source included, dist 0). */
-  def bfs(edges: DataFrame, source: String, rounds: Int = 3): DataFrame = {
+  def bfs(edges: DataFrame, source: String, rounds: Int = 3,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64]: $rounds")
     val adj = edges.filter(col("source") =!= col("target"))
       .select(col("source").as("src"), col("target").as("dst"))
       .distinct().localCheckpoint(true)
+    // small-graph fast path: the frontier BFS driver-side (identical
+    // hop-count distances; nodes unreached within the budget are absent)
+    collectSmallPairs(adj, smallBound).foreach { es =>
+      val spark0 = edges.sparkSession
+      import spark0.implicits._
+      val d = allPairsDistDriver(es, rounds, Array(source))
+      return d.toSeq.map { case ((_, dst), dd) => (dst, dd) }.toDF("id", "dist")
+    }
     val spark = edges.sparkSession
     var dist = spark.range(1).select(lit(source).as("id"), lit(0L).as("dist"))
       .localCheckpoint(true)
@@ -1676,11 +1685,51 @@ object GraphOps {
     * Σ_t (|B(v,t)|−|B(v,t−1)|)/t), which is why the two live side by side.
     *
     * Output: (id, h) for every node (h=0 for sinks with no out-reach). */
-  def harmonic(edges: DataFrame, rounds: Int = 3): DataFrame = {
+  /** Bounded all-pairs BFS distances driver-side — the [[harmonic]]/
+    * [[closeness]]/[[neighborhoodFunction]] min-dist recurrence's fixpoint
+    * within `rounds` hops (Bellman-Ford over unit edges == per-source BFS):
+    * (src, dst) -> dist for every pair at distance <= rounds, self-pairs at
+    * 0. */
+  private def allPairsDistDriver(es: Array[(String, String)], rounds: Int,
+      nodes: Array[String]): collection.Map[(String, String), Long] = {
+    val out = collection.mutable.HashMap.empty[(String, String), Long]
+    val nbrs = es.groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+    nodes.foreach { src =>
+      val seen = collection.mutable.HashMap(src -> 0L)
+      var frontier = Array(src)
+      var d = 0L
+      while (d < rounds && frontier.nonEmpty) {
+        d += 1
+        val next = collection.mutable.ArrayBuffer.empty[String]
+        frontier.foreach { v =>
+          nbrs.getOrElse(v, Array.empty[String]).foreach { u =>
+            if (!seen.contains(u)) { seen(u) = d; next += u }
+          }
+        }
+        frontier = next.toArray
+      }
+      seen.foreach { case (dst, dd) => out((src, dst)) = dd }
+    }
+    out
+  }
+
+  def harmonic(edges: DataFrame, rounds: Int = 3,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16]: $rounds")
     val adj = edges.filter(col("source") =!= col("target"))
       .select(col("source").as("asrc"), col("target").as("adst"))
       .distinct().localCheckpoint(true)
+    // small-graph fast path: the bounded all-pairs relation driver-side,
+    // same Σ 1e6 div dist rollup (integer div, non-negative) — spec-pinned
+    collectSmallPairs(adj, smallBound).foreach { es =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val ns = (es.map(_._1) ++ es.map(_._2)).distinct
+      val dist = allPairsDistDriver(es, rounds, ns)
+      val h = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      dist.foreach { case ((s, t), d) => if (s != t) h(s) += 1000000L / d }
+      return ns.toSeq.map(n => (n, h(n))).toDF("id", "h")
+    }
     val nodes = adj.select(col("asrc").as("id"))
       .union(adj.select(col("adst").as("id"))).distinct().localCheckpoint(true)
     var dist = nodes.select(col("id").as("src"), col("id").as("dst"), lit(0L).as("dist"))
@@ -1705,11 +1754,27 @@ object GraphOps {
     * web-graph studies quote; harmonic handles disconnected graphs more
     * gracefully, closeness is the classical definition. Zero for sinks.
     * Output: (id, n_reach, sum_dist, closeness) — every column BIGINT. */
-  def closeness(edges: DataFrame, rounds: Int = 3): DataFrame = {
+  def closeness(edges: DataFrame, rounds: Int = 3,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16]: $rounds")
     val adj = edges.filter(col("source") =!= col("target"))
       .select(col("source").as("asrc"), col("target").as("adst"))
       .distinct().localCheckpoint(true)
+    // small-graph fast path: same BFS relation + the exact 1e6·reach div
+    // Σdist rollup, zero for sinks — spec-pinned
+    collectSmallPairs(adj, smallBound).foreach { es =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val ns = (es.map(_._1) ++ es.map(_._2)).distinct
+      val dist = allPairsDistDriver(es, rounds, ns)
+      val nr = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      val sd = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      dist.foreach { case ((s, t), d) => if (s != t) { nr(s) += 1L; sd(s) += d } }
+      return ns.toSeq.map { n =>
+        val c = if (sd(n) == 0L) 0L else (1000000L * nr(n)) / sd(n)
+        (n, nr(n), sd(n), c)
+      }.toDF("id", "n_reach", "sum_dist", "closeness")
+    }
     val nodes = adj.select(col("asrc").as("id"))
       .union(adj.select(col("adst").as("id"))).distinct().localCheckpoint(true)
     var dist = nodes.select(col("id").as("src"), col("id").as("dst"), lit(0L).as("dist"))
@@ -1950,12 +2015,35 @@ object GraphOps {
     * ground truth (HyperBallSpec pins the registers to the BFS balls).
     *
     * Output: (radius, pairs_at, pairs_within, is_effective_diameter). */
-  def neighborhoodFunction(edges: DataFrame, rounds: Int = 3): DataFrame = {
+  def neighborhoodFunction(edges: DataFrame, rounds: Int = 3,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16]: $rounds")
     val adj = edges.filter(col("source") =!= col("target"))
       .select(col("source").as("asrc"), col("target").as("adst"))
       .distinct().localCheckpoint(true)
+    // small-graph fast path: same BFS relation; the cumulative/effective-
+    // diameter read is over rounds+1 rows — pure driver arithmetic
+    // (pairs_within·10 >= total·9, first radius reaching it flagged)
+    collectSmallPairs(adj, smallBound).foreach { es =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val ns = (es.map(_._1) ++ es.map(_._2)).distinct
+      val dist = allPairsDistDriver(es, rounds, ns)
+      val perR = dist.groupBy(_._2).map { case (r, g) => r -> g.size.toLong }
+        .toSeq.sortBy(_._1)
+      val total = perR.map(_._2).sum
+      var within = 0L
+      var prevReached = false
+      val rows = perR.map { case (r, at) =>
+        within += at
+        val reached = within * 10L >= total * 9L
+        val isEff = reached && !prevReached
+        prevReached = reached
+        (r, at, within, isEff)
+      }
+      return rows.toDF("radius", "pairs_at", "pairs_within", "is_effective_diameter")
+    }
     val nodes = adj.select(col("asrc").as("id"))
       .union(adj.select(col("adst").as("id"))).distinct().localCheckpoint(true)
     var dist = nodes.select(col("id").as("src"), col("id").as("dst"), lit(0L).as("dist"))

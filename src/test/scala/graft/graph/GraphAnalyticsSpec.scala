@@ -295,6 +295,26 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
       rows(GraphOps.maximalIndependentSet(e, rounds = 1, smallBound = 0)))
   }
 
+  test("bfs family: driver fast path == distributed loop") {
+    // directed chain + branch + unreachable island; D unreached at rounds=1
+    val e = edges(("A", "B", 1), ("B", "C", 1), ("C", "D", 1), ("A", "C", 1),
+      ("X", "Y", 1), ("D", "A", 1))
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    for (r <- Seq(1, 3)) {
+      assert(rows(GraphOps.harmonic(e, rounds = r)) ==
+        rows(GraphOps.harmonic(e, rounds = r, smallBound = 0)), s"harmonic r=$r")
+      assert(rows(GraphOps.closeness(e, rounds = r)) ==
+        rows(GraphOps.closeness(e, rounds = r, smallBound = 0)), s"closeness r=$r")
+      assert(rows(GraphOps.neighborhoodFunction(e, rounds = r)) ==
+        rows(GraphOps.neighborhoodFunction(e, rounds = r, smallBound = 0)), s"nf r=$r")
+      assert(rows(GraphOps.bfs(e, "A", rounds = r)) ==
+        rows(GraphOps.bfs(e, "A", rounds = r, smallBound = 0)), s"bfs r=$r")
+    }
+    // a source with no out-edges still reports itself at distance 0
+    assert(rows(GraphOps.bfs(e, "Y", rounds = 2)) ==
+      rows(GraphOps.bfs(e, "Y", rounds = 2, smallBound = 0)))
+  }
+
   test("walks: driver fast path == distributed loop (first and second order)") {
     // branching, a sink (D), a cycle, and a dyad — exercises sink
     // truncation, the uniform first hop and all three n2v multiplicities
