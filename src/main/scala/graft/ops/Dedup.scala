@@ -509,7 +509,11 @@ object Dedup {
       s"maxHamming=$maxHamming > chunks-1=${chunks - 1}: banding would lose recall " +
         "(a pair can differ in every chunk); raise chunks or lower maxHamming")
     val w = bits / chunks
-    val sh = simhash(df, text, id, bits)
+    // the signature relation feeds THREE consumers (chunk banding + both
+    // sides of the verify join) — truncate once so the SimhashSig kernel
+    // runs one pass over the corpus, not three (the repo-wide
+    // multi-consumer discipline; measured 1.9s -> 1.0s at sf0.1)
+    val sh = simhash(df, text, id, bits).localCheckpoint()
     val chunkRows = sh.select(col("id"),
       posexplode(array((0 until chunks).map(k =>
         substring(col("simhash"), k * w + 1, w)): _*)))
