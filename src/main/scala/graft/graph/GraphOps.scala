@@ -2511,7 +2511,7 @@ object GraphOps {
     * Output: (id, dist) for nodes reachable within `rounds` hops.
     * Engine extension, no reference counterpart. */
   def sssp(edges: DataFrame, source: String, rounds: Int = 4,
-      costScale: Long = 1000000L): DataFrame = {
+      costScale: Long = 1000000L, smallBound: Int = louvainSmallBound): DataFrame = {
     require(rounds >= 1 && rounds <= 32, s"rounds must be in [1,32]: $rounds")
     require(costScale >= 1L, s"costScale must be positive: $costScale")
     val cInt = when(col("c") =!= floor(col("c")),
@@ -2522,6 +2522,25 @@ object GraphOps {
       .agg(sum(cInt).as("w"))
       .select(col("src"), col("dst"), expr(s"$costScale div w").as("cost"))
       .localCheckpoint(true)
+    // small-graph fast path: bounded Bellman-Ford driver-side off the
+    // validated cost relation (same min-plus relaxation per round over the
+    // cumulative settled set; costs are the already-divided Longs)
+    collectSmallAdj(adj, smallBound).foreach { es =>
+      val spark0 = edges.sparkSession
+      import spark0.implicits._
+      val nbrs = es.groupBy(_._1)
+      val dist = collection.mutable.HashMap(source -> 0L)
+      for (_ <- 1 to rounds) {
+        val relax = collection.mutable.ArrayBuffer.empty[(String, Long)]
+        dist.foreach { case (v, d) =>
+          nbrs.get(v).foreach(_.foreach { case (_, t, c) => relax += (t -> (d + c)) })
+        }
+        relax.foreach { case (t, d) =>
+          if (!dist.contains(t) || d < dist(t)) dist(t) = d
+        }
+      }
+      return dist.toSeq.toDF("id", "dist")
+    }
     val spark = edges.sparkSession
     var dist = spark.range(1).select(lit(source).as("id"), lit(0L).as("dist"))
     val ck = roundCkpt(rounds, maxLazy = 4)
@@ -2792,11 +2811,39 @@ object GraphOps {
     * direction (same shape as [[bfs]]), every frontier localCheckpointed to
     * truncate lineage; the classify step is two left joins on the node id
     * and one vocabulary-sized rollup. No driver-side data beyond the plan. */
-  def bowTie(edges: DataFrame, rounds: Int = 3): DataFrame = {
+  def bowTie(edges: DataFrame, rounds: Int = 3,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     require(rounds >= 1 && rounds <= 9, s"rounds must be in [1,9]: $rounds")
     val adj = edges.filter(col("source") =!= col("target"))
       .select(col("source").as("src"), col("target").as("dst"))
       .distinct().localCheckpoint(true)
+    // small-graph fast path: pivot = min node id in UTF-8 binary order,
+    // F/B = bounded forward/backward balls, then the four-way classify —
+    // one bounded collect replaces the two frontier chains (spec-pinned)
+    collectSmallPairs(adj, smallBound).foreach { es =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val ns = (es.map(_._1) ++ es.map(_._2)).distinct
+      val pivot = ns.reduce((a, b) => if (utf8Less(a, b)) a else b)
+      val fwd = es.groupBy(_._1); val bwd = es.groupBy(_._2)
+      def ball(out: Boolean): Set[String] = {
+        var set = Set(pivot)
+        for (_ <- 1 to rounds) {
+          val step = set.flatMap(v =>
+            (if (out) fwd.get(v).map(_.map(_._2)) else bwd.get(v).map(_.map(_._1)))
+              .getOrElse(Array.empty[String]))
+          set = set ++ step
+        }
+        set
+      }
+      val f = ball(out = true); val b = ball(out = false)
+      val cls = ns.map { n =>
+        if (f(n) && b(n)) "CORE" else if (b(n)) "IN"
+        else if (f(n)) "OUT" else "OTHER"
+      }
+      return cls.groupBy(identity).toSeq.map { case (c, g) => (c, g.length.toLong) }
+        .toDF("cls", "n_nodes")
+    }
     val nodes = adj.select(col("src").as("id"))
       .union(adj.select(col("dst").as("id"))).distinct().localCheckpoint(true)
     var f = nodes.agg(min(col("id")).as("id"))

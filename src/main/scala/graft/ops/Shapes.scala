@@ -68,7 +68,15 @@ object Shapes {
     val counts = t.filter(col("p").isin(preds: _*))
       .groupBy(col("s").as("cfocus"), col("p").as("cpred"))
       .agg(count(lit(1)).as("cnt"))
-    nodes(t)
+    // restrict the node universe to SHAPED focus types before the dedup:
+    // the inner join below keeps only those anyway, and the filter sits
+    // under the distinct so its exchange carries shaped-type slots only
+    // (guide §2.3 — on the supply KG this drops the PART/NATION slots,
+    // ~45% of the occurrence rows)
+    val focusTypes = shapes.map(_.focusType).distinct
+    nodes(t.filter(col("s_type").isin(focusTypes: _*) ||
+        col("o_type").isin(focusTypes: _*)))
+      .filter(col("ftype").isin(focusTypes: _*))
       .join(broadcast(shapeDf), col("ftype") === col("focusType"))
       .join(counts, col("focus") === col("cfocus") && col("pred") === col("cpred"),
         "left_outer")

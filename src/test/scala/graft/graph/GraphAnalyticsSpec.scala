@@ -295,6 +295,18 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
       rows(GraphOps.maximalIndependentSet(e, rounds = 1, smallBound = 0)))
   }
 
+  test("sssp / bowTie: driver fast path == distributed loop") {
+    val e = edges(("A", "B", 4), ("B", "C", 2), ("A", "C", 1), ("C", "D", 5),
+      ("D", "A", 1), ("X", "Y", 2))
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    for (r <- Seq(1, 4)) {
+      assert(rows(GraphOps.sssp(e, "A", rounds = r)) ==
+        rows(GraphOps.sssp(e, "A", rounds = r, smallBound = 0)), s"sssp r=$r")
+      assert(rows(GraphOps.bowTie(e, rounds = r)) ==
+        rows(GraphOps.bowTie(e, rounds = r, smallBound = 0)), s"bowtie r=$r")
+    }
+  }
+
   test("bfs family: driver fast path == distributed loop") {
     // directed chain + branch + unreachable island; D unreached at rounds=1
     val e = edges(("A", "B", 1), ("B", "C", 1), ("C", "D", 1), ("A", "C", 1),
