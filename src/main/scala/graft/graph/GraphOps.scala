@@ -714,8 +714,33 @@ object GraphOps {
     * exact-int in double, so it is bit-identical cross-engine. At scale, hub
     * neighbors fan out quadratically — `maxDegree` drops neighbors above the
     * cap from wedge generation (a skew guard pinned in the oracle too). */
-  def neighborJaccard(edges: DataFrame, maxDegree: Long = 10000L): DataFrame = {
-    val (deg, small) = wedgePrep(edges, maxDegree)
+  def neighborJaccard(edges: DataFrame, maxDegree: Long = 10000L,
+      smallBound: Int = louvainSmallBound): DataFrame = {
+    // small-graph fast path: wedge pairs through each hub-capped shared
+    // neighbor, full degrees for the jaccard denominator (one double
+    // division of exact ints, as distributed)
+    val und0 = undirectedSimple(edges).localCheckpoint()
+    wedgeDriver(und0, smallBound).foreach { case (deg, members) =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val acc = collection.mutable.HashMap.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      members.foreach { case (n, ms) =>
+        if (deg(n) <= maxDegree) {
+          var i = 0
+          while (i < ms.length) {
+            var j = i + 1
+            while (j < ms.length) { acc((ms(i), ms(j))) += 1L; j += 1 }
+            i += 1
+          }
+        }
+      }
+      return acc.toSeq.map { case ((a, b), inter) =>
+        val (da, db) = (deg(a), deg(b))
+        (a, b, inter, da, db, inter.toDouble / (da + db - inter).toDouble)
+      }.toDF("a", "b", "inter", "da", "db", "jaccard")
+    }
+    val (deg, small) = wedgePrep(und0, maxDegree)
     val inter = small.select(col("x").as("pa"), col("n"))
       .join(small.select(col("x").as("pb"), col("n")), "n")
       .filter(col("pa") < col("pb"))
@@ -1257,7 +1282,8 @@ object GraphOps {
     * adjacency⨝labels join + one per-node sorted collect (bounded by
     * degree), lineage truncated. Output: (id, wl). Engine extension, no
     * reference counterpart. */
-  def wlLabels(edges: DataFrame, rounds: Int = 2): DataFrame = {
+  def wlLabels(edges: DataFrame, rounds: Int = 2,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     val und = edges.filter(col("source") =!= col("target"))
       .select(least(col("source"), col("target")).as("a"),
         greatest(col("source"), col("target")).as("b"))
@@ -1265,6 +1291,26 @@ object GraphOps {
     val adj = und.select(col("a").as("x"), col("b").as("n"))
       .union(und.select(col("b"), col("a")))
       .localCheckpoint()
+    // small-graph fast path: degree-seeded md5 relabeling driver-side —
+    // per round lbl := md5hex(lbl | "|" | sorted-neighbor-lbls joined ",")
+    // with the neighbor multiset sorted in UTF-8 binary order
+    collectSmallPairs(adj, smallBound).foreach { a =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val nbrs = a.groupBy(_._1).map { case (x, g) => x -> g.map(_._2) }
+      var lbl: collection.Map[String, String] =
+        nbrs.map { case (x, ns) => x -> ns.length.toString }
+      for (_ <- 1 to rounds) {
+        lbl = nbrs.map { case (x, ns) =>
+          val nl = ns.map(lbl).sortWith(utf8Less).mkString(",")
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest((lbl(x) + "|" + nl)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          x -> d.map(b => f"$b%02x").mkString
+        }
+      }
+      return lbl.toSeq.toDF("id", "wl")
+    }
     var labels = adj.groupBy(col("x").as("id"))
       .agg(count(lit(1)).cast("string").as("lbl"))
     val ck = roundCkpt(rounds, maxLazy = 4)
@@ -1278,15 +1324,26 @@ object GraphOps {
     labels.select(col("id"), col("lbl").as("wl"))
   }
 
+  /** Driver-side wedge prep: the undirected simple adjacency collected
+    * when small — (full degrees, per-node SORTED neighbor list in UTF-8
+    * binary order so pair loops emit a < b exactly once). None when the
+    * graph is big or non-string-keyed (distributed path runs). */
+  private def wedgeDriver(und: DataFrame, smallBound: Int)
+      : Option[(collection.Map[String, Long], collection.Map[String, Array[String]])] = {
+    collectSmallPairs(und, smallBound).map { pairs =>
+      val deg = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      pairs.foreach { case (a, b) => deg(a) += 1L; deg(b) += 1L }
+      val members = (pairs.map { case (a, b) => (b, a) } ++ pairs)
+        .groupBy(_._1).map { case (n, g) => n -> g.map(_._2).sortWith(utf8Less) }
+      (deg, members)
+    }
+  }
+
   /** Shared wedge prep for the neighbor-overlap family: the undirected simple
     * adjacency (checkpointed once — degrees and both wedge sides consume it),
     * node degrees, and the hub-capped adjacency `small` whose `deg` column is
     * the degree OF THE NEIGHBOR `n` (what Adamic-Adar weighs by). */
-  private def wedgePrep(edges: DataFrame, maxDegree: Long): (DataFrame, DataFrame) = {
-    val und = edges.filter(col("source") =!= col("target"))
-      .select(least(col("source"), col("target")).as("a"),
-        greatest(col("source"), col("target")).as("b"))
-      .distinct()
+  private def wedgePrep(und: DataFrame, maxDegree: Long): (DataFrame, DataFrame) = {
     val adj = und.select(col("a").as("x"), col("b").as("n"))
       .union(und.select(col("b"), col("a")))
       .localCheckpoint()
@@ -1304,8 +1361,37 @@ object GraphOps {
     * construction, so ilog2 >= 1 — never a division by zero), summed as
     * BIGINT. Same wedge-join shape and hub cap as [[neighborJaccard]].
     * Output: (a, b, inter, aa_scaled). */
-  def adamicAdar(edges: DataFrame, maxDegree: Long = 10000L): DataFrame = {
-    val (_, small0) = wedgePrep(edges, maxDegree)
+  def adamicAdar(edges: DataFrame, maxDegree: Long = 10000L,
+      smallBound: Int = louvainSmallBound): DataFrame = {
+    // small-graph fast path: each shared neighbor z with deg in [2, cap]
+    // contributes 1e6 div floor(log2(deg z)) to every pair of its
+    // neighbors — the length(bin(deg))-1 expression verbatim
+    val undA = undirectedSimple(edges).localCheckpoint()
+    wedgeDriver(undA, smallBound).foreach { case (deg, members) =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val inter = collection.mutable.HashMap.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      val aa = collection.mutable.HashMap.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      members.foreach { case (n, ms) =>
+        val d = deg(n)
+        if (d >= 2L && d <= maxDegree) {
+          val aaZ = 1000000L / (63 - java.lang.Long.numberOfLeadingZeros(d))
+          var i = 0
+          while (i < ms.length) {
+            var j = i + 1
+            while (j < ms.length) {
+              inter((ms(i), ms(j))) += 1L; aa((ms(i), ms(j))) += aaZ; j += 1
+            }
+            i += 1
+          }
+        }
+      }
+      return inter.keys.toSeq.map { case k2 @ (a, b) => (a, b, inter(k2), aa(k2)) }
+        .toDF("a", "b", "inter", "aa_scaled")
+    }
+    val (_, small0) = wedgePrep(undA, maxDegree)
     // a degree-1 node can never be a SHARED neighbor (it has one incident
     // wedge side), so it forms no pair — and ilog2(1) = 0 would divide by
     // zero if the projection runs before the join filter (plan-order
@@ -2108,7 +2194,8 @@ object GraphOps {
     * unroll the identical peeling as chained MATERIALIZED CTEs. Output:
     * (a, b, support) — surviving edges with their within-truss support,
     * exact BIGINTs. */
-  def kTruss(edges: DataFrame, k: Long = 3, rounds: Int = 3): DataFrame = {
+  def kTruss(edges: DataFrame, k: Long = 3, rounds: Int = 3,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     require(k >= 2 && rounds >= 1, s"k must be >= 2 and rounds positive: k=$k rounds=$rounds")
     def support(und: DataFrame): DataFrame = {
       val tri = trianglesOfSimple(und)
@@ -2118,6 +2205,30 @@ object GraphOps {
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
     }
     var und = undirectedSimple(edges).localCheckpoint(true)
+    // small-graph fast path: the triangle-support peeling driver-side —
+    // per round, support = per-edge triangle count from the same a<b<c
+    // enumeration, edges below k-2 dropped; final support recomputed on
+    // the surviving relation (spec-pinned vs the loop)
+    collectSmallPairs(und, smallBound).foreach { pairs0 =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      def supportOf(u: Array[(String, String)]): collection.Map[(String, String), Long] = {
+        val sup = collection.mutable.HashMap.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        trianglesDriver(u).foreach { case (a, b, c) =>
+          sup((a, b)) += 1L; sup((b, c)) += 1L; sup((a, c)) += 1L
+        }
+        sup
+      }
+      var u = pairs0
+      for (_ <- 1 to rounds) {
+        val sup = supportOf(u)
+        u = u.filter(e => sup(e) >= k - 2)
+      }
+      val fin = supportOf(u)
+      return u.toSeq.map { case (a, b) => (a, b, fin((a, b))) }
+        .toDF("a", "b", "support")
+    }
     for (_ <- 1 to rounds) {
       und = und.join(support(und), Seq("a", "b"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= k - 2)
@@ -2463,7 +2574,15 @@ object GraphOps {
     * a < b < c, two key joins. The ONE copy of the algorithm
     * ([[clusteringCoeff]], [[kTruss]], and [[graft.ops.DocKg.trianglesFromEdges]]
     * all call it). */
-  private[graft] def trianglesOfSimple(und: DataFrame): DataFrame = {
+  private[graft] def trianglesOfSimple(und: DataFrame,
+      smallBound: Int = louvainSmallBound): DataFrame = {
+    // small-graph fast path: the same a<b<c wedge-close enumeration off one
+    // bounded collect (each triangle exactly once)
+    collectSmallPairs(und, smallBound).foreach { pairs =>
+      val spark = und.sparkSession
+      import spark.implicits._
+      return trianglesDriver(pairs).toSeq.toDF("a", "b", "c")
+    }
     val wedges = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
       .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
     wedges.as("w")
@@ -2471,8 +2590,38 @@ object GraphOps {
       .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
   }
 
-  def clusteringCoeff(edges: DataFrame): DataFrame = {
+  /** Driver triangle enumeration over a<b distinct pairs: (a,b,c) with
+    * a<b<c and all three edges present — the wedge-close join verbatim. */
+  private def trianglesDriver(und: Array[(String, String)]): Array[(String, String, String)] = {
+    val set = und.toSet
+    val byA = und.groupBy(_._1)
+    und.flatMap { case (a, b) =>
+      byA.getOrElse(b, Array.empty[(String, String)]).collect {
+        case (_, c) if set((a, c)) => (a, b, c)
+      }
+    }
+  }
+
+  def clusteringCoeff(edges: DataFrame,
+      smallBound: Int = louvainSmallBound): DataFrame = {
     val und = undirectedSimple(edges).localCheckpoint(true)
+    // small-graph fast path: degrees, per-corner triangle counts and the
+    // one double division of exact ints driver-side (deg < 2 filtered
+    // before the division, as distributed)
+    collectSmallPairs(und, smallBound).foreach { pairs =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val deg = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      pairs.foreach { case (a, b) => deg(a) += 1L; deg(b) += 1L }
+      val tri = collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      trianglesDriver(pairs).foreach { case (a, b, c) =>
+        tri(a) += 1L; tri(b) += 1L; tri(c) += 1L
+      }
+      return deg.keys.toSeq.filter(deg(_) >= 2L).map { id =>
+        val (d, t) = (deg(id), tri(id))
+        (id, d, t, (t * 2L).toDouble / (d * (d - 1L)).toDouble)
+      }.toDF("id", "deg", "tri", "coeff")
+    }
     val deg = degreesOfSimple(und)
     val triangles = trianglesOfSimple(und)
     val triPerNode = triangles.select(col("a").as("id"))

@@ -295,6 +295,31 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestSession {
       rows(GraphOps.maximalIndependentSet(e, rounds = 1, smallBound = 0)))
   }
 
+  test("wedge family / wl / ktruss: driver fast path == distributed loop") {
+    // two overlapping triangles + a pendant + a hub — triangles, shared
+    // neighbors, a degree-1 node (AA-excluded) and a cap-exercising hub
+    val e = edges(("A", "B", 1), ("B", "C", 1), ("A", "C", 1), ("B", "D", 1),
+      ("C", "D", 1), ("D", "E", 1), ("H", "A", 1), ("H", "B", 1), ("H", "C", 1),
+      ("H", "D", 1))
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(GraphOps.trianglesOfSimple(GraphOps.undirectedSimple(e))) ==
+      rows(GraphOps.trianglesOfSimple(GraphOps.undirectedSimple(e), smallBound = 0)))
+    assert(rows(GraphOps.clusteringCoeff(e)) ==
+      rows(GraphOps.clusteringCoeff(e, smallBound = 0)))
+    for (r <- Seq(1, 2))
+      assert(rows(GraphOps.wlLabels(e, rounds = r)) ==
+        rows(GraphOps.wlLabels(e, rounds = r, smallBound = 0)), s"wl r=$r")
+    for (k <- Seq(2L, 3L, 4L))
+      assert(rows(GraphOps.kTruss(e, k = k)) ==
+        rows(GraphOps.kTruss(e, k = k, smallBound = 0)), s"ktruss k=$k")
+    for (cap <- Seq(3L, 10000L)) {
+      assert(rows(GraphOps.neighborJaccard(e, maxDegree = cap)) ==
+        rows(GraphOps.neighborJaccard(e, maxDegree = cap, smallBound = 0)), s"nj $cap")
+      assert(rows(GraphOps.adamicAdar(e, maxDegree = cap)) ==
+        rows(GraphOps.adamicAdar(e, maxDegree = cap, smallBound = 0)), s"aa $cap")
+    }
+  }
+
   test("sssp / bowTie: driver fast path == distributed loop") {
     val e = edges(("A", "B", 4), ("B", "C", 2), ("A", "C", 1), ("C", "D", 5),
       ("D", "A", 1), ("X", "Y", 2))
