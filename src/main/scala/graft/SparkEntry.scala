@@ -1519,9 +1519,14 @@ object SparkEntry {
       // from it — so every input below is a set and the per-pattern dedup
       // shuffles are elided (Bgp.needsDedup)
       val sol1 = Bgp.matchPatterns(base1, pats, distinctInput = true)
-      val plus = Bgp.viewDelta(base1, added, pats, disjointDistinct = true)
+      // the orders changelog mints p='placed' for every entry (the fixture's
+      // construction), so both delta batches carry a one-predicate manifest:
+      // the contains-pattern delta terms are provably empty and skipped
+      val manifest = Some(Seq("placed"))
+      val plus = Bgp.viewDelta(base1, added, pats, disjointDistinct = true,
+        deltaPreds = manifest)
       val minus = Bgp.viewDeltaRetract(base1.unionByName(added), removed, pats,
-        distinctInput = true)
+        distinctInput = true, deltaPreds = manifest)
       // sol1 and plus are each duplicate-free (joins of binding sets) and
       // disjoint by construction (every `plus` solution uses a strictly-new
       // binding no T1 solution can have), so the old repair distinct over

@@ -541,8 +541,27 @@ object Bgp {
     * every term scanning in-memory blocks (the repo-wide lineage-truncation
     * convention for multiply-consumed relations). Engine extension, no
     * reference counterpart. */
+  /** Delta-term skip list from a caller-asserted PREDICATE MANIFEST of the
+    * delta batch (the realistic ingest contract: a crawl batch knows which
+    * relations it asserts). A pattern whose predicate is a plain constant
+    * outside the manifest has ΔP_i = ∅ by construction, so its union term
+    * is provably empty and never built. Inverse predicates normalize first;
+    * variable and negated-set predicates are conservatively kept. */
+  private def liveTermIndices(patterns: Seq[Pat],
+      deltaPreds: Option[Seq[String]]): Seq[Int] = deltaPreds match {
+    case None => patterns.indices
+    case Some(ps) =>
+      val set = ps.toSet
+      patterns.indices.filter { i =>
+        val p0 = patterns(i).p
+        val p = if (p0.startsWith("^")) p0.drop(1) else p0
+        isVar(p) || p.startsWith("!") || set.contains(p)
+      }
+  }
+
   def viewDelta(base: DataFrame, delta: DataFrame, patterns: Seq[Pat],
-      disjointDistinct: Boolean = false): DataFrame = {
+      disjointDistinct: Boolean = false,
+      deltaPreds: Option[Seq[String]] = None): DataFrame = {
     require(patterns.nonEmpty, "empty pattern list")
     val b = truncated(base.select("s", "p", "o"))
     val dlt = truncated(delta.select("s", "p", "o"))
@@ -572,7 +591,12 @@ object Bgp {
     // (guide §2.4). The non-disjoint form (ΔP_i among all-full bindings)
     // double-counted solutions touched by several new bindings and needed
     // that distinct to repair it.
-    patterns.indices
+    // terms whose ΔP_i is provably empty under the delta's predicate
+    // manifest are never built (identical union: an empty ΔP_i makes the
+    // whole term empty); if every term dies the view delta is empty
+    val live = liveTermIndices(patterns, deltaPreds)
+    if (live.isEmpty) chain(fullBind).filter(lit(false))
+    else live
       .map(i => chain(baseBind.take(i) ++ Seq(newBind(i)) ++ fullBind.drop(i + 1)))
       .reduce(_ unionByName _)
   }
@@ -598,7 +622,8 @@ object Bgp {
     * candidates only. Output: the removed solutions, set semantics.
     * Engine extension, no reference counterpart. */
   def viewDeltaRetract(base: DataFrame, removed: DataFrame, patterns: Seq[Pat],
-      distinctInput: Boolean = false): DataFrame = {
+      distinctInput: Boolean = false,
+      deltaPreds: Option[Seq[String]] = None): DataFrame = {
     require(patterns.nonEmpty, "empty pattern list")
     // base and removed are each referenced by ~2n downstream terms; truncate
     // lineage once so a derived base is evaluated once, not per occurrence
@@ -636,7 +661,12 @@ object Bgp {
     //    so it is in P_j(remaining)), hence the terms are pairwise disjoint
     //    and internally duplicate-free (equi-joins of binding sets): the
     //    old repair `.distinct()` exchange is gone too (guide §2.4).
-    patterns.indices
+    // same manifest skip as viewDelta: a pattern whose constant predicate
+    // the removed batch cannot carry has ΔP_i⁻ = ∅ (removal of absent
+    // bindings), so its term is empty and never built
+    val live = liveTermIndices(patterns, deltaPreds)
+    if (live.isEmpty) chain(baseBind).filter(lit(false))
+    else live
       .map(i => chain(remBind.take(i) ++ Seq(goneBind(i)) ++ baseBind.drop(i + 1)))
       .reduce(_ unionByName _)
   }

@@ -271,6 +271,28 @@ class BgpSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("viewDelta/viewDeltaRetract: a predicate manifest skips only provably-empty terms") {
+    import spark.implicits._
+    val base = Seq(("a", "p", "b"), ("b", "q", "c"), ("x", "p", "b"),
+      ("b", "q", "d")).toDF("s", "p", "o")
+    val pats = Seq(Pat("?x", "p", "?y"), Pat("?y", "q", "?z"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    // a p-only delta: the q-term is provably empty — pruned result identical
+    val dp = Seq(("n", "p", "b")).toDF("s", "p", "o")
+    assert(rows(Bgp.viewDelta(base, dp, pats, deltaPreds = Some(Seq("p")))) ==
+      rows(Bgp.viewDelta(base, dp, pats)))
+    val rm = Seq(("x", "p", "b")).toDF("s", "p", "o")
+    assert(rows(Bgp.viewDeltaRetract(base, rm, pats, deltaPreds = Some(Seq("p")))) ==
+      rows(Bgp.viewDeltaRetract(base, rm, pats)))
+    // a manifest covering NO pattern yields the empty (schema-correct) delta
+    assert(Bgp.viewDelta(base, dp, pats, deltaPreds = Some(Seq("zzz"))).isEmpty)
+    assert(Bgp.viewDeltaRetract(base, rm, pats, deltaPreds = Some(Seq("zzz"))).isEmpty)
+    // variable / inverse / negated predicates are conservatively kept
+    val patsV = Seq(Pat("?x", "?r", "?y"), Pat("?y", "^p", "?z"))
+    assert(rows(Bgp.viewDelta(base, dp, patsV, deltaPreds = Some(Seq("p")))) ==
+      rows(Bgp.viewDelta(base, dp, patsV)))
+  }
+
   test("viewDelta: duplicate-of-base delta triple adds nothing; empty delta is empty") {
     import spark.implicits._
     val base = Seq(("a", "p", "b"), ("b", "q", "c")).toDF("s", "p", "o")
